@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Engine-neutral building blocks shared by the dedup / text operators.
+  *
+  * The correctness oracle re-computes every query in DuckDB, so anything
+  * that hashes must hash IDENTICALLY in both engines. Spark's `xxhash64`
+  * and DuckDB's `hash()` differ, but `md5` is bit-identical everywhere:
+  * we derive a 60-bit non-negative Long from the first 15 hex chars of
+  * md5. All of this stays inside `org.apache.spark.sql.functions` (no
+  * UDFs) so whole-stage codegen applies.
+  */
+object EngineNeutral {
+
+  /** 60-bit deterministic hash of a string column.
+    * DuckDB equivalent: CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant: hash60(s + "#" + seed) — used for MinHash permutations.
+    * DuckDB: hash60(concat(s, '#', CAST(i AS VARCHAR))).
+    */
+  def hash60Seeded(c: Column, seed: Column): Column =
+    hash60(concat(c, lit("#"), seed.cast("string")))
+
+  /** Whitespace tokens of trimmed text (never null; empty text → empty array).
+    * DuckDB: string_split_regex(trim(text), '\s+').
+    */
+  def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Distinct whitespace tokens — the "word set" used by set-similarity ops.
+    * DuckDB: list_distinct(string_split_regex(trim(text), '\s+')).
+    * NOTE: list_distinct does not preserve order, so never rely on element
+    * order downstream — only on set semantics (min / intersect / union).
+    */
+  def wordSet(text: Column): Column = array_distinct(wsTokens(text))
+
+  /** Distinct character n-grams over the lowercased alphanumeric skeleton.
+    * DuckDB: list_distinct(list_transform(range(1, len(s)-n+2),
+    *           j -> substr(s, j, n)))   with s = regexp_replace(lower(text),'[^a-z0-9]','','g')
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = regexp_replace(lower(text), "[^a-z0-9]", "")
+    val cnt = length(s)
+    array_distinct(
+      when(cnt >= n,
+        transform(sequence(lit(1), cnt - n + 1), j => s.substr(j, lit(n))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Word w-shingles ("a b c") over whitespace tokens.
+    * DuckDB: list_transform(range(1, len(t)-w+2), j -> t[j]||' '||...).
+    */
+  def wordShingles(text: Column, w: Int): Column = {
+    val t = wsTokens(text)
+    val n = size(t)
+    array_distinct(
+      when(n >= w,
+        transform(sequence(lit(1), n - w + 1),
+          j => concat_ws(" ", (0 until w).map(k => element_at(t, j + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact Jaccard of two (already-distinct) string arrays, as double.
+    * DuckDB: len(list_intersect(a,b)) / len(list_distinct(list_concat(a,b))).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}

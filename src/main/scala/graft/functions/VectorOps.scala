@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<double>` columns, built from higher-order
+  * functions (zip_with / aggregate) — codegen-friendly, no UDFs, no MLlib
+  * dependency. Sums run sequentially left-to-right, matching DuckDB's
+  * list_* kernels, so oracle results agree to the last ULP (outputs are
+  * still rounded defensively).
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Signed random-projection bit: sign of <v, h_seed> where h_seed is a
+    * deterministic pseudo-random hyperplane derived from (seed, dim idx)
+    * via the engine-neutral hash — reproducible anywhere. Components are
+    * uniform in [-1, 1): (hash60("srp#seed#i") % 10000) / 5000 - 1. */
+  def srpBit(v: Column, seed: Int): Column = {
+    val proj = aggregate(
+      zip_with(
+        v,
+        sequence(lit(0), size(v) - 1),
+        (x, i) =>
+          x * ((EngineNeutral.hash60(concat(lit(s"srp#$seed#"), i.cast("string"))) % 10000L)
+            .cast("double") / 5000.0 - 1.0)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0.0, 1L).otherwise(0L)
+  }
+
+  /** nBits-bit SRP signature as a Long. */
+  def srpSignature(v: Column, nBits: Int): Column =
+    (0 until nBits).map(b => shiftleft(srpBit(v, b), b)).reduce(_ + _)
+}

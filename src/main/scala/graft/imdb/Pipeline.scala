@@ -1,0 +1,65 @@
+package graft.imdb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end orchestration of the reference ETL
+  * (/root/reference/etl_imdb_db.sql + dashboard_visualizations.sql).
+  *
+  * Ordering is load-bearing (SURVEY.md §3.3): Graf 4 reads
+  * ratings_staging, which the reference's Load phase drops — so the flow
+  * is extract → transform → queries → teardown, and queries take staging
+  * DataFrames as inputs rather than catalog lookups after teardown.
+  */
+final case class Star(
+    staging: Map[String, DataFrame],
+    dimMovies: DataFrame,
+    dimPeople: DataFrame,
+    dimGenres: DataFrame,
+    factMovies: DataFrame)
+
+object Pipeline {
+
+  /** Default location of the reference CSVs (read-only). */
+  val DefaultData = "/root/reference/imdb_db"
+
+  def build(spark: SparkSession, baseDir: String = DefaultData,
+            dropMalformed: Boolean = false): Star = {
+    val staging = Extract.readAll(spark, baseDir, dropMalformed)
+    val dm = Transform.dimMovies(staging("movies_staging"))
+    val dp = Transform.dimPeople(
+      staging("name_staging"),
+      staging("role_mapping_staging"),
+      staging("director_mapping_staging"))
+    val dg = Transform.dimGenres(staging("genres_staging"))
+    val fm = Transform.factMovies(
+      staging("movies_staging"), staging("ratings_staging"),
+      staging("genres_staging"), dg, dp)
+    Star(staging, dm, dp, dg, fm)
+  }
+
+  /** All six dashboard queries off a built star. */
+  def queries(star: Star): Map[String, DataFrame] = Map(
+    "graf1" -> Queries.graf1(star.dimMovies),
+    "graf2" -> Queries.graf2(star.dimGenres, star.factMovies),
+    "graf3" -> Queries.graf3(star.factMovies, star.dimPeople),
+    "graf4" -> Queries.graf4(star.factMovies, star.dimPeople, star.dimGenres,
+      star.staging("ratings_staging")),
+    "graf5" -> Queries.graf5(star.staging("role_mapping_staging"), star.dimPeople),
+    "graf6" -> Queries.graf6(star.dimMovies))
+
+  /** SQL entry path: register temp views so the reference's six SELECTs
+    * run verbatim via spark.sql(...). The star tables are cached —
+    * they're dims/fact consumed by every query. */
+  def registerViews(star: Star): Unit = {
+    star.staging.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    star.dimMovies.cache().createOrReplaceTempView("dim_movies")
+    star.dimPeople.cache().createOrReplaceTempView("dim_people")
+    star.dimGenres.cache().createOrReplaceTempView("dim_genres")
+    star.factMovies.cache().createOrReplaceTempView("fact_movies")
+  }
+
+  /** Teardown — the reference's Load-phase DROPs (etl_imdb_db.sql:153-158).
+    * Call only after the queries have run (§3.3). */
+  def teardownStaging(spark: SparkSession, star: Star): Unit =
+    star.staging.keys.foreach(spark.catalog.dropTempView)
+}

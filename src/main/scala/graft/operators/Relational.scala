@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.syntax._
+
+/** Relational operator suite — one builder per operator family in
+  * SURVEY.md §2 (projection/rename P1, filters P4-P7, DISTINCT P3,
+  * IN-list P5, IN-subquery P9/J11, left/inner joins J1-J10, aggregates
+  * A1-A5, window W1, top-k O2, CTE composition C1, ROUND F1) plus the
+  * standard extensions the reference lacks (anti join, set ops, HAVING,
+  * CASE/COALESCE, count-distinct, date parts).
+  *
+  * Scale notes (100 TB posture), per query:
+  *  - dims (region 5 / nation 25 rows) are always broadcast — explicit
+  *    `broadcast()` hints where the dim is guaranteed tiny; AQE handles
+  *    the rest (local runs set spark.sql.adaptive.enabled=true).
+  *  - every groupBy below runs partial (map-side) aggregation for free:
+  *    hash-partial → exchange on the group keys → final.
+  *  - top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  *    (per-partition heap, no global sort).
+  *  - all filters / projections are plain Column exprs → pushed into the
+  *    parquet scan (PushedFilters / ReadSchema) by Catalyst.
+  *
+  * Output column names are part of the contract: the driver's DuckDB
+  * oracle compares by (sorted) column name, so every computed column is
+  * aliased here AND in OracleSql with the same name. Aggregates over
+  * doubles are rounded on both sides to absorb summation-order ULPs.
+  */
+object Relational {
+
+  /** A1-A4/F1 — TPC-H Q1 flavour: multi-aggregate groupBy. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** P1/P4/P7 — filter + project + rename; predicates push to the scan. */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" > 150000.0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+
+  /** P3/A6 — SELECT DISTINCT (hash aggregate over all projected columns). */
+  def q3Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select($"c_mktsegment", $"c_nationkey").distinct()
+
+  /** O2 — top-k: planned as TakeOrderedAndProject (no global sort).
+    * Deterministic tiebreak on the key so the oracle's LIMIT agrees. */
+  def q4TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+
+  /** J3 (left outer) + A1 (null-skipping count) + COALESCE extension. */
+  def q5LeftJoinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("order_count"),
+        round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_spent"))
+
+  /** J7 — inner join chain onto guaranteed-tiny dims: broadcast hints. */
+  def q6JoinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"), round(avg($"c_acctbal"), 2).as("avg_bal"))
+
+  /** P9/J11 — IN-subquery as left-semi join. */
+  def q7SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    Tables.orders(s, dir)
+      .join(building, $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Anti-join extension (NOT EXISTS): customers with no orders. */
+  def q8AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .agg(count(lit(1)).as("n_cust_no_orders"))
+
+  /** W1 — ranking window (top-3 orders per customer). Single exchange on
+    * the partition key, sort within partitions; rank filter post-window. */
+  def q9WindowTopPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+  }
+
+  /** C1/P9/W1 — the Graf-4 shape: chained CTEs, top-k CTE consumed via
+    * semi join, window over a grouped aggregate, post-window rank filter. */
+  def q10CteTopSegments(s: SparkSession, dir: String): DataFrame = {
+    val custNation = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+    val topNations = custNation
+      .groupBy($"n_name").agg(count(lit(1)).as("n_cust"))
+      .orderBy($"n_cust".desc, $"n_name".asc)
+      .limit(3)
+      .select($"n_name".as("top_n_name"))
+    val seg = custNation
+      .join(broadcast(topNations), $"n_name" === $"top_n_name", "left_semi")
+      .groupBy($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"n_name").orderBy($"n".desc, $"c_mktsegment".asc)
+    seg.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 2)
+      .select($"n_name", $"c_mktsegment", $"n")
+  }
+
+  /** P5/P6 — IN value-list + range predicates (incl. timestamp). */
+  def q11InListRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter($"l_returnflag".isin("A", "R") &&
+        $"l_quantity" > 30.0 &&
+        $"l_shipdate" >= lit("1995-01-01").cast("timestamp"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("sum_price"))
+
+  /** Star join: fact (lineitem) through orders→customer→nation→region.
+    * The big⋈big (lineitem⋈orders) shuffles on orderkey; dims broadcast.
+    * TPC-H Q5 flavour = the 100 TB shape this engine must keep fast. */
+  def q12StarJoinRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+
+  /** Scalar date-part extension + min/max. */
+  def q13DateParts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year($"o_orderdate").cast("long").as("order_year"),
+        month($"o_orderdate").cast("long").as("order_month"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"))
+
+  /** Set-op extension: UNION (distinct) then EXCEPT. */
+  def q14SetOps(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+    val b = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 300000.0).select($"o_custkey".as("custkey"))
+    val c = Tables.customer(s, dir)
+      .filter($"c_nationkey" === 3).select($"c_custkey".as("custkey"))
+    a.union(b).distinct().except(c)
+  }
+
+  /** Count-distinct extension (exact) + approx sketch alongside. */
+  def q15CountDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_cust"))
+
+  /** HAVING extension — post-aggregation filter. */
+  def q16Having(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 50)
+
+  /** CASE/WHEN extension — bucketed aggregation. */
+  def q17CaseBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        when($"o_totalprice" > 300000.0, "big")
+          .when($"o_totalprice" > 150000.0, "mid")
+          .otherwise("small").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.EngineNeutral._
+import graft.syntax._
+
+/** Text-analysis operators for training-data pipelines, over `documents`.
+  * Everything is `org.apache.spark.sql.functions` expressions (no UDFs):
+  * whole-stage codegen keeps these scan-speed at 100 TB, and each has an
+  * exact DuckDB twin in OracleSql.
+  */
+object TextAnalysis {
+
+  /** Language heuristics: tiny per-language stopword lists. On real data
+    * these separate scripts/languages; on any data the scoring + argmax
+    * chain is deterministic in both engines. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "不", "我", "有", "他", "这"))
+
+  private def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words))).cast("long")
+
+  /** Token counting: whitespace tokens + BPE-ish word pieces + chars.
+    * The "bpe-ish" regex splits runs of letters / digits / other — a
+    * deterministic proxy for subword token counts. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower($"text"))
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      size(toks).cast("long").as("n_tokens"),
+      size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_bpeish"),
+      length($"text").cast("long").as("n_chars_measured"))
+  }
+
+  /** Quality scoring: length / punctuation / stopword signals composed
+    * into one 0..1 score. Formula is written identically in OracleSql —
+    * double arithmetic order matters for bit-equality. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower($"text"))
+    val nTok = size(toks).cast("double")
+    val alnum = length(regexp_replace($"text", "[^A-Za-z0-9\\s]", "")).cast("double")
+    val punctRatio = (length($"text").cast("double") - alnum) / length($"text").cast("double")
+    val enHits = size(filter(toks, t => t.isInCollection(stopwords.head._2))).cast("double")
+    val stopRatio = when(nTok > 0, enHits / nTok).otherwise(lit(0.0))
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(lenScore * 0.4 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.3, 6)
+        .as("quality"))
+  }
+
+  /** Language ID: stopword-hit argmax with a fixed preference order. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower($"text"))
+    val hits = stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    // deterministic argmax: nested CASE, earlier lang wins ties
+    val Seq(en, de, es, fr, zh) = hits.map(_._2)
+    val lang = when(en >= de && en >= es && en >= fr && en >= zh, "en")
+      .when(de >= es && de >= fr && de >= zh, "de")
+      .when(es >= fr && es >= zh, "es")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"), zh.as("s_zh"),
+      when(en + de + es + fr + zh === 0, "und").otherwise(lang).as("lang_guess"))
+  }
+
+  /** Document fingerprint: md5 over the lowercased alphanumeric skeleton
+    * (whitespace/punct-insensitive content identity — the key for exact
+    * dedup after normalization). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("fp"))
+
+  /** Winnowing-style rolling-hash sketch: k-gram hash minima over sliding
+    * windows (Schleimer et al., SIGMOD'03). Output = per-doc distinct
+    * fingerprint count + min/max — compact, deterministic. */
+  def winnowSketch(s: SparkSession, dir: String, k: Int = 5, win: Int = 4): DataFrame = {
+    val grams = charNgrams($"text", k) // distinct k-grams (order-free sketch)
+    val hashes = transform(grams, g => hash60(g))
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      size(grams).cast("long").as("n_grams"),
+      array_min(hashes).as("min_hash"),
+      array_max(hashes).as("max_hash"))
+  }
+}
