@@ -45,10 +45,15 @@ object Queries {
     * Reads ratings_staging — must run before teardown (SURVEY.md §3.3). */
   def graf4(factMovies: DataFrame, dimPeople: DataFrame, dimGenres: DataFrame,
             ratingsStaging: DataFrame): DataFrame = {
+    // factMovies is itself built from ratingsStaging, so re-joining the raw
+    // staging table is a lineage self-join: alias its columns first to keep
+    // attribute resolution unambiguous (reference SQL uses r.avg_rating).
+    val r = ratingsStaging.select(
+      col("movie_id").as("r_movie_id"), col("avg_rating").as("r_avg_rating"))
     val fmG = factMovies
       .join(dimGenres, factMovies("genre_id") === dimGenres("genre_id"))
-      .join(ratingsStaging, factMovies("movie_id") === ratingsStaging("movie_id"))
-      .filter($"avg_rating" > 6)
+      .join(r, factMovies("movie_id") === $"r_movie_id")
+      .filter($"r_avg_rating" > 6)
     val top3Genre = fmG
       .groupBy($"genre_name")
       .agg(count(factMovies("movie_id")).as("movie_count"))

@@ -94,19 +94,18 @@ object Dedup {
 
   /** Weighted 48-bit SimHash per doc: bit b is the sign of the sum over
     * tokens (multiset — counts are the weights) of ±1 by the token-hash's
-    * bit b. Pure codegen expressions: nested higher-order functions. */
+    * bit b, i.e. bit set iff 2·(#tokens with bit b set) >= #tokens.
+    * The bit loop is unrolled in Scala so every shift amount is a literal
+    * Int (shiftright/shiftleft require one) and codegen stays flat. */
   def simhashCol(text: Column): Column = {
     val toks = wsTokens(lower(text))
     val hashes = transform(toks, t => hash60(t))
-    aggregate(
-      sequence(lit(0), lit(SimhashBits - 1)),
-      lit(0L),
-      (acc, b) =>
-        acc + when(
-          aggregate(hashes, lit(0L),
-            (a, h) => a + when(shiftright(h, b.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
-          ) >= 0L,
-          shiftleft(lit(1L), b.cast("int"))).otherwise(0L))
+    val n = size(hashes).cast("long")
+    (0 until SimhashBits).map { b =>
+      val setCount = size(filter(hashes,
+        h => shiftright(h, b).bitwiseAND(1L) === 1L)).cast("long")
+      when(setCount * 2L >= n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** Per-doc SimHash signatures (oracle-checkable). */

@@ -6,10 +6,9 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.syntax._
 
-/** Batch time-series operators over the `events` table. The streaming
-  * twins (watermarked tumbling windows, stateful sessionization) live in
-  * graft.streaming.Streams; these batch forms are the oracle-checkable
-  * semantics.
+/** Batch time-series operators over the `events` table; these batch
+  * forms are the oracle-checkable semantics (streaming variants, when
+  * added, share the same aggregation logic via readStream).
   *
   * Timestamps: the parquet stores nanosecond timestamps; Spark truncates
   * to microseconds on read and DuckDB keeps ns — so every output here is
