@@ -1,0 +1,483 @@
+package graft
+
+/** DuckDB twins of every SparkEntry query — the oracle side of the
+  * driver's correctness gate (see Verify).
+  *
+  * Contract: each SQL string, run by DuckDB over the same inputs the
+  * Spark builder reads, must produce the same multiset of rows with the
+  * same column names and (pandas-compatible) types. Conventions:
+  *  - counts are BIGINT in both engines (Spark count → long);
+  *  - Spark row_number (int) is cast to long wherever it is exposed;
+  *  - double aggregates are rounded identically on both sides; both
+  *    engines round doubles via shortest-decimal + HALF_UP, verified;
+  *  - every hash is md5-derived ([[graft.functions.EngineNeutral]]) so
+  *    signatures agree bit-for-bit;
+  *  - the TPC-H-ish tables are referenced by bare name (the driver
+  *    registers them over the sf dir); documents/embeddings are read
+  *    from the t2 gate's sf0.01 path explicitly; the IMDB staging
+  *    tables are read from the reference CSVs with explicit schemas
+  *    mirroring graft.imdb.Schemas.
+  */
+object OracleSql {
+
+  // ---- shared fragments -------------------------------------------------
+
+  /** 60-bit md5-derived hash — twin of EngineNeutral.hash60. */
+  private def h60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  /** Whitespace tokens — twin of EngineNeutral.wsTokens. */
+  private def toks(e: String): String =
+    s"CASE WHEN len(trim($e))=0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($e),'\\s+') END"
+
+  /** Distinct tokens — twin of EngineNeutral.wordSet. */
+  private def wordSet(e: String): String = s"list_distinct(${toks(e)})"
+
+  /** Exact Jaccard — twin of EngineNeutral.jaccard. */
+  private def jac(a: String, b: String): String =
+    s"len(list_intersect($a,$b))::DOUBLE / len(list_distinct(list_concat($a,$b)))::DOUBLE"
+
+  /** Sequential-fold cosine — twin of VectorOps.cosine (zip_with+aggregate). */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(64), i -> ($x)[i+1]*($y)[i+1]))"
+    s"${dot(a, b)}/(sqrt(${dot(a, a)})*sqrt(${dot(b, b)}))"
+  }
+
+  /** SRP projection for global bit `bit` — twin of VectorOps.srpBit. */
+  private def srpProj(v: String, bit: Int): String =
+    s"list_sum(list_transform(range(64), i -> ($v)[i+1] * " +
+      s"((${h60(s"concat('srp#$bit#', i)")} % 10000)/5000.0 - 1.0)))"
+
+  /** Packed band value over bits [offset, offset+n) — twin of srpSignatureSlice. */
+  private def srpBand(v: String, offset: Int, n: Int): String =
+    (0 until n).map { lb =>
+      s"(CASE WHEN ${srpProj(v, offset + lb)} >= 0 THEN ${1L << lb} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val docs = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+  private val embs = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+
+  // ---- relational -------------------------------------------------------
+
+  private val relational: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0""".stripMargin,
+    "rel_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "rel_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "rel_left_join_agg" ->
+      """SELECT c.c_custkey,
+        |  count(o.o_orderkey) AS order_count,
+        |  round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey""".stripMargin,
+    "rel_join_inner" ->
+      """SELECT r.r_name, n.n_name, count(*) AS n_cust,
+        |  round(avg(c.c_acctbal), 2) AS avg_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT count(*) AS n_cust_no_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "rel_window_top_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "rel_cte_top_segments" ->
+      """WITH cust_nation AS (
+        |  SELECT n.n_name, c.c_mktsegment FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |top_nations AS (
+        |  SELECT n_name FROM cust_nation GROUP BY n_name
+        |  ORDER BY count(*) DESC, n_name ASC LIMIT 3),
+        |seg AS (
+        |  SELECT n_name, c_mktsegment, count(*) AS n FROM cust_nation
+        |  WHERE n_name IN (SELECT n_name FROM top_nations)
+        |  GROUP BY n_name, c_mktsegment)
+        |SELECT n_name, c_mktsegment, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY n DESC, c_mktsegment ASC) AS rnk
+        |  FROM seg) WHERE rnk <= 2""".stripMargin,
+    "rel_in_list_range" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity > 30.0
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "rel_star_join_revenue" ->
+      """SELECT n.n_name, round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY n.n_name""".stripMargin,
+    "rel_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "rel_set_ops" ->
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0)
+        |EXCEPT SELECT c_custkey AS custkey FROM customer WHERE c_nationkey = 3""".stripMargin,
+    "rel_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "rel_having" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer
+        |GROUP BY c_nationkey HAVING count(*) > 50""".stripMargin,
+    "rel_case_buckets" ->
+      """SELECT bucket, count(*) AS n FROM (
+        |  SELECT CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |              WHEN o_totalprice > 150000.0 THEN 'mid'
+        |              ELSE 'small' END AS bucket FROM orders)
+        |GROUP BY bucket""".stripMargin)
+
+  // ---- text analysis ----------------------------------------------------
+
+  private val text: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${toks("lower(text)")}) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+         |  CAST(length(text) AS BIGINT) AS n_chars_measured
+         |FROM $docs""".stripMargin,
+    "text_quality_score" -> {
+      val nTok = s"len(${toks("lower(text)")})::DOUBLE"
+      val alnum = s"length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
+      val punct = s"((length(text)::DOUBLE - $alnum) / length(text)::DOUBLE)"
+      val enHits =
+        s"len(list_filter(${toks("lower(text)")}, t -> t IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE"
+      val stop = s"(CASE WHEN $nTok > 0 THEN $enHits / $nTok ELSE 0.0 END)"
+      val lenScore = s"least($nTok / 64.0, 1.0)"
+      s"""SELECT doc_id,
+         |  round($punct, 6) AS punct_ratio,
+         |  round($stop, 6) AS stopword_ratio,
+         |  round($lenScore * 0.4 + (1.0 - $punct) * 0.3 + $stop * 0.3, 6) AS quality
+         |FROM $docs""".stripMargin
+    },
+    "text_lang_id" -> {
+      val lists = Map(
+        "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+        "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un", "una"),
+        "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que"),
+        "zh" -> Seq("的", "是", "在", "了", "不", "我", "有", "他", "这"))
+      def hits(lang: String) =
+        s"CAST(len(list_filter(tk, t -> t IN (${lists(lang).map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
+         |h AS (SELECT doc_id, ${hits("en")} AS s_en, ${hits("de")} AS s_de,
+         |  ${hits("es")} AS s_es, ${hits("fr")} AS s_fr, ${hits("zh")} AS s_zh FROM t)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+         |  CASE WHEN s_en + s_de + s_es + s_fr + s_zh = 0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_guess
+         |FROM h""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+         |FROM $docs""".stripMargin,
+    "text_winnow_sketch" ->
+      s"""WITH s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
+         |g AS (SELECT doc_id, CASE WHEN length(sk) >= 5
+         |  THEN list_transform(range(1, length(sk) - 5 + 2), j -> sk[j:j+4])
+         |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM s),
+         |h AS (SELECT doc_id, list_transform(grams, x -> ${h60("x")}) AS hs FROM g),
+         |f AS (SELECT doc_id, list_distinct(CASE WHEN len(hs) >= 4
+         |  THEN list_transform(range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3]))
+         |  ELSE hs END) AS fps FROM h)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM f""".stripMargin)
+
+  // ---- events -----------------------------------------------------------
+
+  private val events: Map[String, String] = Map(
+    "events_hourly_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin,
+    "events_top_type_per_user" ->
+      """SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rnk
+        |  FROM events GROUP BY user_id, event_type) WHERE rnk = 1""".stripMargin,
+    "events_props_extract" ->
+      """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type""".stripMargin)
+
+  // ---- dedup ------------------------------------------------------------
+
+  /** 16 MinHash columns + 4 band hashes, mirrored from Dedup.minhashSig. */
+  private def minhashSigCte: String = {
+    val mhCols = (0 until 16).map { i =>
+      s"list_min(list_transform(w, t -> ${h60(s"concat(t, '#$i')")})) AS mh$i"
+    }.mkString(",\n  ")
+    s"""ws AS (SELECT doc_id, ${wordSet("text")} AS w FROM $docs),
+       |sig AS (SELECT doc_id,
+       |  $mhCols
+       |FROM ws),
+       |bands AS (${(0 until 4).map { b =>
+         val cols = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)").mkString(", ")
+         s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, md5(concat_ws('|', $cols)) AS band_hash FROM sig"
+       }.mkString("\n  UNION ALL ")})""".stripMargin
+  }
+
+  /** 48-term SimHash sum, mirrored from Dedup.simhashCol. */
+  private def simhashCte: String = {
+    val terms = (0 until 48).map { b =>
+      s"(CASE WHEN 2*len(list_filter(hs, v -> ((v >> $b) & 1) = 1)) >= len(hs) THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""t AS (SELECT doc_id, list_transform(${toks("lower(text)")}, x -> ${h60("x")}) AS hs FROM $docs),
+       |sig AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM t)""".stripMargin
+  }
+
+  private val dedup: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM $docs GROUP BY 1""".stripMargin,
+    "dedup_minhash_signatures" ->
+      s"""WITH $minhashSigCte
+         |SELECT doc_id, band_id, band_hash FROM bands""".stripMargin,
+    "dedup_minhash_lsh_pairs" ->
+      s"""WITH $minhashSigCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |j AS (SELECT doc_a, doc_b, ${jac("wa.w", "wb.w")} AS jacc
+         |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.9""".stripMargin,
+    "dedup_simhash_signatures" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sig""".stripMargin,
+    "dedup_simhash_pairs" ->
+      // the Spark side's 6-block pigeonhole banding is exact for
+      // hamming <= 5, so the oracle can use the closed-form all-pairs
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
+    "dedup_ngram_jaccard_pairs" -> {
+      // prefix filtering is exactness-preserving, so the oracle verifies
+      // over ALL pairs — same final set, no window mirroring needed
+      val grams =
+        "list_distinct(CASE WHEN length(sk) >= 3 THEN list_transform(range(1, length(sk) - 3 + 2), j -> sk[j:j+2]) ELSE CAST([] AS VARCHAR[]) END)"
+      s"""WITH s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
+         |g AS (SELECT doc_id, $grams AS grams FROM s),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jac("a.grams", "b.grams")} AS jacc
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM p WHERE jacc >= 0.6""".stripMargin
+    },
+    "dedup_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM $embs)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.4""".stripMargin)
+
+  // ---- similarity -------------------------------------------------------
+
+  private val similarity: Map[String, String] = Map(
+    "sim_brute_force_topk" ->
+      // the Spark two-phase rank == a single global rank per query
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |scored AS (SELECT q.q_id, e.vec_id,
+         |  round(${cosSql("q.q_v", "e.v")}, 4) AS cos_sim
+         |  FROM e JOIN q ON e.vec_id <> q.q_id)
+         |SELECT q_id, vec_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |sig AS (SELECT vec_id, v, ${srpBand("v", 0, 8)} AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS q_v, bucket AS q_bucket FROM sig WHERE vec_id < 5),
+         |scored AS (SELECT q.q_id, s.vec_id,
+         |  round(${cosSql("q.q_v", "s.v")}, 4) AS cos_sim
+         |  FROM sig s JOIN q ON s.bucket = q.q_bucket AND s.vec_id <> q.q_id)
+         |SELECT q_id, vec_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "sim_srp_neardup_pairs" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, CAST($b AS BIGINT) AS band_id, ${srpBand("v", b * 4, 4)} AS band_val FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.vec_id < r.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT vec_a, vec_b, round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+         |  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b)
+         |WHERE cos_sim >= 0.4""".stripMargin
+    })
+
+  // ---- multimodal -------------------------------------------------------
+  // payload = UTF-8 bytes of `text` (ASCII corpus), so the oracle mirrors
+  // byte-level ops on the string directly.
+
+  private val multimodal: Map[String, String] = Map(
+    "mm_meta_stats" ->
+      s"""SELECT mime, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+         |  round(avg(width), 2) AS avg_width, round(avg(height), 2) AS avg_height
+         |FROM (SELECT
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |         ELSE 'video/mp4' END AS mime,
+         |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |    CAST(doc_id % 5 * 160 + 320 AS BIGINT) AS width,
+         |    CAST(doc_id % 5 * 90 + 180 AS BIGINT) AS height
+         |  FROM $docs)
+         |GROUP BY mime""".stripMargin,
+    "mm_features" -> {
+      val h = h60("md5_text")
+      s"""WITH m AS (SELECT doc_id, text, md5(text) AS payload_md5,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |       ELSE 'video/mp4' END AS mime FROM $docs),
+         |h AS (SELECT doc_id, mime, payload_md5,
+         |  CAST(concat('0x', substr(payload_md5, 1, 15)) AS BIGINT) AS hv,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes FROM m)
+         |SELECT doc_id, mime, payload_md5,
+         |  n_bytes::DOUBLE AS f_len,
+         |  round((hv % 256)::DOUBLE + ((hv >> 8) % 256)::DOUBLE + ((hv >> 16) % 256)::DOUBLE, 2) AS f_sig
+         |FROM h""".stripMargin
+    },
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, mime, frame_off, md5(substr(text, CAST(frame_off + 1 AS INTEGER), 32)) AS frame_probe
+         |FROM (SELECT doc_id, text,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |         ELSE 'video/mp4' END AS mime,
+         |    unnest(range(0, strlen(text), 64)) AS frame_off
+         |  FROM $docs)""".stripMargin)
+
+  // ---- IMDB parity ------------------------------------------------------
+
+  /** Staging CTEs mirroring graft.imdb.{Schemas,Extract} over the
+    * reference CSVs, plus the four Transform CTAS twins. */
+  private def imdbBase: String = {
+    val dir = "/root/reference/imdb_db"
+    def csv(file: String, cols: Seq[(String, String)]): String =
+      s"read_csv('$dir/$file', header=true, nullstr='NULL', " +
+        s"columns={${cols.map { case (n, t) => s"'$n':'$t'" }.mkString(",")}})"
+    s"""movies_staging AS (SELECT * FROM ${csv("movie.csv", Seq(
+         "id" -> "VARCHAR", "title" -> "VARCHAR", "year" -> "INTEGER",
+         "date_published" -> "DATE", "duration" -> "INTEGER", "country" -> "VARCHAR",
+         "worlwide_gross_income" -> "VARCHAR", "languages" -> "VARCHAR",
+         "production_company" -> "VARCHAR"))}),
+       |genres_staging AS (SELECT * FROM ${csv("ganre.csv",
+         Seq("movie_id" -> "VARCHAR", "genre" -> "VARCHAR"))}),
+       |name_staging AS (SELECT * FROM ${csv("names.csv", Seq(
+         "id" -> "VARCHAR", "name" -> "VARCHAR", "height" -> "INTEGER",
+         "date_of_birth" -> "DATE", "known_for_movies" -> "VARCHAR"))}),
+       |ratings_staging AS (SELECT * FROM ${csv("ratings.csv", Seq(
+         "movie_id" -> "VARCHAR", "avg_rating" -> "DECIMAL(3,1)",
+         "total_votes" -> "INTEGER", "median_rating" -> "INTEGER"))}),
+       |director_mapping_staging AS (SELECT * FROM ${csv("director_mapping.csv",
+         Seq("movie_id" -> "VARCHAR", "name_id" -> "VARCHAR"))}),
+       |role_mapping_staging AS (SELECT * FROM ${csv("role_mapping.csv",
+         Seq("movie_id" -> "VARCHAR", "name_id" -> "VARCHAR", "category" -> "VARCHAR"))}),
+       |dim_movies AS (SELECT DISTINCT id AS movie_id, title, year, date_published,
+       |  duration, country, languages, production_company FROM movies_staging),
+       |dim_people AS (SELECT DISTINCT n.id AS person_id, n.name, r.category AS role,
+       |  n.known_for_movies, n.date_of_birth, d.movie_id AS directed_movie_id
+       |  FROM name_staging n
+       |  LEFT JOIN role_mapping_staging r ON n.id = r.name_id
+       |  LEFT JOIN director_mapping_staging d ON n.id = d.name_id),
+       |dim_genres AS (SELECT DISTINCT genre AS genre_id, genre AS genre_name FROM genres_staging),
+       |fact_movies AS (SELECT DISTINCT m.id AS movie_id, dg.genre_id,
+       |  dp.person_id AS director_id, r.total_votes, r.avg_rating, m.duration
+       |  FROM movies_staging m
+       |  LEFT JOIN ratings_staging r ON m.id = r.movie_id
+       |  LEFT JOIN genres_staging g ON m.id = g.movie_id
+       |  LEFT JOIN dim_genres dg ON g.genre = dg.genre_name
+       |  LEFT JOIN dim_people dp ON dp.known_for_movies = m.id)""".stripMargin
+  }
+
+  private val imdb: Map[String, String] = Map(
+    "imdb_graf1" ->
+      s"""WITH $imdbBase
+         |SELECT country, count(movie_id) AS number_of_movies FROM dim_movies
+         |WHERE country IN ('USA','India') AND year = 2019 GROUP BY country""".stripMargin,
+    "imdb_graf2" ->
+      s"""WITH $imdbBase
+         |SELECT dg.genre_name AS genre, round(avg(fm.duration), 2) AS avg_duration
+         |FROM dim_genres dg JOIN fact_movies fm ON dg.genre_id = fm.genre_id
+         |GROUP BY dg.genre_name""".stripMargin,
+    "imdb_graf3" ->
+      s"""WITH $imdbBase
+         |SELECT dp.name AS director_name, count(fm.movie_id) AS movie_count
+         |FROM fact_movies fm JOIN dim_people dp ON fm.director_id = dp.person_id
+         |GROUP BY dp.name ORDER BY movie_count DESC, director_name ASC LIMIT 10""".stripMargin,
+    "imdb_graf4" ->
+      s"""WITH $imdbBase,
+         |fm_g AS (SELECT fm.movie_id, dg.genre_name, fm.director_id
+         |  FROM fact_movies fm
+         |  JOIN dim_genres dg ON fm.genre_id = dg.genre_id
+         |  JOIN ratings_staging r ON fm.movie_id = r.movie_id
+         |  WHERE r.avg_rating > 6),
+         |top3_genre AS (SELECT genre_name FROM fm_g GROUP BY genre_name
+         |  ORDER BY count(movie_id) DESC, genre_name ASC LIMIT 3),
+         |ranked AS (SELECT dp.name, fm_g.genre_name, count(fm_g.movie_id) AS movie_count,
+         |    row_number() OVER (PARTITION BY fm_g.genre_name
+         |      ORDER BY count(fm_g.movie_id) DESC, dp.name ASC) AS director_rank
+         |  FROM fm_g JOIN dim_people dp ON fm_g.director_id = dp.person_id
+         |  WHERE fm_g.genre_name IN (SELECT genre_name FROM top3_genre)
+         |  GROUP BY dp.name, fm_g.genre_name)
+         |SELECT name AS director_name, movie_count FROM ranked WHERE director_rank <= 3""".stripMargin,
+    "imdb_graf5" ->
+      s"""WITH $imdbBase
+         |SELECT dp.name AS actor_name, count(*) AS total_roles
+         |FROM role_mapping_staging rm JOIN dim_people dp ON rm.name_id = dp.person_id
+         |WHERE rm.category IN ('actor','actress')
+         |GROUP BY dp.name ORDER BY total_roles DESC, actor_name ASC LIMIT 10""".stripMargin,
+    "imdb_graf6" ->
+      s"""WITH $imdbBase
+         |SELECT country, count(movie_id) AS movie_count FROM dim_movies
+         |GROUP BY country ORDER BY movie_count DESC, country ASC LIMIT 10""".stripMargin)
+
+  val all: Map[String, String] =
+    relational ++ text ++ events ++ dedup ++ similarity ++ multimodal ++ imdb
+}

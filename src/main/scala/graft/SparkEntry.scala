@@ -1,13 +1,89 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.imdb.{Pipeline, Queries => Imdb}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+  * extensions) is registered here, and every entry has a DuckDB twin in
+  * [[OracleSql]] — the pair is what the driver's correctness gate runs.
+  * Column names and types are part of the contract (the driver compares
+  * by sorted column name): builders alias every computed column and the
+  * SQL twins use the same aliases.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The star-join revenue rollup — the 100 TB shape this engine exists
+    * for: fact⋈fact shuffle join + broadcast dims + partial aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational.q12StarJoinRevenue(spark, "/root/testdata/sf0.001")
+
+  /** IMDB parity queries run on the reference CSVs regardless of sfDir
+    * (the reference corpus IS their dataset; the oracle reads the same
+    * CSVs). Star is rebuilt per call — 1,000-row inputs, all lazy. */
+  private def imdbQ(f: graft.imdb.Star => DataFrame): (SparkSession, String) => DataFrame =
+    (s, _) => f(Pipeline.build(s))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational operator suite (SURVEY.md §2 families)
+    "rel_pricing_summary" -> (Relational.q1PricingSummary _),
+    "rel_filter_project" -> (Relational.q2FilterProject _),
+    "rel_distinct" -> (Relational.q3Distinct _),
+    "rel_topk" -> (Relational.q4TopK _),
+    "rel_left_join_agg" -> (Relational.q5LeftJoinAgg _),
+    "rel_join_inner" -> (Relational.q6JoinInner _),
+    "rel_semi_join" -> (Relational.q7SemiJoin _),
+    "rel_anti_join" -> (Relational.q8AntiJoin _),
+    "rel_window_top_per_key" -> (Relational.q9WindowTopPerKey _),
+    "rel_cte_top_segments" -> (Relational.q10CteTopSegments _),
+    "rel_in_list_range" -> (Relational.q11InListRange _),
+    "rel_star_join_revenue" -> (Relational.q12StarJoinRevenue _),
+    "rel_date_parts" -> (Relational.q13DateParts _),
+    "rel_set_ops" -> (Relational.q14SetOps _),
+    "rel_count_distinct" -> (Relational.q15CountDistinct _),
+    "rel_having" -> (Relational.q16Having _),
+    "rel_case_buckets" -> (Relational.q17CaseBuckets _),
+    // text analysis
+    "text_token_stats" -> (TextAnalysis.tokenStats _),
+    "text_quality_score" -> (TextAnalysis.qualityScore _),
+    "text_lang_id" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
+    // events (batch time-series)
+    "events_hourly_agg" -> (Events.hourlyAgg _),
+    "events_sessionize" -> (Events.sessionize _),
+    "events_top_type_per_user" -> (Events.topTypePerUser _),
+    "events_props_extract" -> (Events.propsExtract _),
+    // dedup
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
+    "dedup_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_simhash_signatures" -> (Dedup.simhashSignatures _),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, threshold = 0.6)),
+    "dedup_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // similarity search
+    "sim_brute_force_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_srp_neardup_pairs" -> ((s, d) => Similarity.srpNearDupPairs(s, d)),
+    // multimodal columns
+    "mm_meta_stats" -> (MultiModal.mmMetaStats _),
+    "mm_features" -> (MultiModal.mmFeatures _),
+    "mm_frame_sample" -> ((s, d) => MultiModal.mmFrameSample(s, d)),
+    // IMDB parity (deterministic twins for the LIMIT/rank queries —
+    // SURVEY.md §1.4(5); byte-faithful builders live in graft.imdb.Queries)
+    "imdb_graf1" -> imdbQ(st => Imdb.graf1(st.dimMovies)),
+    "imdb_graf2" -> imdbQ(st => Imdb.graf2(st.dimGenres, st.factMovies)),
+    "imdb_graf3" -> imdbQ(st => Imdb.graf3Det(st.factMovies, st.dimPeople)),
+    "imdb_graf4" -> imdbQ(st => Imdb.graf4Det(st.factMovies, st.dimPeople,
+      st.dimGenres, st.staging("ratings_staging"))),
+    "imdb_graf5" -> imdbQ(st => Imdb.graf5Det(st.staging("role_mapping_staging"), st.dimPeople)),
+    "imdb_graf6" -> imdbQ(st => Imdb.graf6Det(st.dimMovies)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same inputs. See [[OracleSql]]. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -54,6 +54,18 @@ object EngineNeutral {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** ORDERED (non-distinct) character n-grams over the lowercased
+    * alphanumeric skeleton — positional, as winnowing requires.
+    * DuckDB: list_transform(range(1, len(s)-n+2), j -> substr(s, j, n)).
+    */
+  def charNgramsOrdered(text: Column, n: Int): Column = {
+    val s = regexp_replace(lower(text), "[^a-z0-9]", "")
+    val cnt = length(s)
+    when(cnt >= n,
+      transform(sequence(lit(1), cnt - n + 1), j => s.substr(j, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Word w-shingles ("a b c") over whitespace tokens.
     * DuckDB: list_transform(range(1, len(t)-w+2), j -> t[j]||' '||...).
     */

@@ -37,4 +37,10 @@ object VectorOps {
   /** nBits-bit SRP signature as a Long. */
   def srpSignature(v: Column, nBits: Int): Column =
     (0 until nBits).map(b => shiftleft(srpBit(v, b), b)).reduce(_ + _)
+
+  /** A band of the SRP signature: bits [offset, offset+nBits) packed into
+    * a Long. Seeds are global bit indices, so band b of a (bands x bits)
+    * scheme reuses the same hyperplanes as a flat signature would. */
+  def srpSignatureSlice(v: Column, offset: Int, nBits: Int): Column =
+    (0 until nBits).map(b => shiftleft(srpBit(v, offset + b), b)).reduce(_ + _)
 }

@@ -91,4 +91,64 @@ object Queries {
       .agg(count($"movie_id").as("movie_count"))
       .orderBy($"movie_count".desc)
       .limit(10)
+
+  // ---- deterministic twins (oracle hashing only) ------------------------
+  // The reference's LIMIT/rank cuts have no tiebreaker (SURVEY.md §1.4(5)),
+  // so their row SETS are tie-nondeterministic. These twins add a stable
+  // secondary sort key so the DuckDB oracle can hash-compare; the
+  // unsuffixed builders above stay byte-faithful to the reference.
+
+  /** graf3 with (movie_count desc, name asc) deterministic cut. */
+  def graf3Det(factMovies: DataFrame, dimPeople: DataFrame): DataFrame =
+    factMovies
+      .join(dimPeople, factMovies("director_id") === dimPeople("person_id"))
+      .groupBy($"name".as("director_name"))
+      .agg(count($"movie_id").as("movie_count"))
+      .orderBy($"movie_count".desc, $"director_name".asc)
+      .limit(10)
+
+  /** graf4 with deterministic CTE cut + rank tiebreaks. */
+  def graf4Det(factMovies: DataFrame, dimPeople: DataFrame, dimGenres: DataFrame,
+               ratingsStaging: DataFrame): DataFrame = {
+    val r = ratingsStaging.select(
+      col("movie_id").as("r_movie_id"), col("avg_rating").as("r_avg_rating"))
+    val fmG = factMovies
+      .join(dimGenres, factMovies("genre_id") === dimGenres("genre_id"))
+      .join(r, factMovies("movie_id") === $"r_movie_id")
+      .filter($"r_avg_rating" > 6)
+    val top3Genre = fmG
+      .groupBy($"genre_name")
+      .agg(count(factMovies("movie_id")).as("movie_count"))
+      .orderBy($"movie_count".desc, $"genre_name".asc)
+      .limit(3)
+      .select($"genre_name".as("top_genre"))
+    val w = Window.partitionBy($"genre_name")
+      .orderBy($"movie_count".desc, $"name".asc)
+    fmG
+      .join(dimPeople, factMovies("director_id") === dimPeople("person_id"))
+      .join(broadcast(top3Genre), $"genre_name" === $"top_genre", "left_semi")
+      .groupBy($"name", $"genre_name")
+      .agg(count(factMovies("movie_id")).as("movie_count"))
+      .withColumn("director_rank", row_number().over(w))
+      .filter($"director_rank" <= 3)
+      .select($"name".as("director_name"), $"movie_count")
+  }
+
+  /** graf5 with (total_roles desc, actor_name asc) deterministic cut. */
+  def graf5Det(roleMappingStaging: DataFrame, dimPeople: DataFrame): DataFrame =
+    roleMappingStaging
+      .filter($"category".isin("actor", "actress"))
+      .join(dimPeople, roleMappingStaging("name_id") === dimPeople("person_id"))
+      .groupBy($"name".as("actor_name"))
+      .agg(count(lit(1)).as("total_roles"))
+      .orderBy($"total_roles".desc, $"actor_name".asc)
+      .limit(10)
+
+  /** graf6 with (movie_count desc, country asc) deterministic cut. */
+  def graf6Det(dimMovies: DataFrame): DataFrame =
+    dimMovies
+      .groupBy($"country")
+      .agg(count($"movie_id").as("movie_count"))
+      .orderBy($"movie_count".desc, $"country".asc)
+      .limit(10)
 }

@@ -51,14 +51,16 @@ object Dedup {
       array_min(transform(ws, t => hash60Seeded(t, lit(i)))).as(s"mh$i")
     }
 
-  /** Per-doc banded signature rows: (doc_id, ws, band_id, band_hash). */
+  /** Per-doc banded signature rows: (doc_id, band_id, band_hash) ONLY —
+    * token sets are deliberately NOT carried here, so the band shuffle
+    * moves ~50 bytes/row regardless of document size. */
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(s, dir)
-      .select(col("doc_id") +: wordSet($"text").as("ws") +: minhashSig(wordSet($"text")): _*)
+      .select(col("doc_id") +: minhashSig(wordSet($"text")): _*)
     val bandRows = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))
       sig.select(
-        $"doc_id", $"ws",
+        $"doc_id",
         lit(b.toLong).as("band_id"),
         md5(concat_ws("|", cols: _*)).as("band_hash"))
     }
@@ -67,22 +69,28 @@ object Dedup {
 
   /** Banded-signature view (no pair join) — the oracle-checkable artifact. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    minhashBands(s, dir).select($"doc_id", $"band_id", $"band_hash")
+    minhashBands(s, dir)
 
   /** Near-dup pairs: docs sharing any band bucket, verified with exact
     * word-set Jaccard >= threshold. The join key (band_id, band_hash)
     * keeps candidate generation linear in bucket sizes — the standard
-    * scale-out LSH shape (no all-pairs anywhere). */
+    * scale-out LSH shape (no all-pairs anywhere). Candidate pairs are
+    * deduped FIRST and only then joined back to the word sets, so the
+    * heavy token arrays never ride through the band shuffle. */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     val bands = minhashBands(s, dir)
-    val l = bands.select($"band_id", $"band_hash", $"doc_id".as("doc_a"), $"ws".as("ws_a"))
+    val l = bands.select($"band_id", $"band_hash", $"doc_id".as("doc_a"))
     val r = bands.select($"band_id".as("band_id_r"), $"band_hash".as("band_hash_r"),
-      $"doc_id".as("doc_b"), $"ws".as("ws_b"))
-    l.join(r,
+      $"doc_id".as("doc_b"))
+    val cands = l.join(r,
         $"band_id" === $"band_id_r" && $"band_hash" === $"band_hash_r" &&
           $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"ws_a", $"ws_b")
-      .dropDuplicates("doc_a", "doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+    val ws = Tables.documents(s, dir).select($"doc_id", wordSet($"text").as("ws"))
+    cands
+      .join(ws.select($"doc_id".as("doc_a"), $"ws".as("ws_a")), "doc_a")
+      .join(ws.select($"doc_id".as("doc_b"), $"ws".as("ws_b")), "doc_b")
       .withColumn("jaccard", jaccard($"ws_a", $"ws_b"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))

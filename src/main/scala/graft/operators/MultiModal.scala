@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.syntax._
+
+/** Multimodal-column operators: treat image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct riding alongside.
+  *
+  * The container has no codec libraries, so the DECODE step is a
+  * clearly-marked deterministic stub (see [[decodeStub]]); everything
+  * around it — the schema (payload binary + metadata struct), the
+  * per-modality routing, the partition-friendly aggregate shapes — is the
+  * real 100 TB plumbing a production decode UDF would drop into.
+  *
+  * At scale the payload column lives in its own parquet column chunk:
+  * metadata-only queries (mmMetaStats) never read payload bytes thanks to
+  * column pruning, which is the whole point of the layout.
+  */
+object MultiModal {
+
+  /** Deterministic modality assignment for the synthetic corpus. */
+  private def mimeOf(docId: Column): Column =
+    when(pmod(docId, lit(3)) === 0, "image/png")
+      .when(pmod(docId, lit(3)) === 1, "audio/wav")
+      .otherwise("video/mp4")
+
+  /** Multimodal projection of `documents`: payload as opaque bytes plus a
+    * typed metadata struct — the canonical storage layout. */
+  def asMultimodal(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      encode($"text", "UTF-8").as("payload"),
+      struct(
+        mimeOf($"doc_id").as("mime"),
+        octet_length(encode($"text", "UTF-8")).cast("long").as("n_bytes"),
+        (pmod($"doc_id", lit(5)) * 160 + 320).cast("long").as("width"),
+        (pmod($"doc_id", lit(5)) * 90 + 180).cast("long").as("height")
+      ).as("meta"))
+
+  /** STUB decode seam. A production build replaces this with a real codec
+    * call (mapInPandas / JNI); the contract — payload bytes in, fixed-width
+    * feature vector out, deterministic, null-safe — is what the pipeline
+    * depends on. The fake derives 4 doubles from payload length + md5 so
+    * outputs are stable and oracle-checkable. */
+  def decodeStub(payload: Column): Column = {
+    val h = conv(substring(md5(payload), 1, 15), 16, 10).cast("long")
+    array(
+      octet_length(payload).cast("double"),
+      (h % 256L).cast("double"),
+      (shiftright(h, 8) % 256L).cast("double"),
+      (shiftright(h, 16) % 256L).cast("double"))
+  }
+
+  /** Metadata-only stats per modality — must never touch payload bytes
+    * (column pruning keeps the scan to the meta struct). */
+  def mmMetaStats(s: SparkSession, dir: String): DataFrame =
+    asMultimodal(s, dir)
+      .select($"meta.mime".as("mime"), $"meta.n_bytes".as("n_bytes"),
+        $"meta.width".as("width"), $"meta.height".as("height"))
+      .groupBy($"mime")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum($"n_bytes").as("total_bytes"),
+        round(avg($"width"), 2).as("avg_width"),
+        round(avg($"height"), 2).as("avg_height"))
+
+  /** Per-asset fingerprint + stub-decoded features (the decode path). */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    asMultimodal(s, dir)
+      .withColumn("features", decodeStub($"payload"))
+      .select(
+        $"doc_id",
+        $"meta.mime".as("mime"),
+        md5($"payload").as("payload_md5"),
+        element_at($"features", 1).as("f_len"),
+        round(element_at($"features", 2) + element_at($"features", 3) +
+          element_at($"features", 4), 2).as("f_sig"))
+
+  /** Frame/sample selection: deterministic stride over byte offsets — the
+    * shape of frame-sampling (video) or windowing (audio) without a codec:
+    * one output row per sampled offset, partition-parallel per asset. */
+  def mmFrameSample(s: SparkSession, dir: String, stride: Int = 64): DataFrame =
+    asMultimodal(s, dir)
+      .select($"doc_id", $"meta.mime".as("mime"), $"payload",
+        $"meta.n_bytes".as("n_bytes"))
+      .withColumn("frame_off", explode(sequence(lit(0L), $"n_bytes" - 1, lit(stride.toLong))))
+      .select(
+        $"doc_id", $"mime", $"frame_off",
+        // content probe of the sampled window (binary slice; md5 of the
+        // bytes — the corpus is ASCII so the oracle can mirror on text)
+        md5($"payload".substr($"frame_off" + 1, lit(32))).as("frame_probe"))
+}

@@ -101,7 +101,7 @@ object Relational {
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
     Tables.orders(s, dir)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long")) // long: oracle parity
       .filter($"rn" <= 3)
   }
 

@@ -10,34 +10,53 @@ import graft.syntax._
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   *  - bruteForceTopK: exact cosine top-k. The query set is broadcast and
-  *    scoring streams over the corpus — one pass, no corpus shuffle; the
-  *    only exchange is the final per-query top-k (tiny: queries × k × P
-  *    partial winners under AQE).
+  *    scoring streams over the corpus — one pass, no corpus shuffle. The
+  *    ranking is TWO-PHASE so no single task ever ranks a whole query's
+  *    corpus: a local top-k within (q_id, corpus-hash-bucket) first, then
+  *    the final top-k over the <= nBuckets*k survivors per query.
   *  - ivfTopK: IVF-style scale path — corpus is pre-bucketed by a coarse
   *    quantizer (SRP signature); queries probe only matching buckets.
   *    Trades recall for a bucket-pruned scan, the standard ANN shape.
+  *  - srpNearDupPairs: banded SRP LSH (bands x bitsPerBand, like the
+  *    MinHash path) — bucket population stays bounded as the corpus
+  *    grows by raising nBands/bitsPerBand, never a fixed 256 buckets.
   */
 object Similarity {
 
+  /** Two-phase top-k: rank within (q_id, bucket) partitions first — each
+    * task sees ~1/nBuckets of one query's candidates — then rank the
+    * per-bucket winners. At 1000 executors the first window's exchange
+    * spreads each query over nBuckets tasks instead of one. */
+  private def topKTwoPhase(scored: DataFrame, k: Int, nBuckets: Int): DataFrame = {
+    val bucketed = scored.withColumn("bkt", pmod(hash($"vec_id"), lit(nBuckets)))
+    val wLocal = Window.partitionBy($"q_id", $"bkt")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    val wFinal = Window.partitionBy($"q_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    bucketed
+      .withColumn("rn_local", row_number().over(wLocal))
+      .filter($"rn_local" <= k)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter($"rn" <= k)
+      .select($"q_id", $"vec_id", $"cos_sim")
+  }
+
   /** Exact brute-force cosine top-k for queries (vec_id < nQueries). */
   def bruteForceTopK(s: SparkSession, dir: String,
-                     nQueries: Int = 5, k: Int = 10): DataFrame = {
+                     nQueries: Int = 5, k: Int = 10, nBuckets: Int = 32): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("q_v"))
     val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
       .withColumn("cos_sim", round(cosine($"q_v", $"v"), 4))
-    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= k)
-      .select($"q_id", $"vec_id", $"cos_sim")
+    topKTwoPhase(scored, k, nBuckets)
   }
 
-  /** IVF/LSH bucketed ANN: 8-bit SRP coarse quantizer. Corpus bucketed
-    * once (at scale: written bucketed/partitioned by `bucket`); a query
-    * probes only its own bucket. Approximate by design — verified in
-    * tests for recall against bruteForceTopK, not against the oracle. */
+  /** IVF/LSH bucketed ANN: SRP coarse quantizer. Corpus bucketed once
+    * (at scale: written bucketed/partitioned by `bucket`); a query
+    * probes only its own bucket. Approximate by design; deterministic,
+    * so the oracle can mirror it exactly. */
   def ivfTopK(s: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10, nBits: Int = 8): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -47,22 +66,35 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"v".as("q_v"), $"bucket".as("q_bucket"))
     val scored = e.join(broadcast(q), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
       .withColumn("cos_sim", round(cosine($"q_v", $"v"), 4))
-    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= k)
-      .select($"q_id", $"vec_id", $"cos_sim")
+    topKTwoPhase(scored, k, nBuckets = 8)
   }
 
   /** SRP-LSH near-dup pairs (unblocked twin of Dedup.embeddingNearDup):
-    * bucket on the full SRP signature, verify cosine within buckets. */
-  def srpNearDupPairs(s: SparkSession, dir: String,
-                      threshold: Double = 0.4, nBits: Int = 8): DataFrame = {
+    * banded signatures — a pair is a candidate if it agrees on ALL bits
+    * of ANY band (nBands x bitsPerBand total SRP bits), then verified
+    * with exact cosine. Bucket count = nBands * 2^bitsPerBand scales by
+    * parameter, and candidates are deduped BEFORE the vector re-join so
+    * embeddings never ride through the band shuffle. */
+  def srpNearDupPairs(s: SparkSession, dir: String, threshold: Double = 0.4,
+                      nBands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("bucket", srpSignature($"v", nBits))
-    val l = e.select($"bucket", $"vec_id".as("vec_a"), $"v".as("v_a"))
-    val r = e.select($"bucket".as("bucket_r"), $"vec_id".as("vec_b"), $"v".as("v_b"))
-    l.join(r, $"bucket" === $"bucket_r" && $"vec_a" < $"vec_b")
+    val bandRows = (0 until nBands).map { b =>
+      e.select($"vec_id",
+        lit(b.toLong).as("band_id"),
+        srpSignatureSlice($"v", b * bitsPerBand, bitsPerBand).as("band_val"))
+    }.reduce(_ unionAll _)
+    val l = bandRows.select($"band_id", $"band_val", $"vec_id".as("vec_a"))
+    val r = bandRows.select($"band_id".as("band_id_r"), $"band_val".as("band_val_r"),
+      $"vec_id".as("vec_b"))
+    val cands = l.join(r,
+        $"band_id" === $"band_id_r" && $"band_val" === $"band_val_r" &&
+          $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b")
+      .distinct()
+    cands
+      .join(e.select($"vec_id".as("vec_a"), $"v".as("v_a")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("v_b")), "vec_b")
       .withColumn("cos_sim", round(cosine($"v_a", $"v_b"), 4))
       .filter($"cos_sim" >= threshold)
       .select($"vec_a", $"vec_b", $"cos_sim")

@@ -83,16 +83,26 @@ object TextAnalysis {
       $"doc_id",
       md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("fp"))
 
-  /** Winnowing-style rolling-hash sketch: k-gram hash minima over sliding
-    * windows (Schleimer et al., SIGMOD'03). Output = per-doc distinct
-    * fingerprint count + min/max — compact, deterministic. */
+  /** True winnowing fingerprints (Schleimer et al., SIGMOD'03): hash the
+    * POSITIONAL k-grams, slide a window of `win` consecutive hashes, and
+    * keep the minimum of each window; the sketch is the distinct set of
+    * selected minima. Guarantees: any shared substring of length >=
+    * k + win - 1 yields a shared fingerprint. Docs shorter than one
+    * window contribute all their hashes (single-window degenerate case).
+    * Output = per-doc fingerprint count + min/max of the sketch. */
   def winnowSketch(s: SparkSession, dir: String, k: Int = 5, win: Int = 4): DataFrame = {
-    val grams = charNgrams($"text", k) // distinct k-grams (order-free sketch)
+    val grams = charNgramsOrdered($"text", k)
     val hashes = transform(grams, g => hash60(g))
+    val m = size(hashes)
+    val fps = array_distinct(
+      when(m >= win,
+        transform(sequence(lit(1), m - win + 1),
+          j => array_min(slice(hashes, j, lit(win)))))
+        .otherwise(hashes))
     Tables.documents(s, dir).select(
       $"doc_id",
-      size(grams).cast("long").as("n_grams"),
-      array_min(hashes).as("min_hash"),
-      array_max(hashes).as("max_hash"))
+      size(fps).cast("long").as("n_fingerprints"),
+      array_min(fps).as("min_fp"),
+      array_max(fps).as("max_fp"))
   }
 }
