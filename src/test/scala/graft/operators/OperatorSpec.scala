@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Operator invariants over the harness tables at sf0.001. */
+class OperatorSpec extends SparkSpec {
+
+  test("q4 top-k equals the prefix of the full deterministic sort") {
+    val topk = Relational.q4TopK(spark, Sf).collect().toSeq
+    val full = Tables.orders(spark, Sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .collect().take(10).toSeq
+    assert(topk === full)
+  }
+
+  test("anti join + semi join partition the left side") {
+    val nCust = Tables.customer(spark, Sf).count()
+    val withOrders = Tables.customer(spark, Sf)
+      .join(Tables.orders(spark, Sf),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val noOrders = Relational.q8AntiJoin(spark, Sf).collect()(0).getLong(0)
+    assert(withOrders + noOrders === nCust)
+  }
+
+  test("distinct is idempotent and minimal") {
+    val d1 = Relational.q3Distinct(spark, Sf)
+    assert(d1.count() === d1.distinct().count())
+  }
+
+  test("left join preserves every left key") {
+    val agg = Relational.q5LeftJoinAgg(spark, Sf)
+    assert(agg.count() === Tables.customer(spark, Sf).count())
+    // customers with no orders: order_count 0, total_spent 0.0
+    assert(agg.filter("order_count = 0 AND total_spent <> 0.0").count() === 0L)
+  }
+
+  test("window top-per-key emits at most 3 rows per customer") {
+    val w = Relational.q9WindowTopPerKey(spark, Sf)
+    assert(w.groupBy("o_custkey").count().filter("count > 3").count() === 0L)
+  }
+
+  test("count(col) = count(*) - nulls") {
+    val fact = Tables.orders(spark, Sf)
+      .join(Tables.customer(spark, Sf), col("o_custkey") === col("c_custkey"), "left")
+    val total = fact.count()
+    val nonNull = fact.agg(count(col("c_name"))).collect()(0).getLong(0)
+    val nulls = fact.filter(col("c_name").isNull).count()
+    assert(nonNull + nulls === total)
+  }
+
+  test("events sessionization: session count bounded by event count") {
+    val s = Events.sessionize(spark, Sf)
+    assert(s.filter(col("n_sessions") > col("n_events")).count() === 0L)
+    assert(s.filter(col("n_sessions") < 1).count() === 0L)
+  }
+
+  test("hourly agg preserves total event count") {
+    val total = Events.hourlyAgg(spark, Sf).agg(sum("n")).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, Sf).count())
+  }
+}
