@@ -245,12 +245,15 @@ object OracleSql {
 
   // ---- dedup ------------------------------------------------------------
 
-  /** 16 MinHash columns + 4 band hashes, mirrored from Dedup.minhashSig. */
+  /** 16 MinHash columns + 4 band hashes, mirrored from Dedup.minhashBands
+    * (universal-hash permutations over the shared 31-bit base hash). */
   private def minhashSigCte: String = {
+    import graft.functions.EngineNeutral.{MinhashPrime => P, minhashA, minhashB}
     val mhCols = (0 until 16).map { i =>
-      s"list_min(list_transform(w, t -> ${h60(s"concat(t, '#$i')")})) AS mh$i"
+      s"list_min(list_transform(hb, x -> (x*${minhashA(i)} + ${minhashB(i)}) % $P)) AS mh$i"
     }.mkString(",\n  ")
-    s"""ws AS (SELECT doc_id, ${wordSet("text")} AS w FROM $docs),
+    s"""ws AS (SELECT doc_id, ${wordSet("text")} AS w,
+       |  list_transform(${wordSet("text")}, t -> ${h60("t")} % $P) AS hb FROM $docs),
        |sig AS (SELECT doc_id,
        |  $mhCols
        |FROM ws),
@@ -282,7 +285,7 @@ object OracleSql {
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |  FROM bands l JOIN bands r
          |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
-         |j AS (SELECT doc_a, doc_b, ${jac("wa.w", "wb.w")} AS jacc
+         |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
          |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.9""".stripMargin,
     "dedup_simhash_signatures" ->

@@ -27,6 +27,25 @@ object EngineNeutral {
   def hash60Seeded(c: Column, seed: Column): Column =
     hash60(concat(c, lit("#"), seed.cast("string")))
 
+  // ---- universal-hash MinHash permutations ------------------------------
+  // ONE md5 per token; the i-th permutation is (a_i*h + b_i) mod p over the
+  // 31-bit base hash (products stay < 2^62 — no Long overflow). 16x fewer
+  // md5 evaluations than hashing per permutation, same oracle guarantees.
+
+  /** Mersenne prime 2^31 - 1. */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Deterministic permutation coefficients (shared with OracleSql). */
+  def minhashA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % MinhashPrime
+  def minhashB(i: Int): Long = (2654435761L * (i + 1) + 1013904223L) % MinhashPrime
+
+  /** 31-bit base hash. DuckDB: hash60(t) % 2147483647. */
+  def hash31(c: Column): Column = hash60(c) % MinhashPrime
+
+  /** The i-th MinHash permutation of a 31-bit base hash column. */
+  def minhashPerm(h31: Column, i: Int): Column =
+    (h31 * minhashA(i) + minhashB(i)) % MinhashPrime
+
   /** Whitespace tokens of trimmed text (never null; empty text → empty array).
     * DuckDB: string_split_regex(trim(text), '\s+').
     */

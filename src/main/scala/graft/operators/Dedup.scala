@@ -45,26 +45,29 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 4 // Bands * RowsPerBand == MinhashPerms
 
-  /** MinHash signature columns over a distinct-token-set column. */
-  private def minhashSig(ws: Column): Seq[Column] =
-    (0 until MinhashPerms).map { i =>
-      array_min(transform(ws, t => hash60Seeded(t, lit(i)))).as(s"mh$i")
-    }
-
   /** Per-doc banded signature rows: (doc_id, band_id, band_hash) ONLY —
     * token sets are deliberately NOT carried here, so the band shuffle
-    * moves ~50 bytes/row regardless of document size. */
+    * moves ~50 bytes/row regardless of document size.
+    *
+    * Cost shape: ONE md5 per distinct token (the 16 permutations are
+    * universal-hash arithmetic over the shared 31-bit base hash — see
+    * EngineNeutral.minhashPerm), and the 4 band rows come from a single
+    * explode, not a 4-way union re-evaluating the signature. The base-hash
+    * projection is a separate select so CollapseProject keeps it
+    * single-evaluation (it is referenced by all 16 mins). */
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(s, dir)
-      .select(col("doc_id") +: minhashSig(wordSet($"text")): _*)
-    val bandRows = (0 until Bands).map { b =>
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb"))
+    val sig = hashed.select(
+      col("doc_id") +: (0 until MinhashPerms).map { i =>
+        array_min(transform($"hb", h => minhashPerm(h, i))).as(s"mh$i")
+      }: _*)
+    val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))
-      sig.select(
-        $"doc_id",
-        lit(b.toLong).as("band_id"),
-        md5(concat_ws("|", cols: _*)).as("band_hash"))
+      struct(lit(b.toLong).as("band_id"), md5(concat_ws("|", cols: _*)).as("band_hash"))
     }
-    bandRows.reduce(_ unionAll _)
+    sig.select($"doc_id", explode(array(bandStructs: _*)).as("b"))
+      .select($"doc_id", $"b.band_id".as("band_id"), $"b.band_hash".as("band_hash"))
   }
 
   /** Banded-signature view (no pair join) — the oracle-checkable artifact. */
@@ -75,8 +78,11 @@ object Dedup {
     * word-set Jaccard >= threshold. The join key (band_id, band_hash)
     * keeps candidate generation linear in bucket sizes — the standard
     * scale-out LSH shape (no all-pairs anywhere). Candidate pairs are
-    * deduped FIRST and only then joined back to the word sets, so the
-    * heavy token arrays never ride through the band shuffle. */
+    * deduped FIRST and only then joined back to the token sets, so the
+    * heavy arrays never ride through the band shuffle; the verify
+    * intersects the 31-bit hashed token sets (integer compare, ~10x
+    * cheaper than string sets; collision odds ~|ws|²/2^32 per doc, and
+    * the oracle mirrors the hashed form so results agree exactly). */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     val bands = minhashBands(s, dir)
     val l = bands.select($"band_id", $"band_hash", $"doc_id".as("doc_a"))
@@ -87,11 +93,12 @@ object Dedup {
           $"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b")
       .distinct()
-    val ws = Tables.documents(s, dir).select($"doc_id", wordSet($"text").as("ws"))
+    val hb = Tables.documents(s, dir)
+      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb"))
     cands
-      .join(ws.select($"doc_id".as("doc_a"), $"ws".as("ws_a")), "doc_a")
-      .join(ws.select($"doc_id".as("doc_b"), $"ws".as("ws_b")), "doc_b")
-      .withColumn("jaccard", jaccard($"ws_a", $"ws_b"))
+      .join(hb.select($"doc_id".as("doc_a"), $"hb".as("hb_a")), "doc_a")
+      .join(hb.select($"doc_id".as("doc_b"), $"hb".as("hb_b")), "doc_b")
+      .withColumn("jaccard", jaccard($"hb_a", $"hb_b"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
   }
@@ -100,25 +107,33 @@ object Dedup {
 
   val SimhashBits = 48
 
-  /** Weighted 48-bit SimHash per doc: bit b is the sign of the sum over
-    * tokens (multiset — counts are the weights) of ±1 by the token-hash's
-    * bit b, i.e. bit set iff 2·(#tokens with bit b set) >= #tokens.
-    * The bit loop is unrolled in Scala so every shift amount is a literal
-    * Int (shiftright/shiftleft require one) and codegen stays flat. */
-  def simhashCol(text: Column): Column = {
-    val toks = wsTokens(lower(text))
-    val hashes = transform(toks, t => hash60(t))
-    val n = size(hashes).cast("long")
-    (0 until SimhashBits).map { b =>
-      val setCount = size(filter(hashes,
-        h => shiftright(h, b).bitwiseAND(1L) === 1L)).cast("long")
-      when(setCount * 2L >= n, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Weighted 48-bit SimHash from a token-hash array column: bit b is set
+    * iff 2·(#tokens with bit b set) >= #tokens (the multiset sign rule).
+    * Single pass over the tokens: one aggregate accumulates all 48
+    * per-bit counts (md5 is evaluated once per token, not once per bit),
+    * then a zip maps counts to the packed signature. Column-valued shift
+    * amounts go through call_function (the Scala shiftright/shiftleft
+    * wrappers accept only literal Ints). */
+  def simhashFromHashes(hs: Column, n: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(SimhashBits - 1))
+    val counts = aggregate(
+      hs,
+      array_repeat(lit(0L), SimhashBits),
+      (acc, h) => zip_with(acc, bitIdx,
+        (a, b) => a + call_function("shiftright", h, b).bitwiseAND(lit(1L))))
+    aggregate(
+      zip_with(counts, bitIdx, (c, b) =>
+        when(c * 2L >= n, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
-  /** Per-doc SimHash signatures (oracle-checkable). */
+  /** Per-doc SimHash signatures (oracle-checkable). The token-hash array
+    * is materialized in its own projection so it is computed once. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select($"doc_id", simhashCol($"text").as("simhash"))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        transform(wsTokens(lower($"text")), t => hash60(t)).as("hs"))
+      .select($"doc_id", simhashFromHashes($"hs", size($"hs").cast("long")).as("simhash"))
 
   /** Near-dup pairs with Hamming distance <= maxDist, found by block
     * banding: split the 48 bits into 6 bytes; any pair within distance d
@@ -126,11 +141,13 @@ object Dedup {
     * (byte_idx, byte_value) and verify exact Hamming via bit_count. */
   def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 5): DataFrame = {
     val sig = simhashSignatures(s, dir)
-    val blocks = (0 until 6).map { i =>
-      sig.select($"doc_id", $"simhash",
-        lit(i.toLong).as("blk"),
+    val blockStructs = (0 until 6).map { i =>
+      struct(lit(i.toLong).as("blk"),
         shiftright($"simhash", i * 8).bitwiseAND(255L).as("blk_val"))
-    }.reduce(_ unionAll _)
+    }
+    val blocks = sig
+      .select($"doc_id", $"simhash", explode(array(blockStructs: _*)).as("b"))
+      .select($"doc_id", $"simhash", $"b.blk".as("blk"), $"b.blk_val".as("blk_val"))
     val l = blocks.select($"blk", $"blk_val", $"doc_id".as("doc_a"), $"simhash".as("sh_a"))
     val r = blocks.select($"blk".as("blk_r"), $"blk_val".as("blk_val_r"),
       $"doc_id".as("doc_b"), $"simhash".as("sh_b"))
