@@ -48,14 +48,20 @@ object Pipeline {
     "graf6" -> Queries.graf6(star.dimMovies))
 
   /** SQL entry path: register temp views so the reference's six SELECTs
-    * run verbatim via spark.sql(...). The star tables are cached —
-    * they're dims/fact consumed by every query. */
-  def registerViews(star: Star): Unit = {
+    * run verbatim via spark.sql(...).
+    *
+    * `cacheStar` caches the dims + fact for multi-query dashboards — the
+    * right call at the reference's scale, but an unconditional cache of a
+    * fact table is a footgun at 100 TB (it evicts everything else for one
+    * pass), so it is caller-opt-in and defaults to caching only the dims
+    * (small by construction; the fact streams from source). */
+  def registerViews(star: Star, cacheStar: Boolean = false): Unit = {
     star.staging.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     star.dimMovies.cache().createOrReplaceTempView("dim_movies")
     star.dimPeople.cache().createOrReplaceTempView("dim_people")
     star.dimGenres.cache().createOrReplaceTempView("dim_genres")
-    star.factMovies.cache().createOrReplaceTempView("fact_movies")
+    (if (cacheStar) star.factMovies.cache() else star.factMovies)
+      .createOrReplaceTempView("fact_movies")
   }
 
   /** Teardown — the reference's Load-phase DROPs (etl_imdb_db.sql:153-158).

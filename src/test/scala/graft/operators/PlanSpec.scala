@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the 100 TB posture checks. A query
+  * that silently regresses to a full scan / global sort / sort-merge join
+  * on a broadcastable dim fails here even though its results stay right.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter+project pushes predicates and prunes columns at the scan") {
+    val p = plan(Relational.q2FilterProject(spark, Sf))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("o_orderstatus") && p.contains("o_totalprice"))
+    // pruned read schema: none of the unused columns reach the scan
+    assert(!p.contains("o_orderpriority"), s"column not pruned:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q4TopK(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("tiny dims broadcast in the star join") {
+    val p = plan(Relational.q12StarJoinRevenue(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("aggregation is partial (map-side) before the exchange") {
+    val p = plan(Relational.q1PricingSummary(spark, Sf))
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pairs around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg in:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, s"too many shuffles in:\n$p")
+  }
+
+  test("whole-stage codegen covers the relational hot path") {
+    val df = Relational.q1PricingSummary(spark, Sf)
+    df.collect() // AQE finalizes (and codegens) the plan only on execution
+    val p = plan(df)
+    // codegen stages render as "*(n) HashAggregate..." in the plan string
+    assert(p.contains("*(1)"), s"no codegen span in:\n$p")
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
+      s"aggregate outside codegen in:\n$p")
+  }
+
+  test("sessionize reuses one exchange+sort for lag and aggregation") {
+    val p = plan(Events.sessionize(spark, Sf))
+    // one hash exchange on user_id for the window; the groupBy(user_id)
+    // rides the same partitioning (no second wide shuffle of events)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"sessionize shuffles $exchanges times:\n$p")
+  }
+
+  test("similarity top-k has no single-partition window over the corpus") {
+    val p = plan(Similarity.bruteForceTopK(spark, Sf))
+    // the first (bulk) window partitions by (q_id, bkt); only the final
+    // small rank partitions by q_id alone
+    assert(p.contains("bkt"), s"two-phase bucket column missing:\n$p")
+  }
+
+  test("minhash band rows never carry token arrays through the shuffle") {
+    val bands = Dedup.minhashBands(spark, Sf)
+    assert(bands.columns.toSeq === Seq("doc_id", "band_id", "band_hash"))
+  }
+}
