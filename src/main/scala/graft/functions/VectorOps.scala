@@ -3,15 +3,25 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<double>` columns, built from higher-order
-  * functions (zip_with / aggregate) — codegen-friendly, no UDFs, no MLlib
-  * dependency. Sums run sequentially left-to-right, matching DuckDB's
-  * list_* kernels, so oracle results agree to the last ULP (outputs are
-  * still rounded defensively).
+/** Vector math over `array<double>` columns. The hot kernel (dot) is a
+  * native codegen Expression ([[DotProductExpr]]) — a tight Java loop in
+  * whole-stage codegen; the SRP projection stays a higher-order function
+  * (it runs once per vector at index time, not in the scoring loop). Sums
+  * run sequentially left-to-right, matching DuckDB's list_* kernels, so
+  * oracle results agree to the last ULP (outputs are still rounded
+  * defensively).
   */
 object VectorOps {
 
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DotProductExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** Higher-order-function dot (CodegenFallback) — kept as the reference
+    * implementation; tests assert it agrees with the codegen kernel. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
