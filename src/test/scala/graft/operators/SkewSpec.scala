@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.functions.Functions
+import org.apache.spark.sql.functions._
+
+/** Salting rewrites must be pure performance moves: same results. */
+class SkewSpec extends SparkSpec {
+
+  test("saltedAgg equals the plain aggregate") {
+    val li = Tables.lineitem(spark, Sf)
+    val salted = Skew.saltedAgg(li, col("l_returnflag"), col("l_quantity"))
+      .select(col("key"), col("n"), round(col("sum_value"), 2).as("s"))
+      .collect().map(_.toSeq).toSet
+    val plain = li.groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(salted === plain)
+  }
+
+  test("saltedJoin equals the plain inner join (row multiset)") {
+    val orders = Tables.orders(spark, Sf)
+    val cust = Tables.customer(spark, Sf)
+    val salted = Skew.saltedJoin(orders, cust, "o_custkey", "c_custkey")
+      .select("o_orderkey", "c_custkey")
+    val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("graft_dot is callable from the SQL entry path") {
+    Functions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r === 11.0)
+  }
+}
