@@ -66,3 +66,133 @@ case class DotProductExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Codegen set-Jaccard over two SORTED, DISTINCT `array<long>` columns:
+  * a single merge loop counts the intersection, then
+  * |A∩B| / (|A| + |B| - |A∩B|). No per-row hash-set allocation (the
+  * array_intersect/array_union formulation builds two hash sets per
+  * pair), which is what makes multi-million-pair LSH verification
+  * scan-speed. Returns the same value as set-jaccard as long as inputs
+  * are sorted sets — callers own that invariant (sort_array(
+  * array_distinct(...)) at signature build time, once per document).
+  */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_sorted_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val inter = ctx.freshName("inter"); val u = ctx.freshName("u")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |int $u = $nx + $ny - $inter;
+         |${ev.value} = $u == 0 ? 0.0 : (double) $inter / (double) $u;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen SimHash packer: given the token-hash array (`array<long>`),
+  * set output bit b iff 2·(#hashes with bit b set) >= #hashes — the
+  * multiset sign rule over `nBits` low bits. One compiled loop per row
+  * replaces the interpreted aggregate/zip_with chain (48 lambda
+  * dispatches per token). Matches Dedup's oracle definition exactly.
+  */
+case class SimhashExpr(child: Expression, nBits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Long](nBits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < nBits) { counts(b) += (h >> b) & 1L; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      if (counts(b) * 2 >= n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $counts = new long[$nBits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < $nBits; $b++) { $counts[$b] += ($h >> $b) & 1L; }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  if ($counts[$b] * 2 >= $n) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}

@@ -75,30 +75,61 @@ object Dedup {
     minhashBands(s, dir)
 
   /** Near-dup pairs: docs sharing any band bucket, verified with exact
-    * word-set Jaccard >= threshold. The join key (band_id, band_hash)
-    * keeps candidate generation linear in bucket sizes — the standard
-    * scale-out LSH shape (no all-pairs anywhere). Candidate pairs are
-    * deduped FIRST and only then joined back to the token sets, so the
-    * heavy arrays never ride through the band shuffle; the verify
-    * intersects the 31-bit hashed token sets (integer compare, ~10x
-    * cheaper than string sets; collision odds ~|ws|²/2^32 per doc, and
-    * the oracle mirrors the hashed form so results agree exactly). */
+    * set Jaccard >= threshold over the 31-bit hashed token sets (any
+    * band-key or token-hash collision only ADDS a candidate, which the
+    * exact verify then filters — the result set is collision-proof).
+    *
+    * Scale shape, stage by stage:
+    *  - candidate generation joins (band_id, band_key) — linear in
+    *    bucket sizes, never all-pairs;
+    *  - LEFTMOST-BAND dedup: each row carries the 4 band keys (32
+    *    bytes), and a pair is emitted only from its first matching
+    *    band — candidates are unique BY CONSTRUCTION, eliminating the
+    *    multi-million-row distinct() shuffle entirely;
+    *  - verify: token-hash sets join in (broadcast-sized per bucket of
+    *    docs; sorted+distinct at build time) and a codegen merge loop
+    *    (SortedJaccardExpr) computes set Jaccard with zero per-pair
+    *    allocation. */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
-    val bands = minhashBands(s, dir)
-    val l = bands.select($"band_id", $"band_hash", $"doc_id".as("doc_a"))
-    val r = bands.select($"band_id".as("band_id_r"), $"band_hash".as("band_hash_r"),
-      $"doc_id".as("doc_b"))
+    import graft.functions.SortedJaccardExpr
+    import org.apache.spark.sql.graftbridge.Bridge
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb0"))
+    val sig = hashed.select(
+      col("doc_id") +: (0 until MinhashPerms).map { i =>
+        array_min(transform($"hb0", h => minhashPerm(h, i))).as(s"mh$i")
+      }: _*)
+    // per-doc array of 4 cheap band keys (hash60 of the quadruple)
+    val withKeys = sig.select(
+      $"doc_id",
+      array((0 until Bands).map { b =>
+        val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))
+        hash60(concat_ws("|", cols: _*))
+      }: _*).as("bks"))
+    val bandRows = withKeys.select(
+      $"doc_id", $"bks",
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band_id"), element_at($"bks", b + 1).as("bk"))): _*)).as("b"))
+      .select($"doc_id", $"bks", $"b.band_id".as("band_id"), $"b.bk".as("bk"))
+    val l = bandRows.select($"band_id", $"bk", $"doc_id".as("doc_a"), $"bks".as("bks_a"))
+    val r = bandRows.select($"band_id".as("band_id_r"), $"bk".as("bk_r"),
+      $"doc_id".as("doc_b"), $"bks".as("bks_b"))
+    // emit only from the FIRST band both docs share: unique candidates,
+    // no distinct() shuffle
+    val noEarlierMatch = (0 until Bands - 1).map { e =>
+      $"band_id" <= e || element_at($"bks_a", e + 1) =!= element_at($"bks_b", e + 1)
+    }.reduce(_ && _)
     val cands = l.join(r,
-        $"band_id" === $"band_id_r" && $"band_hash" === $"band_hash_r" &&
-          $"doc_a" < $"doc_b")
+        $"band_id" === $"band_id_r" && $"bk" === $"bk_r" && $"doc_a" < $"doc_b" &&
+          noEarlierMatch)
       .select($"doc_a", $"doc_b")
-      .distinct()
-    val hb = Tables.documents(s, dir)
-      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb"))
+    val hb = hashed.select($"doc_id", sort_array(array_distinct($"hb0")).as("hb"))
+    def sortedJaccard(a: Column, b: Column): Column =
+      Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
     cands
       .join(hb.select($"doc_id".as("doc_a"), $"hb".as("hb_a")), "doc_a")
       .join(hb.select($"doc_id".as("doc_b"), $"hb".as("hb_b")), "doc_b")
-      .withColumn("jaccard", jaccard($"hb_a", $"hb_b"))
+      .withColumn("jaccard", sortedJaccard($"hb_a", $"hb_b"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
   }
@@ -109,36 +140,28 @@ object Dedup {
 
   /** Weighted 48-bit SimHash from a token-hash array column: bit b is set
     * iff 2·(#tokens with bit b set) >= #tokens (the multiset sign rule).
-    * Single pass over the tokens: one aggregate accumulates all 48
-    * per-bit counts (md5 is evaluated once per token, not once per bit),
-    * then a zip maps counts to the packed signature. Column-valued shift
-    * amounts go through call_function (the Scala shiftright/shiftleft
-    * wrappers accept only literal Ints). */
-  def simhashFromHashes(hs: Column, n: Column): Column = {
-    val bitIdx = sequence(lit(0), lit(SimhashBits - 1))
-    val counts = aggregate(
-      hs,
-      array_repeat(lit(0L), SimhashBits),
-      (acc, h) => zip_with(acc, bitIdx,
-        (a, b) => a + call_function("shiftright", h, b).bitwiseAND(lit(1L))))
-    aggregate(
-      zip_with(counts, bitIdx, (c, b) =>
-        when(c * 2L >= n, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+    * Native codegen kernel (SimhashExpr) — one compiled loop per row
+    * instead of 48 interpreted lambda dispatches per token. */
+  def simhashFromHashes(hs: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.SimhashExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(hs), SimhashBits))
 
   /** Per-doc SimHash signatures (oracle-checkable). The token-hash array
-    * is materialized in its own projection so it is computed once. */
+    * is materialized in its own projection so md5 runs once per token. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select($"doc_id",
         transform(wsTokens(lower($"text")), t => hash60(t)).as("hs"))
-      .select($"doc_id", simhashFromHashes($"hs", size($"hs").cast("long")).as("simhash"))
+      .select($"doc_id", simhashFromHashes($"hs").as("simhash"))
 
   /** Near-dup pairs with Hamming distance <= maxDist, found by block
     * banding: split the 48 bits into 6 bytes; any pair within distance d
     * <= 5 must agree on >= 1 whole byte (pigeonhole), so bucket-join on
-    * (byte_idx, byte_value) and verify exact Hamming via bit_count. */
+    * (byte_idx, byte_value) and verify exact Hamming via bit_count.
+    * The signature itself carries every block value, so LEFTMOST-BLOCK
+    * dedup (emit a pair only from the first byte both docs share) makes
+    * candidates unique by construction — no dropDuplicates shuffle. */
   def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 5): DataFrame = {
     val sig = simhashSignatures(s, dir)
     val blockStructs = (0 until 6).map { i =>
@@ -151,9 +174,13 @@ object Dedup {
     val l = blocks.select($"blk", $"blk_val", $"doc_id".as("doc_a"), $"simhash".as("sh_a"))
     val r = blocks.select($"blk".as("blk_r"), $"blk_val".as("blk_val_r"),
       $"doc_id".as("doc_b"), $"simhash".as("sh_b"))
-    l.join(r, $"blk" === $"blk_r" && $"blk_val" === $"blk_val_r" && $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
-      .dropDuplicates("doc_a", "doc_b")
+    val noEarlierBlock = (0 until 5).map { e =>
+      $"blk" <= e ||
+        shiftright($"sh_a", e * 8).bitwiseAND(255L) =!=
+          shiftright($"sh_b", e * 8).bitwiseAND(255L)
+    }.reduce(_ && _)
+    l.join(r, $"blk" === $"blk_r" && $"blk_val" === $"blk_val_r" &&
+        $"doc_a" < $"doc_b" && noEarlierBlock)
       .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")).cast("long"))
       .filter($"hamming" <= maxDist)
       .select($"doc_a", $"doc_b", $"hamming")
