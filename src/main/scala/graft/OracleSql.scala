@@ -155,7 +155,24 @@ object OracleSql {
         |  SELECT CASE WHEN o_totalprice > 300000.0 THEN 'big'
         |              WHEN o_totalprice > 150000.0 THEN 'mid'
         |              ELSE 'small' END AS bucket FROM orders)
-        |GROUP BY bucket""".stripMargin)
+        |GROUP BY bucket""".stripMargin,
+    "rel_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "rel_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0""".stripMargin,
+    "rel_median" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "rel_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n_above_avg FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin)
 
   // ---- text analysis ----------------------------------------------------
 
@@ -301,12 +318,16 @@ object OracleSql {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
     "dedup_ngram_jaccard_pairs" -> {
       // prefix filtering is exactness-preserving, so the oracle verifies
-      // over ALL pairs — same final set, no window mirroring needed
+      // over ALL pairs — same final set, no window mirroring needed.
+      // Shingles are hashed (mirroring the Spark side) so set ops run on
+      // BIGINT lists; collisions hit both engines identically. n must
+      // match the SparkEntry registration.
+      val n = 5
       val grams =
-        "list_distinct(CASE WHEN length(sk) >= 3 THEN list_transform(range(1, length(sk) - 3 + 2), j -> sk[j:j+2]) ELSE CAST([] AS VARCHAR[]) END)"
+        s"list_distinct(CASE WHEN length(sk) >= $n THEN list_transform(range(1, length(sk) - $n + 2), j -> sk[j:j+${n - 1}]) ELSE CAST([] AS VARCHAR[]) END)"
       s"""WITH s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
-         |g AS (SELECT doc_id, $grams AS grams FROM s),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jac("a.grams", "b.grams")} AS jacc
+         |g AS (SELECT doc_id, list_distinct(list_transform($grams, x -> ${h60("x")})) AS gh FROM s),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jac("a.gh", "b.gh")} AS jacc
          |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM p WHERE jacc >= 0.6""".stripMargin
     },

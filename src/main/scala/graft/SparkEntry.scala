@@ -46,6 +46,10 @@ object SparkEntry {
     "rel_count_distinct" -> (Relational.q15CountDistinct _),
     "rel_having" -> (Relational.q16Having _),
     "rel_case_buckets" -> (Relational.q17CaseBuckets _),
+    "rel_rollup" -> (Relational.q18Rollup _),
+    "rel_intersect" -> (Relational.q19Intersect _),
+    "rel_median" -> (Relational.q20Median _),
+    "rel_scalar_subquery" -> (Relational.q21ScalarSubquery _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
@@ -63,7 +67,7 @@ object SparkEntry {
     "dedup_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash_signatures" -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
-    "dedup_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, threshold = 0.6)),
+    "dedup_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, threshold = 0.6, n = 5)),
     "dedup_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // similarity search
     "sim_brute_force_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),

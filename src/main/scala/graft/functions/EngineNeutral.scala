@@ -64,25 +64,19 @@ object EngineNeutral {
     * DuckDB: list_distinct(list_transform(range(1, len(s)-n+2),
     *           j -> substr(s, j, n)))   with s = regexp_replace(lower(text),'[^a-z0-9]','','g')
     */
-  def charNgrams(text: Column, n: Int): Column = {
-    val s = regexp_replace(lower(text), "[^a-z0-9]", "")
-    val cnt = length(s)
-    array_distinct(
-      when(cnt >= n,
-        transform(sequence(lit(1), cnt - n + 1), j => s.substr(j, lit(n))))
-        .otherwise(array().cast("array<string>")))
-  }
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(charNgramsOrdered(text, n))
 
   /** ORDERED (non-distinct) character n-grams over the lowercased
-    * alphanumeric skeleton — positional, as winnowing requires.
+    * alphanumeric skeleton — positional, as winnowing requires. Native
+    * expression: the cleaning regex runs once per row (a lambda-captured
+    * version re-runs it per gram — see CharNgramsExpr).
     * DuckDB: list_transform(range(1, len(s)-n+2), j -> substr(s, j, n)).
     */
   def charNgramsOrdered(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val s = regexp_replace(lower(text), "[^a-z0-9]", "")
-    val cnt = length(s)
-    when(cnt >= n,
-      transform(sequence(lit(1), cnt - n + 1), j => s.substr(j, lit(n))))
-      .otherwise(array().cast("array<string>"))
+    Bridge.column(graft.functions.CharNgramsExpr(Bridge.expression(s), n))
   }
 
   /** Word w-shingles ("a b c") over whitespace tokens.

@@ -197,32 +197,44 @@ object Dedup {
     * inverted-index join below is EXACT, not approximate, while indexing
     * only ~(1-t) of each doc's shingles and avoiding the hottest (most
     * frequent) shingles ordering them last. */
-  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.35,
+                        n: Int = 3): DataFrame = {
+    import graft.functions.SortedJaccardExpr
+    import org.apache.spark.sql.graftbridge.Bridge
+    // hashed shingle sets: set ops on sorted longs, not strings (any
+    // collision affects both engines identically — the oracle mirrors)
     val docs = Tables.documents(s, dir)
-      .select($"doc_id", charNgrams($"text", 3).as("grams"))
-    // global shingle frequencies → rarity order (freq asc, gram asc)
-    val freq = docs.select(explode($"grams").as("gram"))
-      .groupBy($"gram").agg(count(lit(1)).as("df"))
+      .select($"doc_id",
+        sort_array(array_distinct(transform(charNgrams($"text", n), g => hash60(g)))).as("gh"))
+    // global shingle frequencies → rarity order (freq asc, hash asc);
+    // any consistent global order preserves prefix-filter exactness
+    val freq = docs.select(explode($"gh").as("gram_h"))
+      .groupBy($"gram_h").agg(count(lit(1)).as("df"))
     val exploded = docs
-      .select($"doc_id", size($"grams").cast("double").as("sz"), explode($"grams").as("gram"))
-      .join(freq, "gram")
-    // rank shingles per doc by global rarity; keep the prefix
+      .select($"doc_id", size($"gh").cast("double").as("sz"), explode($"gh").as("gram_h"))
+      .join(freq, "gram_h")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df".asc, $"gram".asc)
+      .partitionBy($"doc_id").orderBy($"df".asc, $"gram_h".asc)
     val prefix = exploded
       .withColumn("pos", row_number().over(w))
       .filter($"pos" <= ($"sz" - ceil($"sz" * threshold) + 1))
-      .select($"gram", $"doc_id")
-    // candidate pairs share >= 1 prefix shingle
+      .select($"gram_h", $"doc_id", $"sz")
+    // candidates share >= 1 prefix shingle AND pass the size lower bound
+    // (jaccard >= t forces t·|b| <= |a| and t·|a| <= |b|) — prunes the
+    // bulk of the false candidates before the distinct
     val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .join(prefix.as("b"),
+        col("a.gram_h") === col("b.gram_h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= col("b.sz") * threshold &&
+          col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify with exact jaccard on the full shingle sets
+    def sortedJaccard(a: Column, b: Column): Column =
+      Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
     cands
-      .join(docs.select($"doc_id".as("doc_a"), $"grams".as("g_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"grams".as("g_b")), "doc_b")
-      .withColumn("jaccard", jaccard($"g_a", $"g_b"))
+      .join(docs.select($"doc_id".as("doc_a"), $"gh".as("g_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"gh".as("g_b")), "doc_b")
+      .withColumn("jaccard", sortedJaccard($"g_a", $"g_b"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
   }

@@ -190,4 +190,41 @@ object Relational {
           .otherwise("small").as("bucket"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"))
+
+  /** ROLLUP extension — hierarchical subtotals in one pass (partial agg
+    * still applies; grouping-id distinguishes the levels). */
+  def q18Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
+
+  /** INTERSECT extension (distinct set semantics, like EXCEPT in q14). */
+  def q19Intersect(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+    val b = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 200000.0).select($"o_custkey".as("custkey"))
+    a.intersect(b)
+  }
+
+  /** Exact median/percentile extension: `percentile` (exact, interpolated)
+    * — matches DuckDB's quantile_cont definition. */
+  def q20Median(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
+
+  /** Scalar-subquery extension: orders above the global average price.
+    * Declarative form: the 1-row aggregate broadcast-joins into the
+    * filter (no collect-to-driver). */
+  def q21ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val avgDf = Tables.orders(s, dir).agg(avg($"o_totalprice").as("avg_price"))
+    Tables.orders(s, dir)
+      .join(broadcast(avgDf))
+      .filter($"o_totalprice" > $"avg_price")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_above_avg"))
+  }
 }

@@ -91,15 +91,19 @@ object TextAnalysis {
     * window contribute all their hashes (single-window degenerate case).
     * Output = per-doc fingerprint count + min/max of the sketch. */
   def winnowSketch(s: SparkSession, dir: String, k: Int = 5, win: Int = 4): DataFrame = {
-    val grams = charNgramsOrdered($"text", k)
-    val hashes = transform(grams, g => hash60(g))
-    val m = size(hashes)
+    // hs is materialized as its own multi-referenced alias so the window
+    // lambda slices an attribute — a lambda-captured expression would
+    // re-hash every gram once per window
+    val hashed = Tables.documents(s, dir).select(
+      $"doc_id",
+      transform(charNgramsOrdered($"text", k), g => hash60(g)).as("hs"))
+    val m = size($"hs")
     val fps = array_distinct(
       when(m >= win,
         transform(sequence(lit(1), m - win + 1),
-          j => array_min(slice(hashes, j, lit(win)))))
-        .otherwise(hashes))
-    Tables.documents(s, dir).select(
+          j => array_min(slice($"hs", j, lit(win)))))
+        .otherwise($"hs"))
+    hashed.select(
       $"doc_id",
       size(fps).cast("long").as("n_fingerprints"),
       array_min(fps).as("min_fp"),
