@@ -45,6 +45,12 @@ object Main {
         df.write.mode("overwrite").parquet(s"$out/queries/$n")
         println(s"[graft] wrote $out/queries/$n")
       }
+      // optional catalog persistence (--db imdb_etl) and inspection (--show n)
+      opts.get("db").foreach { db =>
+        Pipeline.persistStar(spark, star, db)
+        println(s"[graft] persisted star schema as $db.*")
+      }
+      opts.get("show").foreach(n => Pipeline.inspect(spark, star, n.toInt))
       Pipeline.registerViews(star)
       Pipeline.teardownStaging(spark, star)
       println(s"[graft] done: star schema + 6 queries under $out")

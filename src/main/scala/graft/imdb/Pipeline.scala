@@ -68,4 +68,30 @@ object Pipeline {
     * Call only after the queries have run (§3.3). */
   def teardownStaging(spark: SparkSession, star: Star): Unit =
     star.staging.keys.foreach(spark.catalog.dropTempView)
+
+  /** Catalog-namespace form of the reference's CREATE DATABASE/SCHEMA +
+    * CTAS (etl_imdb_db.sql:1-5, 90-141): persist the star schema as
+    * managed tables under `db`. At cluster scale the same call writes to
+    * the metastore-backed warehouse; locally it is a directory. */
+  def persistStar(spark: SparkSession, star: Star, db: String = "imdb_etl"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Map(
+      "dim_movies" -> star.dimMovies,
+      "dim_people" -> star.dimPeople,
+      "dim_genres" -> star.dimGenres,
+      "fact_movies" -> star.factMovies
+    ).foreach { case (n, df) =>
+      df.write.mode("overwrite").format("parquet").saveAsTable(s"$db.$n")
+    }
+  }
+
+  /** The reference's `SELECT * FROM t` inspection sink
+    * (etl_imdb_db.sql:84-88, 146-149): print the head of each star
+    * table. Driver-side display only — never used in pipelines. */
+  def inspect(spark: SparkSession, star: Star, rows: Int = 5): Unit = {
+    star.staging.foreach { case (n, df) => println(s"-- $n"); df.show(rows, truncate = false) }
+    Seq("dim_movies" -> star.dimMovies, "dim_people" -> star.dimPeople,
+      "dim_genres" -> star.dimGenres, "fact_movies" -> star.factMovies)
+      .foreach { case (n, df) => println(s"-- $n"); df.show(rows, truncate = false) }
+  }
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import scala.util.Random
+
+/** Property tests for the native kernels — expression-level checks
+  * against straightforward Scala reference implementations over seeded
+  * random inputs (the interpreted nullSafeEval path; codegen parity with
+  * it is Spark's contract and is additionally exercised by the
+  * DataFrame-level suites).
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val Trials = 300
+
+  private def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
+  private def litL(xs: Seq[Long]) = Literal(arr(xs), ArrayType(LongType))
+  private def litD(xs: Seq[Double]) =
+    Literal(new GenericArrayData(xs.toArray), ArrayType(DoubleType))
+
+  test("SortedJaccardExpr equals set-jaccard on random long sets") {
+    val rnd = new Random(42)
+    for (_ <- 1 to Trials) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 100).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 100).distinct.sorted
+      val expected =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size.toDouble
+      val got = SortedJaccardExpr(litL(a), litL(b)).eval(null).asInstanceOf[Double]
+      assert(math.abs(got - expected) < 1e-15, s"a=$a b=$b")
+    }
+  }
+
+  test("DotProductExpr equals the left-fold sum on random vectors") {
+    val rnd = new Random(43)
+    for (_ <- 1 to Trials) {
+      val n = rnd.nextInt(65)
+      val a = Seq.fill(n)(rnd.nextDouble() * 20 - 10)
+      val b = Seq.fill(n)(rnd.nextDouble() * 20 - 10)
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val got = DotProductExpr(litD(a), litD(b)).eval(null).asInstanceOf[Double]
+      assert(got === expected, s"n=$n") // same order => bit-identical
+    }
+  }
+
+  test("SimhashExpr matches the sign rule on random hash multisets") {
+    val rnd = new Random(44)
+    for (_ <- 1 to Trials) {
+      val hs = Seq.fill(rnd.nextInt(50))(rnd.nextLong().abs % (1L << 48))
+      val n = hs.size
+      val expected = (0 until 48).map { b =>
+        val set = hs.count(h => ((h >> b) & 1L) == 1L)
+        if (2L * set >= n) 1L << b else 0L
+      }.sum
+      val got = SimhashExpr(litL(hs), 48).eval(null).asInstanceOf[Long]
+      assert(got === expected, s"hs=$hs")
+    }
+  }
+
+  test("CharNgramsExpr yields every positional n-gram, in order") {
+    val rnd = new Random(45)
+    for (_ <- 1 to Trials) {
+      val s = Random.alphanumeric.take(rnd.nextInt(40)).mkString.toLowerCase
+      val n = 1 + rnd.nextInt(6)
+      val e = CharNgramsExpr(Literal(UTF8String.fromString(s), StringType), n)
+      val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      val expected = if (s.length < n) Seq.empty else s.sliding(n).toSeq
+      assert(got === expected, s"s=$s n=$n")
+    }
+  }
+}

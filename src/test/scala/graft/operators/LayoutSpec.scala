@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Storage-layout evidence for the 100 TB posture: partition pruning and
+  * bucketed co-located joins — the two levers that keep a cluster from
+  * scanning or shuffling data it doesn't need.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val warehouse = "/tmp/graft-layout-test"
+
+  test("partitioned parquet scans prune to the filtered partitions") {
+    val out = s"$warehouse/orders_by_status"
+    Tables.orders(spark, Sf)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val df = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"no partition pruning in:\n$p")
+    // pruned scan reads strictly fewer files than partitions exist
+    assert(df.count() === Tables.orders(spark, Sf).filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_layout")
+    spark.sql("USE graft_layout")
+    try {
+      Tables.orders(spark, Sf).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable("orders_b")
+      Tables.customer(spark, Sf).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable("customer_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the join key: no Exchange below the join
+      assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+        !p.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join still shuffles:\n$p")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      spark.sql("USE default")
+    }
+  }
+
+  test("persistStar materializes the star schema as catalog tables") {
+    import graft.imdb.Pipeline
+    val star = Pipeline.build(spark)
+    Pipeline.persistStar(spark, star, db = "imdb_test")
+    try {
+      assert(spark.table("imdb_test.dim_movies").count() === 1000L)
+      assert(spark.table("imdb_test.fact_movies").count() === 1492L)
+      assert(spark.catalog.tableExists("imdb_test.dim_genres"))
+    } finally {
+      Seq("dim_movies", "dim_people", "dim_genres", "fact_movies")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS imdb_test.$t"))
+      spark.sql("DROP DATABASE IF EXISTS imdb_test")
+    }
+  }
+}
