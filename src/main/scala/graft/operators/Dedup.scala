@@ -134,6 +134,46 @@ object Dedup {
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
   }
 
+  /** Duplicate CLUSTERS: connected components over the near-dup pair
+    * graph — the step a training pipeline actually runs after LSH (keep
+    * one doc per cluster). cluster_id = the component's minimum doc_id. */
+  def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    val pairs = minhashLshPairs(s, dir, threshold).select($"doc_a", $"doc_b")
+    clustersFromPairs(nodes, pairs)
+  }
+
+  /** Min-label propagation to a fixpoint. Each iteration is one
+    * distributed join+aggregate; lineage is truncated per round
+    * (localCheckpoint) so plans stay bounded. Converges in O(component
+    * diameter) rounds — near-dup components are dense, so diameters are
+    * small; a 100 TB deployment with adversarial chain-shaped graphs
+    * would swap in the O(log n) large-star/small-star variant, same API. */
+  def clustersFromPairs(nodes: DataFrame, pairs: DataFrame,
+                        maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select($"doc_a".as("ea"), $"doc_b".as("eb"))
+      .unionAll(pairs.select($"doc_b".as("ea"), $"doc_a".as("eb")))
+      .localCheckpoint(true)
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges.join(labels, $"eb" === $"doc_id")
+        .groupBy($"ea")
+        .agg(min($"cluster_id").as("nmin"))
+      val updated = labels.join(neighborMin, $"doc_id" === $"ea", "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"),
+          ($"nmin" < $"cluster_id").as("chg"))
+        .localCheckpoint(true)
+      changed = updated.filter($"chg" === true).count()
+      labels = updated.select($"doc_id", $"cluster_id")
+      iter += 1
+    }
+    labels
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   val SimhashBits = 48

@@ -84,6 +84,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(srp.subsetOf(exact))
   }
 
+  test("dupClusters equals union-find over the same pair graph") {
+    val pairs = Dedup.minhashLshPairs(spark, Sf).select("doc_a", "doc_b")
+    val got = Dedup.dupClusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: plain union-find on the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val docs = Tables.documents(spark, Sf).select("doc_id").collect().map(_.getLong(0))
+    // canonical root per component = min doc_id (union by min above)
+    docs.foreach { d => assert(got(d) === find(d), s"doc $d") }
+  }
+
   test("multimodal meta stats never read payload bytes (column pruning)") {
     val plan = MultiModal.mmMetaStats(spark, Sf).queryExecution.executedPlan.toString
     // the parquet scan must not include `text` as a data column... it IS
