@@ -78,6 +78,46 @@ object MultiModal {
         round(element_at($"features", 2) + element_at($"features", 3) +
           element_at($"features", 4), 2).as("f_sig"))
 
+  /** One multimodal asset row for the batched-decode path. */
+  final case class MmAsset(doc_id: Long, mime: String, payload: Array[Byte])
+
+  /** Decoded features for one asset. */
+  final case class MmDecoded(doc_id: Long, mime: String, f_len: Double, f_sig: Double)
+
+  /** The BATCHED decode path — the Scala analogue of a mapInPandas codec
+    * stage: per-partition iteration so a real codec can amortize model /
+    * library initialization per partition (not per row), with a typed
+    * row contract on both sides. `codec` is injectable; the default is
+    * the deterministic stub ([[decodeStub]] semantics, same outputs as
+    * the expression path — asserted in tests). A production build passes
+    * a JNI/FFI codec here and NOTHING else changes: schema, partitioning
+    * and batch shape are already what a 1000-executor job needs. */
+  def decodeBatched(s: SparkSession, dir: String,
+                    codec: Iterator[MmAsset] => Iterator[MmDecoded] = stubCodec)
+  : org.apache.spark.sql.Dataset[MmDecoded] = {
+    import s.implicits.{newProductEncoder, newSequenceEncoder}
+    asMultimodal(s, dir)
+      .select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+      .as[MmAsset]
+      .mapPartitions(codec)
+  }
+
+  /** Default partition codec: deterministic md5-derived fake features
+    * (bit-compatible with the decodeStub expression path). */
+  def stubCodec(it: Iterator[MmAsset]): Iterator[MmDecoded] = {
+    // per-partition init happens HERE in a real codec (load model, open
+    // decoder); the stub's md5 instance stands in for that lifecycle
+    val md = java.security.MessageDigest.getInstance("MD5")
+    it.map { a =>
+      md.reset()
+      val hex = md.digest(a.payload).map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      MmDecoded(a.doc_id, a.mime,
+        a.payload.length.toDouble,
+        (h % 256L).toDouble + ((h >> 8) % 256L).toDouble + ((h >> 16) % 256L).toDouble)
+    }
+  }
+
   /** Frame/sample selection: deterministic stride over byte offsets — the
     * shape of frame-sampling (video) or windowing (audio) without a codec:
     * one output row per sampled offset, partition-parallel per asset. */

@@ -103,6 +103,16 @@ class DedupSimilaritySpec extends SparkSpec {
     docs.foreach { d => assert(got(d) === find(d), s"doc $d") }
   }
 
+  test("batched decode path equals the expression stub path") {
+    import org.apache.spark.sql.functions.round
+    val batched = MultiModal.decodeBatched(spark, Sf)
+      .toDF()
+      .select(col("doc_id"), col("mime"), col("f_len"), round(col("f_sig"), 2).as("f_sig"))
+    val expr = MultiModal.mmFeatures(spark, Sf)
+      .select(col("doc_id"), col("mime"), col("f_len"), col("f_sig"))
+    assert(batched.exceptAll(expr).isEmpty && expr.exceptAll(batched).isEmpty)
+  }
+
   test("multimodal meta stats never read payload bytes (column pruning)") {
     val plan = MultiModal.mmMetaStats(spark, Sf).queryExecution.executedPlan.toString
     // the parquet scan must not include `text` as a data column... it IS
