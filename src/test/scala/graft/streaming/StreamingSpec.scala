@@ -38,6 +38,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark drops events later than the 2h bound (append semantics)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val query = Streams.hourlyAgg(stream.toDF())
+      .writeStream.format("memory").queryName("hourly_wm")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-wm-${System.nanoTime()}")
+      .start()
+    try {
+      // feed everything, then a straggler 3h older than the max event time:
+      // its window is below the watermark, so append mode must never emit it
+      stream.addData(events); query.processAllAvailable()
+      val maxTs = events.map(_.ts.getTime).max
+      val straggler = Event(999999L, new java.sql.Timestamp(maxTs - 3 * 3600 * 1000L),
+        42L, "late_type", 1.0)
+      stream.addData(Seq(straggler)); query.processAllAvailable()
+      // advance event time so closed windows flush
+      stream.addData(Seq(Event(999998L, new java.sql.Timestamp(maxTs + 4 * 3600 * 1000L),
+        42L, "flush_type", 1.0)))
+      query.processAllAvailable()
+      val emitted = spark.table("hourly_wm").filter($"event_type" === "late_type").count()
+      assert(emitted === 0L, "late event leaked past the watermark")
+      // sanity: closed windows did flush
+      assert(spark.table("hourly_wm").count() > 0L)
+    } finally query.stop()
+  }
+
   test("streaming sessionize equals the batch sessionization") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
