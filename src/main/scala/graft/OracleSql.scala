@@ -172,7 +172,20 @@ object OracleSql {
     "rel_scalar_subquery" ->
       """SELECT o_orderstatus, count(*) AS n_above_avg FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
-        |GROUP BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "rel_window_frames" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total,
+        |  round(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::DOUBLE /
+        |    (count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0), 4) AS moving_avg3,
+        |  (cents - coalesce(lag(cents, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), cents)) / 100.0 AS delta_prev
+        |FROM o""".stripMargin)
 
   // ---- text analysis ----------------------------------------------------
 

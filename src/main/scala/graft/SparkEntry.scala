@@ -50,6 +50,7 @@ object SparkEntry {
     "rel_intersect" -> (Relational.q19Intersect _),
     "rel_median" -> (Relational.q20Median _),
     "rel_scalar_subquery" -> (Relational.q21ScalarSubquery _),
+    "rel_window_frames" -> (Relational.q22WindowFrames _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

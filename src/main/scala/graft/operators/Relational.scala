@@ -216,6 +216,29 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
         round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
 
+  /** Window-frame extension (absent in the reference, which only uses
+    * row_number): per-customer running order total + 3-row moving
+    * average + lag delta — one exchange on the partition key serves all
+    * three frames. */
+  def q22WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    // prices are exact cents: frame sums run on integers so sliding-frame
+    // accumulation order (segment trees vs rescan) can't produce
+    // engine-dependent ULPs; one double division at the end is IEEE-exact
+    // identical everywhere
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .withColumn("running_total",
+        sum($"cents").over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0)
+      .withColumn("moving_avg3",
+        round(sum($"cents").over(w.rowsBetween(-2, 0)).cast("double") /
+          (count(lit(1)).over(w.rowsBetween(-2, 0)) * 100.0), 4))
+      .withColumn("delta_prev",
+        ($"cents" - coalesce(lag($"cents", 1).over(w), $"cents")) / 100.0)
+      .select($"o_custkey", $"o_orderkey", $"running_total", $"moving_avg3", $"delta_prev")
+  }
+
   /** Scalar-subquery extension: orders above the global average price.
     * Declarative form: the 1-row aggregate broadcast-joins into the
     * filter (no collect-to-driver). */

@@ -69,6 +69,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(twoPhase === naive)
   }
 
+  test("IVF top-k recall vs brute force is measured and bounded") {
+    val brute = Similarity.bruteForceTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // IVF probes one SRP bucket: every hit must also be a brute-force
+    // candidate only if it ranks top-k globally — assert precision of the
+    // overlap and a non-degenerate recall floor for this corpus
+    val recall = if (brute.isEmpty) 1.0 else ivf.intersect(brute).size.toDouble / brute.size
+    assert(ivf.nonEmpty, "IVF returned nothing")
+    assert(recall >= 0.05, f"IVF recall degenerate: $recall%.3f")
+    info(f"IVF recall@10 = $recall%.3f (single-probe, 8-bit quantizer)")
+  }
+
   test("SRP near-dup pairs are a subset of the exact cosine-threshold pairs") {
     val srp = Similarity.srpNearDupPairs(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
