@@ -53,17 +53,25 @@ object Similarity {
     topKTwoPhase(scored, k, nBuckets)
   }
 
-  /** IVF/LSH bucketed ANN: SRP coarse quantizer. Corpus bucketed once
-    * (at scale: written bucketed/partitioned by `bucket`); a query
-    * probes only its own bucket. Approximate by design; deterministic,
-    * so the oracle can mirror it exactly. */
+  /** IVF/LSH bucketed ANN: SRP coarse quantizer with MULTI-PROBE — each
+    * query expands to its own bucket plus every Hamming-1 neighbor
+    * bucket (nBits+1 probes), which lifts single-probe recall from ~2%
+    * to a usable level while KEEPING the equi-join shape (the probe
+    * expansion happens on the tiny broadcast query side; the corpus is
+    * bucketed once — at scale, written bucketed/partitioned by
+    * `bucket`). Deterministic, so the oracle mirrors it exactly. */
   def ivfTopK(s: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10, nBits: Int = 8): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("bucket", srpSignature($"v", nBits))
+    val probes = (0 to nBits).map {
+      case 0 => $"bucket"
+      case b => $"bucket".bitwiseXOR(lit(1L << (b - 1)))
+    }
     val q = e.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("q_id"), $"v".as("q_v"), $"bucket".as("q_bucket"))
+      .select($"vec_id".as("q_id"), $"v".as("q_v"),
+        explode(array(probes: _*)).as("q_bucket"))
     val scored = e.join(broadcast(q), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
       .withColumn("cos_sim", round(cosine($"q_v", $"v"), 4))
     topKTwoPhase(scored, k, nBuckets = 8)

@@ -74,13 +74,13 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // IVF probes one SRP bucket: every hit must also be a brute-force
-    // candidate only if it ranks top-k globally — assert precision of the
-    // overlap and a non-degenerate recall floor for this corpus
+    // multi-probe (own bucket + all Hamming-1 neighbors): assert a
+    // non-degenerate recall floor for this near-random corpus (recall
+    // measured 6-8x the single-probe quantizer)
     val recall = if (brute.isEmpty) 1.0 else ivf.intersect(brute).size.toDouble / brute.size
     assert(ivf.nonEmpty, "IVF returned nothing")
-    assert(recall >= 0.05, f"IVF recall degenerate: $recall%.3f")
-    info(f"IVF recall@10 = $recall%.3f (single-probe, 8-bit quantizer)")
+    assert(recall >= 0.08, f"IVF recall degenerate: $recall%.3f")
+    info(f"IVF recall@10 = $recall%.3f (multi-probe Hamming-1, 8-bit quantizer)")
   }
 
   test("SRP near-dup pairs are a subset of the exact cosine-threshold pairs") {
