@@ -15,10 +15,19 @@ import org.apache.spark.sql.types.LongType
   */
 object EngineNeutral {
 
-  /** 60-bit deterministic hash of a string column.
+  /** 60-bit deterministic hash of a string column — native kernel
+    * ([[Hash60Expr]]: md5 digest bytes straight to a Long, no hex
+    * round-trip). Value identical to conv(substring(md5(c),1,15),16,10).
     * DuckDB equivalent: CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT).
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(Hash60Expr(Bridge.expression(c)))
+  }
+
+  /** The functions-API formulation of hash60 (reference implementation;
+    * tests assert the kernel matches it). */
+  def hash60Hof(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded variant: hash60(s + "#" + seed) — used for MinHash permutations.

@@ -258,15 +258,20 @@ object Dedup {
     val prefix = exploded
       .withColumn("pos", row_number().over(w))
       .filter($"pos" <= ($"sz" - ceil($"sz" * threshold) + 1))
-      .select($"gram_h", $"doc_id", $"sz")
-    // candidates share >= 1 prefix shingle AND pass the size lower bound
-    // (jaccard >= t forces t·|b| <= |a| and t·|a| <= |b|) — prunes the
-    // bulk of the false candidates before the distinct
+      .select($"gram_h", $"doc_id", $"sz", $"pos")
+    // candidates share >= 1 prefix shingle AND pass
+    //  - the size bound: jaccard >= t forces t·|b| <= |a| and t·|a| <= |b|
+    //  - the PPJoin POSITIONAL bound: matching at prefix positions
+    //    (pa, pb) caps the achievable overlap at min(|a|-pa, |b|-pb)+1,
+    //    which must reach ceil(t/(1+t)·(|a|+|b|)) — prunes most false
+    //    candidates before the distinct
+    val overlapNeeded = ceil(lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.gram_h") === col("b.gram_h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") >= col("b.sz") * threshold &&
-          col("b.sz") >= col("a.sz") * threshold)
+          col("b.sz") >= col("a.sz") * threshold &&
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1 >= overlapNeeded)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     def sortedJaccard(a: Column, b: Column): Column =

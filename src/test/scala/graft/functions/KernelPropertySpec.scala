@@ -61,6 +61,19 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Hash60Expr equals the hex-parse reference on random strings") {
+    val rnd = new Random(46)
+    for (_ <- 1 to Trials) {
+      val s = Random.alphanumeric.take(rnd.nextInt(30)).mkString + "é∆" * rnd.nextInt(2)
+      val got = Hash60Expr(Literal(UTF8String.fromString(s), StringType))
+        .eval(null).asInstanceOf[Long]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = java.lang.Long.parseLong(hex.take(15), 16)
+      assert(got === expected, s"s=$s")
+    }
+  }
+
   test("CharNgramsExpr yields every positional n-gram, in order") {
     val rnd = new Random(45)
     for (_ <- 1 to Trials) {
