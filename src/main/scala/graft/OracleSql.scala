@@ -363,6 +363,26 @@ object OracleSql {
          |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
          |FROM $docs d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    "dedup_survivors" ->
+      // one doc per cluster: doc_id equals its component minimum
+      s"""WITH RECURSIVE $minhashSigCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
+         |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jacc >= 0.9),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         |labels AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |  FROM $docs d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM $docs d JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id = l.cluster_id""".stripMargin,
     "dedup_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM $embs)
          |SELECT vec_a, vec_b, cos_sim FROM (

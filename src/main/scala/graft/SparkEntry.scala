@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, threshold = 0.6, n = 5)),
     "dedup_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     // similarity search
     "sim_brute_force_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),

@@ -174,6 +174,18 @@ object Dedup {
     labels
   }
 
+  /** The deduplicated corpus: keep exactly one document per near-dup
+    * cluster (the minimum doc_id). This is the operator a training
+    * pipeline actually ships — pairs and clusters are its evidence. */
+  def dedupSurvivors(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val survivors = dupClusters(s, dir, threshold)
+      .filter($"doc_id" === $"cluster_id")
+      .select($"doc_id")
+    Tables.documents(s, dir)
+      .join(survivors, "doc_id")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   val SimhashBits = 48

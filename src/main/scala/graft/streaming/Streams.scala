@@ -40,6 +40,14 @@ object Streams {
         unix_timestamp($"window.start").as("hour_ts"),
         $"event_type", $"n", $"sum_value")
 
+  /** Streaming twin of Events.topTypePerUser's underlying counts: the
+    * per-(user, type) totals maintained incrementally (complete-mode
+    * aggregate, state keyed exactly like the batch shuffle). The rank-1
+    * cut stays a cheap batch query over this materialized view — ranking
+    * inside the stream would force per-trigger re-sorts of all users. */
+  def typeCounts(events: DataFrame): DataFrame =
+    events.groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+
   /** Stateful sessionization twin of Events.sessionize (30-min inactivity
     * gap). flatMapGroupsWithState keeps one SessionState per user;
     * emits the running (n_sessions, n_events) per user each batch

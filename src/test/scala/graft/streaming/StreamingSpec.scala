@@ -38,6 +38,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming type counts + batch rank equals the batch top-type query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val query = Streams.typeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("type_counts_stream")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = events.splitAt(events.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"n".desc, $"event_type".asc)
+      val streamedTop = spark.table("type_counts_stream")
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rnk" === 1).select("user_id", "event_type", "n")
+      val batchTop = Events.topTypePerUser(spark, Sf)
+      assert(streamedTop.exceptAll(batchTop).isEmpty && batchTop.exceptAll(streamedTop).isEmpty)
+    } finally query.stop()
+  }
+
   test("watermark drops events later than the 2h bound (append semantics)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
