@@ -231,6 +231,25 @@ object OracleSql {
          |       ELSE 'zh' END AS lang_guess
          |FROM h""".stripMargin
     },
+    "text_tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
+         |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM t),
+         |tf AS (SELECT doc_id, len, term, count(*)::DOUBLE AS tf FROM (
+         |  SELECT doc_id, len(tk)::DOUBLE AS len, unnest(tk) AS term FROM t)
+         |  GROUP BY doc_id, len, term),
+         |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         |scored AS (SELECT tf.doc_id, tf.term,
+         |  round((tf.tf / tf.len) * ln(nd.n_docs / dfq.df), 6) AS tfidf
+         |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd)
+         |SELECT doc_id, term, tfidf, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+         |  FROM scored) WHERE rnk <= 3""".stripMargin,
+    "text_hash_split" ->
+      s"""SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM (
+         |  SELECT n_chars,
+         |    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT n_chars, ${h60("CAST(doc_id AS VARCHAR)")} % 10 AS b FROM $docs))
+         |GROUP BY split""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          |FROM $docs""".stripMargin,

@@ -56,6 +56,9 @@ object SparkEntry {
     "text_quality_score" -> (TextAnalysis.qualityScore _),
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_hash_split" -> (TextAnalysis.hashSplit _),
+    "rel_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: sketch
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
     // events (batch time-series)
     "events_hourly_agg" -> (Events.hourlyAgg _),

@@ -239,6 +239,16 @@ object Relational {
       .select($"o_custkey", $"o_orderkey", $"running_total", $"moving_avg3", $"delta_prev")
   }
 
+  /** Approximate-distinct sketch (HyperLogLog++): the cardinality
+    * estimator a 100 TB pipeline uses where exact countDistinct's
+    * shuffle is unaffordable. No DuckDB oracle (sketch internals are
+    * engine-specific) — the driver records a rows-only check; the exact
+    * twin q15CountDistinct is the semantic anchor. */
+  def q23ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(approx_count_distinct($"o_custkey", 0.01).as("n_cust_approx"))
+
   /** Scalar-subquery extension: orders above the global average price.
     * Declarative form: the 1-row aggregate broadcast-joins into the
     * filter (no collect-to-driver). */

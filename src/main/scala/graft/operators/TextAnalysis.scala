@@ -75,6 +75,45 @@ object TextAnalysis {
       when(en + de + es + fr + zh === 0, "und").otherwise(lang).as("lang_guess"))
   }
 
+  /** TF-IDF top terms: the classic corpus-statistics operator — document
+    * frequencies via one explode+groupBy, idf broadcast back onto the
+    * per-doc term counts, top-3 terms per doc by tf-idf with
+    * deterministic tiebreaks. Shuffle shape: one aggregate on term, one
+    * window on doc_id. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", wsTokens(lower($"text")).as("toks"))
+    // corpus size as a broadcast 1-row aggregate — no collect-to-driver
+    val nd = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs.select($"doc_id", size($"toks").cast("double").as("len"),
+        explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term", $"len")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.select($"term", $"doc_id").distinct()
+      .groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+    tf.join(df, "term")
+      .join(broadcast(nd))
+      .withColumn("tfidf", round(($"tf" / $"len") * log($"n_docs" / $"df"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"doc_id", $"term", $"tfidf", $"rnk")
+  }
+
+  /** Deterministic hash-based train/val/test split — THE sampling
+    * primitive of a training pipeline: assignment is a pure function of
+    * doc_id (reproducible across runs, engines, and cluster sizes; no
+    * RNG state, no sampling-order dependence). 80/10/10 by hash60 mod. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars",
+        (hash60($"doc_id".cast("string")) % 10L).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 8L, "train").when($"bucket" < 9L, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+
   /** Document fingerprint: md5 over the lowercased alphanumeric skeleton
     * (whitespace/punct-insensitive content identity — the key for exact
     * dedup after normalization). */
