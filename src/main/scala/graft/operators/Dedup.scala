@@ -16,13 +16,16 @@ import graft.syntax._
   *                  Shuffles on (band, band_hash) — never all-pairs.
   *  - simhash:      64-bit-ish weighted sign-fingerprint per doc; near-dup
   *                  pairs via byte-block banding (Manku et al., WWW'07).
-  *  - ngramJaccard: exact set-similarity join on char 3-grams with
-  *                  PREFIX FILTERING (Chaudhuri et al., ICDE'06): only the
-  *                  globally-rarest (1-t)|s|+1 shingles of each doc are
-  *                  indexed, which preserves exactness for threshold t
-  *                  while shrinking the inverted index join.
+  *  - ngramJaccard: exact set-similarity join on char n-grams with
+  *                  PREFIX FILTERING (Chaudhuri et al., ICDE'06) plus the
+  *                  PPJoin positional bound (Xiao et al., WWW'08): only
+  *                  the globally-rarest (1-t)|s|+1 shingles of each doc
+  *                  are indexed, preserving exactness for threshold t
+  *                  while shrinking the inverted-index join.
   *  - embeddingNearDup: cosine-threshold pairs; exact blocked variant here,
   *                  LSH variant in Similarity.
+  *  - dupClusters/dedupSurvivors: connected components over the pair
+  *                  graph and the one-doc-per-cluster corpus.
   *
   * All hashing is engine-neutral (md5-derived, EngineNeutral.hash60) so
   * the DuckDB oracle reproduces signatures bit-for-bit.

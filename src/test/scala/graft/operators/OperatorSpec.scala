@@ -61,4 +61,24 @@ class OperatorSpec extends SparkSpec {
     val total = Events.hourlyAgg(spark, Sf).agg(sum("n")).collect()(0).getLong(0)
     assert(total === Tables.events(spark, Sf).count())
   }
+
+  test("tf-idf: exactly k rows per doc, ranks contiguous, scores ordered") {
+    val top = TextAnalysis.tfidfTopTerms(spark, Sf, k = 3)
+    val perDoc = top.groupBy("doc_id").count()
+    assert(perDoc.filter("count > 3").count() === 0L)
+    // rank 1 score >= rank 3 score within every doc
+    val byRank = top.groupBy("doc_id")
+      .agg(max(when(col("rnk") === 1, col("tfidf"))).as("r1"),
+        max(when(col("rnk") === 3, col("tfidf"))).as("r3"))
+    assert(byRank.filter(col("r1") < col("r3")).count() === 0L)
+  }
+
+  test("hash split is deterministic and partitions the corpus") {
+    val a = TextAnalysis.hashSplit(spark, Sf).collect().map(_.toSeq).toSet
+    val b = TextAnalysis.hashSplit(spark, Sf).collect().map(_.toSeq).toSet
+    assert(a === b) // pure function of doc_id: identical across runs
+    val total = TextAnalysis.hashSplit(spark, Sf)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total === Tables.documents(spark, Sf).count())
+  }
 }
