@@ -6,16 +6,24 @@ import org.apache.spark.sql.graftbridge.Bridge
 /** SQL-entry registration of the library's native expressions. After
   * `Functions.register(spark)`, `spark.sql` queries can call:
   *
-  *   graft_dot(a, b) — codegen dot product over array<double>
+  *   graft_dot(a, b)            — codegen dot product over array<double>
+  *   graft_sorted_jaccard(a, b) — set Jaccard over sorted array<bigint>
+  *   graft_simhash(hs)          — 48-bit SimHash of an array<bigint>
+  *   graft_hash60(s)            — engine-neutral 60-bit md5 hash
   *
   * Registration is session-scoped (temp functions) — nothing global, and
   * harness-built sessions that never call register are unaffected.
   */
 object Functions {
   def register(spark: SparkSession): Unit = {
-    Bridge.registerFunction(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      "graft_dot",
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    Bridge.registerFunction(s, "graft_dot",
       args => DotProductExpr(args(0), args(1)))
+    Bridge.registerFunction(s, "graft_sorted_jaccard",
+      args => SortedJaccardExpr(args(0), args(1)))
+    Bridge.registerFunction(s, "graft_simhash",
+      args => SimhashExpr(args(0), 48))
+    Bridge.registerFunction(s, "graft_hash60",
+      args => Hash60Expr(args(0)))
   }
 }

@@ -29,10 +29,18 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("graft_dot is callable from the SQL entry path") {
+  test("native kernels are callable from the SQL entry path") {
     Functions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect()(0).getDouble(0)
     assert(r === 11.0)
+    val j = spark.sql(
+      "SELECT graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+      .collect()(0).getDouble(0)
+    assert(j === 0.5)
+    val h = spark.sql("SELECT graft_hash60('abc') AS h").collect()(0).getLong(0)
+    assert(h === 648541476951500027L) // matches DuckDB's hex-parse value
+    assert(spark.sql("SELECT graft_simhash(array(7L, 7L, 7L)) AS s")
+      .collect()(0).getLong(0) === 7L)
   }
 }
