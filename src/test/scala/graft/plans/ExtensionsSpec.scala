@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The session extension must rewrite user-written HOF dot products to
+  * the native kernel without changing results. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("optimizer rule rewrites aggregate(zip_with(*)) to graft_dot") {
+    // a second session over the same SparkContext, with extensions
+    val base = spark // force shared-session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extSpark = SparkSession.builder()
+      .master("local[8]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    try {
+      val e = extSpark.read.parquet(s"$Sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val hof = e.select(col("vec_id"),
+        VectorOps.dotHof(col("v"), col("v")).as("d"))
+      val optimized = hof.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_dot"),
+        s"HOF dot not rewritten:\n$optimized")
+      // results identical to the explicit kernel
+      val kernel = e.select(col("vec_id"), VectorOps.dot(col("v"), col("v")).as("d"))
+      assert(hof.exceptAll(kernel).isEmpty && kernel.exceptAll(hof).isEmpty)
+      // sanity: without extensions the HOF form stays interpreted
+      val plain = base.read.parquet(s"$Sf/embeddings.parquet")
+        .select(VectorOps.dotHof(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("d"))
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
