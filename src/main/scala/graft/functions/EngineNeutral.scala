@@ -10,8 +10,10 @@ import org.apache.spark.sql.types.LongType
   * that hashes must hash IDENTICALLY in both engines. Spark's `xxhash64`
   * and DuckDB's `hash()` differ, but `md5` is bit-identical everywhere:
   * we derive a 60-bit non-negative Long from the first 15 hex chars of
-  * md5. All of this stays inside `org.apache.spark.sql.functions` (no
-  * UDFs) so whole-stage codegen applies.
+  * md5. Hot kernels are native codegen expressions (Hash60Expr,
+  * CharNgramsExpr — see VectorExpressions.scala); the rest stays inside
+  * `org.apache.spark.sql.functions` so whole-stage codegen applies. No
+  * UDFs anywhere.
   */
 object EngineNeutral {
 

@@ -94,6 +94,7 @@ object Dedup {
     *    (SortedJaccardExpr) computes set Jaccard with zero per-pair
     *    allocation. */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     import graft.functions.SortedJaccardExpr
     import org.apache.spark.sql.graftbridge.Bridge
     val hashed = Tables.documents(s, dir)
@@ -218,6 +219,8 @@ object Dedup {
     * dedup (emit a pair only from the first byte both docs share) makes
     * candidates unique by construction — no dropDuplicates shuffle. */
   def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 5): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 5,
+      s"pigeonhole banding over 6 byte-blocks is exact only for maxDist <= 5, got $maxDist")
     val sig = simhashSignatures(s, dir)
     val blockStructs = (0 until 6).map { i =>
       struct(lit(i.toLong).as("blk"),
@@ -254,6 +257,8 @@ object Dedup {
     * frequent) shingles ordering them last. */
   def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.35,
                         n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     import graft.functions.SortedJaccardExpr
     import org.apache.spark.sql.graftbridge.Bridge
     // hashed shingle sets: set ops on sorted longs, not strings (any
