@@ -147,12 +147,15 @@ object Dedup {
     clustersFromPairs(nodes, pairs)
   }
 
-  /** Min-label propagation to a fixpoint. Each iteration is one
-    * distributed join+aggregate; lineage is truncated per round
-    * (localCheckpoint) so plans stay bounded. Converges in O(component
-    * diameter) rounds — near-dup components are dense, so diameters are
-    * small; a 100 TB deployment with adversarial chain-shaped graphs
-    * would swap in the O(log n) large-star/small-star variant, same API. */
+  /** Min-label propagation to a fixpoint, FRONTIER (delta) style: labels
+    * only ever decrease, so after round 1 messages flow only from nodes
+    * whose label changed last round — later rounds touch the shrinking
+    * frontier, not every edge. Each iteration is one join+aggregate;
+    * lineage is truncated per round (localCheckpoint) so plans stay
+    * bounded. Converges in O(component diameter) rounds — near-dup
+    * components are dense, so diameters are small; a 100 TB deployment
+    * with adversarial chain-shaped graphs would swap in the O(log n)
+    * large-star/small-star variant, same API. */
   def clustersFromPairs(nodes: DataFrame, pairs: DataFrame,
                         maxIters: Int = 50): DataFrame = {
     val edges = pairs.select($"doc_a".as("ea"), $"doc_b".as("eb"))
@@ -160,18 +163,19 @@ object Dedup {
       .localCheckpoint(true)
     var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
       .localCheckpoint(true)
-    var changed = 1L
+    var frontier = labels // round 1: every node announces
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val neighborMin = edges.join(labels, $"eb" === $"doc_id")
+    while (frontier.limit(1).count() > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(frontier.select($"doc_id".as("eb"), $"cluster_id".as("flabel")), "eb")
         .groupBy($"ea")
-        .agg(min($"cluster_id").as("nmin"))
+        .agg(min($"flabel").as("nmin"))
       val updated = labels.join(neighborMin, $"doc_id" === $"ea", "left")
         .select($"doc_id",
           least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"),
           ($"nmin" < $"cluster_id").as("chg"))
         .localCheckpoint(true)
-      changed = updated.filter($"chg" === true).count()
+      frontier = updated.filter($"chg" === true).select($"doc_id", $"cluster_id")
       labels = updated.select($"doc_id", $"cluster_id")
       iter += 1
     }
