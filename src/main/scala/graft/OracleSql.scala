@@ -457,7 +457,7 @@ object OracleSql {
 
   private val multimodal: Map[String, String] = Map(
     "mm_meta_stats" ->
-      s"""SELECT mime, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+      s"""SELECT mime, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          |  round(avg(width), 2) AS avg_width, round(avg(height), 2) AS avg_height
          |FROM (SELECT
          |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -48,6 +48,23 @@ class GoldenImdbSpec extends SparkSpec {
     assert(counts.sorted.reverse.toSeq === counts.toSeq)
   }
 
+  test("Graf 2 golden: duration averages per genre (top of the ordering)") {
+    val rows = Queries.graf2(star.dimGenres, star.factMovies).collect()
+    assert(rows.length === 13)
+    assert(rows(0) === Row("Romance", 115.16))
+    assert(rows(1) === Row("Action", 114.72))
+    assert(rows(2) === Row("Crime", 111.45))
+  }
+
+  test("Graf 3/5 golden count multisets (rank values are tie-stable)") {
+    val g3 = Queries.graf3Det(star.factMovies, star.dimPeople)
+      .collect().map(_.getLong(1)).toSeq
+    assert(g3 === Seq.fill(10)(3L)) // ten people tied at 3 known-for rows
+    val g5 = Queries.graf5Det(star.staging("role_mapping_staging"), star.dimPeople)
+      .collect().map(_.getLong(1)).toSeq
+    assert(g5 === Seq(4L, 3L, 2L, 2L, 2L, 2L, 2L, 2L, 2L, 1L))
+  }
+
   test("SQL entry path: all six reference SELECTs match the programmatic builders") {
     Pipeline.registerViews(star)
     val sql = Map(

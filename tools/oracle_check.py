@@ -55,6 +55,11 @@ def main():
             results[name] = f"SCHEMA cols spark={scols} oracle={ocols}"
             continue
         sdf, odf = sdf[scols], odf[scols]
+        dt_mismatch = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                       for c in scols if str(sdf[c].dtype) != str(odf[c].dtype)]
+        if dt_mismatch:
+            # warn (values may still hash-match after normalization)
+            print(f"  [dtype] {name}: {dt_mismatch}")
         if len(sdf) != len(odf):
             results[name] = f"ROWS spark={len(sdf)} oracle={len(odf)}"
             continue
