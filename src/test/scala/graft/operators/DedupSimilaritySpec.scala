@@ -98,6 +98,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(srp.subsetOf(exact))
   }
 
+  test("threshold boundary: jaccard exactly 1.0 pairs survive threshold=1.0") {
+    val pairs = Dedup.minhashLshPairs(spark, Sf, threshold = 1.0)
+    // every reported pair must be an identical token set
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() === 0L)
+    // and an invalid threshold is rejected with a clear message
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(spark, Sf, threshold = 1.5)
+    }
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("dupClusters equals union-find over the same pair graph") {
     val pairs = Dedup.minhashLshPairs(spark, Sf).select("doc_a", "doc_b")
     val got = Dedup.dupClusters(spark, Sf).collect()

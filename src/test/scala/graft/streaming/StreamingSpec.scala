@@ -89,6 +89,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize sorts out-of-order events WITHIN a batch (contract)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val shuffled = new scala.util.Random(7).shuffle(events) // one chaotic batch
+    val stream = MemoryStream[Event]
+    val query = Streams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_shuffled")
+      .outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-sh-${System.nanoTime()}")
+      .start()
+    try {
+      stream.addData(shuffled); query.processAllAvailable()
+      val streamed = spark.table("sessions_shuffled")
+        .select("user_id", "n_sessions", "n_events")
+      val batch = Events.sessionize(spark, Sf)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally query.stop()
+  }
+
   test("streaming sessionize equals the batch sessionization") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
