@@ -173,6 +173,14 @@ object OracleSql {
       """SELECT o_orderstatus, count(*) AS n_above_avg FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
+    "rel_brand_revenue" ->
+      """SELECT p.p_brand, round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  count(DISTINCT s.s_nationkey) AS n_supplier_nations,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY p.p_brand""".stripMargin,
     "rel_window_frames" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

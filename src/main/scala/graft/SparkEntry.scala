@@ -51,6 +51,7 @@ object SparkEntry {
     "rel_median" -> (Relational.q20Median _),
     "rel_scalar_subquery" -> (Relational.q21ScalarSubquery _),
     "rel_window_frames" -> (Relational.q22WindowFrames _),
+    "rel_brand_revenue" -> (Relational.q24BrandRevenue _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

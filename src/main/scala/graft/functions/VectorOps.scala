@@ -26,7 +26,16 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass kernel; bit-identical to dot/(norm·norm) —
+    * asserted in KernelPropertySpec. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      CosineSimExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** Three-pass reference formulation (tests compare against it). */
+  def cosineRef(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Signed random-projection bit: sign of <v, h_seed> where h_seed is a
     * deterministic pseudo-random hyperplane derived from (seed, dim idx)

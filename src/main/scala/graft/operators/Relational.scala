@@ -239,6 +239,19 @@ object Relational {
       .select($"o_custkey", $"o_orderkey", $"running_total", $"moving_avg3", $"delta_prev")
   }
 
+  /** Parts/supplier analytics — the remaining harness tables: lineitem
+    * joins part (broadcastable dim at test scale; bucketed at cluster
+    * scale) and supplier, revenue by brand with supplier-country spread. */
+  def q24BrandRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"p_brand")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        countDistinct($"s_nationkey").as("n_supplier_nations"),
+        count(lit(1)).as("n_lines"))
+
   /** Approximate-distinct sketch (HyperLogLog++): the cardinality
     * estimator a 100 TB pipeline uses where exact countDistinct's
     * shuffle is unaffordable. No DuckDB oracle (sketch internals are

@@ -36,4 +36,26 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The documents schema, for non-parquet ingestion paths. */
+  val documentsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
+  /** JSONL corpus ingestion — the common interchange format for training
+    * corpora. Explicit schema (no inference pass: at 100 TB inference is
+    * a full extra scan); PERMISSIVE with a corrupt-record column so bad
+    * lines are auditable instead of silently dropped. */
+  def documentsFromJsonl(s: SparkSession, path: String): DataFrame =
+    s.read
+      .schema(documentsSchema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 }

@@ -47,6 +47,22 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CosineSimExpr is bit-identical to the three-pass dot/norm form") {
+    val rnd = new Random(47)
+    for (_ <- 1 to Trials) {
+      val n = 1 + rnd.nextInt(64)
+      val a = Seq.fill(n)(rnd.nextDouble() * 4 - 2)
+      val b = Seq.fill(n)(rnd.nextDouble() * 4 - 2)
+      def fold(f: (Double, Double) => Double) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + f(x, y) }
+      val expected = fold(_ * _) /
+        (math.sqrt(a.zip(a).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }) *
+          math.sqrt(b.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }))
+      val got = CosineSimExpr(litD(a), litD(b)).eval(null).asInstanceOf[Double]
+      assert(got === expected, s"n=$n")
+    }
+  }
+
   test("SimhashExpr matches the sign rule on random hash multisets") {
     val rnd = new Random(44)
     for (_ <- 1 to Trials) {

@@ -51,6 +51,24 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("JSONL corpus round-trips through the documents schema") {
+    val out = s"$warehouse/docs_jsonl"
+    Tables.documents(spark, Sf).write.mode("overwrite").json(out)
+    // corrupt-record-only queries over raw JSON require a cached parse
+    val back = Tables.documentsFromJsonl(spark, out).cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() === 0L)
+    val a = Tables.documents(spark, Sf).select("doc_id", "text", "lang", "source", "n_chars")
+    val b = back.select("doc_id", "text", "lang", "source", "n_chars")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // corrupt lines land in the audit column, not silently dropped
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val f = Files.list(Paths.get(out)).filter(_.toString.endsWith(".json")).findFirst().get()
+    Files.write(f, "{not valid json\n".getBytes, StandardOpenOption.APPEND)
+    val withBad = Tables.documentsFromJsonl(spark, out).cache()
+    try assert(withBad.filter(col("_corrupt_record").isNotNull).count() === 1L)
+    finally { withBad.unpersist(); back.unpersist() }
+  }
+
   test("persistStar materializes the star schema as catalog tables") {
     import graft.imdb.Pipeline
     val star = Pipeline.build(spark)
