@@ -61,12 +61,15 @@ class LayoutSpec extends SparkSpec {
     val b = back.select("doc_id", "text", "lang", "source", "n_chars")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     // corrupt lines land in the audit column, not silently dropped
-    import java.nio.file.{Files, Paths, StandardOpenOption}
-    val f = Files.list(Paths.get(out)).filter(_.toString.endsWith(".json")).findFirst().get()
-    Files.write(f, "{not valid json\n".getBytes, StandardOpenOption.APPEND)
+    // (a fresh file in the dir — appending to a Spark-written part file
+    // trips the Hadoop local-FS .crc sidecar)
+    import java.nio.file.{Files, Paths}
+    Files.write(Paths.get(out, "bad.json"), "{not valid json\n".getBytes)
+    back.unpersist()
+    spark.catalog.refreshByPath(out) // drop cached file listing/plan
     val withBad = Tables.documentsFromJsonl(spark, out).cache()
     try assert(withBad.filter(col("_corrupt_record").isNotNull).count() === 1L)
-    finally { withBad.unpersist(); back.unpersist() }
+    finally withBad.unpersist()
   }
 
   test("persistStar materializes the star schema as catalog tables") {
