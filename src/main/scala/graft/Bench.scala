@@ -6,9 +6,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Headline set: the queries whose shape dominates a 100 TB deployment —
   * the fact⋈fact star join, wide aggregation, window rank, LSH dedup
-  * (minhash + simhash), set-similarity join, sessionization, and ANN
-  * top-k. Each is timed via count() (full pipeline execution, no
-  * collect-to-driver of result data).
+  * (minhash + simhash), set-similarity join, sessionization, ANN top-k
+  * and the banded-SRP near-dup join. Each is timed via count() (full
+  * pipeline execution, no collect-to-driver of result data).
+  *
+  * Failure honesty: a query that throws is recorded in an `errors` map
+  * (exception class + message) and EXCLUDED from the totals — a crash can
+  * never masquerade as a fast run. The JSON line goes to stdout AND, when
+  * SPARK_GRAFT_BENCH_OUT is set, to that file verbatim (sbt log noise
+  * cannot bury it).
+  *
+  * Scale section: after the base run, the same headline set is re-run on
+  * a 10x structure-preserving scale-up of the base sf dir (see
+  * [[graft.sources.ScaledCorpus]] — perturbed replicas, so pair outputs
+  * scale linearly, the honest contract). Reported under `"scale"` in the
+  * same JSON line; disable with SPARK_GRAFT_SCALE=0.
   */
 object Bench {
 
@@ -26,11 +38,51 @@ object Bench {
     "events_sessionize",
     "events_hourly_agg",
     "sim_brute_force_topk",
+    "sim_ivf_topk",
+    "sim_srp_neardup_pairs",
     "mm_meta_stats")
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Run the headline set against one dir; returns (timings, errors). */
+  private def run(spark: SparkSession, sfDir: String)
+  : (Seq[(String, Double)], Seq[(String, String)]) = {
+    val times = Seq.newBuilder[(String, Double)]
+    val errors = Seq.newBuilder[(String, String)]
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times += name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
+    }
+    (times.result(), errors.result())
+  }
+
+  private def section(times: Seq[(String, Double)], errors: Seq[(String, String)]): String = {
+    val qs = times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = times.map(_._2).sum
+    s""""value":$total,"queries":$qs,"errors":$es,"n_failed":${errors.size}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaleK = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,16 +93,32 @@ object Bench {
     // JVM/codegen warm-up on the smallest SF so headline timings measure
     // the plan, not first-query class loading.
     SparkEntry.queries("rel_pricing_summary")(spark, "/root/testdata/sf0.001").count()
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (times, errors) = run(spark, sfDir)
+
+    val scaleJson =
+      if (scaleK <= 1) "null"
+      else try {
+        val target = "/root/repo/target/graft-scale" + scaleK + "-" +
+          new java.io.File(sfDir).getName
+        val tPrep0 = System.nanoTime()
+        graft.sources.ScaledCorpus.ensure(spark, sfDir, target, scaleK)
+        val prepSec = (System.nanoTime() - tPrep0) / 1e9
+        val (st, se) = run(spark, target)
+        s"""{"factor":$scaleK,"base":${jstr(sfDir)},"prep_sec":$prepSec,${section(st, se)}}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"factor":$scaleK,"error":${jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+      }
+
+    val line =
+      s"""{"metric":"total",${section(times, errors)},"unit":"sec","sf":${jstr(sfDir)},"scale":$scaleJson}"""
+    // always written to a file (env-overridable path) so sbt log noise
+    // can never bury the machine-readable result
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/target/bench_last.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -44,10 +44,17 @@ object OracleSql {
     s"${dot(a, b)}/(sqrt(${dot(a, a)})*sqrt(${dot(b, b)}))"
   }
 
-  /** SRP projection for global bit `bit` — twin of VectorOps.srpBit. */
-  private def srpProj(v: String, bit: Int): String =
+  /** SRP projection for global bit `bit` — twin of the fused SrpBandExpr
+    * kernel: the hyperplane is the SAME driver-side precomputed constant
+    * array (graft.functions.SrpPlanes — shortest-round-trip double
+    * literals, so DuckDB parses back the identical IEEE values) instead
+    * of per-row hashing; the Spark side hashes nothing per row either. */
+  private def srpProj(v: String, bit: Int): String = {
+    val plane = graft.functions.SrpPlanes.plane(bit)
+      .map(_.toString).mkString("[", ",", "]")
     s"list_sum(list_transform(range(64), i -> ($v)[i+1] * " +
-      s"((${h60(s"concat('srp#$bit#', i)")} % 10000)/5000.0 - 1.0)))"
+      s"(CAST($plane AS DOUBLE[]))[i+1]))"
+  }
 
   /** Packed band value over bits [offset, offset+n) — twin of srpSignatureSlice. */
   private def srpBand(v: String, offset: Int, n: Int): String =

@@ -307,6 +307,95 @@ case class Hash60Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Driver-side precomputed SRP hyperplanes.
+  *
+  * The hyperplane component for (bit, dim) is a pure function of the two
+  * indices — `(hash60("srp#bit#dim") % 10000) / 5000 - 1`, uniform in
+  * [-1, 1) — so computing it per ROW (as the original HOF formulation
+  * did: the hash sat inside a zip_with lambda) burned nBits x dim md5
+  * digests per vector on constants: ~512-1024 md5s/row for the IVF and
+  * banded-SRP paths. Here each plane is computed ONCE on the driver
+  * (via the same [[HashUtil.md5Hash60]] kernel the column expression
+  * uses, so values are bit-identical) and shipped to executors inside
+  * the serialized [[SrpBandExpr]] — zero per-row hashing.
+  */
+object SrpPlanes {
+  /** Embedding dimensionality the planes are sized for. */
+  val Dim = 64
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  /** Hyperplane for global SRP bit `bit`: component i is
+    * (hash60("srp#bit#i") % 10000) / 5000.0 - 1.0 — the exact arithmetic
+    * of the per-row formulation, hoisted to the driver. */
+  def plane(bit: Int): Array[Double] =
+    cache.computeIfAbsent(bit, b => Array.tabulate(Dim) { i =>
+      val h = HashUtil.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"srp#$b#$i"))
+      (h % 10000L).toDouble / 5000.0 - 1.0
+    })
+
+  /** Planes for bits [offset, offset + n). */
+  def planes(offset: Int, n: Int): Array[Array[Double]] =
+    Array.tabulate(n)(b => plane(offset + b))
+}
+
+/** Fused multi-bit SRP band kernel: packs the sign bits of `nBits`
+  * hyperplane projections (global bits [offset, offset+nBits)) into one
+  * Long, reading the vector once. Projections accumulate left-to-right
+  * (same fold order as the HOF reference `srpBitHof`, bit-identical),
+  * and bit b of the result is 1 iff projection(offset+b) >= 0 — NaN and
+  * the empty-vector null-propagation case both yield 0, matching the HOF
+  * `when(proj >= 0.0, 1).otherwise(0)` semantics.
+  */
+case class SrpBandExpr(child: Expression, offset: Int, nBits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(offset >= 0 && nBits >= 1 && nBits <= 63,
+    s"SRP band bits must satisfy 0 <= offset, 1 <= nBits <= 63; got ($offset, $nBits)")
+
+  private lazy val planes: Array[Array[Double]] = SrpPlanes.planes(offset, nBits)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_srp_band"
+
+  /** Shared by interpreted eval and codegen (via the expression reference
+    * object) so both paths are one implementation. */
+  def packBits(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), SrpPlanes.Dim)
+    if (v.numElements() == 0) return 0L
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      val p = planes(b)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * p(i); i += 1 }
+      if (s >= 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    packBits(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpBand", this, classOf[SrpBandExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.packBits($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBandExpr =
+    copy(child = newChild)
+}
+
 /** Positional character n-grams of a (pre-cleaned) string, as one
   * per-row loop. The naive HOF formulation — `transform(sequence(...),
   * j => cleaned.substr(j, n))` — re-evaluates every expression CAPTURED

@@ -37,11 +37,14 @@ object VectorOps {
   /** Three-pass reference formulation (tests compare against it). */
   def cosineRef(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Signed random-projection bit: sign of <v, h_seed> where h_seed is a
-    * deterministic pseudo-random hyperplane derived from (seed, dim idx)
-    * via the engine-neutral hash — reproducible anywhere. Components are
-    * uniform in [-1, 1): (hash60("srp#seed#i") % 10000) / 5000 - 1. */
-  def srpBit(v: Column, seed: Int): Column = {
+  /** Signed random-projection bit (HOF REFERENCE formulation): sign of
+    * <v, h_seed> where h_seed is a deterministic pseudo-random hyperplane
+    * derived from (seed, dim idx) via the engine-neutral hash. Components
+    * are uniform in [-1, 1): (hash60("srp#seed#i") % 10000) / 5000 - 1.
+    * This form recomputes the CONSTANT hyperplane per row (nBits x dim
+    * md5s/vector) — kept only as the semantic spec the fused kernel is
+    * tested against; production paths use [[srpSignatureSlice]]. */
+  def srpBitHof(v: Column, seed: Int): Column = {
     val proj = aggregate(
       zip_with(
         v,
@@ -53,13 +56,21 @@ object VectorOps {
     when(proj >= 0.0, 1L).otherwise(0L)
   }
 
-  /** nBits-bit SRP signature as a Long. */
+  /** HOF reference for a packed band — tests assert the kernel matches. */
+  def srpSignatureSliceHof(v: Column, offset: Int, nBits: Int): Column =
+    (0 until nBits).map(b => shiftleft(srpBitHof(v, offset + b), b)).reduce(_ + _)
+
+  /** nBits-bit SRP signature as a Long — fused kernel over driver-side
+    * precomputed hyperplanes ([[SrpPlanes]]): one pass over the vector,
+    * zero per-row hashing. */
   def srpSignature(v: Column, nBits: Int): Column =
-    (0 until nBits).map(b => shiftleft(srpBit(v, b), b)).reduce(_ + _)
+    srpSignatureSlice(v, 0, nBits)
 
   /** A band of the SRP signature: bits [offset, offset+nBits) packed into
     * a Long. Seeds are global bit indices, so band b of a (bands x bits)
     * scheme reuses the same hyperplanes as a flat signature would. */
   def srpSignatureSlice(v: Column, offset: Int, nBits: Int): Column =
-    (0 until nBits).map(b => shiftleft(srpBit(v, offset + b), b)).reduce(_ + _)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      SrpBandExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v), offset, nBits))
 }

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structure-preserving K-fold scale-up of a test-data sf directory — the
+  * local stand-in for "would this plan survive 10x the data?".
+  *
+  * Naive replication would be a WRONG scale test for the similarity /
+  * dedup operators: exact copies are all mutual near-dups, so pair
+  * outputs would grow quadratically in K by construction and every LSH
+  * bucket would hold K copies of the same key. Instead each replica is
+  * perturbed so that WITHIN-replica structure is preserved exactly and
+  * CROSS-replica similarity is destroyed:
+  *
+  *  - facts/dims: surrogate keys are offset by `k * KeyStride` in every
+  *    table that carries them (lineitem⋈orders⋈customer keep their join
+  *    fan-out; part/supplier/nation/region stay unscaled like real
+  *    slowly-growing dimensions);
+  *  - documents: every whitespace token gets a replica-unique prefix —
+  *    token sets are disjoint across replicas (Jaccard 0) but isomorphic
+  *    within one (same shingle counts, same Jaccard between any two docs
+  *    of the same replica);
+  *  - embeddings: each replica's vectors are cyclically rotated by k
+  *    dimensions — a common permutation preserves every within-replica
+  *    dot product bit-for-bit while cross-replica cosines drop to noise;
+  *  - events: ids/users offset, timestamps kept (load grows K-fold per
+  *    hour bucket, the realistic shape).
+  *
+  * Output sizes of pair-emitting operators therefore scale LINEARLY in K,
+  * which is exactly the contract a horizontally-partitioned corpus has at
+  * 100 TB. The scaled dir is written once (marker file) and reused.
+  */
+object ScaledCorpus {
+
+  /** Key offset stride between replicas — far above any sf0.1 surrogate key. */
+  val KeyStride: Long = 10000000000L
+
+  private def marker(target: String) = new java.io.File(s"$target/_GRAFT_SCALED_OK")
+
+  /** Materialize `base` scaled by `k` into `target` (idempotent). */
+  def ensure(s: SparkSession, base: String, target: String, k: Int): String = {
+    require(k >= 1 && k < 64, s"scale factor must be in [1, 64), got $k")
+    if (marker(target).exists()) return target
+    new java.io.File(target).mkdirs()
+
+    def raw(name: String): DataFrame = {
+      // events.parquet stores TIMESTAMP(NANOS); keep ts as raw long nanos
+      // so the scaled file satisfies the same loader contract
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$base/$name.parquet")
+    }
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$target/$name.parquet")
+
+    def replicate(df: DataFrame)(perturb: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(i => perturb(df, i)).reduce(_ unionAll _)
+
+    def offsetKeys(df: DataFrame, i: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * KeyStride)))
+
+    // dims copied as-is (dimensions grow slower than facts)
+    Seq("region", "nation", "part", "supplier").foreach(n => write(raw(n), n))
+
+    write(replicate(raw("customer"))((d, i) => offsetKeys(d, i, "c_custkey")), "customer")
+    write(replicate(raw("orders"))((d, i) =>
+      offsetKeys(d, i, "o_orderkey", "o_custkey")), "orders")
+    write(replicate(raw("lineitem"))((d, i) =>
+      offsetKeys(d, i, "l_orderkey")), "lineitem")
+    write(replicate(raw("events"))((d, i) =>
+      offsetKeys(d, i, "event_id", "user_id")), "events")
+    write(replicate(raw("documents"))((d, i) => {
+      val p = s"r${i}x"
+      offsetKeys(d, i, "doc_id")
+        .withColumn("text",
+          when(length(trim(col("text"))) === 0, col("text"))
+            .otherwise(concat(lit(p), regexp_replace(col("text"), "\\s+", s" $p"))))
+    }), "documents")
+    write(replicate(raw("embeddings"))((d, i) =>
+      if (i == 0) d
+      else offsetKeys(d, i, "vec_id")
+        .withColumn("embedding", {
+          val v = col("embedding")
+          val n = size(v)
+          concat(slice(v, lit(i + 1), n - i), slice(v, lit(1), lit(i)))
+        })), "embeddings")
+
+    marker(target).createNewFile()
+    target
+  }
+}

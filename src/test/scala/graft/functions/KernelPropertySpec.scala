@@ -90,6 +90,36 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SrpPlanes components equal the per-row hash formula they hoist") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (bit <- Seq(0, 3, 7, 15); i <- 0 until SrpPlanes.Dim) {
+      val hex = md.digest(s"srp#$bit#$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      val expected = (h % 10000L).toDouble / 5000.0 - 1.0
+      assert(SrpPlanes.plane(bit)(i) === expected, s"bit=$bit i=$i")
+    }
+  }
+
+  test("SrpBandExpr packs the sign bits of the left-fold projections") {
+    val rnd = new Random(48)
+    for (_ <- 1 to Trials) {
+      val v = Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+      val offset = rnd.nextInt(12)
+      val nBits = 1 + rnd.nextInt(16)
+      val expected = (0 until nBits).map { b =>
+        val p = SrpPlanes.plane(offset + b)
+        val proj = v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * p(i))
+        if (proj >= 0.0) 1L << b else 0L
+      }.sum
+      val got = SrpBandExpr(litD(v), offset, nBits).eval(null).asInstanceOf[Long]
+      assert(got === expected, s"offset=$offset nBits=$nBits")
+    }
+  }
+
+  test("SrpBandExpr: empty vector yields signature 0 (HOF null-propagation twin)") {
+    assert(SrpBandExpr(litD(Seq.empty), 0, 8).eval(null).asInstanceOf[Long] === 0L)
+  }
+
   test("CharNgramsExpr yields every positional n-gram, in order") {
     val rnd = new Random(45)
     for (_ <- 1 to Trials) {

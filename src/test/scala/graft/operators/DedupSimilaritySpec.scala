@@ -128,6 +128,19 @@ class DedupSimilaritySpec extends SparkSpec {
     docs.foreach { d => assert(got(d) === find(d), s"doc $d") }
   }
 
+  test("fused SRP band kernel is bit-identical to the per-row HOF formulation") {
+    // the HOF form is the old oracle semantics (hash per row); the kernel
+    // hoists the hyperplanes — same signatures on the real corpus proves
+    // the hoist changed the plan, not the results
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val diff = e.select(
+        VectorOps.srpSignatureSlice(col("v"), 4, 8).as("kernel"),
+        VectorOps.srpSignatureSliceHof(col("v"), 4, 8).as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+    assert(diff.count() === 0L)
+  }
+
   test("batched decode path equals the expression stub path") {
     import org.apache.spark.sql.functions.round
     val batched = MultiModal.decodeBatched(spark, Sf)
