@@ -33,9 +33,14 @@ object OracleSql {
   /** Distinct tokens — twin of EngineNeutral.wordSet. */
   private def wordSet(e: String): String = s"list_distinct(${toks(e)})"
 
-  /** Exact Jaccard — twin of EngineNeutral.jaccard. */
+  /** Exact Jaccard — twin of EngineNeutral.jaccard / SortedJaccardExpr.
+    * Zero-union guard: Spark's kernel returns 0.0 for two empty sets, but
+    * a bare 0/0 here would be NaN — which DuckDB orders ABOVE every
+    * number, so an empty-empty pair would pass a `>= t` filter in the
+    * oracle while Spark drops it. Mirror the 0.0. */
   private def jac(a: String, b: String): String =
-    s"len(list_intersect($a,$b))::DOUBLE / len(list_distinct(list_concat($a,$b)))::DOUBLE"
+    s"(CASE WHEN len(list_distinct(list_concat($a,$b))) = 0 THEN 0.0 " +
+      s"ELSE len(list_intersect($a,$b))::DOUBLE / len(list_distinct(list_concat($a,$b)))::DOUBLE END)"
 
   /** Sequential-fold cosine — twin of VectorOps.cosine (zip_with+aggregate). */
   private def cosSql(a: String, b: String): String = {

@@ -17,7 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * DuckDB oracle's mirror.
   *
   * Null handling: a null array yields null (BinaryExpression default);
-  * null ELEMENTS are not expected (embeddings are dense) and read as 0.
+  * a null ELEMENT in the scanned range yields null — matching the HOF
+  * form, where x*null poisons the fold (this is what makes the
+  * RewriteHofDotProduct rule result-invariant). The per-element null
+  * check is SCHEMA-GATED: when both inputs are containsNull=false the
+  * generated loop carries no check at all, so the dense hot path is
+  * unchanged.
   */
 case class DotProductExpr(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -33,6 +38,15 @@ case class DotProductExpr(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  /** True when either input's schema admits null elements. */
+  private lazy val mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElements
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_dot"
@@ -43,7 +57,11 @@ case class DotProductExpr(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (mayHaveNullElements && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -52,10 +70,15 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

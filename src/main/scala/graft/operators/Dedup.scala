@@ -279,9 +279,16 @@ object Dedup {
       .join(freq, "gram_h")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df".asc, $"gram_h".asc)
+    // FLOAT-BOUNDARY SAFETY (here and in the bounds below): every ceil /
+    // multiply that PRUNES gets an epsilon in the loose direction, so a
+    // float rounding up at an exact rational boundary (e.g. t=0.5 with
+    // sz*t integral) can only admit one extra candidate — never drop a
+    // pair whose jaccard is exactly the threshold. Exactness is then
+    // restored by the verify step.
+    val Eps = 1e-9
     val prefix = exploded
       .withColumn("pos", row_number().over(w))
-      .filter($"pos" <= ($"sz" - ceil($"sz" * threshold) + 1))
+      .filter($"pos" <= ($"sz" - ceil($"sz" * threshold - Eps) + 1))
       .select($"gram_h", $"doc_id", $"sz", $"pos")
     // candidates share >= 1 prefix shingle AND pass
     //  - the size bound: jaccard >= t forces t·|b| <= |a| and t·|a| <= |b|
@@ -289,12 +296,13 @@ object Dedup {
     //    (pa, pb) caps the achievable overlap at min(|a|-pa, |b|-pb)+1,
     //    which must reach ceil(t/(1+t)·(|a|+|b|)) — prunes most false
     //    candidates before the distinct
-    val overlapNeeded = ceil(lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")))
+    val overlapNeeded =
+      ceil(lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) - Eps)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.gram_h") === col("b.gram_h") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") >= col("b.sz") * threshold &&
-          col("b.sz") >= col("a.sz") * threshold &&
+          col("a.sz") >= col("b.sz") * threshold - Eps &&
+          col("b.sz") >= col("a.sz") * threshold - Eps &&
           least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1 >= overlapNeeded)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -312,13 +320,38 @@ object Dedup {
 
   /** Cosine-threshold near-dup pairs over embeddings. Exact semantics:
     * label-blocked pair join (the coarse quantizer here is the given
-    * label; Similarity.srpNearDupPairs is the unblocked LSH variant). */
-  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    * label; Similarity.srpNearDupPairs is the unblocked LSH variant).
+    *
+    * HOT-BLOCK GUARD: the join is all-pairs WITHIN a label block, i.e.
+    * O(block²) — fine for balanced quantizers, a scale-killer if one
+    * label absorbs a large corpus fraction. Rather than silently running
+    * a quadratic job (or silently degrading to the approximate SRP path,
+    * which would change results), any block over `maxBlockRows` fails
+    * fast AT EXECUTION TIME with an error naming the hot label and the
+    * scale alternative. The check rides the same scan (a tiny label-count
+    * aggregate broadcast back onto the rows), so the operator stays lazy. */
+  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
+                       maxBlockRows: Long = 20000L): DataFrame =
+    embeddingNearDupFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v")),
+      threshold, maxBlockRows)
+
+  /** Core of [[embeddingNearDup]] over any (vec_id, label, v) frame. */
+  def embeddingNearDupFrom(e: DataFrame, threshold: Double,
+                           maxBlockRows: Long = 20000L): DataFrame = {
     import graft.functions.VectorOps._
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-    val l = e.select($"label", $"vec_id".as("vec_a"), $"v".as("v_a"))
-    val r = e.select($"label".as("label_r"), $"vec_id".as("vec_b"), $"v".as("v_b"))
+    val sizes = e.groupBy($"label").agg(count(lit(1)).as("block_rows"))
+    val guardMsg = concat(
+      lit(s"embeddingNearDup: label block exceeds maxBlockRows=$maxBlockRows (label="),
+      $"label", lit(", rows="), $"block_rows",
+      lit(") - quadratic within-block join refused; " +
+        "use Similarity.srpNearDupPairs (banded LSH) for hot blocks"))
+    val guarded = e.join(broadcast(sizes), "label")
+      .withColumn("_blk_guard", when($"block_rows" > maxBlockRows, raise_error(guardMsg)))
+      .filter($"_blk_guard".isNull)
+    val l = guarded.select($"label", $"vec_id".as("vec_a"), $"v".as("v_a"))
+    val r = guarded.select($"label".as("label_r"), $"vec_id".as("vec_b"), $"v".as("v_b"))
     l.join(r, $"label" === $"label_r" && $"vec_a" < $"vec_b")
       .withColumn("cos_sim", round(cosine($"v_a", $"v_b"), 4))
       .filter($"cos_sim" >= threshold)

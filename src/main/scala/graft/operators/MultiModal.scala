@@ -125,7 +125,12 @@ object MultiModal {
     asMultimodal(s, dir)
       .select($"doc_id", $"meta.mime".as("mime"), $"payload",
         $"meta.n_bytes".as("n_bytes"))
-      .withColumn("frame_off", explode(sequence(lit(0L), $"n_bytes" - 1, lit(stride.toLong))))
+      // zero-length payload: sequence(0, -1, +stride) is illegal in Spark
+      // while the oracle's range(0, 0, stride) just emits nothing — guard
+      // to an empty array so both engines emit no rows for empty assets
+      .withColumn("frame_off", explode(
+        when($"n_bytes" > 0, sequence(lit(0L), $"n_bytes" - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<long>"))))
       .select(
         $"doc_id", $"mime", $"frame_off",
         // content probe of the sampled window (binary slice; md5 of the

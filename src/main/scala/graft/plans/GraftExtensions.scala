@@ -16,7 +16,11 @@ import graft.functions.DotProductExpr
   * what users naturally write (and what VectorOps.dotHof keeps as the
   * reference); it evaluates interpreted, per-element. The kernel is a
   * compiled loop with identical left-fold semantics, so the rewrite is
-  * result-invariant (KernelPropertySpec asserts bit-equality).
+  * result-invariant (KernelPropertySpec asserts bit-equality) — INCLUDING
+  * the edge cases: ragged arrays (zip_with pads with nulls → the HOF
+  * yields null; the rewrite guards with size(a)=size(b) and yields null
+  * otherwise) and null elements (the kernel null-propagates when the
+  * schema admits element nulls).
   *
   * This is the (c)-tier extension path used where it is genuinely
   * warranted: not a new operator — Spark can already express the
@@ -45,7 +49,10 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             isVars(u, v, mergeArgs.collect { case n: NamedLambdaVariable => n }) &&
             finishArgs.collect { case n: NamedLambdaVariable => n.exprId }
               .headOption.contains(fin.exprId) =>
-        DotProductExpr(a, b)
+        // ragged arrays: zip_with pads with nulls, so the HOF form yields
+        // NULL on a length mismatch — mirror that, don't min-length-dot
+        If(EqualTo(Size(a), Size(b)), DotProductExpr(a, b),
+          Literal(null, DoubleType))
     }
 }
 

@@ -47,6 +47,17 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DotProductExpr null-propagates on null elements when schema admits them") {
+    val withNulls = Literal(
+      new GenericArrayData(Array[Any](1.0, null, 3.0)),
+      ArrayType(DoubleType, containsNull = true))
+    val dense = Literal(
+      new GenericArrayData(Array[Any](1.0, 2.0, 3.0)),
+      ArrayType(DoubleType, containsNull = true))
+    assert(DotProductExpr(withNulls, dense).eval(null) === null)
+    assert(DotProductExpr(dense, dense).eval(null) === 14.0)
+  }
+
   test("CosineSimExpr is bit-identical to the three-pass dot/norm form") {
     val rnd = new Random(47)
     for (_ <- 1 to Trials) {

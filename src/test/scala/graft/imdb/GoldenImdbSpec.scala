@@ -132,7 +132,8 @@ class GoldenImdbSpec extends SparkSpec {
       Schemas.names, dropMalformed = true)
     // Snowflake skipped the rows whose height/date_of_birth is the literal
     // 'NULL'; with nullValue handling those parse fine, so DROPMALFORMED
-    // keeps all 1,000 (documented divergence, SURVEY §1.4(2))
-    assert(dropped.count() <= 1000L)
+    // keeps EXACTLY all 1,000 (documented divergence, SURVEY §1.4(2)) —
+    // pinned so any drift in the CSV parse policy fails here
+    assert(dropped.count() === 1000L)
   }
 }

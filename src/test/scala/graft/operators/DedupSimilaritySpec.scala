@@ -128,6 +128,26 @@ class DedupSimilaritySpec extends SparkSpec {
     docs.foreach { d => assert(got(d) === find(d), s"doc $d") }
   }
 
+  test("embeddingNearDup refuses a hot label block; passes under the cap") {
+    import spark.implicits._
+    // skewed fixture: label 0 holds 6 of 8 vectors
+    val rows = (0L until 8L).map { i =>
+      (i, if (i < 6) 0L else 1L, Array.tabulate(4)(d => (i + d + 1).toDouble))
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+      .select(col("vec_id"), col("label"), col("v").cast("array<double>").as("v"))
+    val ex = intercept[Exception] {
+      Dedup.embeddingNearDupFrom(e, threshold = 0.0, maxBlockRows = 5L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("maxBlockRows") || m.contains("hot blocks")),
+      s"unexpected error: ${msgs(ex).mkString(" | ")}")
+    // under the cap: same pairs as the unguarded all-pairs join
+    val ok = Dedup.embeddingNearDupFrom(e, threshold = 0.0, maxBlockRows = 6L)
+    assert(ok.count() === (6L * 5 / 2 + 1L)) // C(6,2) within label 0 + C(2,2) in label 1
+  }
+
   test("fused SRP band kernel is bit-identical to the per-row HOF formulation") {
     // the HOF form is the old oracle semantics (hash per row); the kernel
     // hoists the hyperplanes — same signatures on the real corpus proves

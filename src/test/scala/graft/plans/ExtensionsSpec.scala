@@ -30,6 +30,17 @@ class ExtensionsSpec extends SparkSpec {
       // results identical to the explicit kernel
       val kernel = e.select(col("vec_id"), VectorOps.dot(col("v"), col("v")).as("d"))
       assert(hof.exceptAll(kernel).isEmpty && kernel.exceptAll(hof).isEmpty)
+      // rewrite invariance on RAGGED arrays: HOF yields null (zip_with
+      // pads with nulls); the rewritten form must agree, not min-length-dot
+      val ragged = extSpark.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+          |  (acc, v) -> acc + v) AS d
+          |FROM VALUES (array(1.0d, 2.0d), array(3.0d)),
+          |            (array(1.0d, 2.0d), array(3.0d, 4.0d)) AS t(a, b)""".stripMargin)
+      // (constant folding may pre-evaluate the literal inputs into a
+      // LocalRelation — the VALUES here check result semantics, not plan text)
+      val vals = ragged.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+      assert(vals.toSet === Set(null, 11.0))
       // sanity: without extensions the HOF form stays interpreted
       val plain = base.read.parquet(s"$Sf/embeddings.parquet")
         .select(VectorOps.dotHof(col("embedding").cast("array<double>"),
