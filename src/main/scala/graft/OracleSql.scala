@@ -307,6 +307,16 @@ object OracleSql {
         |  SELECT user_id, event_type, count(*) AS n,
         |    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rnk
         |  FROM events GROUP BY user_id, event_type) WHERE rnk = 1""".stripMargin,
+    "events_partitioned_daily" ->
+      // reads THROUGH the hive-partitioned layout graft.sources.Layout
+      // materializes (Verify runs the Spark side first); ts was truncated
+      // to µs at layout-write time so both engines see identical values
+      """SELECT strftime(CAST(event_date AS DATE), '%Y-%m-%d') AS event_date, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM read_parquet('/root/repo/target/graft-layout/sf0.01/events_by_date/*/*.parquet',
+        |                  hive_partitioning=1)
+        |WHERE CAST(event_date AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1, 2""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
@@ -342,6 +352,15 @@ object OracleSql {
   }
 
   private val dedup: Map[String, String] = Map(
+    "corpus_jsonl_dedup" ->
+      // the hive-partitioned JSONL layout written by graft.sources.Layout
+      """SELECT source, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM read_json('/root/repo/target/graft-layout/sf0.01/documents_jsonl/*/*.json',
+        |  format='newline_delimited', hive_partitioning=1,
+        |  columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','n_chars':'BIGINT'})
+        |WHERE source IN ('src3','src7','src11')
+        |GROUP BY source, fp""".stripMargin,
     "dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
          |  min(doc_id) AS keep_id, count(*) AS n_copies

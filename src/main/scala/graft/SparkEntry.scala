@@ -66,6 +66,7 @@ object SparkEntry {
     "events_sessionize" -> (Events.sessionize _),
     "events_top_type_per_user" -> (Events.topTypePerUser _),
     "events_props_extract" -> (Events.propsExtract _),
+    "events_partitioned_daily" -> (Events.partitionedDaily _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, threshold = 0.6, n = 5)),
     "dedup_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "corpus_jsonl_dedup" -> ((s, d) => Dedup.jsonlCorpusDedup(s, d)),
     "dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     // similarity search
     "sim_brute_force_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),

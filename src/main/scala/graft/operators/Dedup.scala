@@ -42,6 +42,22 @@ object Dedup {
       .groupBy($"fp")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** End-to-end partitioned-JSONL ingestion → dedup chain: reads the
+    * hive-partitioned JSONL corpus layout ([[graft.sources.Layout
+    * .documentsJsonl]] — explicit schema, PERMISSIVE corrupt-record
+    * audit), prunes to a source subset AT THE PARTITION LEVEL (the
+    * filter never opens the other 17 source directories), then runs the
+    * exact-fingerprint grouping per source. The oracle-gated proof that
+    * the ingestion seam, not just the parquet path, feeds the engine. */
+  def jsonlCorpusDedup(s: SparkSession, dir: String,
+                       sources: Seq[String] = Seq("src3", "src7", "src11")): DataFrame =
+    graft.sources.Layout.documentsJsonl(s, dir)
+      .filter($"source".isin(sources: _*))
+      .select($"source", $"doc_id",
+        md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("fp"))
+      .groupBy($"source", $"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
   // ---- MinHash + LSH --------------------------------------------------
 
   val MinhashPerms = 16

@@ -52,6 +52,22 @@ object Events {
       .select($"user_id", $"event_type", $"n")
   }
 
+  /** Daily aggregate THROUGH the hive-partitioned events layout
+    * ([[graft.sources.Layout.eventsByDate]]): the date-range predicate
+    * lands in the scan's PartitionFilters — only the 7 matching day
+    * directories are listed and read, the other 23 never open. This is
+    * the partition-pruning contract that keeps a year-scale events table
+    * queryable at 100 TB (PlanSpec asserts the pruned scan shape). */
+  def partitionedDaily(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.eventsByDate(s, dir)
+      .filter($"event_date".between(
+        lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+      .groupBy($"event_date", $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select(
+        date_format($"event_date", "yyyy-MM-dd").as("event_date"),
+        $"event_type", $"n", $"sum_value")
+
   /** JSON prop extraction (the `props` column is a JSON object). */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

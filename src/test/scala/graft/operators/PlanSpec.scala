@@ -62,6 +62,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bkt"), s"two-phase bucket column missing:\n$p")
   }
 
+  private def scanLeaves(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect() // finalize AQE so query stages carry the real scans
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    scans(df.queryExecution.executedPlan)
+  }
+
+  test("date predicate prunes the partitioned events layout to 7 of 30 days") {
+    val df = Events.partitionedDaily(spark, Sf)
+    val p = plan(df)
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(p).isDefined,
+      s"no partition filter on event_date in:\n$p")
+    val scans = scanLeaves(df)
+    assert(scans.nonEmpty, s"no file scan in:\n$p")
+    val selected = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(selected >= 1 && selected <= 7,
+      s"expected <= 7 day partitions scanned, got $selected")
+  }
+
+  test("source predicate prunes the partitioned JSONL corpus to 3 of 20 sources") {
+    val df = Dedup.jsonlCorpusDedup(spark, Sf)
+    val p = plan(df)
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(p).isDefined,
+      s"no partition filter on source in:\n$p")
+    val selected = scanLeaves(df).map(_.selectedPartitions.partitionCount).sum
+    assert(selected === 3, s"expected exactly 3 source partitions scanned, got $selected")
+  }
+
   test("minhash band rows never carry token arrays through the shuffle") {
     val bands = Dedup.minhashBands(spark, Sf)
     assert(bands.columns.toSeq === Seq("doc_id", "band_id", "band_hash"))
