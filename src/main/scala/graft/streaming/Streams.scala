@@ -9,11 +9,14 @@ import graft.syntax._
 final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                        event_type: String, value: Double)
 
-/** Per-user session accumulator carried across micro-batches. */
-final case class SessionState(lastMs: Long, nSessions: Long, nEvents: Long)
+/** Per-user OPEN-session accumulator carried across micro-batches: the
+  * one live session only — closed sessions are emitted and forgotten,
+  * which is what keeps state size O(active users), not O(ever-seen). */
+final case class SessionState(startMs: Long, lastMs: Long, nEvents: Long)
 
-/** Streaming output row of [[Streams.sessionize]]. */
-final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+/** One closed (or flushed) session segment. */
+final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+                            n_events: Long)
 
 /** Structured Streaming twins of the batch operators in
   * graft.operators.Events — same aggregation logic, driven by
@@ -21,10 +24,12 @@ final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   * oracle-checkable semantics; these are the low-latency deployment path
   * (`events` as a Kafka/file stream at scale).
   *
-  * State sizing at 100 TB: the hourly aggregate keeps (hours-in-watermark
-  * x event_types) rows; sessionize keeps ONE small struct per active
-  * user, hash-partitioned by user_id — both bounded, both laid out on the
-  * same key the batch jobs shuffle on.
+  * State sizing at 100 TB — every operator here is BOUNDED:
+  *  - hourlyAgg / typeCounts keep (windows-within-watermark x keys) rows;
+  *    closed windows are finalized and dropped by the watermark;
+  *  - sessionize keeps ONE open-session struct per ACTIVE user and
+  *    evicts it via event-time timeout as soon as the watermark passes
+  *    the session gap — user churn cannot grow state without bound.
   */
 object Streams {
 
@@ -40,37 +45,77 @@ object Streams {
         unix_timestamp($"window.start").as("hour_ts"),
         $"event_type", $"n", $"sum_value")
 
-  /** Streaming twin of Events.topTypePerUser's underlying counts: the
-    * per-(user, type) totals maintained incrementally (complete-mode
-    * aggregate, state keyed exactly like the batch shuffle). The rank-1
-    * cut stays a cheap batch query over this materialized view — ranking
-    * inside the stream would force per-trigger re-sorts of all users. */
-  def typeCounts(events: DataFrame): DataFrame =
-    events.groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+  /** Streaming twin of Events.topTypePerUser's underlying counts, as a
+    * WATERMARKED daily-window aggregate (update mode): the state held is
+    * only the windows the watermark still admits — unlike a complete-mode
+    * running total, which never evicts a (user, type) pair. All-time
+    * totals are a cheap downstream sum over closed windows; counts within
+    * one window only ever grow, so "final value per window" = max. */
+  def typeCounts(events: DataFrame, windowLen: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", windowLen), $"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp($"window.start").as("window_ts"),
+        $"user_id", $"event_type", $"n")
 
-  /** Stateful sessionization twin of Events.sessionize (30-min inactivity
-    * gap). flatMapGroupsWithState keeps one SessionState per user;
-    * emits the running (n_sessions, n_events) per user each batch
-    * (Update mode). Matches the batch result when events arrive in
-    * event-time order across batches (an in-order source or an upstream
-    * sort-within-watermark); out-of-order arrivals within one batch are
-    * sorted before folding. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[UserSessions] = {
+  /** Stateful sessionization (30-min inactivity gap) with BOUNDED state:
+    * one open-session struct per active user, evicted by an EVENT-TIME
+    * TIMEOUT at (last event + gap) — when the watermark passes a user's
+    * gap their session is emitted as a final segment and the state is
+    * REMOVED. Output is the stream of closed session segments (plus a
+    * refreshed segment per update while a session is open — update
+    * mode); per-user totals are a downstream groupBy over segments
+    * keyed by session_start (the batch twin Events.sessionize is the
+    * oracle for those totals, asserted in StreamingSpec).
+    *
+    * In-batch out-of-order arrivals are sorted before folding;
+    * cross-batch ordering is handled the streaming-native way — by the
+    * watermark delay admitting stragglers before the timeout fires. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSessions](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          for (e <- sorted) {
-            val ms = e.ts.getTime
-            val isNew = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
-            st = SessionState(ms, st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L)
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: the session is closed for
+            // good — emit the final segment and FORGET the user
+            val st = state.get
+            state.remove()
+            Iterator(SessionOut(uid, st.startMs, st.lastMs, st.nEvents))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var stOpt = state.getOption
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              stOpt match {
+                case Some(st) if ms - st.lastMs <= gapMs =>
+                  // max() so a cross-batch straggler (older than the open
+                  // session's end, admitted by the watermark) can never
+                  // regress session_end
+                  stOpt = Some(SessionState(st.startMs, math.max(st.lastMs, ms), st.nEvents + 1))
+                case Some(st) => // gap exceeded in-stream: close and restart
+                  closed ::= SessionOut(uid, st.startMs, st.lastMs, st.nEvents)
+                  stOpt = Some(SessionState(ms, ms, 1L))
+                case None =>
+                  stOpt = Some(SessionState(ms, ms, 1L))
+              }
+            }
+            val st = stOpt.get
+            state.update(st)
+            // evict once the watermark passes the inactivity gap (clamped
+            // a tick past the current watermark — the API rejects setting
+            // a timeout at or below it)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            (SessionOut(uid, st.startMs, st.lastMs, st.nEvents) :: closed)
+              .reverseIterator
           }
-          state.update(st)
-          Iterator(UserSessions(uid, st.nSessions, st.nEvents))
       }
   }
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Streaming twins must agree with their batch oracles when fed the same
-  * events (MemoryStream, multiple micro-batches to exercise state). */
+  * events (MemoryStream, multiple micro-batches to exercise state), and
+  * their state must be BOUNDED — eviction is asserted, not assumed. */
 class StreamingSpec extends SparkSpec {
 
   private def loadEvents(): Seq[Event] = {
@@ -16,6 +17,15 @@ class StreamingSpec extends SparkSpec {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Event].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
   }
+
+  /** Final per-user totals derived from the session-segment stream: the
+    * last (max-end) emission per (user, session_start), then count/sum. */
+  private def totalsFromSegments(table: String) =
+    spark.table(table)
+      .groupBy("user_id", "session_start")
+      .agg(max("session_end").as("session_end"), max("n_events").as("n_ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
 
   test("streaming hourlyAgg equals the batch aggregate") {
     import spark.implicits._
@@ -38,22 +48,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("streaming type counts + batch rank equals the batch top-type query") {
+  test("windowed type counts (update mode) roll up to the batch top-type query") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val events = loadEvents()
     val stream = MemoryStream[Event]
     val query = Streams.typeCounts(stream.toDF())
       .writeStream.format("memory").queryName("type_counts_stream")
-      .outputMode("complete").start()
+      .outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-tc-${System.nanoTime()}")
+      .start()
     try {
       val (b1, b2) = events.splitAt(events.size / 2)
       stream.addData(b1); query.processAllAvailable()
       stream.addData(b2); query.processAllAvailable()
+      // update mode re-emits a window's row as it grows; the final value
+      // per (window, user, type) is the max (counts only increase)
+      val perWindow = spark.table("type_counts_stream")
+        .groupBy("window_ts", "user_id", "event_type")
+        .agg(max("n").as("n"))
+      val totals = perWindow.groupBy("user_id", "event_type")
+        .agg(sum("n").as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"user_id").orderBy($"n".desc, $"event_type".asc)
-      val streamedTop = spark.table("type_counts_stream")
-        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      val streamedTop = totals
+        .withColumn("rnk", row_number().over(w))
         .filter($"rnk" === 1).select("user_id", "event_type", "n")
       val batchTop = Events.topTypePerUser(spark, Sf)
       assert(streamedTop.exceptAll(batchTop).isEmpty && batchTop.exceptAll(streamedTop).isEmpty)
@@ -102,8 +121,7 @@ class StreamingSpec extends SparkSpec {
       .start()
     try {
       stream.addData(shuffled); query.processAllAvailable()
-      val streamed = spark.table("sessions_shuffled")
-        .select("user_id", "n_sessions", "n_events")
+      val streamed = totalsFromSegments("sessions_shuffled")
       val batch = Events.sessionize(spark, Sf)
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     } finally query.stop()
@@ -123,12 +141,42 @@ class StreamingSpec extends SparkSpec {
       val third = events.size / 3
       Seq(events.take(third), events.slice(third, 2 * third), events.drop(2 * third))
         .foreach { b => stream.addData(b); query.processAllAvailable() }
-      // last update per user is the final state
-      val streamed = spark.table("sessions_stream")
-        .groupBy("user_id")
-        .agg(last("n_sessions").as("n_sessions"), last("n_events").as("n_events"))
+      val streamed = totalsFromSegments("sessions_stream")
       val batch = Events.sessionize(spark, Sf)
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally query.stop()
+  }
+
+  test("sessionize state is EVICTED once the watermark passes the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L // fixed epoch-ms base
+    def ev(id: Long, user: Long, ms: Long) =
+      Event(id, new java.sql.Timestamp(ms), user, "t", 1.0)
+    val stream = MemoryStream[Event]
+    val query = Streams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_evict")
+      .outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-ev-${System.nanoTime()}")
+      .start()
+    try {
+      // user 1's session, then only user 2 far enough in the future that
+      // the watermark (1h delay) passes user 1's last event + 30min gap
+      stream.addData(Seq(ev(1, 1L, t0), ev(2, 1L, t0 + 60000L)))
+      query.processAllAvailable()
+      stream.addData(Seq(ev(3, 2L, t0 + 4 * 3600 * 1000L)))
+      query.processAllAvailable() // watermark advances after this batch
+      stream.addData(Seq(ev(4, 2L, t0 + 5 * 3600 * 1000L)))
+      query.processAllAvailable() // timeout fires here, user 1 removed
+      val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows === 1L,
+        s"expected only user 2's open session in state, got $stateRows rows")
+      // the evicted session was emitted as a final segment with its full count
+      val u1 = spark.table("sessions_evict").filter($"user_id" === 1L)
+        .groupBy("user_id", "session_start")
+        .agg(max("n_events").as("n"))
+        .collect()
+      assert(u1.length === 1 && u1(0).getAs[Long]("n") === 2L)
     } finally query.stop()
   }
 }
