@@ -168,12 +168,14 @@ object Dedup {
     * whose label changed last round — later rounds touch the shrinking
     * frontier, not every edge. Each iteration is one join+aggregate;
     * lineage is truncated per round (localCheckpoint) so plans stay
-    * bounded. Converges in O(component diameter) rounds — near-dup
-    * components are dense, so diameters are small; a 100 TB deployment
-    * with adversarial chain-shaped graphs would swap in the O(log n)
-    * large-star/small-star variant, same API. */
+    * bounded. Converges in O(component diameter) rounds — the right
+    * cost model for DENSE near-dup components (diameter 1-3). If the
+    * graph is adversarially chain-shaped and the loop has not converged
+    * within `frontierRounds`, it FALLS BACK to the O(log n)
+    * large-star/small-star contraction ([[starClusters]]) instead of
+    * burning a round per hop — same API, same result. */
   def clustersFromPairs(nodes: DataFrame, pairs: DataFrame,
-                        maxIters: Int = 50): DataFrame = {
+                        frontierRounds: Int = 15): DataFrame = {
     val edges = pairs.select($"doc_a".as("ea"), $"doc_b".as("eb"))
       .unionAll(pairs.select($"doc_b".as("ea"), $"doc_a".as("eb")))
       .localCheckpoint(true)
@@ -181,7 +183,7 @@ object Dedup {
       .localCheckpoint(true)
     var frontier = labels // round 1: every node announces
     var iter = 0
-    while (frontier.limit(1).count() > 0 && iter < maxIters) {
+    while (frontier.limit(1).count() > 0 && iter < frontierRounds) {
       val neighborMin = edges
         .join(frontier.select($"doc_id".as("eb"), $"cluster_id".as("flabel")), "eb")
         .groupBy($"ea")
@@ -195,7 +197,61 @@ object Dedup {
       labels = updated.select($"doc_id", $"cluster_id")
       iter += 1
     }
-    labels
+    if (frontier.limit(1).count() > 0) starClusters(nodes, pairs)
+    else labels
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round rewires every node's larger (resp.
+    * not-larger) neighbors to its neighborhood minimum, halving
+    * component "height" per round — O(log n) rounds on ANY graph shape,
+    * including the chains that cost the frontier loop one round per
+    * hop. Each round is two groupBy-min + join passes over the edge
+    * set; lineage truncated per round. Fixpoint = the edge set is a
+    * stable star forest: every remaining edge is (node, component-min). */
+  def starClusters(nodes: DataFrame, pairs: DataFrame,
+                   maxIters: Int = 50): DataFrame = {
+    var edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // LARGE-STAR: symmetric neighborhoods; every neighbor v > u is
+      // rewired to m(u) = min(N(u) ∪ {u})
+      val sym = edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+      // SMALL-STAR: direct each edge large→small; every not-larger
+      // neighbor (and u itself) is rewired to the directed minimum
+      val directed = large.select(
+        greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val dmins = directed.groupBy($"u").agg(min($"v").as("m"))
+      val small = directed.join(dmins, "u")
+        .select(explode(array(
+          struct($"v".as("a"), $"m".as("b")),
+          struct($"u".as("a"), $"m".as("b")))).as("e"))
+        .select($"e.a".as("u"), $"e.b".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+        .localCheckpoint(true)
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).limit(1).count() == 0
+      edges = small
+      iter += 1
+    }
+    require(converged, s"starClusters did not converge in $maxIters rounds")
+    // stable star forest: every edge points a node at its component min
+    val labels = edges.groupBy($"u".as("doc_id")).agg(min($"v").as("cluster_id"))
+    nodes.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
   }
 
   /** The deduplicated corpus: keep exactly one document per near-dup

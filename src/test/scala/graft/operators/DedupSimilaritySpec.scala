@@ -128,6 +128,39 @@ class DedupSimilaritySpec extends SparkSpec {
     docs.foreach { d => assert(got(d) === find(d), s"doc $d") }
   }
 
+  test("star-contraction fallback: a 60-hop chain converges (frontier would need 60 rounds)") {
+    import spark.implicits._
+    val n = 60
+    val nodes = (0L to n.toLong).toDF("doc_id")
+    val pairs = (0L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // frontierRounds default (15) < chain length: the result being fully
+    // converged proves the large-star/small-star fallback ran
+    val got = Dedup.clustersFromPairs(nodes, pairs).collect()
+    assert(got.length === n + 1)
+    assert(got.forall(_.getLong(1) === 0L), "chain not fully contracted to min label")
+  }
+
+  test("starClusters equals union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rawPairs = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    val rPairs = rawPairs.toDF("doc_a", "doc_b")
+    val rNodes = (0L until 50L).toDF("doc_id")
+    val star = Dedup.starClusters(rNodes, rPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    rawPairs.foreach { case (a0, b0) =>
+      val (a, b) = (find(a0), find(b0))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    (0L until 50L).foreach { d => assert(star(d) === find(d), s"node $d") }
+  }
+
   test("embeddingNearDup refuses a hot label block; passes under the cap") {
     import spark.implicits._
     // skewed fixture: label 0 holds 6 of 8 vectors
