@@ -43,9 +43,15 @@ object Similarity {
 
   /** Exact brute-force cosine top-k for queries (vec_id < nQueries). */
   def bruteForceTopK(s: SparkSession, dir: String,
-                     nQueries: Int = 5, k: Int = 10, nBuckets: Int = 32): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+                     nQueries: Int = 5, k: Int = 10, nBuckets: Int = 32): DataFrame =
+    bruteForceTopKFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k, nBuckets)
+
+  /** Core of [[bruteForceTopK]] over any (vec_id, v) frame. */
+  def bruteForceTopKFrom(e: DataFrame, nQueries: Int, k: Int,
+                         nBuckets: Int = 32): DataFrame = {
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("q_v"))
     val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
@@ -53,21 +59,39 @@ object Similarity {
     topKTwoPhase(scored, k, nBuckets)
   }
 
+  /** All XOR masks of Hamming weight <= maxH over nBits — the multi-probe
+    * expansion set. |masks| = sum_{h<=maxH} C(nBits, h). */
+  private[operators] def probeMasks(nBits: Int, maxH: Int): Seq[Long] =
+    (0 to maxH).flatMap(h =>
+      (0 until nBits).combinations(h)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
+
   /** IVF/LSH bucketed ANN: SRP coarse quantizer with MULTI-PROBE — each
-    * query expands to its own bucket plus every Hamming-1 neighbor
-    * bucket (nBits+1 probes), which lifts single-probe recall from ~2%
-    * to a usable level while KEEPING the equi-join shape (the probe
-    * expansion happens on the tiny broadcast query side; the corpus is
-    * bucketed once — at scale, written bucketed/partitioned by
-    * `bucket`). Deterministic, so the oracle mirrors it exactly. */
+    * query expands to its own bucket plus every Hamming<=probeHamming
+    * neighbor bucket, which trades probe count for recall while KEEPING
+    * the equi-join shape (the probe expansion happens on the tiny
+    * broadcast query side; the corpus is bucketed once — at scale,
+    * written bucketed/partitioned by `bucket`). Deterministic, so the
+    * oracle mirrors it exactly. Probe/recall tradeoff at nBits=8:
+    * H<=1 = 9 probes, H<=2 = 37 probes (measured recall in
+    * DedupSimilaritySpec and docs/SCALING.md). */
   def ivfTopK(s: SparkSession, dir: String,
-              nQueries: Int = 5, k: Int = 10, nBits: Int = 8): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("bucket", srpSignature($"v", nBits))
-    val probes = (0 to nBits).map {
-      case 0 => $"bucket"
-      case b => $"bucket".bitwiseXOR(lit(1L << (b - 1)))
+              nQueries: Int = 5, k: Int = 10, nBits: Int = 8,
+              probeHamming: Int = 1): DataFrame =
+    ivfTopKFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k, nBits, probeHamming)
+
+  /** Core of [[ivfTopK]] over any (vec_id, v) frame. */
+  def ivfTopKFrom(e0: DataFrame, nQueries: Int, k: Int, nBits: Int = 8,
+                  probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      s"probeHamming must be in [0, $nBits], got $probeHamming")
+    val e = e0.withColumn("bucket", srpSignature($"v", nBits))
+    val probes = probeMasks(nBits, probeHamming).map {
+      case 0L => $"bucket"
+      case m => $"bucket".bitwiseXOR(lit(m))
     }
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("q_v"),

@@ -83,6 +83,33 @@ class DedupSimilaritySpec extends SparkSpec {
     info(f"IVF recall@10 = $recall%.3f (multi-probe Hamming-1, 8-bit quantizer)")
   }
 
+  test("IVF multi-probe recall on planted neighbors: Hamming-2 reaches >= 0.5") {
+    import spark.implicits._
+    // planted fixture: 10 random base vectors (the queries), each with 8
+    // noisy copies in the corpus — true neighbors are unambiguous, unlike
+    // the near-random harness corpus
+    val rnd = new scala.util.Random(5)
+    val bases = Array.fill(10)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val rows = bases.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) } ++
+      (for (b <- 0 until 10; j <- 0 until 8) yield {
+        val noisy = bases(b).map(x => x + (rnd.nextDouble() * 2 - 1) * 0.15)
+        ((10 + b * 8 + j).toLong, noisy.toSeq)
+      })
+    val e = rows.toSeq.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val brute = Similarity.bruteForceTopKFrom(e, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(h: Int): Double = {
+      val ivf = Similarity.ivfTopKFrom(e, nQueries = 10, k = 10, probeHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(brute).size.toDouble / brute.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2)
+    info(f"planted recall@10: H<=1 (9 probes) = $r1%.3f, H<=2 (37 probes) = $r2%.3f")
+    assert(r2 >= 0.5, f"Hamming-2 multi-probe recall too low: $r2%.3f")
+    assert(r2 >= r1 - 1e-9, "wider probe ring must not lose recall")
+  }
+
   test("SRP near-dup pairs are a subset of the exact cosine-threshold pairs") {
     val srp = Similarity.srpNearDupPairs(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
