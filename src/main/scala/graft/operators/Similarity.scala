@@ -101,16 +101,50 @@ object Similarity {
     topKTwoPhase(scored, k, nBuckets = 8)
   }
 
+  /** Target mean bucket population for auto-sized SRP banding. */
+  val AutoTargetBucketRows = 64L
+
   /** SRP-LSH near-dup pairs (unblocked twin of Dedup.embeddingNearDup):
     * banded signatures — a pair is a candidate if it agrees on ALL bits
     * of ANY band (nBands x bitsPerBand total SRP bits), then verified
-    * with exact cosine. Bucket count = nBands * 2^bitsPerBand scales by
-    * parameter, and candidates are deduped BEFORE the vector re-join so
-    * embeddings never ride through the band shuffle. */
+    * with exact cosine. Candidates are deduped BEFORE the vector re-join
+    * so embeddings never ride through the band shuffle.
+    *
+    * BUCKET-POPULATION DISCIPLINE: the candidate join is quadratic
+    * WITHIN a bucket, so a fixed bitsPerBand silently goes quadratic as
+    * the corpus grows (the round-3 10x bench measured exactly that:
+    * 4 bits = 16 buckets/band made a 50k-vector corpus 42x slower, not
+    * 10x). With bitsPerBand=0 (the default) the band width is sized
+    * from the corpus count so mean bucket population stays ~
+    * [[AutoTargetBucketRows]]: bits = clamp(4..14, log2(n/target)) —
+    * one cheap count() job at build time, after which candidates scale
+    * LINEARLY in n. Wider bands lower per-band collision probability for
+    * borderline pairs (the standard LSH recall knob — raise nBands to
+    * compensate at low thresholds; near-exact duplicates keep ~p^bits
+    * with p close to 1, so recall for true dups stays high). The DuckDB
+    * twin pins 4x4 — the auto choice at the sf0.01 gate size. */
   def srpNearDupPairs(s: SparkSession, dir: String, threshold: Double = 0.4,
-                      nBands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+                      nBands: Int = 4, bitsPerBand: Int = 0): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    srpNearDupPairsFrom(e, threshold, nBands, bitsPerBand)
+  }
+
+  /** Band width keeping mean bucket population ~AutoTargetBucketRows:
+    * clamp(4..14, ceil(log2(n / target))). */
+  private[operators] def autoBitsPerBand(n: Long): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / AutoTargetBucketRows)) / math.log(2.0)).toInt
+    math.min(14, math.max(4, raw))
+  }
+
+  /** Core of [[srpNearDupPairs]] over any (vec_id, v) frame. */
+  def srpNearDupPairsFrom(e: DataFrame, threshold: Double,
+                          nBands: Int = 4, bitsPerBand0: Int = 0): DataFrame = {
+    val bitsPerBand =
+      if (bitsPerBand0 > 0) bitsPerBand0 else autoBitsPerBand(e.count())
+    require(nBands * bitsPerBand <= 60,
+      s"nBands * bitsPerBand must fit the packed-Long budget (<= 60), got ${nBands * bitsPerBand}")
     val bandRows = (0 until nBands).map { b =>
       e.select($"vec_id",
         lit(b.toLong).as("band_id"),

@@ -110,6 +110,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r2 >= r1 - 1e-9, "wider probe ring must not lose recall")
   }
 
+  test("SRP auto-banding widens bands with corpus size (bounded buckets)") {
+    // gate size (500) must keep the oracle-pinned 4 bits; 10x steps widen
+    assert(Similarity.autoBitsPerBand(10L) === 4)
+    assert(Similarity.autoBitsPerBand(500L) === 4)
+    assert(Similarity.autoBitsPerBand(5000L) === 7)
+    assert(Similarity.autoBitsPerBand(50000L) === 10)
+    assert(Similarity.autoBitsPerBand(Long.MaxValue / 4) === 14) // clamp
+  }
+
   test("SRP near-dup pairs are a subset of the exact cosine-threshold pairs") {
     val srp = Similarity.srpNearDupPairs(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
