@@ -38,6 +38,7 @@ object Bench {
     "events_sessionize",
     "events_hourly_agg",
     "sim_brute_force_topk",
+    "sim_topk_agg",
     "sim_ivf_topk",
     "sim_srp_neardup_pairs",
     "mm_meta_stats")

@@ -462,6 +462,18 @@ object OracleSql {
          |SELECT q_id, vec_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "sim_topk_agg" ->
+      // the bounded-heap aggregate is rank-deterministic (score desc, id
+      // asc), so its oracle is the same window formulation as the
+      // brute-force twin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |scored AS (SELECT q.q_id, e.vec_id,
+         |  round(${cosSql("q.q_v", "e.v")}, 4) AS cos_sim
+         |  FROM e JOIN q ON e.vec_id <> q.q_id)
+         |SELECT q_id, vec_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
     "sim_ivf_topk" -> {
       val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),

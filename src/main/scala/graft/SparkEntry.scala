@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     // similarity search
     "sim_brute_force_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "sim_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_srp_neardup_pairs" -> ((s, d) => Similarity.srpNearDupPairs(s, d)),
     // multimodal columns

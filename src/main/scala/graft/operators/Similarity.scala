@@ -59,6 +59,37 @@ object Similarity {
     topKTwoPhase(scored, k, nBuckets)
   }
 
+  /** Exact brute-force cosine top-k via the BOUNDED-HEAP AGGREGATE
+    * ([[graft.functions.TopKAgg]]) instead of window ranking: one
+    * partial+final ObjectHashAggregate, map-side combined — the exchange
+    * carries k rows per (query, partition), NOT the full scored corpus.
+    * This is the plan the window two-phase trick approximates; at 1000
+    * executors it is strictly less shuffle for the same (deterministic,
+    * oracle-identical) result. */
+  def bruteForceTopKAgg(s: SparkSession, dir: String,
+                        nQueries: Int = 5, k: Int = 10): DataFrame =
+    bruteForceTopKAggFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k)
+
+  /** Core of [[bruteForceTopKAgg]] over any (vec_id, v) frame. */
+  def bruteForceTopKAggFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("cos_sim", round(cosine($"q_v", $"v"), 4))
+    val topk = Bridge.column(
+      graft.functions.TopKAgg(
+        Bridge.expression($"cos_sim"),
+        Bridge.expression($"vec_id"), k).toAggregateExpression())
+    scored.groupBy($"q_id")
+      .agg(topk.as("tk"))
+      .select($"q_id", explode($"tk").as("t"))
+      .select($"q_id", $"t.vec_id".as("vec_id"), $"t.cos_sim".as("cos_sim"))
+  }
+
   /** All XOR masks of Hamming weight <= maxH over nBits — the multi-probe
     * expansion set. |masks| = sum_{h<=maxH} C(nBits, h). */
   private[operators] def probeMasks(nBits: Int, maxH: Int): Seq[Long] =

@@ -131,6 +131,33 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(SrpBandExpr(litD(Seq.empty), 0, 8).eval(null).asInstanceOf[Long] === 0L)
   }
 
+  test("TopKHeap retains exactly the k best under (score desc, id asc)") {
+    val rnd = new Random(49)
+    for (_ <- 1 to Trials) {
+      val k = 1 + rnd.nextInt(8)
+      // duplicate scores on purpose: ties must break by id asc
+      val xs = Seq.fill(40)((rnd.nextInt(10) / 4.0, rnd.nextLong().abs % 1000))
+        .distinctBy(_._2)
+      val h = new TopKHeap(k)
+      xs.foreach { case (s, i) => h.add(s, i) }
+      val expected = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(h.sortedDesc === expected, s"k=$k")
+    }
+  }
+
+  test("TopKHeap merge equals single-pass add") {
+    val rnd = new Random(50)
+    for (_ <- 1 to Trials) {
+      val xs = Seq.fill(60)((rnd.nextDouble(), rnd.nextLong().abs % 10000)).distinctBy(_._2)
+      val (a, b) = xs.splitAt(xs.size / 2)
+      val ha = new TopKHeap(10); a.foreach { case (s, i) => ha.add(s, i) }
+      val hb = new TopKHeap(10); b.foreach { case (s, i) => hb.add(s, i) }
+      hb.q.foreach { case (s, i) => ha.add(s, i) }
+      val whole = new TopKHeap(10); xs.foreach { case (s, i) => whole.add(s, i) }
+      assert(ha.sortedDesc === whole.sortedDesc)
+    }
+  }
+
   test("CharNgramsExpr yields every positional n-gram, in order") {
     val rnd = new Random(45)
     for (_ <- 1 to Trials) {

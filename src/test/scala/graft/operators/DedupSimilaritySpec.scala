@@ -83,6 +83,12 @@ class DedupSimilaritySpec extends SparkSpec {
     info(f"IVF recall@10 = $recall%.3f (multi-probe Hamming-1, 8-bit quantizer)")
   }
 
+  test("bounded-heap top-k aggregate equals the window-ranked brute force") {
+    val agg = Similarity.bruteForceTopKAgg(spark, Sf)
+    val win = Similarity.bruteForceTopK(spark, Sf)
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+  }
+
   test("IVF multi-probe recall on planted neighbors: Hamming-2 reaches >= 0.5") {
     import spark.implicits._
     // planted fixture: 10 random base vectors (the queries), each with 8

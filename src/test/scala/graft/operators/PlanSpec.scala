@@ -95,6 +95,16 @@ class PlanSpec extends SparkSpec {
     assert(selected === 3, s"expected exactly 3 source partitions scanned, got $selected")
   }
 
+  test("top-k aggregate is map-side combined (partial heap before the exchange)") {
+    val df = Similarity.bruteForceTopKAgg(spark, Sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("partial_graft_topk"),
+      s"no partial top-k aggregate before the shuffle in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"top-k agg should shuffle once (k rows per partition per group):\n$p")
+  }
+
   test("minhash band rows never carry token arrays through the shuffle") {
     val bands = Dedup.minhashBands(spark, Sf)
     assert(bands.columns.toSeq === Seq("doc_id", "band_id", "band_hash"))
