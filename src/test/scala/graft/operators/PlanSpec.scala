@@ -98,7 +98,9 @@ class PlanSpec extends SparkSpec {
   test("top-k aggregate is map-side combined (partial heap before the exchange)") {
     val df = Similarity.bruteForceTopKAgg(spark, Sf)
     df.collect()
-    val p = plan(df)
+    // AQE's toString repeats the plan under "== Initial Plan ==" — count
+    // shuffles in the final section only
+    val p = plan(df).split("== Initial Plan ==")(0)
     assert(p.contains("partial_graft_topk"),
       s"no partial top-k aggregate before the shuffle in:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
