@@ -193,6 +193,13 @@ object OracleSql {
         |JOIN part p ON l.l_partkey = p.p_partkey
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY p.p_brand""".stripMargin,
+    "rel_bucketed_join_revenue" ->
+      // the Spark side reads bucketed catalog tables written from the
+      // same parquet — the layout changes the plan, never the result
+      """SELECT o.o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
     "rel_window_frames" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
@@ -317,6 +324,17 @@ object OracleSql {
         |                  hive_partitioning=1)
         |WHERE CAST(event_date AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         |GROUP BY 1, 2""".stripMargin,
+    "events_asof_join" ->
+      // DuckDB's native ASOF JOIN is the oracle for the Spark
+      // union-and-carry composition; right side pre-reduced per
+      // (user, ms) so equal-ms ties are deterministic in both engines
+      """WITH l AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS r_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.user_id, l.event_id, l.ms, r.ms AS view_ms,
+        |  round(r.r_value, 2) AS view_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ms >= r.ms""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

@@ -52,6 +52,7 @@ object SparkEntry {
     "rel_scalar_subquery" -> (Relational.q21ScalarSubquery _),
     "rel_window_frames" -> (Relational.q22WindowFrames _),
     "rel_brand_revenue" -> (Relational.q24BrandRevenue _),
+    "rel_bucketed_join_revenue" -> (Relational.q25BucketedJoinRevenue _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "events_top_type_per_user" -> (Events.topTypePerUser _),
     "events_props_extract" -> (Events.propsExtract _),
     "events_partitioned_daily" -> (Events.partitionedDaily _),
+    "events_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),

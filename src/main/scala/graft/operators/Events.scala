@@ -68,6 +68,47 @@ object Events {
         date_format($"event_date", "yyyy-MM-dd").as("event_date"),
         $"event_type", $"n", $"sum_value")
 
+  /** AS-OF JOIN: for each `leftType` event, the most recent `rightType`
+    * event of the same user at-or-before it — the canonical time-series
+    * enrichment (trade←quote, click←view) that Spark has no native
+    * operator for. A naive range join explodes to |L|x|R| per user; the
+    * scalable composition is UNION-AND-CARRY: tag both streams, sort
+    * within user by (ms, side right-first), and carry the last seen
+    * right row forward with last(ignoreNulls) over a running window —
+    * ONE exchange + sort on user_id, linear in |L|+|R|, the same
+    * partitioning every other per-user operator here shuffles on.
+    * Equal-ms ties on the right resolve to max(value) — not by a
+    * pre-aggregation (that would be a second shuffle on (user, ms)) but
+    * by the window SORT KEY: ascending value among same-ms right rows
+    * means the carried "last" is the max, deterministically, matching
+    * the oracle's grouped ASOF twin with zero extra exchanges.
+    * Timestamps compare at epoch-ms (both engines floor identically). */
+  def asofJoin(s: SparkSession, dir: String,
+               leftType: String = "click", rightType: String = "view"): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        unix_millis($"ts").as("ms"))
+    val left = ev.filter($"event_type" === leftType)
+    val right = ev.filter($"event_type" === rightType)
+    val tagged = left.select(
+        $"user_id", $"ms", lit(1).as("side"), $"event_id",
+        lit(null).cast("double").as("r_value"), lit(null).cast("long").as("r_ms"))
+      .unionAll(right.select(
+        $"user_id", $"ms", lit(0).as("side"), lit(null).cast("long").as("event_id"),
+        $"value".as("r_value"), $"ms".as("r_ms")))
+    // right (side 0) sorts before left (side 1) at equal ms: "at or
+    // before"; r_value asc makes the carried last-of-equal-ms the max
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ms".asc, $"side".asc, $"r_value".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("view_ms", last($"r_ms", ignoreNulls = true).over(w))
+      .withColumn("view_value", last($"r_value", ignoreNulls = true).over(w))
+      .filter($"side" === 1 && $"view_ms".isNotNull)
+      .select($"user_id", $"event_id", $"ms",
+        $"view_ms", round($"view_value", 2).as("view_value"))
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object). */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

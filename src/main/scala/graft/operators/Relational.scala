@@ -262,6 +262,20 @@ object Relational {
       .groupBy($"o_orderstatus")
       .agg(approx_count_distinct($"o_custkey", 0.01).as("n_cust_approx"))
 
+  /** Fact⋈fact revenue through BUCKETED tables (Layout.ensureBucketedFacts):
+    * both sides hash-bucketed and sorted on the join key at write time,
+    * so the sort-merge join runs CO-LOCATED — zero exchanges before the
+    * join (PlanSpec pins it). Same result as the plain-parquet join; the
+    * storage layout, not the query, absorbs the shuffle. */
+  def q25BucketedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = graft.sources.Layout.ensureBucketedFacts(s, dir)
+    s.table(lt).join(s.table(ot), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+  }
+
   /** Scalar-subquery extension: orders above the global average price.
     * Declarative form: the 1-row aggregate broadcast-joins into the
     * filter (no collect-to-driver). */

@@ -56,6 +56,30 @@ object Layout {
         .write.mode("overwrite").partitionBy("source").json(dir)
     }
 
+  /** Bucketed fact tables: lineitem and orders written `bucketBy` (and
+    * sorted) on the join key into the session catalog. Both sides
+    * hash-bucketed the same way = a CO-LOCATED sort-merge join with ZERO
+    * exchanges — the shuffle paid ONCE at write time and amortized over
+    * every subsequent join, which is how a 100 TB fact⋈fact workload
+    * stops re-shuffling its biggest tables on every query (PlanSpec
+    * asserts the exchange-free join). Returns (lineitemTable, ordersTable). */
+  def ensureBucketedFacts(s: SparkSession, sfDir: String,
+                          buckets: Int = 8): (String, String) = {
+    val db = "graft_bucketed_" + baseOf(sfDir).replace('.', '_').replace('-', '_')
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val lt = s"$db.lineitem_b"
+    val ot = s"$db.orders_b"
+    if (!s.catalog.tableExists(lt))
+      Tables.lineitem(s, sfDir).write
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(lt)
+    if (!s.catalog.tableExists(ot))
+      Tables.orders(s, sfDir).write
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ot)
+    (lt, ot)
+  }
+
   /** Documents read back through the partitioned JSONL layout (explicit
     * schema — no inference scan; `source` comes from partition discovery). */
   def documentsJsonl(s: SparkSession, sfDir: String): DataFrame = {

@@ -107,6 +107,30 @@ class PlanSpec extends SparkSpec {
       s"top-k agg should shuffle once (k rows per partition per group):\n$p")
   }
 
+  test("bucketed fact join is co-located: zero exchanges before the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val (lt, ot) = graft.sources.Layout.ensureBucketedFacts(spark, Sf)
+      val joined = spark.table(lt)
+        .join(spark.table(ot),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .select("l_orderkey", "o_orderpriority", "l_extendedprice")
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan did not use bucketing:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("as-of join is one exchange (union-and-carry, no range explosion)") {
+    val p = plan(Events.asofJoin(spark, Sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"as-of join should shuffle exactly once, got $exchanges:\n$p")
+  }
+
   test("minhash band rows never carry token arrays through the shuffle") {
     val bands = Dedup.minhashBands(spark, Sf)
     assert(bands.columns.toSeq === Seq("doc_id", "band_id", "band_hash"))
