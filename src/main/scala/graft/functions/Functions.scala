@@ -10,6 +10,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   graft_sorted_jaccard(a, b) — set Jaccard over sorted array<bigint>
   *   graft_simhash(hs)          — 48-bit SimHash of an array<bigint>
   *   graft_hash60(s)            — engine-neutral 60-bit md5 hash
+  *   graft_cosine(a, b)         — fused one-pass cosine similarity
+  *   graft_srp_band(v, off, n)  — packed SRP band bits (off/n literals)
   *
   * Registration is session-scoped (temp functions) — nothing global, and
   * harness-built sessions that never call register are unaffected.
@@ -25,5 +27,16 @@ object Functions {
       args => SimhashExpr(args(0), 48))
     Bridge.registerFunction(s, "graft_hash60",
       args => Hash60Expr(args(0)))
+    Bridge.registerFunction(s, "graft_cosine",
+      args => CosineSimExpr(args(0), args(1)))
+    Bridge.registerFunction(s, "graft_srp_band", { args =>
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_srp_band: $what must be an integer literal")
+        }
+      SrpBandExpr(args(0), intLit(args(1), "offset"), intLit(args(2), "nBits"))
+    })
   }
 }

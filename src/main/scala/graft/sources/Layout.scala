@@ -69,14 +69,27 @@ object Layout {
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     val lt = s"$db.lineitem_b"
     val ot = s"$db.orders_b"
-    if (!s.catalog.tableExists(lt))
+    // a fresh metastore with a stale warehouse dir (previous session's
+    // files, no catalog entry) would fail LOCATION_ALREADY_EXISTS — the
+    // directory is a derived cache of our own write, so clear it
+    def dropStaleLocation(table: String): Unit = {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(s"$wh/$db.db/${table.split('.').last}")
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    if (!s.catalog.tableExists(lt)) {
+      dropStaleLocation(lt)
       Tables.lineitem(s, sfDir).write
         .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(lt)
-    if (!s.catalog.tableExists(ot))
+    }
+    if (!s.catalog.tableExists(ot)) {
+      dropStaleLocation(ot)
       Tables.orders(s, sfDir).write
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(ot)
+    }
     (lt, ot)
   }
 

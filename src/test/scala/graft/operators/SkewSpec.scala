@@ -42,5 +42,18 @@ class SkewSpec extends SparkSpec {
     assert(h === 648541476951500027L) // matches DuckDB's hex-parse value
     assert(spark.sql("SELECT graft_simhash(array(7L, 7L, 7L)) AS s")
       .collect()(0).getLong(0) === 7L)
+    val c = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(c === 1.0)
+    // srp band over a 64-dim constant vector agrees with the column API
+    val vSql = (1 to 64).map(i => s"${i / 64.0}d").mkString("array(", ", ", ")")
+    val sqlBits = spark.sql(s"SELECT graft_srp_band($vSql, 0, 8) AS b")
+      .collect()(0).getLong(0)
+    val colBits = spark.range(1)
+      .select(graft.functions.VectorOps.srpSignature(
+        org.apache.spark.sql.functions.expr(vSql), 8).as("b"))
+      .collect()(0).getLong(0)
+    assert(sqlBits === colBits)
   }
 }

@@ -147,6 +147,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hourlyAgg runs from a FILE STREAM over the partitioned events layout") {
+    import spark.implicits._
+    // the deployment seam: readStream over the hive-partitioned directory
+    // (explicit schema — file streams cannot infer), same transform object
+    val dir = graft.sources.Layout.ensureEventsByDate(spark, Sf)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val query = Streams.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("hourly_file")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("hourly_file")
+        .select("hour_ts", "event_type", "n", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Events.hourlyAgg(spark, Sf).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("sessionize state is EVICTED once the watermark passes the gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
