@@ -53,6 +53,8 @@ object SparkEntry {
     "rel_window_frames" -> (Relational.q22WindowFrames _),
     "rel_brand_revenue" -> (Relational.q24BrandRevenue _),
     "rel_bucketed_join_revenue" -> (Relational.q25BucketedJoinRevenue _),
+    "rel_cube" -> (Relational.q26Cube _),
+    "rel_pivot" -> (Relational.q27Pivot _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

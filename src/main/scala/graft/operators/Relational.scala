@@ -276,6 +276,26 @@ object Relational {
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
   }
 
+  /** CUBE: all grouping-set combinations of (status, priority) in one
+    * pass — Spark expands to a single partial+final aggregate over the
+    * grouping-id-tagged rows, not 4 separate scans. */
+  def q26Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
+
+  /** PIVOT: per-status order counts spread across explicit priority
+    * columns. Values are pinned (no discovery pass — at 100 TB an
+    * unpinned pivot is an extra distinct scan) and the oracle mirrors
+    * with conditional aggregation. */
+  def q27Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Scalar-subquery extension: orders above the global average price.
     * Declarative form: the 1-row aggregate broadcast-joins into the
     * filter (no collect-to-driver). */
