@@ -347,6 +347,16 @@ object OracleSql {
         |SELECT l.user_id, l.event_id, l.ms, r.ms AS view_ms,
         |  round(r.r_value, 2) AS view_value
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ms >= r.ms""".stripMargin,
+    "events_range_join" ->
+      // the oracle states the raw range predicate; the Spark side's
+      // bucketing is an exact cover of it, so results are identical
+      """SELECT l.user_id, l.event_id, epoch_ms(l.ts) AS ms, count(*) AS n_prior
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND r.event_type = 'click'
+        |  AND epoch_ms(r.ts) >= epoch_ms(l.ts) - 300000
+        |  AND epoch_ms(r.ts) < epoch_ms(l.ts)
+        |WHERE l.event_type = 'error'
+        |GROUP BY 1, 2, 3""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

@@ -71,6 +71,7 @@ object SparkEntry {
     "events_props_extract" -> (Events.propsExtract _),
     "events_partitioned_daily" -> (Events.partitionedDaily _),
     "events_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
+    "events_range_join" -> ((s, d) => Events.rangeJoinPriorCounts(s, d)),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),

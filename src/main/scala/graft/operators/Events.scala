@@ -109,6 +109,35 @@ object Events {
         $"view_ms", round($"view_value", 2).as("view_value"))
   }
 
+  /** RANGE JOIN via TIME-BUCKETING: for each `leftType` event, count the
+    * `rightType` events of the same user in the preceding `windowMs`
+    * window. Spark plans a raw `r.ms BETWEEN l.ms-w AND l.ms` predicate
+    * as a nested-loop/cartesian per user — quadratic. Bucketing both
+    * sides by the window length makes it an EQUI join: any right row in
+    * [l.ms - w, l.ms) lives in the left row's bucket or the one before,
+    * so the left side probes exactly 2 buckets (explode on the small
+    * per-row literal array) and the join key is (user_id, bucket) — a
+    * plain shuffle hash join, linear in |L|+|R|, with the exact range
+    * re-checked on the equi-matched candidates. PlanSpec asserts no
+    * nested-loop/cartesian survives. */
+  def rangeJoinPriorCounts(s: SparkSession, dir: String,
+                           leftType: String = "error", rightType: String = "click",
+                           windowMs: Long = 300000L): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val left = ev.filter($"event_type" === leftType)
+      .withColumn("probe_bucket",
+        explode(array(($"ms" / windowMs).cast("long") - 1, ($"ms" / windowMs).cast("long"))))
+    val right = ev.filter($"event_type" === rightType)
+      .select($"user_id".as("r_user"), ($"ms" / windowMs).cast("long").as("r_bucket"),
+        $"ms".as("r_ms"))
+    left.join(right,
+        $"user_id" === $"r_user" && $"probe_bucket" === $"r_bucket" &&
+          $"r_ms" >= $"ms" - windowMs && $"r_ms" < $"ms")
+      .groupBy($"user_id", $"event_id", $"ms")
+      .agg(count(lit(1)).as("n_prior"))
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object). */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

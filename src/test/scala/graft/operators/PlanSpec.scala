@@ -125,6 +125,12 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range join is an equi join on time buckets, never a nested loop") {
+    val p = plan(Events.rangeJoinPriorCounts(spark, Sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
   test("as-of join is one exchange (union-and-carry, no range explosion)") {
     val p = plan(Events.asofJoin(spark, Sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
