@@ -37,6 +37,7 @@ object Bench {
     "text_quality_score",
     "events_sessionize",
     "events_hourly_agg",
+    "events_asof_join",
     "sim_brute_force_topk",
     "sim_topk_agg",
     "sim_ivf_topk",
