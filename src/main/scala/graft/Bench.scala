@@ -31,6 +31,7 @@ object Bench {
     "rel_window_top_per_key",
     "rel_cte_top_segments",
     "rel_star_join_revenue",
+    "rel_salted_agg",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
@@ -89,6 +90,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS) — loader contract, see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

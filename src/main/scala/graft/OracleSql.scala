@@ -20,6 +20,17 @@ package graft
   */
 object OracleSql {
 
+  /** Twins with the documents/embeddings/layout paths derived from
+    * `sfDir` — Verify dumps THIS for the sf dir it is actually run at,
+    * so the oracle never silently reads another scale's data. */
+  def forDir(sfDir: String): Map[String, String] = new OracleSqlGen(sfDir).all
+
+  /** The t2 correctness-gate default (sf0.01). */
+  val all: Map[String, String] = forDir("/root/testdata/sf0.01")
+}
+
+private[graft] final class OracleSqlGen(sfDir: String) {
+
   // ---- shared fragments -------------------------------------------------
 
   /** 60-bit md5-derived hash — twin of EngineNeutral.hash60. */
@@ -67,8 +78,13 @@ object OracleSql {
       s"(CASE WHEN ${srpProj(v, offset + lb)} >= 0 THEN ${1L << lb} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private val docs = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
-  private val embs = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+  private val docs = s"read_parquet('$sfDir/documents.parquet')"
+  private val embs = s"read_parquet('$sfDir/embeddings.parquet')"
+
+  /** Root graft.sources.Layout materializes for this sf dir (its default
+    * root) — derived with the same baseOf logic, never a pinned literal. */
+  private val layoutBase =
+    s"/root/repo/target/graft-layout/${graft.sources.Layout.baseOf(sfDir)}"
 
   // ---- relational -------------------------------------------------------
 
@@ -212,6 +228,16 @@ object OracleSql {
          |  $cols
          |FROM orders GROUP BY o_orderstatus""".stripMargin
     },
+    // the salted rewrites must be INVISIBLE in the result: their oracle
+    // twins are the plain unsalted SQL, hash-compared through the gate
+    "rel_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "rel_salted_join" ->
+      """SELECT s.s_nationkey, count(*) AS n_lines,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_nationkey""".stripMargin,
     "rel_window_frames" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
@@ -289,6 +315,21 @@ object OracleSql {
          |    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
          |  FROM (SELECT n_chars, ${h60("CAST(doc_id AS VARCHAR)")} % 10 AS b FROM $docs))
          |GROUP BY split""".stripMargin,
+    "text_stratified_sample" ->
+      // twin of TextAnalysis.stratifiedSample's pinned registration:
+      // identical salted hash fraction and rate CASE, so the kept set
+      // matches row for row
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    (${h60("concat(CAST(doc_id AS VARCHAR), '#strat')")} % 1000000)::DOUBLE
+         |      / 1000000.0 AS frac,
+         |    CASE WHEN source = 'src0' THEN 1.0
+         |         WHEN source = 'src1' THEN 0.5
+         |         WHEN source = 'src2' THEN 0.25
+         |         WHEN source = 'src3' THEN 0.0
+         |         ELSE 0.1 END AS rate
+         |  FROM $docs)
+         |WHERE frac < rate""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          |FROM $docs""".stripMargin,
@@ -330,9 +371,9 @@ object OracleSql {
       // reads THROUGH the hive-partitioned layout graft.sources.Layout
       // materializes (Verify runs the Spark side first); ts was truncated
       // to µs at layout-write time so both engines see identical values
-      """SELECT strftime(CAST(event_date AS DATE), '%Y-%m-%d') AS event_date, event_type,
+      s"""SELECT strftime(CAST(event_date AS DATE), '%Y-%m-%d') AS event_date, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM read_parquet('/root/repo/target/graft-layout/sf0.01/events_by_date/*/*.parquet',
+        |FROM read_parquet('$layoutBase/events_by_date/*/*.parquet',
         |                  hive_partitioning=1)
         |WHERE CAST(event_date AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         |GROUP BY 1, 2""".stripMargin,
@@ -347,6 +388,28 @@ object OracleSql {
         |SELECT l.user_id, l.event_id, l.ms, r.ms AS view_ms,
         |  round(r.r_value, 2) AS view_value
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ms >= r.ms""".stripMargin,
+    "events_asof_tolerance" ->
+      // tolerance = post-filter of the unique ASOF match: the pair is
+      // kept iff the MOST RECENT right row is within the window — the
+      // same semantics the Spark side implements on the carried match
+      """WITH l AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS r_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.user_id, l.event_id, l.ms, r.ms AS view_ms,
+        |  round(r.r_value, 2) AS view_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ms >= r.ms
+        |WHERE l.ms - r.ms <= 3600000""".stripMargin,
+    "events_asof_forward" ->
+      // forward direction: DuckDB ASOF with <= picks the EARLIEST right
+      // row at-or-after each left row
+      """WITH l AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS r_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.user_id, l.event_id, l.ms, r.ms AS view_ms,
+        |  round(r.r_value, 2) AS view_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ms <= r.ms""".stripMargin,
     "events_range_join" ->
       // the oracle states the raw range predicate; the Spark side's
       // bucketing is an exact cover of it, so results are identical
@@ -394,9 +457,9 @@ object OracleSql {
   private val dedup: Map[String, String] = Map(
     "corpus_jsonl_dedup" ->
       // the hive-partitioned JSONL layout written by graft.sources.Layout
-      """SELECT source, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+      s"""SELECT source, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM read_json('/root/repo/target/graft-layout/sf0.01/documents_jsonl/*/*.json',
+        |FROM read_json('$layoutBase/documents_jsonl/*/*.json',
         |  format='newline_delimited', hive_partitioning=1,
         |  columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','n_chars':'BIGINT'})
         |WHERE source IN ('src3','src7','src11')

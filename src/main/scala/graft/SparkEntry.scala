@@ -55,6 +55,8 @@ object SparkEntry {
     "rel_bucketed_join_revenue" -> (Relational.q25BucketedJoinRevenue _),
     "rel_cube" -> (Relational.q26Cube _),
     "rel_pivot" -> (Relational.q27Pivot _),
+    "rel_salted_agg" -> (Relational.q28SaltedAgg _),
+    "rel_salted_join" -> (Relational.q29SaltedJoin _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
@@ -62,6 +64,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_hash_split" -> (TextAnalysis.hashSplit _),
+    "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "rel_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: sketch
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
     // events (batch time-series)
@@ -71,6 +74,10 @@ object SparkEntry {
     "events_props_extract" -> (Events.propsExtract _),
     "events_partitioned_daily" -> (Events.partitionedDaily _),
     "events_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
+    "events_asof_tolerance" -> ((s, d) =>
+      Events.asofEnriched(s, d, toleranceMs = Some(3600000L))),
+    "events_asof_forward" -> ((s, d) =>
+      Events.asofEnriched(s, d, direction = "forward")),
     "events_range_join" -> ((s, d) => Events.rangeJoinPriorCounts(s, d)),
     // dedup
     "dedup_exact" -> (Dedup.exact _),

@@ -392,8 +392,17 @@ case class SrpBandExpr(child: Expression, offset: Int, nBits: Int)
   /** Shared by interpreted eval and codegen (via the expression reference
     * object) so both paths are one implementation. */
   def packBits(v: ArrayData): Long = {
-    val n = math.min(v.numElements(), SrpPlanes.Dim)
-    if (v.numElements() == 0) return 0L
+    // planes are sized for SrpPlanes.Dim: silently truncating a wider
+    // vector would diverge from the full-length HOF reference projection,
+    // so refuse it loudly (shorter vectors project over their own length,
+    // exactly like zip_with against the plane)
+    if (v.numElements() > SrpPlanes.Dim)
+      throw new IllegalArgumentException(
+        s"graft_srp_band: input vector has ${v.numElements()} dims but the " +
+          s"precomputed hyperplanes cover ${SrpPlanes.Dim}; raise SrpPlanes.Dim " +
+          "to the corpus dimensionality")
+    val n = v.numElements()
+    if (n == 0) return 0L
     var sig = 0L
     var b = 0
     while (b < nBits) {

@@ -366,8 +366,19 @@ object Dedup {
     //  - the size bound: jaccard >= t forces t·|b| <= |a| and t·|a| <= |b|
     //  - the PPJoin POSITIONAL bound: matching at prefix positions
     //    (pa, pb) caps the achievable overlap at min(|a|-pa, |b|-pb)+1,
-    //    which must reach ceil(t/(1+t)·(|a|+|b|)) — prunes most false
-    //    candidates before the distinct
+    //    which must reach ceil(t/(1+t)·(|a|+|b|))
+    //
+    // A pair colliding on k prefix shingles is emitted k times. Unlike
+    // the MinHash/SimHash/SRP paths (fixed small band count → leftmost
+    // emission is a ~32-byte carry), first-occurrence detection here
+    // would carry each doc's variable-length prefix ARRAY through the
+    // inverted-index explode — O(prefix²) bytes per doc, worse at scale
+    // than the duplicates. So duplicates are deduped AFTER the verify
+    // filter instead: the pre-verify candidate-cardinality exchange
+    // (the old distinct()) is replaced by a result-cardinality one, and
+    // the verify recomputes a pair's jaccard at most k times (k = its
+    // matching prefix positions, small by construction: the positional
+    // bound tightens as positions grow).
     val overlapNeeded =
       ceil(lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) - Eps)
     val cands = prefix.as("a")
@@ -377,7 +388,6 @@ object Dedup {
           col("b.sz") >= col("a.sz") * threshold - Eps &&
           least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1 >= overlapNeeded)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     def sortedJaccard(a: Column, b: Column): Column =
       Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
     cands
@@ -386,6 +396,7 @@ object Dedup {
       .withColumn("jaccard", sortedJaccard($"g_a", $"g_b"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
+      .distinct()
   }
 
   // ---- embedding near-dup ---------------------------------------------

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -84,29 +84,92 @@ object Events {
     * the oracle's grouped ASOF twin with zero extra exchanges.
     * Timestamps compare at epoch-ms (both engines floor identically). */
   def asofJoin(s: SparkSession, dir: String,
-               leftType: String = "click", rightType: String = "view"): DataFrame = {
+               leftType: String = "click", rightType: String = "view"): DataFrame =
+    asofEnriched(s, dir, leftType, rightType)
+
+  /** [[asofJoin]] with the full option surface exposed: `direction`
+    * (backward = most recent at-or-before; forward = earliest
+    * at-or-after) and an optional match `tolerance` in ms. */
+  def asofEnriched(s: SparkSession, dir: String,
+                   leftType: String = "click", rightType: String = "view",
+                   direction: String = "backward",
+                   toleranceMs: Option[Long] = None): DataFrame = {
     val ev = Tables.events(s, dir)
       .select($"event_id", $"user_id", $"event_type", $"value",
         unix_millis($"ts").as("ms"))
     val left = ev.filter($"event_type" === leftType)
+      .select($"user_id", $"ms", $"event_id")
     val right = ev.filter($"event_type" === rightType)
-    val tagged = left.select(
-        $"user_id", $"ms", lit(1).as("side"), $"event_id",
-        lit(null).cast("double").as("r_value"), lit(null).cast("long").as("r_ms"))
-      .unionAll(right.select(
-        $"user_id", $"ms", lit(0).as("side"), lit(null).cast("long").as("event_id"),
-        $"value".as("r_value"), $"ms".as("r_ms")))
-    // right (side 0) sorts before left (side 1) at equal ms: "at or
-    // before"; r_value asc makes the carried last-of-equal-ms the max
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"ms".asc, $"side".asc, $"r_value".asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("view_ms", last($"r_ms", ignoreNulls = true).over(w))
-      .withColumn("view_value", last($"r_value", ignoreNulls = true).over(w))
-      .filter($"side" === 1 && $"view_ms".isNotNull)
+      .select($"user_id", $"ms", $"value".as("view_value"))
+    asofJoinOn(left, right, on = "user_id", timeCol = "ms",
+        payload = Seq("view_value"), direction = direction,
+        toleranceMs = toleranceMs)
       .select($"user_id", $"event_id", $"ms",
-        $"view_ms", round($"view_value", 2).as("view_value"))
+        $"asof_ms".as("view_ms"), round($"view_value", 2).as("view_value"))
+  }
+
+  /** Generic AS-OF JOIN core: enrich each `left` row with the payload of
+    * the nearest `right` row at-or-before it (direction=backward) or
+    * at-or-after it (direction=forward) on `timeCol`, matching on the
+    * equality key `on`, optionally only within `toleranceMs`.
+    *
+    *  - `left` columns: `on`, `timeCol`, plus ANY carried columns (all
+    *    preserved in the output);
+    *  - `right` columns: `on`, `timeCol`, plus the `payload` columns,
+    *    which land in the output under their own names, alongside
+    *    `asof_<timeCol>` = the matched right row's time;
+    *  - rows with no (in-tolerance) match are dropped (inner semantics);
+    *  - equal-time ties: a right row AT the left row's time matches in
+    *    both directions, and among several right rows at the same time
+    *    the payload with the greatest struct order (field by field) wins
+    *    — not via a pre-aggregation (a second shuffle on (key, time))
+    *    but via the window SORT KEY, so ties stay deterministic with
+    *    zero extra exchanges.
+    *
+    * Shape: UNION-AND-CARRY — tag both inputs, sort within `on` by
+    * (time, side right-first), carry the last right payload forward with
+    * last(ignoreNulls). ONE exchange + sort on `on`, linear in |L|+|R|;
+    * the forward direction reuses the backward kernel on negated time. */
+  def asofJoinOn(left: DataFrame, right: DataFrame,
+                 on: String, timeCol: String, payload: Seq[String],
+                 direction: String = "backward",
+                 toleranceMs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(payload.nonEmpty, "payload must name at least one right-side column")
+    toleranceMs.foreach(t => require(t >= 0, s"tolerance must be >= 0 ms, got $t"))
+    val sign = if (direction == "backward") 1L else -1L
+    val lCarry = left.columns.toSeq.filterNot(c => c == on || c == timeCol)
+    // typed nulls for the two struct slots on the opposite side
+    val lType = left.select(struct(lCarry.map(col): _*).as("__l")).schema("__l").dataType
+    val pType = right.select(struct(payload.map(col): _*).as("__p")).schema("__p").dataType
+    val tagged = left.select(
+        col(on), (col(timeCol) * sign).as("__t"), lit(1).as("__side"),
+        struct(lCarry.map(col): _*).as("__l"),
+        lit(null).cast(pType).as("__p"), lit(null).cast("long").as("__rt"))
+      .unionAll(right.select(
+        col(on), (col(timeCol) * sign).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"),
+        struct(payload.map(col): _*).as("__p"), (col(timeCol) * sign).as("__rt")))
+    // right (side 0) sorts before left (side 1) at equal time: the match
+    // includes equality; __p asc makes the carried last-of-equal-time the
+    // struct max (left rows carry null __p — nulls first keeps them inert)
+    val w = Window.partitionBy(col(on))
+      .orderBy($"__t".asc, $"__side".asc, $"__p".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = tagged
+      .withColumn("__mt", last($"__rt", ignoreNulls = true).over(w))
+      .withColumn("__mp", last($"__p", ignoreNulls = true).over(w))
+      .filter($"__side" === 1 && $"__mt".isNotNull)
+    val inTolerance = toleranceMs
+      .map(t => $"__t" - $"__mt" <= t) // t-space distance == ms distance in both directions
+      .getOrElse(lit(true))
+    carried.filter(inTolerance)
+      .select(
+        Seq(col(on), ($"__t" * sign).as(timeCol)) ++
+          lCarry.map(c => col(s"__l.$c").as(c)) ++
+          Seq(($"__mt" * sign).as(s"asof_$timeCol")) ++
+          payload.map(p => col(s"__mp.$p").as(p)): _*)
   }
 
   /** RANGE JOIN via TIME-BUCKETING: for each `leftType` event, count the
@@ -125,11 +188,15 @@ object Events {
                            windowMs: Long = 300000L): DataFrame = {
     val ev = Tables.events(s, dir)
       .select($"event_id", $"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    // FLOOR division (not cast-truncation toward zero): for negative
+    // epoch-ms (pre-1970) truncation would break the 2-bucket cover and
+    // drop matches. |ms|/windowMs << 2^52, so the double floor is exact.
+    def bucketOf(ms: Column): Column = floor(ms / windowMs).cast("long")
     val left = ev.filter($"event_type" === leftType)
       .withColumn("probe_bucket",
-        explode(array(($"ms" / windowMs).cast("long") - 1, ($"ms" / windowMs).cast("long"))))
+        explode(array(bucketOf($"ms") - 1, bucketOf($"ms"))))
     val right = ev.filter($"event_type" === rightType)
-      .select($"user_id".as("r_user"), ($"ms" / windowMs).cast("long").as("r_bucket"),
+      .select($"user_id".as("r_user"), bucketOf($"ms").as("r_bucket"),
         $"ms".as("r_ms"))
     left.join(right,
         $"user_id" === $"r_user" && $"probe_bucket" === $"r_bucket" &&

@@ -296,6 +296,33 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Skewed-key aggregate through the SALTED two-phase rewrite
+    * ([[Skew.saltedAgg]]): l_returnflag has 3 values, so per-group state
+    * concentrates on 3 reducers; the salted form spreads each group's
+    * partials over `salt` tasks first. The oracle twin is the PLAIN
+    * unsalted SQL — the rewrite must be invisible in the result.
+    * l_quantity is integer-valued, so the re-associated double sums are
+    * exact and the round(2) is cosmetic. */
+  def q28SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(Tables.lineitem(s, dir), $"l_returnflag", $"l_quantity")
+      .select($"key".as("l_returnflag"), $"n",
+        round($"sum_value", 2).as("sum_qty"))
+
+  /** Known-skew join through the SALTED replicate-small rewrite
+    * ([[Skew.saltedJoin]]): lineitem (big, skewed on l_suppkey) against
+    * supplier replicated `salt` ways — the hot key's rows spread over
+    * `salt` partitions instead of one. Oracle twin: the plain join. */
+  def q29SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+        Tables.lineitem(s, dir)
+          .select($"l_suppkey", $"l_extendedprice", $"l_discount"),
+        Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        "l_suppkey", "s_suppkey")
+      .groupBy($"s_nationkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+
   /** Scalar-subquery extension: orders above the global average price.
     * Declarative form: the 1-row aggregate broadcast-joins into the
     * filter (no collect-to-driver). */

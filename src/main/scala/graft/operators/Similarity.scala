@@ -169,26 +169,41 @@ object Similarity {
     math.min(14, math.max(4, raw))
   }
 
-  /** Core of [[srpNearDupPairs]] over any (vec_id, v) frame. */
+  /** Core of [[srpNearDupPairs]] over any (vec_id, v) frame.
+    *
+    * LEFTMOST-BAND emission (same construction as the MinHash path,
+    * Dedup.minhashLshPairs): every band row carries the row's FULL array
+    * of band values (nBands packed longs, ~32 bytes), and a pair is
+    * emitted only from the first band the two rows share — candidates
+    * are unique BY CONSTRUCTION, so the multi-million-row `distinct()`
+    * exchange between candidate generation and the vector re-join is
+    * gone entirely (PlanSpec pins the exchange count). */
   def srpNearDupPairsFrom(e: DataFrame, threshold: Double,
                           nBands: Int = 4, bitsPerBand0: Int = 0): DataFrame = {
     val bitsPerBand =
       if (bitsPerBand0 > 0) bitsPerBand0 else autoBitsPerBand(e.count())
     require(nBands * bitsPerBand <= 60,
       s"nBands * bitsPerBand must fit the packed-Long budget (<= 60), got ${nBands * bitsPerBand}")
-    val bandRows = (0 until nBands).map { b =>
-      e.select($"vec_id",
-        lit(b.toLong).as("band_id"),
-        srpSignatureSlice($"v", b * bitsPerBand, bitsPerBand).as("band_val"))
-    }.reduce(_ unionAll _)
-    val l = bandRows.select($"band_id", $"band_val", $"vec_id".as("vec_a"))
-    val r = bandRows.select($"band_id".as("band_id_r"), $"band_val".as("band_val_r"),
-      $"vec_id".as("vec_b"))
+    // all band values in one projection (the kernel reads v once per
+    // band either way), then ONE explode — not an nBands-way union
+    val withBvs = e.select($"vec_id",
+      array((0 until nBands).map(b =>
+        srpSignatureSlice($"v", b * bitsPerBand, bitsPerBand)): _*).as("bvs"))
+    val bandRows = withBvs.select(
+      $"vec_id", $"bvs",
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_id"), element_at($"bvs", b + 1).as("bv"))): _*)).as("b"))
+      .select($"vec_id", $"bvs", $"b.band_id".as("band_id"), $"b.bv".as("bv"))
+    val l = bandRows.select($"band_id", $"bv", $"vec_id".as("vec_a"), $"bvs".as("bvs_a"))
+    val r = bandRows.select($"band_id".as("band_id_r"), $"bv".as("bv_r"),
+      $"vec_id".as("vec_b"), $"bvs".as("bvs_b"))
+    val noEarlierMatch = (0 until nBands - 1).map { e =>
+      $"band_id" <= e || element_at($"bvs_a", e + 1) =!= element_at($"bvs_b", e + 1)
+    }.reduceOption(_ && _).getOrElse(lit(true))
     val cands = l.join(r,
-        $"band_id" === $"band_id_r" && $"band_val" === $"band_val_r" &&
-          $"vec_a" < $"vec_b")
+        $"band_id" === $"band_id_r" && $"bv" === $"bv_r" &&
+          $"vec_a" < $"vec_b" && noEarlierMatch)
       .select($"vec_a", $"vec_b")
-      .distinct()
     cands
       .join(e.select($"vec_id".as("vec_a"), $"v".as("v_a")), "vec_a")
       .join(e.select($"vec_id".as("vec_b"), $"v".as("v_b")), "vec_b")

@@ -114,6 +114,39 @@ object TextAnalysis {
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
 
+  /** Deterministic STRATIFIED SAMPLING — the corpus down-weighting step
+    * every training pipeline runs (keep 100% of a curated source, 10% of
+    * a crawl): keep a document iff its hash fraction falls below its
+    * source's rate. Like [[hashSplit]] (the 3-way special case), the
+    * decision is a PURE FUNCTION of doc_id — reproducible across runs,
+    * engines, partitionings and cluster sizes, no RNG state, and
+    * MONOTONE in the rate (raising a source's rate only ever adds
+    * documents, so samples at different rates nest). The hash is salted
+    * ("#strat") so sampling stays independent of the hashSplit buckets —
+    * otherwise "train" docs would be systematically over-sampled. */
+  def stratifiedSampleFrom(docs: DataFrame, rates: Map[String, Double],
+                           defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"sampling rates must be in [0,1], got $rates default=$defaultRate")
+    val frac =
+      pmod(hash60(concat($"doc_id".cast("string"), lit("#strat"))), lit(1000000L))
+        .cast("double") / 1000000.0
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0.0))) { case (acc, (src, r)) =>
+        acc.when($"source" === src, lit(r))
+      }
+      .otherwise(lit(defaultRate))
+    docs.filter(frac < rate)
+  }
+
+  /** Registered form: pinned per-source rates over `documents`. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSampleFrom(
+      Tables.documents(s, dir),
+      rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0),
+      defaultRate = 0.1)
+      .select($"doc_id", $"source", $"n_chars")
+
   /** Document fingerprint: md5 over the lowercased alphanumeric skeleton
     * (whitespace/punct-insensitive content identity — the key for exact
     * dedup after normalization). */

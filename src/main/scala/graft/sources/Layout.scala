@@ -23,13 +23,18 @@ import graft.syntax._
   */
 object Layout {
 
-  private def baseOf(sfDir: String) = new java.io.File(sfDir).getName
+  private[graft] def baseOf(sfDir: String) =
+    new org.apache.hadoop.fs.Path(sfDir).getName
 
-  private def ensure(root: String)(write: String => Unit): String = {
-    val marker = new java.io.File(s"$root/_GRAFT_LAYOUT_OK")
-    if (!marker.exists()) {
+  /** Marker-gated one-shot materialization, via the Hadoop FS API so the
+    * layout root can be any supported scheme (hdfs://, s3a://, file:) —
+    * same FS resolution the bucketed-facts path below uses. */
+  private def ensure(s: SparkSession, root: String)(write: String => Unit): String = {
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_LAYOUT_OK")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
       write(root)
-      marker.createNewFile()
+      fs.create(marker, true).close()
     }
     root
   }
@@ -37,7 +42,7 @@ object Layout {
   /** Events re-laid hive-partitioned by event_date (ts kept at µs). */
   def ensureEventsByDate(s: SparkSession, sfDir: String,
                          root: String = "/root/repo/target/graft-layout"): String =
-    ensure(s"$root/${baseOf(sfDir)}/events_by_date") { dir =>
+    ensure(s, s"$root/${baseOf(sfDir)}/events_by_date") { dir =>
       Tables.events(s, sfDir)
         .withColumn("event_date", to_date($"ts"))
         .write.mode("overwrite").partitionBy("event_date").parquet(dir)
@@ -51,7 +56,7 @@ object Layout {
     * interchange layout a corpus lands in before ETL. */
   def ensureDocumentsJsonl(s: SparkSession, sfDir: String,
                            root: String = "/root/repo/target/graft-layout"): String =
-    ensure(s"$root/${baseOf(sfDir)}/documents_jsonl") { dir =>
+    ensure(s, s"$root/${baseOf(sfDir)}/documents_jsonl") { dir =>
       Tables.documents(s, sfDir)
         .write.mode("overwrite").partitionBy("source").json(dir)
     }

@@ -44,12 +44,14 @@ object ScaledCorpus {
     if (marker(target).exists()) return target
     new java.io.File(target).mkdirs()
 
-    def raw(name: String): DataFrame = {
-      // events.parquet stores TIMESTAMP(NANOS); keep ts as raw long nanos
-      // so the scaled file satisfies the same loader contract
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$base/$name.parquet")
-    }
+    // events.parquet stores TIMESTAMP(NANOS); the session builder sets
+    // nanosAsLong (asserted here like Tables.events — no conf mutation),
+    // so ts stays raw long nanos and the scaled file satisfies the same
+    // loader contract
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "ScaledCorpus reads events.parquet (TIMESTAMP NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession builder")
+    def raw(name: String): DataFrame = s.read.parquet(s"$base/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$target/$name.parquet")
 

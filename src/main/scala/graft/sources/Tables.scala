@@ -28,9 +28,17 @@ object Tables {
     * reader rejects. Read nanos as long and truncate to a microsecond
     * timestamp (integer `div` — a double division would lose precision at
     * 2^60 ns magnitudes). DuckDB keeps ns; downstream operators only
-    * compare coarsened values (hour buckets / epoch millis). */
+    * compare coarsened values (hour buckets / epoch millis).
+    *
+    * The nanos-as-long flag must be set in the SESSION BUILDER (Bench,
+    * Verify and the spec session all do) — a loader that silently flips
+    * session conf is a side effect a shared session doesn't expect, so
+    * this asserts instead of mutating. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
+        "builder before reading the events table")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -80,6 +80,16 @@ class LayoutSpec extends SparkSpec {
       assert(spark.table("imdb_test.dim_movies").count() === 1000L)
       assert(spark.table("imdb_test.fact_movies").count() === 1492L)
       assert(spark.catalog.tableExists("imdb_test.dim_genres"))
+      // the fact is partitioned on genre_id: a genre predicate must land
+      // in PartitionFilters (directory pruning), not a row-level filter
+      val drama = spark.table("imdb_test.fact_movies")
+        .filter(col("genre_id") === "Drama")
+      drama.collect()
+      val p = drama.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*genre_id".r.findFirstIn(p).isDefined,
+        s"genre predicate not pruned at partition level:\n$p")
+      assert(drama.count() ===
+        star.factMovies.filter(col("genre_id") === "Drama").count())
     } finally {
       Seq("dim_movies", "dim_people", "dim_genres", "fact_movies")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS imdb_test.$t"))

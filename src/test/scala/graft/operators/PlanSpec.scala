@@ -141,4 +141,38 @@ class PlanSpec extends SparkSpec {
     val bands = Dedup.minhashBands(spark, Sf)
     assert(bands.columns.toSeq === Seq("doc_id", "band_id", "band_hash"))
   }
+
+  private def aggregates(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+
+  test("srp near-dup candidates are unique by construction: no distinct anywhere") {
+    // leftmost-band emission — the candidate dedup exchange is GONE, so
+    // the whole pair pipeline optimizes to zero Aggregate nodes
+    val df = Similarity.srpNearDupPairs(spark, Sf)
+    assert(aggregates(df).isEmpty,
+      s"unexpected aggregate (a distinct crept back in):\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("ngram jaccard dedups at RESULT cardinality, after the verify filter") {
+    val df = Dedup.ngramJaccardPairs(spark, Sf, threshold = 0.6, n = 5)
+    val plan = df.queryExecution.optimizedPlan
+    // the root is the final (tiny, post-threshold) distinct; the only
+    // other aggregate is the shingle document-frequency groupBy — no
+    // candidate-cardinality distinct between index join and verify
+    assert(plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate],
+      s"final distinct is not the last operator:\n$plan")
+    assert(aggregates(df).size === 2,
+      s"expected exactly {df-count, final-distinct} aggregates:\n$plan")
+  }
+
+  test("salted agg and join keep broadcastable plans and partial aggregation") {
+    val agg = Relational.q28SaltedAgg(spark, Sf)
+    val p = plan(agg)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg in:\n$p")
+    val j = plan(Relational.q29SaltedJoin(spark, Sf))
+    assert(!j.contains("CartesianProduct") && !j.contains("BroadcastNestedLoopJoin"),
+      s"salted join degenerated:\n$j")
+  }
 }
