@@ -86,7 +86,12 @@ object Pipeline {
     // is BOUNDED (13 genres + the null partition for genre-less movies),
     // so a genre-predicate dashboard query opens only its own directory
     // — the same pruning contract Layout gives the events table
-    // (LayoutSpec asserts PartitionFilters on a genre-filtered read)
+    // (LayoutSpec asserts PartitionFilters on a genre-filtered read).
+    // CAVEAT for catalog consumers: partitionBy moves genre_id to the
+    // END of the table schema, and null-genre rows land under the
+    // __HIVE_DEFAULT_PARTITION__ directory — `SELECT * FROM db.fact_movies`
+    // has a different column ORDER than star.factMovies. Read by name
+    // (select explicit columns), never by position.
     star.factMovies.write.mode("overwrite").format("parquet")
       .partitionBy("genre_id").saveAsTable(s"$db.fact_movies")
   }

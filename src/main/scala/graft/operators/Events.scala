@@ -140,6 +140,18 @@ object Events {
     toleranceMs.foreach(t => require(t >= 0, s"tolerance must be >= 0 ms, got $t"))
     val sign = if (direction == "backward") 1L else -1L
     val lCarry = left.columns.toSeq.filterNot(c => c == on || c == timeCol)
+    // Fail fast on silent output collisions: every output column name —
+    // key, time, carried left columns, asof_<timeCol>, payload — must be
+    // distinct, and inputs must not use the internal __-prefixed slots.
+    val outNames = Seq(on, timeCol) ++ lCarry ++ Seq(s"asof_$timeCol") ++ payload
+    val dupes = outNames.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    require(dupes.isEmpty,
+      s"as-of join output columns collide: ${dupes.mkString(", ")} — " +
+        s"on/timeCol/asof_$timeCol/payload/left-carried names must be pairwise distinct")
+    val reserved = Set("__t", "__side", "__l", "__p", "__rt", "__mt", "__mp")
+    val usedReserved = (left.columns ++ right.columns).filter(reserved).distinct
+    require(usedReserved.isEmpty,
+      s"as-of join inputs use reserved internal names: ${usedReserved.mkString(", ")}")
     // typed nulls for the two struct slots on the opposite side
     val lType = left.select(struct(lCarry.map(col): _*).as("__l")).schema("__l").dataType
     val pType = right.select(struct(payload.map(col): _*).as("__p")).schema("__p").dataType

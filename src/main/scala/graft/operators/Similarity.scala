@@ -197,8 +197,9 @@ object Similarity {
     val l = bandRows.select($"band_id", $"bv", $"vec_id".as("vec_a"), $"bvs".as("bvs_a"))
     val r = bandRows.select($"band_id".as("band_id_r"), $"bv".as("bv_r"),
       $"vec_id".as("vec_b"), $"bvs".as("bvs_b"))
-    val noEarlierMatch = (0 until nBands - 1).map { e =>
-      $"band_id" <= e || element_at($"bvs_a", e + 1) =!= element_at($"bvs_b", e + 1)
+    val noEarlierMatch = (0 until nBands - 1).map { earlier =>
+      $"band_id" <= earlier ||
+        element_at($"bvs_a", earlier + 1) =!= element_at($"bvs_b", earlier + 1)
     }.reduceOption(_ && _).getOrElse(lit(true))
     val cands = l.join(r,
         $"band_id" === $"band_id_r" && $"bv" === $"bv_r" &&

@@ -57,6 +57,27 @@ class AsofSamplingSpec extends SparkSpec {
     assert(rows(out) === Set(Seq(100L, 5.0, "p")))
   }
 
+  test("asofJoinOn fails fast on output-name collisions and reserved names") {
+    // payload name equals a left-carried column → ambiguous output
+    val rTag = right.withColumnRenamed("lbl", "tag")
+    val e1 = intercept[IllegalArgumentException] {
+      Events.asofJoinOn(left, rTag, "k", "ms", Seq("v", "tag"))
+    }
+    assert(e1.getMessage.contains("collide") && e1.getMessage.contains("tag"))
+    // payload named like the synthesized asof_<timeCol> column
+    val rAsof = right.withColumnRenamed("lbl", "asof_ms")
+    val e2 = intercept[IllegalArgumentException] {
+      Events.asofJoinOn(left, rAsof, "k", "ms", Seq("asof_ms"))
+    }
+    assert(e2.getMessage.contains("asof_ms"))
+    // inputs using internal __-prefixed working names
+    val lRes = left.withColumnRenamed("tag", "__side")
+    val e3 = intercept[IllegalArgumentException] {
+      Events.asofJoinOn(lRes, right, "k", "ms", Seq("v"))
+    }
+    assert(e3.getMessage.contains("reserved") && e3.getMessage.contains("__side"))
+  }
+
   test("asofJoinOn matches the registered events twin") {
     // the default asofJoin must be exactly the generic core at
     // (backward, no tolerance) — pinned by the oracle gate, re-checked

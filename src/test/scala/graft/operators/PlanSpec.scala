@@ -158,13 +158,27 @@ class PlanSpec extends SparkSpec {
   test("ngram jaccard dedups at RESULT cardinality, after the verify filter") {
     val df = Dedup.ngramJaccardPairs(spark, Sf, threshold = 0.6, n = 5)
     val plan = df.queryExecution.optimizedPlan
-    // the root is the final (tiny, post-threshold) distinct; the only
-    // other aggregate is the shingle document-frequency groupBy — no
-    // candidate-cardinality distinct between index join and verify
+    // the root is the final (tiny, post-threshold) distinct
     assert(plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate],
       s"final distinct is not the last operator:\n$plan")
-    assert(aggregates(df).size === 2,
-      s"expected exactly {df-count, final-distinct} aggregates:\n$plan")
+    // no candidate-cardinality distinct between index join and verify:
+    // an aggregate grouping exactly (doc_a, doc_b) — without jaccard —
+    // would be the old pre-verify distinct creeping back in
+    val candDistinct = aggregates(df).filter { a =>
+      a.groupingExpressions.collect {
+        case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => ne.name
+      }.toSet == Set("doc_a", "doc_b")
+    }
+    assert(candDistinct.isEmpty,
+      s"candidate-cardinality distinct crept back in:\n$plan")
+    // remaining aggregates: the final distinct plus the shingle df-count,
+    // which the LOGICAL plan expands once per self-join side — physically
+    // the identical subtrees collapse into a ReusedExchange (asserted)
+    assert(aggregates(df).size <= 3,
+      s"unexpected extra aggregates:\n$plan")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "self-join sides did not reuse the shingle-index exchange")
   }
 
   test("salted agg and join keep broadcastable plans and partial aggregation") {
