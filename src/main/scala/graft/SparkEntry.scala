@@ -57,6 +57,8 @@ object SparkEntry {
     "rel_pivot" -> (Relational.q27Pivot _),
     "rel_salted_agg" -> (Relational.q28SaltedAgg _),
     "rel_salted_join" -> (Relational.q29SaltedJoin _),
+    "rel_grouping_sets" -> (Relational.q30GroupingSets _),
+    "rel_unpivot" -> (Relational.q31Unpivot _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
@@ -65,6 +67,9 @@ object SparkEntry {
     "text_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_hash_split" -> (TextAnalysis.hashSplit _),
     "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "text_repetition_score" -> (TextAnalysis.repetitionScore _),
+    "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "text_redact" -> (TextAnalysis.redact _),
     "rel_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: sketch
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
     // events (batch time-series)
@@ -79,6 +84,7 @@ object SparkEntry {
     "events_asof_forward" -> ((s, d) =>
       Events.asofEnriched(s, d, direction = "forward")),
     "events_range_join" -> ((s, d) => Events.rangeJoinPriorCounts(s, d)),
+    "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),

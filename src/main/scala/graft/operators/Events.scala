@@ -217,6 +217,39 @@ object Events {
       .agg(count(lit(1)).as("n_prior"))
   }
 
+  /** FUNNEL: how many users progressed through `stages` IN ORDER —
+    * stage k counts users with a stage-k event at-or-after their
+    * earliest stage-(k-1) completion (the standard ordered-conversion
+    * semantics; simultaneous events count, matching SQL `>=`).
+    *
+    * Shape: one filtered min-aggregate per stage, each keyed on
+    * user_id — every exchange in the chain is on the SAME key, so the
+    * stages co-partition (physically: one shuffle per stage input,
+    * reused sort order, no fan-out joins). Per-user state is one
+    * timestamp per stage — bounded regardless of event volume, the
+    * property that keeps funnels cheap at 100 TB. Output: one row per
+    * stage with its user count (stage 1 = users with any first-stage
+    * event). */
+  def funnel(s: SparkSession, dir: String,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val first = ev.filter($"event_type" === stages.head)
+      .groupBy($"user_id").agg(min($"ms").as("stage_ms"))
+    val reached: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter($"event_type" === stage)
+        .join(prev.select($"user_id", $"stage_ms".as("prev_ms")), "user_id")
+        .filter($"ms" >= $"prev_ms")
+        .groupBy($"user_id").agg(min($"ms").as("stage_ms"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage"),
+          lit(stages(i)).as("event_type"), $"n_users")
+    }.reduce(_ unionAll _)
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object). */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

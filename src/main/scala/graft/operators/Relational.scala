@@ -323,6 +323,37 @@ object Relational {
         count(lit(1)).as("n_lines"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
 
+  /** GROUPING SETS — the general form completing the CUBE/ROLLUP family:
+    * the explicit set list {(flag,status), (flag), ()} plus GROUPING()
+    * markers distinguishing a grouped-out NULL from a data NULL. Same
+    * single-pass execution as CUBE: one expanded aggregate, no re-scan
+    * per set. */
+  def q30GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        grouping($"l_returnflag").cast("long").as("g_rf"),
+        grouping($"l_linestatus").cast("long").as("g_ls"))
+
+  /** UNPIVOT (melt): wide metric columns → (key, metric, val) long form —
+    * the normalization step feeding any per-metric pipeline. Pure
+    * per-row expansion (a generator, no shuffle); values are cast to a
+    * common double BEFORE unpivoting so the stacked column is one type. */
+  def q31Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select($"p_partkey",
+        $"p_retailprice".cast("double").as("retailprice"),
+        $"p_size".cast("double").as("psize"))
+      .unpivot(
+        ids = Array($"p_partkey"),
+        values = Array($"retailprice", $"psize"),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+
   /** Scalar-subquery extension: orders above the global average price.
     * Declarative form: the 1-row aggregate broadcast-joins into the
     * filter (no collect-to-driver). */

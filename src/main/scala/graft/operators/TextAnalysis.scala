@@ -147,6 +147,106 @@ object TextAnalysis {
       defaultRate = 0.1)
       .select($"doc_id", $"source", $"n_chars")
 
+  /** REPETITION SCORING — the Gopher-style (Rae et al. 2021, §A1.1)
+    * repeated-content signals every pretraining filter runs: fraction of
+    * duplicate tokens, fraction of duplicate bigrams, and the share of
+    * all bigrams taken by the single most frequent one. Everything is
+    * per-row higher-order-function work over the token array — ZERO
+    * shuffles, scan-speed at 100 TB. The top-bigram count is a sorted
+    * max-run fold (sort the row's bigrams, count the longest run of
+    * equal neighbours) instead of an explode+groupBy — the per-doc
+    * aggregation never leaves the row. */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", wsTokens(lower($"text")).as("tk"))
+    // bigrams as a multi-referenced alias (single references get
+    // re-inlined and a captured expression re-evaluates per element)
+    val bg = when(size($"tk") >= 2,
+        zip_with(
+          slice($"tk", 1, size($"tk") - 1),
+          slice($"tk", 2, size($"tk") - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val withBg = base.select($"doc_id", $"tk", bg.as("bg"))
+    // longest equal-neighbour run over the SORTED bigrams = the max
+    // bigram multiplicity, computed without leaving the row
+    val topRun = aggregate(
+      array_sort($"bg"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    withBg.select(
+      $"doc_id",
+      round(when(size($"tk") > 0,
+          lit(1.0) - size(array_distinct($"tk")).cast("double") / size($"tk").cast("double"))
+        .otherwise(lit(0.0)), 6).as("dup_token_frac"),
+      round(when(size($"bg") > 0,
+          lit(1.0) - size(array_distinct($"bg")).cast("double") / size($"bg").cast("double"))
+        .otherwise(lit(0.0)), 6).as("dup_bigram_frac"),
+      round(frac(topRun, size($"bg")), 6).as("top_bigram_frac"))
+  }
+
+  /** SEQUENCE PACKING — the concat-and-chunk step that turns a filtered
+    * corpus into fixed-budget training sequences: documents are laid out
+    * in a DETERMINISTIC pseudo-random order (salted hash of doc_id — the
+    * global shuffle every training run needs, reproducible across runs
+    * and cluster sizes, no RNG state) and cut into packs of ~`budget`
+    * tokens by a running token count. Packing is PER SOURCE, so the
+    * window partitions by source and the sort never goes global — at
+    * 100 TB each source's packing is an independent shard (a global
+    * single-partition sort would be the classic scale bug). A document
+    * straddling a boundary starts the next pack (greedy concat-split,
+    * the standard pretraining layout). Output is the per-pack manifest. */
+  def packSequences(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"hk".asc, $"doc_id".asc)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(wsTokens(lower($"text"))).cast("long").as("n_tok"),
+        hash60(concat($"doc_id".cast("string"), lit("#pack"))).as("hk"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      // pack of the FIRST token: cum-n_tok is the tokens laid out before
+      // this doc; values < 2^52 so the double floor-div is exact
+      .withColumn("pack_id",
+        floor(($"cum" - $"n_tok") / lit(budget.toDouble)).cast("long"))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("pack_tokens"))
+  }
+
+  /** PII REDACTION — scan-speed regex scrubbing: replace every match of
+    * each named pattern with its placeholder and count the hits (the
+    * audit trail a compliance pipeline requires). Pattern syntax sticks
+    * to the RE2∩Java-regex common subset (char classes, bounded repeats,
+    * `\b`) so the DuckDB twin matches byte-for-byte. */
+  def redactFrom(docs: DataFrame,
+                 patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one (name, regex, placeholder)")
+    val counts = patterns.map { case (nm, re, _) =>
+      size(regexp_extract_all($"text", lit(re), lit(0))).cast("long").as(s"n_$nm")
+    }
+    val redacted = patterns.foldLeft($"text") { case (c, (_, re, ph)) =>
+      regexp_replace(c, re, ph)
+    }
+    docs.select(($"doc_id" +: counts :+ md5(redacted).as("redacted_md5")): _*)
+  }
+
+  /** Registered redaction: emails, long digit runs, and the corpus's
+    * stand-in sensitive term (documents are synthetic word streams, so
+    * the term pattern is the one that actually fires here; on real data
+    * the email/digit patterns do the work). */
+  def redact(s: SparkSession, dir: String): DataFrame =
+    redactFrom(Tables.documents(s, dir), Seq(
+      ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      ("digits", "[0-9]{4,}", "[NUM]"),
+      ("term", "\\bkey\\b", "[TERM]")))
+
   /** Document fingerprint: md5 over the lowercased alphanumeric skeleton
     * (whitespace/punct-insensitive content identity — the key for exact
     * dedup after normalization). */
