@@ -247,7 +247,7 @@ object Events {
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).cast("long").as("stage"),
           lit(stages(i)).as("event_type"), $"n_users")
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
   }
 
   /** JSON prop extraction (the `props` column is a JSON object). */

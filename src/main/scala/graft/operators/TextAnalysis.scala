@@ -163,8 +163,8 @@ object TextAnalysis {
     // re-inlined and a captured expression re-evaluates per element)
     val bg = when(size($"tk") >= 2,
         zip_with(
-          slice($"tk", 1, size($"tk") - 1),
-          slice($"tk", 2, size($"tk") - 1),
+          slice($"tk", lit(1), size($"tk") - 1),
+          slice($"tk", lit(2), size($"tk") - 1),
           (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     val withBg = base.select($"doc_id", $"tk", bg.as("bg"))
@@ -201,8 +201,12 @@ object TextAnalysis {
     * window partitions by source and the sort never goes global — at
     * 100 TB each source's packing is an independent shard (a global
     * single-partition sort would be the classic scale bug). A document
-    * straddling a boundary starts the next pack (greedy concat-split,
-    * the standard pretraining layout). Output is the per-pack manifest. */
+    * is assigned to the pack its FIRST token lands in (fixed-offset
+    * binning: pack_id = floor(tokens_before_doc / budget)), so a pack
+    * can run over budget by up to one document — deterministic,
+    * single-window-pass, and oracle-twinnable, unlike true greedy
+    * packing which needs a sequential carry. Output is the per-pack
+    * manifest. */
   def packSequences(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window
@@ -222,18 +226,23 @@ object TextAnalysis {
 
   /** PII REDACTION — scan-speed regex scrubbing: replace every match of
     * each named pattern with its placeholder and count the hits (the
-    * audit trail a compliance pipeline requires). Pattern syntax sticks
-    * to the RE2∩Java-regex common subset (char classes, bounded repeats,
+    * audit trail a compliance pipeline requires). Patterns apply IN
+    * ORDER and each count is taken on the text as already redacted by
+    * the earlier patterns, so `n_<name>` is the number of replacements
+    * actually made (a digit run inside an address an earlier pattern
+    * consumed is not double-counted). Pattern syntax sticks to the
+    * RE2∩Java-regex common subset (char classes, bounded repeats,
     * `\b`) so the DuckDB twin matches byte-for-byte. */
   def redactFrom(docs: DataFrame,
                  patterns: Seq[(String, String, String)]): DataFrame = {
     require(patterns.nonEmpty, "need at least one (name, regex, placeholder)")
-    val counts = patterns.map { case (nm, re, _) =>
-      size(regexp_extract_all($"text", lit(re), lit(0))).cast("long").as(s"n_$nm")
-    }
-    val redacted = patterns.foldLeft($"text") { case (c, (_, re, ph)) =>
-      regexp_replace(c, re, ph)
-    }
+    val (redacted, counts) =
+      patterns.foldLeft(($"text": Column, Vector.empty[Column])) {
+        case ((c, acc), (nm, re, ph)) =>
+          val n = size(regexp_extract_all(c, lit(re), lit(0)))
+            .cast("long").as(s"n_$nm")
+          (regexp_replace(c, re, ph), acc :+ n)
+      }
     docs.select(($"doc_id" +: counts :+ md5(redacted).as("redacted_md5")): _*)
   }
 
