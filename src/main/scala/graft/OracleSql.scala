@@ -238,6 +238,22 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_nationkey""".stripMargin,
+    "rel_grouping_sets" ->
+      // twin of Relational.q30GroupingSets — same explicit set list and
+      // GROUPING() markers (cast BIGINT to match Spark's byte→long cast)
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "rel_unpivot" ->
+      // twin of Relational.q31Unpivot — the melt is stated as its UNION
+      // ALL definition (metric name = the pre-unpivot column alias; both
+      // value columns pre-cast to DOUBLE exactly as the Spark side does)
+      """SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'psize' AS metric, CAST(p_size AS DOUBLE) AS val FROM part""".stripMargin,
     "rel_window_frames" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
@@ -333,6 +349,59 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          |FROM $docs""".stripMargin,
+    "text_repetition_score" -> {
+      // twin of TextAnalysis.repetitionScore. The Spark side's sorted
+      // max-run fold == the max multiplicity over distinct bigrams,
+      // which is what the list_filter count computes here.
+      val tk = toks("lower(text)")
+      s"""WITH t AS (SELECT doc_id, $tk AS tk FROM $docs),
+         |b AS (SELECT doc_id, tk,
+         |  CASE WHEN len(tk) >= 2
+         |    THEN list_transform(range(1, len(tk)), j -> concat(tk[j], ' ', tk[j+1]))
+         |    ELSE CAST([] AS VARCHAR[]) END AS bg FROM t),
+         |m AS (SELECT doc_id, tk, bg,
+         |  CASE WHEN len(bg) = 0 THEN 0
+         |    ELSE list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) END AS top_run
+         |  FROM b)
+         |SELECT doc_id,
+         |  round(CASE WHEN len(tk) > 0 THEN 1.0 - len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE ELSE 0.0 END, 6) AS dup_token_frac,
+         |  round(CASE WHEN len(bg) > 0 THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE ELSE 0.0 END, 6) AS dup_bigram_frac,
+         |  round(CASE WHEN len(bg) > 0 THEN top_run::DOUBLE / len(bg)::DOUBLE ELSE 0.0 END, 6) AS top_bigram_frac
+         |FROM m""".stripMargin
+    },
+    "text_pack_sequences" ->
+      // twin of TextAnalysis.packSequences (budget 256): same salted-hash
+      // layout order and first-token fixed-offset binning; the window
+      // order key (hk, doc_id) is unique so RANGE/ROWS framing agrees
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(${toks("lower(text)")}) AS BIGINT) AS n_tok,
+         |  ${h60("concat(CAST(doc_id AS VARCHAR), '#pack')")} AS hk
+         |  FROM $docs),
+         |c AS (SELECT source, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY hk ASC, doc_id ASC) AS cum
+         |  FROM d)
+         |SELECT source, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+         |FROM c GROUP BY source, pack_id""".stripMargin,
+    "text_redact" -> {
+      // twin of TextAnalysis.redact: patterns applied IN ORDER, each
+      // count taken on the text as redacted by the earlier patterns
+      // (the RE2∩Java regex subset — identical matches in both engines);
+      // 'g' flag because Spark's regexp_replace is global by default
+      val reEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val reDig = "[0-9]{4,}"
+      val reTerm = "\\bkey\\b"
+      s"""WITH r1 AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$reEmail')) AS BIGINT) AS n_email,
+         |  regexp_replace(text, '$reEmail', '[EMAIL]', 'g') AS t1 FROM $docs),
+         |r2 AS (SELECT doc_id, n_email,
+         |  CAST(len(regexp_extract_all(t1, '$reDig')) AS BIGINT) AS n_digits,
+         |  regexp_replace(t1, '$reDig', '[NUM]', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, n_email, n_digits,
+         |  CAST(len(regexp_extract_all(t2, '$reTerm')) AS BIGINT) AS n_term,
+         |  regexp_replace(t2, '$reTerm', '[TERM]', 'g') AS t3 FROM r2)
+         |SELECT doc_id, n_email, n_digits, n_term, md5(t3) AS redacted_md5 FROM r3""".stripMargin
+    },
     "text_winnow_sketch" ->
       s"""WITH s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
          |g AS (SELECT doc_id, CASE WHEN length(sk) >= 5
@@ -420,6 +489,23 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  AND epoch_ms(r.ts) < epoch_ms(l.ts)
         |WHERE l.event_type = 'error'
         |GROUP BY 1, 2, 3""".stripMargin,
+    "events_funnel" ->
+      // twin of Events.funnel (view→click→purchase): stage k = users
+      // with a stage-k event at-or-after (>=, simultaneous counts) their
+      // earliest stage-(k-1) completion — stated as the same chain of
+      // filtered min-aggregates
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, min(ms) AS stage_ms FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, min(ev.ms) AS stage_ms FROM ev
+        |  JOIN s1 ON ev.user_id = s1.user_id
+        |  WHERE ev.event_type = 'click' AND ev.ms >= s1.stage_ms GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, min(ev.ms) AS stage_ms FROM ev
+        |  JOIN s2 ON ev.user_id = s2.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.ms >= s2.stage_ms GROUP BY ev.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

@@ -231,10 +231,18 @@ object Events {
     * stage with its user count (stage 1 = users with any first-stage
     * event). */
   def funnel(s: SparkSession, dir: String,
-             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelFrom(
+      Tables.events(s, dir)
+        .select($"user_id", $"event_type", unix_millis($"ts").as("ms")),
+      stages)
+
+  /** Funnel core over any (user_id, event_type, ms) frame — split out so
+    * the ordered-conversion semantics are unit-testable on hand-built
+    * fixtures (a stage event strictly before the prior stage's first
+    * completion must NOT count; a simultaneous one must). */
+  def funnelFrom(ev: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
-    val ev = Tables.events(s, dir)
-      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
     val first = ev.filter($"event_type" === stages.head)
       .groupBy($"user_id").agg(min($"ms").as("stage_ms"))
     val reached: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>

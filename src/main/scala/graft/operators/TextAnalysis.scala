@@ -156,8 +156,12 @@ object TextAnalysis {
     * max-run fold (sort the row's bigrams, count the longest run of
     * equal neighbours) instead of an explode+groupBy — the per-doc
     * aggregation never leaves the row. */
-  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+  def repetitionScore(s: SparkSession, dir: String): DataFrame =
+    repetitionScoreFrom(Tables.documents(s, dir))
+
+  /** Repetition core over any (doc_id, text) frame — unit-testable. */
+  def repetitionScoreFrom(docs: DataFrame): DataFrame = {
+    val base = docs
       .select($"doc_id", wsTokens(lower($"text")).as("tk"))
     // bigrams as a multi-referenced alias (single references get
     // re-inlined and a captured expression re-evaluates per element)
@@ -207,11 +211,16 @@ object TextAnalysis {
     * single-window-pass, and oracle-twinnable, unlike true greedy
     * packing which needs a sequential carry. Output is the per-pack
     * manifest. */
-  def packSequences(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+  def packSequences(s: SparkSession, dir: String, budget: Long = 256L): DataFrame =
+    packSequencesFrom(Tables.documents(s, dir), budget)
+
+  /** Packing core over any (doc_id, source, text) frame — unit-testable
+    * (budget-overrun bound: pack_tokens <= budget + max doc tokens - 1). */
+  def packSequencesFrom(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"hk".asc, $"doc_id".asc)
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", $"source",
         size(wsTokens(lower($"text"))).cast("long").as("n_tok"),
         hash60(concat($"doc_id".cast("string"), lit("#pack"))).as("hk"))
