@@ -494,7 +494,8 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // with a stage-k event at-or-after (>=, simultaneous counts) their
       // earliest stage-(k-1) completion — stated as the same chain of
       // filtered min-aggregates
-      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        |  WHERE user_id IS NOT NULL),
         |s1 AS (SELECT user_id, min(ms) AS stage_ms FROM ev
         |  WHERE event_type = 'view' GROUP BY user_id),
         |s2 AS (SELECT ev.user_id, min(ev.ms) AS stage_ms FROM ev

@@ -243,16 +243,27 @@ object Events {
     * completion must NOT count; a simultaneous one must). */
   def funnelFrom(ev: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
-    val first = ev.filter($"event_type" === stages.head)
+    // null users can never convert (the stage joins drop them); filtering
+    // up front ALSO makes stage 1's aggregate carry the same null-filter
+    // the join branches get, so the subtrees canonicalize equal and reuse
+    val e = ev.filter($"user_id".isNotNull)
+    val first = e.filter($"event_type" === stages.head)
       .groupBy($"user_id").agg(min($"ms").as("stage_ms"))
     val reached: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>
-      ev.filter($"event_type" === stage)
+      e.filter($"event_type" === stage)
         .join(prev.select($"user_id", $"stage_ms".as("prev_ms")), "user_id")
         .filter($"ms" >= $"prev_ms")
         .groupBy($"user_id").agg(min($"ms").as("stage_ms"))
     }
     reached.zipWithIndex.map { case (df, i) =>
-      df.agg(count(lit(1)).as("n_users"))
+      // count(stage_ms), not count(*): stage_ms = min(ms) is non-null per
+      // group so the value is identical, but keeping the column referenced
+      // stops the optimizer pruning min() out of this branch's aggregate —
+      // each stage's shuffle then canonicalizes equal to the SAME stage's
+      // subtree inside the next stage's join and collapses to a
+      // ReusedExchange: k scans for a k-stage funnel instead of 2k-1
+      // (PlanSpec pins it).
+      df.agg(count($"stage_ms").as("n_users"))
         .select(lit(i + 1).cast("long").as("stage"),
           lit(stages(i)).as("event_type"), $"n_users")
     }.reduce(_ union _)

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the round-5 gate additions (funnel, grouping sets,
+  * unpivot, repetition, packing, redaction) plus the error-bound gate for
+  * the one sketch query — fixture-level behavior the sf-level oracle
+  * hash-compare can't isolate.
+  */
+class GateSemanticsSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("funnel: strictly-before events don't convert, simultaneous ones do") {
+    // A: click BEFORE first view -> stops at stage 1
+    // B: click simultaneous with view (>=), purchase after -> full convert
+    // C: no view at all -> never enters the funnel
+    // D: purchase before its first qualifying click -> stops at stage 2
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 5L), (1L, "purchase", 20L),
+      (2L, "view", 10L), (2L, "click", 10L), (2L, "purchase", 15L),
+      (3L, "click", 5L), (3L, "purchase", 6L),
+      (4L, "view", 10L), (4L, "click", 20L), (4L, "purchase", 15L)
+    ).toDF("user_id", "event_type", "ms")
+    val out = Events.funnelFrom(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel: null users never enter any stage") {
+    val ev = Seq(
+      (Some(1L), "view", 10L), (Some(1L), "click", 11L),
+      (None, "view", 1L), (None, "click", 2L)
+    ).toDF("user_id", "event_type", "ms")
+    val out = Events.funnelFrom(ev, Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("grouping sets: GROUPING() markers separate grouped-out from data") {
+    val rows = Relational.q30GroupingSets(spark, Sf).collect()
+    val combos = rows.map(r => (r.getLong(4), r.getLong(5))).toSet
+    assert(combos === Set((0L, 0L), (0L, 1L), (1L, 1L)),
+      s"unexpected marker combos: $combos")
+    // grand total: one row, n == |lineitem|
+    val total = Tables.lineitem(spark, Sf).count()
+    val grand = rows.filter(r => r.getLong(4) == 1L)
+    assert(grand.length === 1 && grand.head.getLong(2) === total)
+    // a marker of 1 == that column grouped out (NULL); 0 == real data value
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === (r.getLong(4) == 1L), s"g_rf marker lies: $r")
+      assert(r.isNullAt(1) === (r.getLong(5) == 1L), s"g_ls marker lies: $r")
+    }
+    // each set partitions the same data: per-set n sums to the total
+    Seq((0L, 0L), (0L, 1L), (1L, 1L)).foreach { c =>
+      val n = rows.filter(r => (r.getLong(4), r.getLong(5)) == c).map(_.getLong(2)).sum
+      assert(n === total, s"set $c sums to $n, not $total")
+    }
+  }
+
+  test("unpivot: one row per (id, metric), values preserved") {
+    val out = Relational.q31Unpivot(spark, Sf)
+    val nParts = Tables.part(spark, Sf).count()
+    assert(out.count() === 2 * nParts)
+    assert(out.select($"metric").distinct().collect().map(_.getString(0)).toSet
+      === Set("retailprice", "psize"))
+    // melt loses nothing: re-pivoting the size metric matches the source
+    val back = out.filter($"metric" === "psize")
+      .select($"p_partkey", $"val".as("p_size"))
+    val src = Tables.part(spark, Sf)
+      .select($"p_partkey", $"p_size".cast("double").as("p_size"))
+    assert(back.exceptAll(src).count() === 0L && src.exceptAll(back).count() === 0L)
+  }
+
+  test("repetition score: exact fractions on hand-built texts") {
+    val docs = Seq(
+      (1L, "a a a a"),         // 4 tokens 1 distinct; bigrams: "a a" x3
+      (2L, "a b a b a"),       // 5 tok 2 distinct; bg: ab,ba,ab,ba -> 4, 2 distinct, top 2
+      (3L, "x y z"),           // all unique; bg xy,yz -> top run 1
+      (4L, "solo"),            // 1 token -> no bigrams, zero fracs
+      (5L, "")                 // empty -> all zero
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScoreFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((0.75, 0.666667, 1.0))) // 1 - 1/3, rounded to 6dp
+    assert(out(2L) === ((0.6, 0.5, 0.5)))
+    assert(out(3L) === ((0.0, 0.0, 0.5)))
+    assert(out(4L) === ((0.0, 0.0, 0.0)))
+    assert(out(5L) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("sequence packing: totals preserved, overrun bounded by one doc") {
+    val budget = 256L
+    val packs = TextAnalysis.packSequences(spark, Sf, budget).collect()
+    val docs = Tables.documents(spark, Sf)
+      .select(size(graft.functions.EngineNeutral.wsTokens(lower($"text")))
+        .cast("long").as("n_tok"))
+    val totalTok = docs.agg(sum($"n_tok")).collect()(0).getLong(0)
+    val maxDoc = docs.agg(max($"n_tok")).collect()(0).getLong(0)
+    assert(packs.map(_.getLong(3)).sum === totalTok, "tokens lost in packing")
+    assert(packs.map(_.getLong(2)).sum === Tables.documents(spark, Sf).count())
+    // first-token binning: a pack holds docs whose first token lands in its
+    // budget window, so it can run over by at most one doc's tail
+    val worst = packs.map(_.getLong(3)).max
+    assert(worst <= budget + maxDoc - 1,
+      s"pack_tokens $worst exceeds budget+maxdoc-1 = ${budget + maxDoc - 1}")
+  }
+
+  test("redaction: sequential counts don't double-count consumed matches") {
+    val docs = Seq(
+      (1L, "reach bob123456@mail.example.com or 77778888"),
+      (2L, "the key is 1234 keys"),
+      (3L, "clean text")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactFrom(docs, Seq(
+        ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        ("digits", "[0-9]{4,}", "[NUM]"),
+        ("term", "\\bkey\\b", "[TERM]")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1: the digits inside the email are consumed by [EMAIL] first —
+    // only the standalone run counts (the round-6 audit-trail fix)
+    assert(out(1L) === ((1L, 1L, 0L, md5hex("reach [EMAIL] or [NUM]"))))
+    // doc 2: \bkey\b matches "key" but not "keys"
+    assert(out(2L) === ((0L, 1L, 1L, md5hex("the [TERM] is [NUM] keys"))))
+    assert(out(3L) === ((0L, 0L, 0L, md5hex("clean text"))))
+  }
+
+  test("approx distinct: HLL estimate within 3x the configured rsd") {
+    val approx = Relational.q23ApproxDistinct(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, Sf)
+      .groupBy($"o_orderstatus").agg(count_distinct($"o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.03, s"status $k: estimate ${approx(k)} vs exact $n (err $err)")
+    }
+  }
+}

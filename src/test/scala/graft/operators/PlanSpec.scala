@@ -181,6 +181,19 @@ class PlanSpec extends SparkSpec {
       "self-join sides did not reuse the shingle-index exchange")
   }
 
+  test("funnel computes each stage exactly once: k scans, k-1 reused stages") {
+    val df = Events.funnel(spark, Sf) // 3 stages
+    df.collect() // finalize AQE so stage reuse is decided
+    // final-plan section only: the "== Initial Plan ==" tail repeats nodes
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // one events scan per stage — branch k's count rides the SAME subtree
+    // stage k+1 joins against (count(stage_ms) keeps min() un-pruned so
+    // the subtrees canonicalize equal)
+    assert("FileScan".r.findAllIn(p).size === 3, s"stage recomputed:\n$p")
+    assert("ReusedExchange".r.findAllIn(p).size === 2,
+      s"stage exchanges not reused:\n$p")
+  }
+
   test("salted agg and join keep broadcastable plans and partial aggregation") {
     val agg = Relational.q28SaltedAgg(spark, Sf)
     val p = plan(agg)
