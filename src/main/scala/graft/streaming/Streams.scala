@@ -18,6 +18,17 @@ final case class SessionState(startMs: Long, lastMs: Long, nEvents: Long)
 final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
                             n_events: Long)
 
+/** Per-user funnel progress carried across micro-batches: the first
+  * completion timestamp of each stage reached so far (a k-element
+  * prefix — bounded at k longs per user regardless of event volume),
+  * plus the user's last activity for idle eviction. */
+final case class FunnelState(stageMs: List[Long], lastMs: Long)
+
+/** One stage completion: user `user_id` first reached stage `stage`
+  * (1-based, type `event_type`) at `stage_ms`. */
+final case class StageHit(user_id: Long, stage: Int, event_type: String,
+                          stage_ms: Long)
+
 /** Structured Streaming twins of the batch operators in
   * graft.operators.Events — same aggregation logic, driven by
   * `readStream` instead of `read`. The batch forms remain the
@@ -73,6 +84,70 @@ object Streams {
     * In-batch out-of-order arrivals are sorted before folding;
     * cross-batch ordering is handled the streaming-native way — by the
     * watermark delay admitting stragglers before the timeout fires. */
+  /** Streaming twin of the batch funnel (graft.operators.Events.funnel):
+    * ordered conversion through `stages`, stage k counting only events
+    * at-or-after the user's stage-(k-1) first completion (`>=` —
+    * simultaneous events count, matching the batch/oracle semantics).
+    * Emits one [[StageHit]] the moment a user first reaches each stage;
+    * the batch funnel's per-stage user counts are a downstream
+    * `groupBy(stage).agg(count_distinct(user_id))` over the hits
+    * (StreamingSpec asserts the equality against the batch oracle).
+    *
+    * State at 100 TB: k longs per user — NOT per event — and only for
+    * users active within `idleTimeoutMs`: an event-time timeout drops a
+    * user once the watermark passes their last activity plus the idle
+    * window (the funnel's attribution window), so state is O(active
+    * users), immune to user churn. Fully-converted users keep their
+    * (inert) state until the same timeout so a late straggler cannot
+    * restart their funnel and double-count stage 1.
+    *
+    * Ordering contract mirrors [[sessionize]]: in-batch arrivals are
+    * sorted by event time before folding; cross-batch stragglers are
+    * handled by the watermark delay. Under that contract each emitted
+    * hit is final (a first-completion can only move earlier via an event
+    * that the fold has not yet passed), so append mode is sound. */
+  def funnel(events: Dataset[Event],
+             stages: Seq[String] = Seq("view", "click", "purchase"),
+             idleTimeoutMs: Long = 7L * 24 * 3600 * 1000): Dataset[StageHit] = {
+    require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // attribution window closed: all reachable hits were already
+            // emitted incrementally — just forget the user
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(FunnelState(Nil, Long.MinValue))
+            var hits = List.empty[StageHit]
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              val depth = st.stageMs.size
+              val advances = depth < stages.size &&
+                e.event_type == stages(depth) &&
+                (depth == 0 || ms >= st.stageMs.head)
+              st =
+                if (advances) {
+                  hits ::= StageHit(uid, depth + 1, stages(depth), ms)
+                  // stageMs is kept newest-first so the `>=` guard reads
+                  // the prior stage's completion at the head, O(1)
+                  FunnelState(ms :: st.stageMs, math.max(st.lastMs, ms))
+                } else st.copy(lastMs = math.max(st.lastMs, ms))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
+            hits.reverseIterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

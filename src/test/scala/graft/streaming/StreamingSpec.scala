@@ -167,6 +167,66 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel rolls up to the batch funnel counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents() // event-time order, the documented contract
+    val stream = MemoryStream[Event]
+    val query = Streams.funnel(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-fn-${System.nanoTime()}")
+      .start()
+    try {
+      val third = events.size / 3
+      Seq(events.take(third), events.slice(third, 2 * third), events.drop(2 * third))
+        .foreach { b => stream.addData(b); query.processAllAvailable() }
+      val streamed = spark.table("funnel_stream")
+        .groupBy($"stage".cast("long").as("stage"), $"event_type")
+        .agg(count_distinct($"user_id").as("n_users"))
+      val batch = Events.funnel(spark, Sf)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // append-mode hits are final: no (user, stage) ever emitted twice
+      val dupHits = spark.table("funnel_stream")
+        .groupBy("user_id", "stage").count().filter($"count" > 1).count()
+      assert(dupHits === 0L, "a stage completion was emitted more than once")
+    } finally query.stop()
+  }
+
+  test("funnel state is EVICTED after the idle attribution window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, ms: Long, tpe: String) =
+      Event(id, new java.sql.Timestamp(ms), user, tpe, 1.0)
+    val stream = MemoryStream[Event]
+    val query = Streams.funnel(stream.toDS(), idleTimeoutMs = 1800000L)
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-fe-${System.nanoTime()}")
+      .start()
+    try {
+      // user 1 converts fully; user 2 stalls at stage 1; then only user 3
+      // far enough ahead that the watermark (1h) passes both users'
+      // last activity + 30min idle window
+      stream.addData(Seq(
+        ev(1, 1L, t0, "view"), ev(2, 1L, t0 + 1000, "click"),
+        ev(3, 1L, t0 + 2000, "purchase"), ev(4, 2L, t0 + 3000, "view")))
+      query.processAllAvailable()
+      stream.addData(Seq(ev(5, 3L, t0 + 4 * 3600 * 1000L, "view")))
+      query.processAllAvailable() // watermark advances after this batch
+      stream.addData(Seq(ev(6, 3L, t0 + 5 * 3600 * 1000L, "click")))
+      query.processAllAvailable() // timeouts fire: users 1 and 2 removed
+      val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows === 1L,
+        s"expected only user 3 in state, got $stateRows rows")
+      // every hit was emitted before eviction
+      val hits = spark.table("funnel_evict")
+        .select($"user_id", $"stage").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(hits === Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1), (3L, 2)))
+    } finally query.stop()
+  }
+
   test("sessionize state is EVICTED once the watermark passes the gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
