@@ -18,6 +18,11 @@ final case class SessionState(startMs: Long, lastMs: Long, nEvents: Long)
 final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
                             n_events: Long)
 
+/** One corpus document on the streaming ingestion seam: content plus the
+  * PROCESSING-time stamp the source attached on arrival (the watermark
+  * column for ingestion-window dedup — documents carry no event time). */
+final case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
+
 /** Per-user funnel progress carried across micro-batches: the first
   * completion timestamp of each stage reached so far (a k-element
   * prefix — bounded at k longs per user regardless of event volume),
@@ -84,6 +89,28 @@ object Streams {
     * In-batch out-of-order arrivals are sorted before folding;
     * cross-batch ordering is handled the streaming-native way — by the
     * watermark delay admitting stragglers before the timeout fires. */
+  /** Streaming twin of exact dedup (graft.operators.Dedup.exact) — the
+    * corpus-ingestion seam: an at-least-once upstream (re-delivered
+    * files, replayed partitions, near-simultaneous crawls of the same
+    * page) becomes exactly-one-document-per-content downstream. The key
+    * is the SAME normalized content fingerprint the batch op groups on,
+    * so the streamed keep-set has exactly one survivor per batch
+    * fingerprint group.
+    *
+    * Keep semantics differ from batch by design and are part of the
+    * contract: batch keeps min(doc_id) (deterministic over a complete
+    * corpus); a stream cannot wait for the global minimum, so it keeps
+    * the FIRST ARRIVAL and drops later copies. State at 100 TB:
+    * `dropDuplicatesWithinWatermark` holds one row per distinct
+    * fingerprint seen within the watermark window and evicts it as the
+    * watermark passes — O(distinct content per window), not O(stream
+    * history), the property that makes ingestion dedup runnable forever. */
+  def dedupByFingerprint(docs: Dataset[Doc], delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")))
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming twin of the batch funnel (graft.operators.Events.funnel):
     * ordered conversion through `stages`, stage k counting only events
     * at-or-after the user's stage-(k-1) first completion (`>=` —

@@ -167,6 +167,64 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps one survivor per batch fingerprint group") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    val texts = Tables.documents(spark, Sf)
+      .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[Doc]
+    val query = Streams.dedupByFingerprint(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-dd-${System.nanoTime()}")
+      .start()
+    try {
+      // every doc delivered TWICE (at-least-once upstream), split so the
+      // re-deliveries land in a later micro-batch — state must carry
+      val once = texts.map { case (id, tx) => Doc(id, tx, new java.sql.Timestamp(t0)) }
+      val again = texts.map { case (id, tx) =>
+        Doc(id + 1000000L, tx, new java.sql.Timestamp(t0 + 60000L)) }
+      stream.addData(once.toSeq); query.processAllAvailable()
+      stream.addData(again.toSeq); query.processAllAvailable()
+      val streamed = spark.table("dedup_stream")
+      // one survivor per distinct fingerprint, same fingerprint set as batch
+      assert(streamed.groupBy("fp").count().filter($"count" > 1).count() === 0L)
+      val batchFps = graft.operators.Dedup.exact(spark, Sf)
+        .select("fp").collect().map(_.getString(0)).toSet
+      val streamFps = streamed.select("fp").collect().map(_.getString(0)).toSet
+      assert(streamFps === batchFps)
+      // first arrival kept: every survivor is from the original delivery
+      assert(streamed.filter($"doc_id" >= 1000000L).count() === 0L)
+    } finally query.stop()
+  }
+
+  test("streaming dedup state is EVICTED once the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    val stream = MemoryStream[Doc]
+    val query = Streams.dedupByFingerprint(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-de-${System.nanoTime()}")
+      .start()
+    try {
+      stream.addData(Seq(
+        Doc(1L, "some page", new java.sql.Timestamp(t0)),
+        Doc(2L, "other page", new java.sql.Timestamp(t0))))
+      query.processAllAvailable()
+      // 3h later: watermark (1h delay) passes t0 + window, old fps evict
+      stream.addData(Seq(Doc(3L, "third page", new java.sql.Timestamp(t0 + 3 * 3600 * 1000L))))
+      query.processAllAvailable()
+      stream.addData(Seq(Doc(4L, "fourth page", new java.sql.Timestamp(t0 + 3 * 3600 * 1000L + 1000))))
+      query.processAllAvailable()
+      val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 2L,
+        s"expired fingerprints not evicted: $stateRows state rows")
+    } finally query.stop()
+  }
+
   test("streaming funnel rolls up to the batch funnel counts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
