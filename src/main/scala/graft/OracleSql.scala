@@ -81,6 +81,24 @@ private[graft] final class OracleSqlGen(sfDir: String) {
   private val docs = s"read_parquet('$sfDir/documents.parquet')"
   private val embs = s"read_parquet('$sfDir/embeddings.parquet')"
 
+  /** Embedding count for this sf dir, from the parquet footer (no Spark
+    * session needed) — the banded-SRP twin must mirror the Spark side's
+    * corpus-size-dependent [[graft.operators.Similarity.autoBitsPerBand]]
+    * at EVERY scale, not just the sf0.01 gate where the clamp happens to
+    * land on 4. Falls back to the gate size if the file is unreadable
+    * (e.g. oracle SQL rendered off-box). */
+  private val embCount: Long = scala.util.Try {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet"),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }.getOrElse(500L)
+
+  /** Twin of the auto-sized band width srpNearDupPairs resolves at run
+    * time (one count() job there, one footer read here). */
+  private val srpBits: Int = graft.operators.Similarity.autoBitsPerBand(embCount)
+
   /** Root graft.sources.Layout materializes for this sf dir (its default
     * root) — derived with the same baseOf logic, never a pinned literal. */
   private val layoutBase =
@@ -679,7 +697,7 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     },
     "sim_srp_neardup_pairs" -> {
       val bandSelects = (0 until 4).map { b =>
-        s"SELECT vec_id, CAST($b AS BIGINT) AS band_id, ${srpBand("v", b * 4, 4)} AS band_val FROM e"
+        s"SELECT vec_id, CAST($b AS BIGINT) AS band_id, ${srpBand("v", b * srpBits, srpBits)} AS band_val FROM e"
       }.mkString("\n  UNION ALL ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
          |bands AS ($bandSelects),

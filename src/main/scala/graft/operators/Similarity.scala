@@ -153,7 +153,8 @@ object Similarity {
     * borderline pairs (the standard LSH recall knob — raise nBands to
     * compensate at low thresholds; near-exact duplicates keep ~p^bits
     * with p close to 1, so recall for true dups stays high). The DuckDB
-    * twin pins 4x4 — the auto choice at the sf0.01 gate size. */
+    * twin mirrors the auto sizing at every scale (OracleSqlGen reads the
+    * corpus size from the parquet footer and applies the same clamp). */
   def srpNearDupPairs(s: SparkSession, dir: String, threshold: Double = 0.4,
                       nBands: Int = 4, bitsPerBand: Int = 0): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -163,7 +164,7 @@ object Similarity {
 
   /** Band width keeping mean bucket population ~AutoTargetBucketRows:
     * clamp(4..14, ceil(log2(n / target))). */
-  private[operators] def autoBitsPerBand(n: Long): Int = {
+  private[graft] def autoBitsPerBand(n: Long): Int = {
     val raw = math.ceil(
       math.log(math.max(1.0, n.toDouble / AutoTargetBucketRows)) / math.log(2.0)).toInt
     math.min(14, math.max(4, raw))
