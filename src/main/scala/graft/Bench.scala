@@ -39,6 +39,7 @@ object Bench {
     "events_sessionize",
     "events_hourly_agg",
     "events_asof_join",
+    "events_funnel", // added r7 with the per-stage exchange-reuse plan
     "sim_brute_force_topk",
     "sim_topk_agg",
     "sim_ivf_topk",
