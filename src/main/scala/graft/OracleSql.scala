@@ -420,6 +420,23 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  regexp_replace(t2, '$reTerm', '[TERM]', 'g') AS t3 FROM r2)
          |SELECT doc_id, n_email, n_digits, n_term, md5(t3) AS redacted_md5 FROM r3""".stripMargin
     },
+    "text_decontaminate" -> {
+      // twin of TextAnalysis.decontaminate (w=3, eval source src19):
+      // distinct hashed word 3-shingles per doc; corpus docs joined to
+      // the distinct eval shingle set, counted per doc
+      val tk = toks("lower(text)")
+      s"""WITH t AS (SELECT doc_id, source, $tk AS tk FROM $docs),
+         |g AS (SELECT doc_id, source, list_distinct(list_transform(
+         |  CASE WHEN len(tk) >= 3
+         |    THEN list_transform(range(1, len(tk) - 1), j -> concat_ws(' ', tk[j], tk[j+1], tk[j+2]))
+         |    ELSE CAST([] AS VARCHAR[]) END,
+         |  x -> ${h60("x")})) AS gh FROM t),
+         |eg AS (SELECT DISTINCT unnest(gh) AS g FROM g WHERE source = 'src19'),
+         |cg AS (SELECT doc_id, unnest(gh) AS g FROM g WHERE source <> 'src19')
+         |SELECT doc_id, count(*) AS n_shared_grams
+         |FROM cg JOIN eg USING (g)
+         |GROUP BY doc_id""".stripMargin
+    },
     "text_winnow_sketch" ->
       s"""WITH s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
          |g AS (SELECT doc_id, CASE WHEN length(sk) >= 5

@@ -70,6 +70,7 @@ object SparkEntry {
     "text_repetition_score" -> (TextAnalysis.repetitionScore _),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_redact" -> (TextAnalysis.redact _),
+    "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "rel_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: sketch
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
     // events (batch time-series)

@@ -265,6 +265,43 @@ object TextAnalysis {
       ("digits", "[0-9]{4,}", "[NUM]"),
       ("term", "\\bkey\\b", "[TERM]")))
 
+  /** DECONTAMINATION — the eval-overlap check a training corpus needs
+    * before any benchmark on it can be trusted: flag corpus documents
+    * sharing at least one word w-shingle with a held-out evaluation set,
+    * with the count of distinct shared shingles as the evidence trail
+    * (the n-gram-overlap rule of Brown et al. 2020 §C / GPT-3's 13-gram
+    * filter, parameterized).
+    *
+    * Shape at 100 TB: the eval side (benchmarks — thousands of docs, not
+    * billions) collapses to a distinct set of shingle hashes and
+    * BROADCASTS; the corpus side is one scan-speed explode probing the
+    * broadcast map, so the only shuffle is the final per-doc count over
+    * the (rare) matching rows. If an eval set ever outgrows the
+    * broadcast budget, dropping the hint degrades it to a shuffle join
+    * with identical results. */
+  def decontaminate(s: SparkSession, dir: String,
+                    evalSource: String = "src19", w: Int = 3): DataFrame = {
+    val d = Tables.documents(s, dir)
+    decontaminateFrom(
+      d.filter($"source" =!= evalSource),
+      d.filter($"source" === evalSource), w)
+  }
+
+  /** Core over any corpus/eval (doc_id, text) frames — unit-testable. */
+  def decontaminateFrom(corpus: DataFrame, evalSet: DataFrame, w: Int): DataFrame = {
+    def gramHashes(t: Column): Column =
+      array_distinct(transform(wordShingles(lower(t), w), g => hash60(g)))
+    val evalGrams = evalSet
+      .select(explode(gramHashes($"text")).as("g")).distinct()
+    corpus
+      .select($"doc_id", explode(gramHashes($"text")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy($"doc_id")
+      // per-doc grams are already distinct (array_distinct above), so a
+      // plain count IS the distinct shared-shingle count
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Document fingerprint: md5 over the lowercased alphanumeric skeleton
     * (whitespace/punct-insensitive content identity — the key for exact
     * dedup after normalization). */

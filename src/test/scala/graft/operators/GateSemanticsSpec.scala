@@ -134,6 +134,26 @@ class GateSemanticsSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, 0L, md5hex("clean text"))))
   }
 
+  test("decontamination: shared shingles counted once, clean docs absent") {
+    val corpus = Seq(
+      (1L, "a b c d e"),     // shares "b c d" and "c d e" with eval
+      (2L, "q r s t"),       // clean
+      (3L, "b c d b c d")    // "b c d" twice in-doc -> still counts once
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((10L, "z b c d w c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateFrom(corpus, evalSet, w = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("decontamination plan broadcasts the eval shingle set") {
+    val df = TextAnalysis.decontaminate(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side not broadcast:\n$p")
+  }
+
   test("approx distinct: HLL estimate within 3x the configured rsd") {
     val approx = Relational.q23ApproxDistinct(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
