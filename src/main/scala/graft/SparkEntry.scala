@@ -9,6 +9,9 @@ import graft.imdb.{Pipeline, Queries => Imdb}
   * Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
   * extensions) is registered here, and every entry has a DuckDB twin in
   * [[OracleSql]] — the pair is what the driver's correctness gate runs.
+  * Sole exception: `rel_approx_distinct` (HLL estimates are
+  * engine-specific, so no cross-engine hash can match); it is gated by
+  * the 3x-rsd error-bound spec in GateSemanticsSpec instead.
   * Column names and types are part of the contract (the driver compares
   * by sorted column name): builders alias every computed column and the
   * SQL twins use the same aliases.
