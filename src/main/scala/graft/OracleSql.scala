@@ -542,6 +542,19 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+    "events_cohort_retention" ->
+      // twin of Events.cohortRetention (weekly periods): first-activity
+      // period per user = the cohort; distinct active users per
+      // (cohort, offset). Same floor-division (exact for |ms|/period
+      // << 2^52), same null-user filter as the Spark side
+      """WITH ev AS (SELECT user_id,
+        |    CAST(floor(epoch_ms(ts) / 604800000.0) AS BIGINT) AS p
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY user_id)
+        |SELECT f.cohort, ev.p - f.cohort AS offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

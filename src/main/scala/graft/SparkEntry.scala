@@ -89,6 +89,7 @@ object SparkEntry {
       Events.asofEnriched(s, d, direction = "forward")),
     "events_range_join" -> ((s, d) => Events.rangeJoinPriorCounts(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "events_cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),

@@ -269,6 +269,35 @@ object Events {
     }.reduce(_ union _)
   }
 
+  /** COHORT RETENTION — the other standard conversion analytic next to
+    * [[funnel]]: users grouped by the period of their FIRST activity
+    * (the cohort), then each cohort's distinct active users counted at
+    * every later period offset (offset 0 = the cohort's own size, the
+    * retention denominator).
+    *
+    * Shape at 100 TB: one aggregate keyed on user_id (first activity),
+    * one shuffle join back on the SAME key (the activity rows ride the
+    * partitioning), one distinct-count keyed on (cohort, offset) whose
+    * output is tiny (periods x offsets). Per-user state is one long —
+    * never per-event. */
+  def cohortRetention(s: SparkSession, dir: String,
+                      periodMs: Long = 7L * 86400000L): DataFrame = {
+    require(periodMs > 0, s"period must be positive, got $periodMs")
+    cohortRetentionFrom(
+      Tables.events(s, dir)
+        .filter($"user_id".isNotNull)
+        .select($"user_id",
+          floor(unix_millis($"ts") / lit(periodMs.toDouble)).cast("long").as("p")))
+  }
+
+  /** Retention core over any (user_id, p) frame — unit-testable. */
+  def cohortRetentionFrom(ev: DataFrame): DataFrame = {
+    val first = ev.groupBy($"user_id").agg(min($"p").as("cohort"))
+    ev.join(first, "user_id")
+      .groupBy($"cohort", ($"p" - $"cohort").as("offset"))
+      .agg(count_distinct($"user_id").as("n_users"))
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object). */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -154,6 +154,33 @@ class GateSemanticsSpec extends SparkSpec {
       s"eval side not broadcast:\n$p")
   }
 
+  test("cohort retention: exact counts on a hand-built activity matrix") {
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, 3L), // A: cohort 0, back at +1 and +3
+      (2L, 0L),                     // B: cohort 0, never returns
+      (3L, 1L), (3L, 2L)            // C: cohort 1, back at +1
+    ).toDF("user_id", "p")
+    val out = Events.cohortRetentionFrom(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
+  test("cohort retention invariants on the harness events") {
+    val rows = Events.cohortRetention(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "activity before a user's own cohort")
+    // no later offset can retain more users than the cohort had at entry
+    val size0 = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    rows.foreach { case (c, _, n) => assert(n <= size0(c), s"cohort $c") }
+    // cohort entry sizes partition the distinct-user population
+    val nUsers = Tables.events(spark, Sf)
+      .filter($"user_id".isNotNull).select("user_id").distinct().count()
+    assert(size0.values.sum === nUsers)
+  }
+
   test("approx distinct: HLL estimate within 3x the configured rsd") {
     val approx = Relational.q23ApproxDistinct(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
