@@ -275,11 +275,11 @@ object Events {
     * every later period offset (offset 0 = the cohort's own size, the
     * retention denominator).
     *
-    * Shape at 100 TB: one aggregate keyed on user_id (first activity),
-    * one shuffle join back on the SAME key (the activity rows ride the
-    * partitioning), one distinct-count keyed on (cohort, offset) whose
-    * output is tiny (periods x offsets). Per-user state is one long —
-    * never per-event. */
+    * Shape at 100 TB: the cohort is a min() window over the user_id
+    * partition — ONE scan and one exchange (an aggregate-then-join-back
+    * would scan events twice), then a distinct-count keyed on
+    * (cohort, offset) whose output is tiny (periods x offsets).
+    * Per-user window state is one long — never per-event. */
   def cohortRetention(s: SparkSession, dir: String,
                       periodMs: Long = 7L * 86400000L): DataFrame = {
     require(periodMs > 0, s"period must be positive, got $periodMs")
@@ -292,8 +292,8 @@ object Events {
 
   /** Retention core over any (user_id, p) frame — unit-testable. */
   def cohortRetentionFrom(ev: DataFrame): DataFrame = {
-    val first = ev.groupBy($"user_id").agg(min($"p").as("cohort"))
-    ev.join(first, "user_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    ev.withColumn("cohort", min($"p").over(w))
       .groupBy($"cohort", ($"p" - $"cohort").as("offset"))
       .agg(count_distinct($"user_id").as("n_users"))
   }

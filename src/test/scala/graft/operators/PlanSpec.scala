@@ -194,6 +194,14 @@ class PlanSpec extends SparkSpec {
       s"stage exchanges not reused:\n$p")
   }
 
+  test("cohort retention scans events once (window min, no self-join)") {
+    val df = Events.cohortRetention(spark, Sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(p).size === 1, s"events scanned twice:\n$p")
+    assert(!p.contains("Join"), s"self-join crept back in:\n$p")
+  }
+
   test("salted agg and join keep broadcastable plans and partial aggregation") {
     val agg = Relational.q28SaltedAgg(spark, Sf)
     val p = plan(agg)
