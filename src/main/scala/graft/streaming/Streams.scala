@@ -34,6 +34,14 @@ final case class FunnelState(stageMs: List[Long], lastMs: Long)
 final case class StageHit(user_id: Long, stage: Int, event_type: String,
                           stage_ms: Long)
 
+/** Per-user retention tracker: first-activity period (the cohort) plus a
+  * bitmask of period offsets already emitted — two longs per user, the
+  * whole state. */
+final case class RetentionState(firstP: Long, seenMask: Long, lastMs: Long)
+
+/** First activity of `user_id` at `offset` periods after their cohort. */
+final case class RetentionHit(user_id: Long, cohort: Long, offset: Int)
+
 /** Structured Streaming twins of the batch operators in
   * graft.operators.Events — same aggregation logic, driven by
   * `readStream` instead of `read`. The batch forms remain the
@@ -166,6 +174,66 @@ object Streams {
                   // the prior stage's completion at the head, O(1)
                   FunnelState(ms :: st.stageMs, math.max(st.lastMs, ms))
                 } else st.copy(lastMs = math.max(st.lastMs, ms))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
+            hits.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming twin of batch cohort retention
+    * (graft.operators.Events.cohortRetention): emits one [[RetentionHit]]
+    * the FIRST time a user is active at each period offset after their
+    * cohort (their first-seen period); the batch query's (cohort,
+    * offset, n_users) rows are a downstream
+    * `groupBy(cohort, offset).agg(count_distinct(user_id))` over the
+    * hits (StreamingSpec asserts the equality).
+    *
+    * State at 100 TB: TWO longs per user (first period + an
+    * emitted-offset bitmask, hence `maxOffset` <= 63) — never per-event,
+    * never per-period-list. An event-time timeout drops users idle past
+    * `idleTimeoutMs` (set it to the retention horizon: a user outside
+    * the reporting window contributes no further rows). Ordering
+    * contract as [[funnel]]/[[sessionize]]: in-batch sorts, watermark
+    * handles cross-batch stragglers — under it a user's cohort is fixed
+    * by their first processed event, so every hit is final and append
+    * mode is sound. */
+  def cohortRetention(events: Dataset[Event],
+                      periodMs: Long = 7L * 86400000L,
+                      maxOffset: Int = 63,
+                      idleTimeoutMs: Long = 30L * 86400000L): Dataset[RetentionHit] = {
+    require(periodMs > 0, s"period must be positive, got $periodMs")
+    require(maxOffset >= 0 && maxOffset <= 63,
+      s"maxOffset must fit the state bitmask (0..63), got $maxOffset")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var hits = List.empty[RetentionHit]
+            var st = state.getOption.orNull
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              val p = math.floorDiv(ms, periodMs)
+              if (st == null) {
+                st = RetentionState(p, 1L, ms)
+                hits ::= RetentionHit(uid, p, 0)
+              } else {
+                val off = p - st.firstP
+                val newMask =
+                  if (off >= 0 && off <= maxOffset && (st.seenMask & (1L << off)) == 0L) {
+                    hits ::= RetentionHit(uid, st.firstP, off.toInt)
+                    st.seenMask | (1L << off)
+                  } else st.seenMask
+                st = RetentionState(st.firstP, newMask, math.max(st.lastMs, ms))
+              }
             }
             state.update(st)
             state.setTimeoutTimestamp(

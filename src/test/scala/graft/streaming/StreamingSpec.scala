@@ -251,6 +251,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming cohort retention rolls up to the batch retention") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val query = Streams.cohortRetention(stream.toDS())
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-cr-${System.nanoTime()}")
+      .start()
+    try {
+      val third = events.size / 3
+      Seq(events.take(third), events.slice(third, 2 * third), events.drop(2 * third))
+        .foreach { b => stream.addData(b); query.processAllAvailable() }
+      val streamed = spark.table("retention_stream")
+        .groupBy($"cohort", $"offset".cast("long").as("offset"))
+        .agg(count_distinct($"user_id").as("n_users"))
+      val batch = Events.cohortRetention(spark, Sf)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // hits are first-time-only: no (user, cohort, offset) emitted twice
+      val dups = spark.table("retention_stream")
+        .groupBy("user_id", "cohort", "offset").count().filter($"count" > 1).count()
+      assert(dups === 0L)
+    } finally query.stop()
+  }
+
   test("funnel state is EVICTED after the idle attribution window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
