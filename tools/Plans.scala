@@ -1,0 +1,51 @@
+package devcheck
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import java.nio.file.{Files, Paths}
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false")
+      .config("spark.sql.session.timeZone","UTC").config("spark.sql.legacy.parquet.nanosAsLong","true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val queries = Seq(
+      "rel_filter_project" -> "pushdown + pruning: PushedFilters + 3-column ReadSchema at the scan",
+      "rel_topk" -> "top-k: TakeOrderedAndProject, no global sort",
+      "rel_star_join_revenue" -> "star join: one big-big shuffle (lineitem x orders), dims broadcast",
+      "rel_pricing_summary" -> "wide agg: partial HashAggregate before the single exchange",
+      "rel_window_top_per_key" -> "rank filter: WindowGroupLimit pushes the k<=3 cut below the sort",
+      "dedup_minhash_lsh_pairs" -> "LSH: band-key join, leftmost-band dedup (no distinct), broadcast verify joins",
+      "sim_brute_force_topk" -> "two-phase rank: window over (q_id, bkt) then tiny final window over q_id",
+      "events_sessionize" -> "one exchange+sort on user_id shared by lag window and final aggregate",
+      "sim_ivf_topk" -> "IVF: SRP bucket equi-join with broadcast multi-probe query side; graft_srp_band kernel (precomputed hyperplanes, no per-row hashing)",
+      "events_partitioned_daily" -> "partition pruning: PartitionFilters on event_date, 7 of 30 day directories scanned",
+      "corpus_jsonl_dedup" -> "partitioned JSONL ingestion: source partition pruning (3 of 20), explicit schema, fingerprint groupBy",
+      "sim_topk_agg" -> "bounded-heap aggregate: partial_graft_topk map-side combine, single exchange of k-row heaps",
+      "events_asof_join" -> "as-of join: union-and-carry, one exchange on user_id",
+      "rel_bucketed_join_revenue" -> "bucketed co-located SMJ: zero exchanges before the join, Bucketed: true scans",
+      "events_cohort_retention" -> "cohort retention: ONE events scan, window min on user_id, tiny (cohort, offset) rollup",
+      "text_decontaminate" -> "decontamination: eval shingle set broadcast (BroadcastHashJoin), corpus scan-speed probe")
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
+    sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
+    sb.append("(plan SHAPE is scale-invariant; AQE may further coalesce at runtime).\n")
+    sb.append("Regenerate: see tools/ (devcheck.Plans in the verify-skill dev loop).\n")
+    for ((name, note) <- queries) {
+      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      sb.append(s"\n## $name\n\n$note\n\n```\n")
+      sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).take(6000))
+      sb.append("\n```\n")
+    }
+    // funnel: FormattedMode cannot show AQE stage reuse, so record the
+    // post-execution plan (final section only)
+    val fdf = graft.SparkEntry.queries("events_funnel")(spark, "/root/testdata/sf0.001")
+    fdf.collect()
+    val fplan = fdf.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0).trim
+    sb.append("\n## events_funnel\n\neach stage computed EXACTLY once: branch k's count rides the same\nsubtree stage k+1 joins against (count(stage_ms) keeps min() un-pruned\nso the subtrees canonicalize equal); 3 FileScans for 3 stages, 2\nReusedExchanges (executed AQE plan — FormattedMode can't show stage\nreuse, so this section records the post-execution plan)\n\n```\n")
+    sb.append(fplan)
+    sb.append("\n```\n")
+    Files.writeString(Paths.get("/root/repo/docs/PLANS.md"), sb.toString)
+    println("WROTE docs/PLANS.md chars=" + sb.length)
+    spark.stop()
+  }
+}
