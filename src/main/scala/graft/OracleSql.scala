@@ -309,6 +309,27 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round($lenScore * 0.4 + (1.0 - $punct) * 0.3 + $stop * 0.3, 6) AS quality
          |FROM $docs""".stripMargin
     },
+    "text_quality_filter" -> {
+      // twin of TextAnalysis.qualityFilterFrom: same composite-quality
+      // formula, per-source exact median stated as quantile_cont(0.5) —
+      // the Spark side's middle-two-average IS continuous-quantile
+      // interpolation at 0.5, so the rounded doubles hash-match
+      val nTok = s"len(${toks("lower(text)")})::DOUBLE"
+      val alnum = s"length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
+      val punct = s"((length(text)::DOUBLE - $alnum) / length(text)::DOUBLE)"
+      val enHits =
+        s"len(list_filter(${toks("lower(text)")}, t -> t IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE"
+      val stop = s"(CASE WHEN $nTok > 0 THEN $enHits / $nTok ELSE 0.0 END)"
+      val lenScore = s"least($nTok / 64.0, 1.0)"
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    round($lenScore * 0.4 + (1.0 - $punct) * 0.3 + $stop * 0.3, 6) AS quality
+         |  FROM $docs)
+         |SELECT doc_id, source, quality,
+         |  round(quantile_cont(quality, 0.5) OVER (PARTITION BY source), 6) AS median_q
+         |FROM scored
+         |QUALIFY quality >= median_q""".stripMargin
+    },
     "text_lang_id" -> {
       val lists = Map(
         "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),

@@ -39,10 +39,11 @@ object TextAnalysis {
       length($"text").cast("long").as("n_chars_measured"))
   }
 
-  /** Quality scoring: length / punctuation / stopword signals composed
-    * into one 0..1 score. Formula is written identically in OracleSql —
-    * double arithmetic order matters for bit-equality. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** The three quality signals over a `text` column, as
+    * (punct_ratio, stopword_ratio, composite quality) — shared by
+    * [[qualityScore]] and [[qualityFilterFrom]] so the score the filter
+    * gates on is definitionally the score the scorer reports. */
+  private def qualitySignals: (Column, Column, Column) = {
     val toks = wsTokens(lower($"text"))
     val nTok = size(toks).cast("double")
     val alnum = length(regexp_replace($"text", "[^A-Za-z0-9\\s]", "")).cast("double")
@@ -50,12 +51,58 @@ object TextAnalysis {
     val enHits = size(filter(toks, t => t.isInCollection(stopwords.head._2))).cast("double")
     val stopRatio = when(nTok > 0, enHits / nTok).otherwise(lit(0.0))
     val lenScore = least(nTok / lit(64.0), lit(1.0))
+    (punctRatio, stopRatio,
+      lenScore * 0.4 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.3)
+  }
+
+  /** Quality scoring: length / punctuation / stopword signals composed
+    * into one 0..1 score. Formula is written identically in OracleSql —
+    * double arithmetic order matters for bit-equality. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val (punctRatio, stopRatio, quality) = qualitySignals
     Tables.documents(s, dir).select(
       $"doc_id",
       round(punctRatio, 6).as("punct_ratio"),
       round(stopRatio, 6).as("stopword_ratio"),
-      round(lenScore * 0.4 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.3, 6)
-        .as("quality"))
+      round(quality, 6).as("quality"))
+  }
+
+  /** QUALITY FILTERING — keep a document iff its quality score clears
+    * its source's EXACT median (the relative gate a curation pipeline
+    * uses when sources differ in style: an absolute threshold keeps all
+    * of one crawl and none of another; a per-source median keeps the
+    * better half of each).
+    *
+    * The median is computed the scale-safe way: sort within the
+    * `source` hash partition (one exchange), `row_number` + partition
+    * count, then average the middle one/two values with an
+    * unbounded-frame window — never a `percentile` ImperativeAggregate
+    * that buffers every value of a group in one aggregation buffer (a
+    * billion-row source would OOM it at 100 TB; a sort scales). All
+    * three window functions share the single `source` exchange. The
+    * middle-two average equals `quantile_cont(q, 0.5)`, which is the
+    * DuckDB twin. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    qualityFilterFrom(Tables.documents(s, dir))
+
+  def qualityFilterFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, _, quality) = qualitySignals
+    val byQ = Window.partitionBy($"source").orderBy($"quality".asc, $"doc_id".asc)
+    val whole = Window.partitionBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // middle positions: (n+1) div 2 and (n+2) div 2 — equal when n is
+    // odd (single middle), adjacent when even (quantile_cont midpoint)
+    val lo = floor(($"n" + lit(1L)) / lit(2.0)).cast("int")
+    val hi = floor(($"n" + lit(2L)) / lit(2.0)).cast("int")
+    docs
+      .select($"doc_id", $"source", round(quality, 6).as("quality"))
+      .withColumn("rn", row_number().over(byQ))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("median_q",
+        round(avg(when($"rn" === lo || $"rn" === hi, $"quality")).over(whole), 6))
+      .filter($"quality" >= $"median_q")
+      .select($"doc_id", $"source", $"quality", $"median_q")
   }
 
   /** Language ID: stopword-hit argmax with a fixed preference order. */

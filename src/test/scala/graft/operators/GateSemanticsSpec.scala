@@ -193,4 +193,50 @@ class GateSemanticsSpec extends SparkSpec {
       assert(err <= 0.03, s"status $k: estimate ${approx(k)} vs exact $n (err $err)")
     }
   }
+
+  test("quality filter: per-source exact median, odd and even group sizes") {
+    // pure-alpha texts of w identical tokens: punct=0, stopwords=0, so
+    // quality = round(min(w/64,1)*0.4 + 0.3, 6) — strictly increasing in w
+    def doc(id: Long, src: String, w: Int) = (id, src, Seq.fill(w)("aa").mkString(" "))
+    def q(w: Int): Double =
+      java.math.BigDecimal.valueOf(math.min(w / 64.0, 1.0) * 0.4 + 0.3)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val docs = Seq(
+      doc(1, "odd", 1), doc(2, "odd", 2), doc(3, "odd", 3),
+      doc(4, "odd", 4), doc(5, "odd", 5),
+      doc(10, "even", 10), doc(11, "even", 20), doc(12, "even", 30), doc(13, "even", 40)
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.qualityFilterFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    // odd source: median is the middle value q(3); docs 3,4,5 clear it
+    val odd = out.filter(_._2 == "odd")
+    assert(odd.map(_._1).toSet === Set(3L, 4L, 5L))
+    assert(odd.forall(_._4 === q(3)))
+    // even source: median is the midpoint of q(20),q(30); docs 12,13 clear it
+    val even = out.filter(_._2 == "even")
+    assert(even.map(_._1).toSet === Set(12L, 13L))
+    val mid = java.math.BigDecimal.valueOf((q(20) + q(30)) / 2.0)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(even.forall(_._4 === mid))
+  }
+
+  test("quality filter: keeps at least half of every source, cleanly split") {
+    val kept = TextAnalysis.qualityFilterFrom(Tables.documents(spark, Sf))
+    val all = TextAnalysis.qualityScore(spark, Sf).select($"doc_id", $"quality")
+      .join(Tables.documents(spark, Sf).select($"doc_id", $"source"), Seq("doc_id"))
+    val keptBySrc = kept.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allBySrc = all.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBySrc.keySet === allBySrc.keySet)
+    allBySrc.foreach { case (src, n) =>
+      assert(keptBySrc(src) * 2 >= n, s"source $src kept ${keptBySrc(src)} of $n")
+    }
+    // every dropped doc scores strictly below every kept doc of its source
+    val minKept = kept.groupBy($"source").agg(min($"quality").as("mn")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dropped = all.join(kept.select($"doc_id"), Seq("doc_id"), "left_anti")
+    dropped.groupBy($"source").agg(max($"quality").as("mx")).collect()
+      .foreach(r => assert(r.getDouble(1) < minKept(r.getString(0)), r.getString(0)))
+  }
 }

@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"sessionize shuffles $exchanges times:\n$p")
   }
 
+  test("quality filter computes the per-source median on one exchange") {
+    val p = plan(TextAnalysis.qualityFilter(spark, Sf))
+    // row_number (sorted), count and median-average all window over the
+    // same `source` hash partitioning — a second exchange would mean the
+    // median is being recomputed through a join-back
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"quality filter shuffles $exchanges times:\n$p")
+  }
+
   test("similarity top-k has no single-partition window over the corpus") {
     val p = plan(Similarity.bruteForceTopK(spark, Sf))
     // the first (bulk) window partitions by (q_id, bkt); only the final
