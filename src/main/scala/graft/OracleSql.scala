@@ -309,6 +309,15 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round($lenScore * 0.4 + (1.0 - $punct) * 0.3 + $stop * 0.3, 6) AS quality
          |FROM $docs""".stripMargin
     },
+    "text_ngram_counts" ->
+      // twin of TextAnalysis.ngramCounts(n=2, k=20): DuckDB 1-based list
+      // indexing, range(1, len) = positions of every bigram start; the
+      // (count DESC, gram ASC) tie-break pins the top-k SET either side
+      s"""WITH tk AS (SELECT ${toks("lower(text)")} AS tk FROM $docs),
+         |g AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |        i -> tk[i] || ' ' || tk[i+1])) AS gram FROM tk)
+         |SELECT gram, count(*) AS n FROM g
+         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
     "text_quality_filter" -> {
       // twin of TextAnalysis.qualityFilterFrom: same composite-quality
       // formula, per-source exact median stated as quantile_cont(0.5) —

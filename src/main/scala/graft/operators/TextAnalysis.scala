@@ -148,6 +148,34 @@ object TextAnalysis {
       .select($"doc_id", $"term", $"tfidf", $"rnk")
   }
 
+  /** N-GRAM VOCABULARY COUNTS — the corpus-frequency pass a tokenizer /
+    * vocab builder runs: every word n-gram in the corpus, counted, top-k
+    * by count. The n-grams are built from ONE materialized token array
+    * per row (`tk` is multi-referenced, so CollapseProject keeps the
+    * split out of the gram expressions — a lambda-captured tokenizer
+    * would re-split per gram) by `zip_with`-folding n shifted slices:
+    * pure argument-position array ops, whole-stage codegen end to end.
+    * Count is a partial (map-side) aggregate on gram; the final top-k is
+    * `TakeOrderedAndProject`, never a global sort — at 100 TB the only
+    * full-width shuffle is the gram-keyed count, which is the job. Ties
+    * at the k boundary break on the gram itself, so the top-k SET is
+    * deterministic across engines and partitionings. */
+  def ngramCounts(s: SparkSession, dir: String, n: Int = 2, k: Int = 20): DataFrame =
+    ngramCountsFrom(Tables.documents(s, dir), n, k)
+
+  def ngramCountsFrom(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    val nGrams = greatest(size($"tk") - (n - 1), lit(0))
+    val shifted = (0 until n).map(m => slice($"tk", lit(m + 1), nGrams))
+    val grams = shifted.reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b)))
+    docs
+      .select(wsTokens(lower($"text")).as("tk"))
+      .select(explode(grams).as("gram"))
+      .groupBy($"gram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"gram".asc)
+      .limit(k)
+  }
+
   /** Deterministic hash-based train/val/test split — THE sampling
     * primitive of a training pipeline: assignment is a pure function of
     * doc_id (reproducible across runs, engines, and cluster sizes; no

@@ -194,6 +194,21 @@ class GateSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("ngram counts: exact counts, deterministic top-k tie-break, n=3") {
+    val docs = Seq("a b a b", "b a", "x", "", "  ").toDF("text")
+    // bigrams: "a b a b" -> (a b)(b a)(a b); "b a" -> (b a); others none
+    val bi = TextAnalysis.ngramCountsFrom(docs, n = 2, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bi === Map("a b" -> 2L, "b a" -> 2L))
+    // k=1 boundary tie between the two count-2 grams breaks gram-ASC
+    val top1 = TextAnalysis.ngramCountsFrom(docs, n = 2, k = 1).collect()
+    assert(top1.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a b", 2L)))
+    // trigrams: only the 4-token doc yields any
+    val tri = TextAnalysis.ngramCountsFrom(docs, n = 3, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tri === Map("a b a" -> 1L, "b a b" -> 1L))
+  }
+
   test("quality filter: per-source exact median, odd and even group sizes") {
     // pure-alpha texts of w identical tokens: punct=0, stopwords=0, so
     // quality = round(min(w/64,1)*0.4 + 0.3, 6) — strictly increasing in w

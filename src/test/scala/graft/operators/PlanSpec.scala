@@ -64,6 +64,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"quality filter shuffles $exchanges times:\n$p")
   }
 
+  test("ngram counts: map-side partial count, top-k not a global sort") {
+    val p = plan(TextAnalysis.ngramCounts(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg in:\n$p")
+    // the gram-keyed count is the ONLY shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("similarity top-k has no single-partition window over the corpus") {
     val p = plan(Similarity.bruteForceTopK(spark, Sf))
     // the first (bulk) window partitions by (q_id, bkt); only the final
