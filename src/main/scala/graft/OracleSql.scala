@@ -768,7 +768,18 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT vec_a, vec_b, round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
          |  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b)
          |WHERE cos_sim >= 0.4""".stripMargin
-    })
+    },
+    "sim_knn_graph" ->
+      // twin of Similarity.knnGraph(k=5): the block-grid equi-join covers
+      // the pair space exactly once, so its oracle is the plain cross
+      // join + per-source window rank (heap is score-desc/id-asc too)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |scored AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |  round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+         |SELECT src_id, nbr_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 5""".stripMargin)
 
   // ---- multimodal -------------------------------------------------------
   // payload = UTF-8 bytes of `text` (ASCII corpus), so the oracle mirrors

@@ -90,6 +90,48 @@ object Similarity {
       .select($"q_id", $"t.vec_id".as("vec_id"), $"t.cos_sim".as("cos_sim"))
   }
 
+  /** K-NN GRAPH — every vector's exact top-k cosine neighbors, the
+    * backbone structure of semantic-dedup clustering, diversity
+    * sampling and graph-based ANN indexes (the exact counterpart of an
+    * NN-Descent/HNSW build). All-pairs work is inherent to the exact
+    * graph; what must NOT happen at 100 TB is a full-corpus broadcast
+    * or a nested-loop join. Shape: BLOCK-GRID self-join — the neighbor
+    * side is hash-bucketed into nBlocks, the source side is replicated
+    * once per block (explode of a literal range), and the pair space is
+    * covered exactly once by the `blk` EQUI-join; each join cell is
+    * 1/nBlocks of the corpus, so per-task memory stays bounded as
+    * nBlocks scales with the corpus. Per-source top-k is the bounded
+    * heap [[graft.functions.TopKAgg]]: map-side combined, the exchange
+    * carries k rows per (source, partition) — never the scored pair
+    * space. Deterministic (score desc, id asc), so the DuckDB twin is a
+    * plain window rank over the cross join. */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 5, nBlocks: Int = 8): DataFrame =
+    knnGraphFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      k, nBlocks)
+
+  /** Core of [[knnGraph]] over any (vec_id, v) frame. */
+  def knnGraphFrom(e: DataFrame, k: Int, nBlocks: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(k >= 1 && nBlocks >= 1, s"need k >= 1 and nBlocks >= 1, got k=$k nBlocks=$nBlocks")
+    val nbrs = e.select(pmod(hash($"vec_id"), lit(nBlocks)).as("blk"),
+      $"vec_id".as("nbr_id"), $"v".as("nbr_v"))
+    val srcs = e.select($"vec_id".as("src_id"), $"v".as("src_v"),
+      explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+    val scored = srcs.join(nbrs, Seq("blk"))
+      .filter($"src_id" =!= $"nbr_id")
+      .withColumn("cos_sim", round(cosine($"src_v", $"nbr_v"), 4))
+    val topk = Bridge.column(
+      graft.functions.TopKAgg(
+        Bridge.expression($"cos_sim"),
+        Bridge.expression($"nbr_id"), k).toAggregateExpression())
+    scored.groupBy($"src_id")
+      .agg(topk.as("tk"))
+      .select($"src_id", explode($"tk").as("t"))
+      .select($"src_id", $"t.vec_id".as("nbr_id"), $"t.cos_sim".as("cos_sim"))
+  }
+
   /** All XOR masks of Hamming weight <= maxH over nBits — the multi-probe
     * expansion set. |masks| = sum_{h<=maxH} C(nBits, h). */
   private[operators] def probeMasks(nBits: Int, maxH: Int): Seq[Long] =

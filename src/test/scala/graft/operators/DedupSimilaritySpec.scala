@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
   */
 class DedupSimilaritySpec extends SparkSpec {
 
+  test("knn graph: block count never changes the result; k rows per node") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def rows(nBlocks: Int) = Similarity.knnGraphFrom(e, k = 3, nBlocks = nBlocks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val one = rows(1)
+    assert(one === rows(7), "block-grid covering must be partition-invariant")
+    // exactly k neighbors per node, none of them the node itself
+    val bySrc = one.groupBy(_._1)
+    val n = e.count()
+    assert(bySrc.size.toLong === n)
+    bySrc.foreach { case (src, ns) =>
+      assert(ns.size === 3, s"node $src has ${ns.size} neighbors")
+      assert(!ns.exists(_._2 == src), s"node $src is its own neighbor")
+    }
+    // the graph's top-1 edge agrees with the brute-force top-k oracle path
+    val bf = Similarity.bruteForceTopKAggFrom(e, nQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one.filter(_._1 < 5) === bf)
+  }
+
   test("exact dedup: groups partition the corpus; keep_id is the min doc") {
     val groups = Dedup.exact(spark, Sf)
     val total = groups.agg(sum("n_copies")).collect()(0).getLong(0)

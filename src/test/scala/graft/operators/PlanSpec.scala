@@ -124,6 +124,16 @@ class PlanSpec extends SparkSpec {
       s"top-k agg should shuffle once (k rows per partition per group):\n$p")
   }
 
+  test("knn graph: equi-join on blocks, heap agg — no nested loop, no broadcast corpus") {
+    val df = Similarity.knnGraph(spark, Sf, k = 3, nBlocks = 8)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"knn graph fell back to an all-pairs join:\n$p")
+    assert(p.contains("partial_graft_topk"),
+      s"per-source top-k is not map-side combined in:\n$p")
+  }
+
   test("bucketed fact join is co-located: zero exchanges before the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
