@@ -42,6 +42,14 @@ final case class RetentionState(firstP: Long, seenMask: Long, lastMs: Long)
 /** First activity of `user_id` at `offset` periods after their cohort. */
 final case class RetentionHit(user_id: Long, cohort: Long, offset: Int)
 
+/** Per-user running type histogram: one count per event TYPE (the type
+  * vocabulary is a small closed set — this is O(|types|) longs per user,
+  * never per-event), plus last activity for idle eviction. */
+final case class TopTypeState(counts: Map[String, Long], lastMs: Long)
+
+/** User `user_id`'s current most-frequent event type (count `n`). */
+final case class TopTypeOut(user_id: Long, event_type: String, n: Long)
+
 /** Structured Streaming twins of the batch operators in
   * graft.operators.Events — same aggregation logic, driven by
   * `readStream` instead of `read`. The batch forms remain the
@@ -239,6 +247,46 @@ object Streams {
             state.setTimeoutTimestamp(
               math.max(st.lastMs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
             hits.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming twin of Events.topTypePerUser: each user's CURRENT
+    * most-frequent event type, re-emitted whenever it may have changed
+    * (update mode — the latest emission per user is the answer, which is
+    * exactly the batch query's row once the stream drains; StreamingSpec
+    * asserts that equality). Tie-break matches batch/oracle: count desc,
+    * type asc.
+    *
+    * State at 100 TB: a (type -> count) histogram per user — the event
+    * TYPE vocabulary is a small closed set, so this is O(|types|) longs
+    * per user, never per-event, for users active within `idleTimeoutMs`
+    * (event-time timeout; an all-time argmax never finalizes, so
+    * eviction is the deployment knob: past the idle horizon a returning
+    * user restarts their histogram — within it, semantics are exactly
+    * the batch query's). */
+  def topTypePerUser(events: Dataset[Event],
+                     idleTimeoutMs: Long = 30L * 86400000L): Dataset[TopTypeOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TopTypeState, TopTypeOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[TopTypeState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(TopTypeState(Map.empty, Long.MinValue))
+            for (e <- it) {
+              st = TopTypeState(
+                st.counts.updated(e.event_type, st.counts.getOrElse(e.event_type, 0L) + 1L),
+                math.max(st.lastMs, e.ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
+            val (t, n) = st.counts.minBy { case (ty, c) => (-c, ty) }
+            Iterator.single(TopTypeOut(uid, t, n))
           }
       }
   }

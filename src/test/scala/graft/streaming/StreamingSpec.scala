@@ -79,6 +79,66 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful top-type-per-user converges to the batch argmax") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val query = Streams.topTypePerUser(stream.toDS())
+      .writeStream.format("memory").queryName("top_type_stream")
+      .outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-tt-${System.nanoTime()}")
+      .start()
+    try {
+      val (b1, b2) = events.splitAt(events.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      // per-user emissions have non-decreasing n, and within the maximal
+      // n the tie-set minimum only ever decreases — so (max n, then min
+      // type) is exactly the LAST emission, i.e. the final state's top
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"n".desc, $"event_type".asc)
+      val streamedTop = spark.table("top_type_stream")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" === 1).select("user_id", "event_type", "n")
+      val batchTop = Events.topTypePerUser(spark, Sf)
+      assert(streamedTop.exceptAll(batchTop).isEmpty && batchTop.exceptAll(streamedTop).isEmpty)
+    } finally query.stop()
+  }
+
+  test("top-type state is EVICTED after the idle window; ties break type-asc") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, ms: Long, tpe: String) =
+      Event(id, new java.sql.Timestamp(ms), user, tpe, 1.0)
+    val stream = MemoryStream[Event]
+    val query = Streams.topTypePerUser(stream.toDS(), idleTimeoutMs = 1800000L)
+      .writeStream.format("memory").queryName("top_type_evict")
+      .outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-tte-${System.nanoTime()}")
+      .start()
+    try {
+      // user 1: b,b,a — then a catches up to the tie, top flips to 'a'
+      stream.addData(Seq(
+        ev(1, 1L, t0, "b"), ev(2, 1L, t0 + 1000, "b"), ev(3, 1L, t0 + 2000, "a")))
+      query.processAllAvailable()
+      stream.addData(Seq(ev(4, 1L, t0 + 3000, "a")))
+      query.processAllAvailable()
+      // user 2 far enough ahead that the watermark passes user 1's
+      // last activity + the 30min idle window
+      stream.addData(Seq(ev(5, 2L, t0 + 4 * 3600 * 1000L, "c")))
+      query.processAllAvailable()
+      stream.addData(Seq(ev(6, 2L, t0 + 5 * 3600 * 1000L, "c")))
+      query.processAllAvailable() // timeout fires: user 1 removed
+      val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows === 1L, s"expected only user 2 in state, got $stateRows rows")
+      val u1 = spark.table("top_type_evict").filter($"user_id" === 1L)
+        .select($"event_type", $"n").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(u1 === Set(("b", 2L), ("a", 2L)), s"got $u1")
+    } finally query.stop()
+  }
+
   test("watermark drops events later than the 2h bound (append semantics)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
