@@ -779,7 +779,20 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
          |SELECT src_id, nbr_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
-         |  FROM scored) WHERE rn <= 5""".stripMargin)
+         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "sim_bucket_centroids" ->
+      // twin of Similarity.bucketCentroids(nBits=8): DECIMAL component
+      // sums are exact and order-independent, so the single double
+      // divide+round lands on identical bits in both engines; DuckDB's
+      // 1-based subscripts shift to Spark's 0-based pos
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |sig AS (SELECT CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket, v FROM e),
+         |x AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sig),
+         |a AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+         |  FROM x GROUP BY bucket, pos)
+         |SELECT bucket, CAST(pos AS BIGINT) AS pos,
+         |  round(CAST(s AS DOUBLE) / cnt, 6) AS mean_comp, cnt AS n_vecs
+         |FROM a""".stripMargin)
 
   // ---- multimodal -------------------------------------------------------
   // payload = UTF-8 bytes of `text` (ASCII corpus), so the oracle mirrors

@@ -109,6 +109,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_srp_neardup_pairs" -> ((s, d) => Similarity.srpNearDupPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "sim_bucket_centroids" -> ((s, d) => Similarity.bucketCentroids(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),

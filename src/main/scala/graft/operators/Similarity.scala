@@ -174,6 +174,37 @@ object Similarity {
     topKTwoPhase(scored, k, nBuckets = 8)
   }
 
+  /** BUCKET CENTROIDS — the mean vector of every coarse-quantizer
+    * bucket: the IVF index-build / k-means-assignment-step primitive (a
+    * Lloyd iteration is exactly this aggregate against the previous
+    * centroids; here the partition is the deterministic SRP quantizer
+    * [[ivfTopK]] probes). Shape: posexplode to (bucket, pos, comp) —
+    * dimensionality is a constant (64), so the explode is a bounded
+    * fan-out scan — then ONE partial-aggregated sum/count per
+    * (bucket, pos) and a bounded reassembly per bucket. The component
+    * sum runs in DECIMAL(27,10): decimal addition is EXACT and
+    * order-independent, so the result is identical under any partial-agg
+    * schedule / partitioning / engine — a double sum would hash-diverge
+    * from the oracle in the last bits depending on add order. The mean
+    * is divided and rounded once, in double, identically on both sides.
+    * Output is the EXPLODED centroid (bucket, pos, mean_comp, n_vecs) —
+    * one row per component, the layout a downstream assignment join
+    * consumes without array columns in the exchange. */
+  def bucketCentroids(s: SparkSession, dir: String, nBits: Int = 8): DataFrame =
+    bucketCentroidsFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nBits)
+
+  /** Core of [[bucketCentroids]] over any (vec_id, v) frame. */
+  def bucketCentroidsFrom(e: DataFrame, nBits: Int): DataFrame =
+    e.select(srpSignature($"v", nBits).cast("long").as("bucket"),
+        posexplode($"v").as(Seq("pos", "comp")))
+      .groupBy($"bucket", $"pos")
+      .agg(sum($"comp".cast("decimal(27,10)")).as("s"), count(lit(1)).as("n_vecs"))
+      .select($"bucket", $"pos".cast("long").as("pos"),
+        round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
+
   /** Target mean bucket population for auto-sized SRP banding. */
   val AutoTargetBucketRows = 64L
 

@@ -34,6 +34,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(one.filter(_._1 < 5) === bf)
   }
 
+  test("bucket centroids equal an independent BigDecimal reference, per component") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val out = Similarity.bucketCentroidsFrom(e, nBits = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // independent reference: same decimal-exact arithmetic, driver-side
+    def dec10(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val byBucket = e.withColumn("bucket", VectorOps.srpSignature($"v", 8).cast("long"))
+      .select($"bucket", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).groupBy(_._1)
+    assert(out.keySet.map(_._1) === byBucket.keySet)
+    byBucket.foreach { case (bucket, rows) =>
+      val vs = rows.map(_._2)
+      for (pos <- vs.head.indices) {
+        val s = vs.map(v => dec10(v(pos))).reduce(_ add _)
+        val (m, n) = out((bucket, pos.toLong))
+        assert(n === vs.size.toLong)
+        assert(m === round6(s.doubleValue() / vs.size), s"bucket $bucket pos $pos")
+      }
+    }
+  }
+
   test("exact dedup: groups partition the corpus; keep_id is the min doc") {
     val groups = Dedup.exact(spark, Sf)
     val total = groups.agg(sum("n_copies")).collect()(0).getLong(0)
