@@ -272,6 +272,17 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       """SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val FROM part
         |UNION ALL
         |SELECT p_partkey, 'psize' AS metric, CAST(p_size AS DOUBLE) AS val FROM part""".stripMargin,
+    "rel_full_outer" ->
+      // twin of Relational.q32FullOuter — disjoint-ish nation filters so
+      // both unmatched directions exist in the result
+      """WITH sup AS (SELECT s_nationkey, count(*) AS n_suppliers
+        |  FROM supplier WHERE s_nationkey < 15 GROUP BY s_nationkey),
+        |cust AS (SELECT c_nationkey, count(*) AS n_customers
+        |  FROM customer WHERE c_nationkey >= 10 GROUP BY c_nationkey)
+        |SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+        |  coalesce(n_suppliers, 0) AS n_suppliers,
+        |  coalesce(n_customers, 0) AS n_customers
+        |FROM sup FULL OUTER JOIN cust ON s_nationkey = c_nationkey""".stripMargin,
     "rel_window_frames" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -62,6 +62,7 @@ object SparkEntry {
     "rel_salted_join" -> (Relational.q29SaltedJoin _),
     "rel_grouping_sets" -> (Relational.q30GroupingSets _),
     "rel_unpivot" -> (Relational.q31Unpivot _),
+    "rel_full_outer" -> (Relational.q32FullOuter _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

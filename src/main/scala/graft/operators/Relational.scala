@@ -354,6 +354,25 @@ object Relational {
         variableColumnName = "metric",
         valueColumnName = "val")
 
+  /** FULL OUTER join: per-nation supplier counts against per-nation
+    * customer counts, with the side filters DISJOINT enough that both
+    * unmatched directions actually occur (left-only, overlap,
+    * right-only). Both inputs aggregate to nation grain first — the
+    * outer join runs on two ~25-row frames, not the raw tables; at
+    * 100 TB that pre-aggregation is what keeps a full outer (which can
+    * never broadcast) a trivial sort-merge. */
+  def q32FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).filter($"s_nationkey" < 15)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+    val cust = Tables.customer(s, dir).filter($"c_nationkey" >= 10)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+    sup.join(cust, $"s_nationkey" === $"c_nationkey", "full_outer")
+      .select(
+        coalesce($"s_nationkey", $"c_nationkey").as("nationkey"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"))
+  }
+
   /** Scalar-subquery extension: orders above the global average price.
     * Declarative form: the 1-row aggregate broadcast-joins into the
     * filter (no collect-to-driver). */

@@ -25,6 +25,22 @@ class OperatorSpec extends SparkSpec {
     assert(withOrders + noOrders === nCust)
   }
 
+  test("full outer join keeps both unmatched directions, zero-filled") {
+    val rows = Relational.q32FullOuter(spark, Sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val supN = Tables.supplier(spark, Sf).filter(col("s_nationkey") < 15)
+      .select("s_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    val custN = Tables.customer(spark, Sf).filter(col("c_nationkey") >= 10)
+      .select("c_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    assert(rows.keySet === (supN ++ custN), "full outer must cover both key sets")
+    (supN -- custN).foreach(n => assert(rows(n)._2 === 0L, s"nation $n right side"))
+    (custN -- supN).foreach(n => assert(rows(n)._1 === 0L, s"nation $n left side"))
+    (supN & custN).foreach(n =>
+      assert(rows(n)._1 > 0L && rows(n)._2 > 0L, s"nation $n overlap"))
+    assert((supN -- custN).nonEmpty && (custN -- supN).nonEmpty,
+      "fixture filters must produce both unmatched directions")
+  }
+
   test("distinct is idempotent and minimal") {
     val d1 = Relational.q3Distinct(spark, Sf)
     assert(d1.count() === d1.distinct().count())
