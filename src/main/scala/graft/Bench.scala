@@ -35,7 +35,10 @@ object Bench {
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
+    "dedup_clusters", // added r7: CC iteration cost measured at 10x too
     "text_quality_score",
+    "text_quality_filter",
+    "text_ngram_counts",
     "events_sessionize",
     "events_hourly_agg",
     "events_asof_join",
@@ -44,7 +47,11 @@ object Bench {
     "sim_topk_agg",
     "sim_ivf_topk",
     "sim_srp_neardup_pairs",
+    "sim_bucket_centroids",
     "mm_meta_stats")
+  // sim_knn_graph is deliberately NOT benched: the exact graph is
+  // quadratic by contract (the scale path is ivf_topk per node), and a
+  // 2.5B-pair entry would drown the signal of every linear query here.
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {

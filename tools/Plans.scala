@@ -24,7 +24,11 @@ object Plans {
       "events_asof_join" -> "as-of join: union-and-carry, one exchange on user_id",
       "rel_bucketed_join_revenue" -> "bucketed co-located SMJ: zero exchanges before the join, Bucketed: true scans",
       "events_cohort_retention" -> "cohort retention: ONE events scan, window min on user_id, tiny (cohort, offset) rollup",
-      "text_decontaminate" -> "decontamination: eval shingle set broadcast (BroadcastHashJoin), corpus scan-speed probe")
+      "text_decontaminate" -> "decontamination: eval shingle set broadcast (BroadcastHashJoin), corpus scan-speed probe",
+      "text_quality_filter" -> "quality filter: sort-based per-source median, ONE exchange shared by all three windows",
+      "text_ngram_counts" -> "ngram vocab: map-side partial count on gram, TakeOrderedAndProject top-k",
+      "sim_knn_graph" -> "knn graph: block-grid EQUI-join (no nested loop, no corpus broadcast), partial_graft_topk heaps",
+      "sim_bucket_centroids" -> "bucket centroids: decimal-exact partial sums per (bucket,pos), bounded posexplode fan-out")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
