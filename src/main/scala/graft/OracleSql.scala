@@ -428,6 +428,20 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round(CASE WHEN len(bg) > 0 THEN top_run::DOUBLE / len(bg)::DOUBLE ELSE 0.0 END, 6) AS top_bigram_frac
          |FROM m""".stripMargin
     },
+    "text_token_budget_mix" ->
+      // twin of TextAnalysis.tokenBudgetMix: per-source quotas in the
+      // same salted-hash order; kept iff tokens BEFORE the doc fit
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(${toks("lower(text)")}) AS BIGINT) AS n_tok,
+         |  ${h60("concat(CAST(doc_id AS VARCHAR), '#mix')")} AS hk
+         |  FROM $docs),
+         |c AS (SELECT source, doc_id, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY hk ASC, doc_id ASC) AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT doc_id, source, n_tok, cum FROM c
+         |WHERE cum - n_tok < (CASE source
+         |  WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2000
+         |  WHEN 'src2' THEN 500 WHEN 'src3' THEN 0 ELSE 1000 END)""".stripMargin,
     "text_pack_sequences" ->
       // twin of TextAnalysis.packSequences (budget 256): same salted-hash
       // layout order and first-token fixed-offset binning; the window

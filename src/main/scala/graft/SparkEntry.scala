@@ -68,6 +68,7 @@ object SparkEntry {
     "text_quality_score" -> (TextAnalysis.qualityScore _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_ngram_counts" -> ((s, d) => TextAnalysis.ngramCounts(s, d)),
+    "text_token_budget_mix" -> (TextAnalysis.tokenBudgetMix _),
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),

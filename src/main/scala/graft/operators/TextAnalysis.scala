@@ -271,6 +271,45 @@ object TextAnalysis {
       round(frac(topRun, size($"bg")), 6).as("top_bigram_frac"))
   }
 
+  /** TOKEN-BUDGET CORPUS MIXING — the mixture-weighting step a
+    * pretraining run configures as "N billion tokens of source X, M of
+    * source Y": keep each source's documents, in the deterministic
+    * salted-hash order (reproducible, engine-neutral, no RNG state —
+    * the same order contract as [[packSequences]]), until the source's
+    * token budget is reached. A document is kept iff the tokens BEFORE
+    * it fit the budget (`cum - n_tok < budget`), so the kept set always
+    * crosses the budget by at most one document and is never empty for
+    * a positive budget — the fixed-offset analogue of the packing rule,
+    * and monotone in the budget (raising a quota only adds documents).
+    * One window per source partition; no global sort, no driver state.
+    * Unlisted sources default to `defaultBudget` (0 = drop). */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetMixFrom(
+      Tables.documents(s, dir),
+      budgets = Map("src0" -> 4000L, "src1" -> 2000L, "src2" -> 500L, "src3" -> 0L),
+      defaultBudget = 1000L)
+
+  /** Core of [[tokenBudgetMix]] over any (doc_id, source, text) frame. */
+  def tokenBudgetMixFrom(docs: DataFrame, budgets: Map[String, Long],
+                         defaultBudget: Long): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0L),
+      s"token budgets must be non-negative, got $budgets default=$defaultBudget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"hk".asc, $"doc_id".asc)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (src, b)) =>
+        acc.when($"source" === src, lit(b))
+      }
+      .otherwise(lit(defaultBudget))
+    docs
+      .select($"doc_id", $"source",
+        size(wsTokens(lower($"text"))).cast("long").as("n_tok"),
+        hash60(concat($"doc_id".cast("string"), lit("#mix"))).as("hk"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .filter($"cum" - $"n_tok" < budget)
+      .select($"doc_id", $"source", $"n_tok", $"cum")
+  }
+
   /** SEQUENCE PACKING — the concat-and-chunk step that turns a filtered
     * corpus into fixed-budget training sequences: documents are laid out
     * in a DETERMINISTIC pseudo-random order (salted hash of doc_id — the

@@ -209,6 +209,28 @@ class GateSemanticsSpec extends SparkSpec {
     assert(tri === Map("a b a" -> 1L, "b a b" -> 1L))
   }
 
+  test("token-budget mix: quota crossed by at most one doc, monotone in budget") {
+    val docs = Tables.documents(spark, Sf)
+    val base = TextAnalysis.tokenBudgetMixFrom(docs,
+      budgets = Map("src0" -> 300L, "src1" -> 0L), defaultBudget = 100L)
+    val rows = base.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(!rows.exists(_._2 == "src1"), "zero budget must drop the source")
+    // per source: tokens BEFORE the last kept doc are under budget, and
+    // dropping the largest-cum doc brings the total under budget
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val budget = if (src == "src0") 300L else 100L
+      val maxCum = rs.map(_._4).max
+      val lastTok = rs.filter(_._4 == maxCum).head._3
+      assert(maxCum - lastTok < budget, s"$src kept a doc past the quota")
+    }
+    // monotone: doubling every budget only ever ADDS documents
+    val bigger = TextAnalysis.tokenBudgetMixFrom(docs,
+      budgets = Map("src0" -> 600L, "src1" -> 0L), defaultBudget = 200L)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet.subsetOf(bigger))
+  }
+
   test("quality filter: per-source exact median, odd and even group sizes") {
     // pure-alpha texts of w identical tokens: punct=0, stopwords=0, so
     // quality = round(min(w/64,1)*0.4 + 0.3, 6) — strictly increasing in w
