@@ -744,6 +744,15 @@ private[graft] final class OracleSqlGen(sfDir: String) {
 
   // ---- similarity -------------------------------------------------------
 
+  /** Shared CTE chain of the centroid twins: embeddings → SRP(8) bucket
+    * → exploded components → decimal-exact per-(bucket,pos) sums. */
+  private lazy val centroidCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+       |sig AS (SELECT CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket, v FROM e),
+       |x AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sig),
+       |a AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+       |  FROM x GROUP BY bucket, pos)""".stripMargin
+
   private val similarity: Map[String, String] = Map(
     "sim_brute_force_topk" ->
       // the Spark two-phase rank == a single global rank per query
@@ -810,14 +819,23 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // sums are exact and order-independent, so the single double
       // divide+round lands on identical bits in both engines; DuckDB's
       // 1-based subscripts shift to Spark's 0-based pos
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
-         |sig AS (SELECT CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket, v FROM e),
-         |x AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sig),
-         |a AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
-         |  FROM x GROUP BY bucket, pos)
+      s"""WITH $centroidCtes
          |SELECT bucket, CAST(pos AS BIGINT) AS pos,
          |  round(CAST(s AS DOUBLE) / cnt, 6) AS mean_comp, cnt AS n_vecs
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin,
+    "sim_centroid_assign" ->
+      // twin of Similarity.centroidAssign(nBits=8): same centroid CTEs,
+      // then every vector scored against every centroid (the centroid
+      // side is O(buckets)) and ranked (cos DESC, bucket ASC) — the
+      // heap's argmax order
+      s"""WITH $centroidCtes,
+         |cv AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
+         |  FROM a GROUP BY bucket),
+         |scored AS (SELECT e.vec_id, cv.bucket,
+         |  round(${cosSql("e.v", "cv.cv")}, 4) AS cos_sim FROM e, cv)
+         |SELECT vec_id, bucket, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
+         |  FROM scored) WHERE rn <= 1""".stripMargin)
 
   // ---- multimodal -------------------------------------------------------
   // payload = UTF-8 bytes of `text` (ASCII corpus), so the oracle mirrors

@@ -205,6 +205,45 @@ object Similarity {
       .select($"bucket", $"pos".cast("long").as("pos"),
         round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
 
+  /** CENTROID ASSIGNMENT — Lloyd's other half over [[bucketCentroids]]:
+    * every vector is (re)assigned to its most-similar centroid by
+    * cosine (spherical k-means, the natural metric for embeddings — and
+    * the same codegen kernel the rest of the similarity family uses).
+    * One full Lloyd iteration IS these two operators composed; chaining
+    * assign→centroids→assign… is the whole clustering loop, each step a
+    * deterministic oracle-checkable query. Shape: the centroid table is
+    * O(buckets) rows and BROADCAST; the corpus streams past it once; the
+    * per-vector argmax is the bounded-heap [[graft.functions.TopKAgg]]
+    * at k=1 (score = cosine, ties on the smaller bucket id), so the one
+    * exchange carries a single-row heap per (vector, partition). A
+    * vector's assignment can differ from its own SRP bucket — that
+    * movement is exactly what a Lloyd step is for (spec asserts the
+    * argmax dominates the home-bucket similarity). */
+  def centroidAssign(s: SparkSession, dir: String, nBits: Int = 8): DataFrame =
+    centroidAssignFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nBits)
+
+  /** Core of [[centroidAssign]] over any (vec_id, v) frame. */
+  def centroidAssignFrom(e: DataFrame, nBits: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cents = bucketCentroidsFrom(e, nBits)
+      .groupBy($"bucket")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"))
+    val scored = e.join(broadcast(cents))
+      .withColumn("cos_sim", round(cosine($"v", $"cv"), 4))
+    val top1 = Bridge.column(
+      graft.functions.TopKAgg(
+        Bridge.expression($"cos_sim"),
+        Bridge.expression($"bucket"), 1).toAggregateExpression())
+    scored.groupBy($"vec_id")
+      .agg(top1.as("tk"))
+      .select($"vec_id", explode($"tk").as("t"))
+      .select($"vec_id", $"t.vec_id".as("bucket"), $"t.cos_sim".as("cos_sim"))
+  }
+
   /** Target mean bucket population for auto-sized SRP banding. */
   val AutoTargetBucketRows = 64L
 

@@ -60,6 +60,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroid assignment: one row per vector, argmax dominates the home bucket") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val assigned = Similarity.centroidAssignFrom(e, nBits = 8)
+    assert(assigned.count() === e.count())
+    assert(assigned.select("vec_id").distinct().count() === e.count())
+    // similarity to the CHOSEN centroid >= similarity to the vector's own
+    // SRP bucket's centroid (the argmax property, via an independent join)
+    val cents = Similarity.bucketCentroidsFrom(e, nBits = 8)
+      .groupBy($"bucket")
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"))
+    val home = e.withColumn("bucket", VectorOps.srpSignature($"v", 8).cast("long"))
+      .join(cents, "bucket")
+      .select($"vec_id", round(VectorOps.cosine($"v", $"cv"), 4).as("home_sim"))
+    val viol = assigned.join(home, "vec_id")
+      .filter($"cos_sim" < $"home_sim").count()
+    assert(viol === 0L, s"$viol vectors scored below their home bucket")
+    // and the assignment genuinely moves some vectors (else it's a no-op)
+    val moved = assigned.join(
+      e.withColumn("home", VectorOps.srpSignature($"v", 8).cast("long")), "vec_id")
+      .filter($"bucket" =!= $"home").count()
+    assert(moved > 0L, "Lloyd step reassigned nothing — suspicious for random data")
+  }
+
   test("exact dedup: groups partition the corpus; keep_id is the min doc") {
     val groups = Dedup.exact(spark, Sf)
     val total = groups.agg(sum("n_copies")).collect()(0).getLong(0)
