@@ -97,6 +97,38 @@ class PropertyParitySpec extends SparkSpec {
     }
   }
 
+  test("token-budget mix matches a sequential reference on random corpora") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(200 + seed)
+      val budgets = Map("src0" -> rnd.nextInt(30).toLong,
+        "src1" -> rnd.nextInt(10).toLong, "src2" -> 0L)
+      val default = rnd.nextInt(15).toLong
+      val docs = (1 to rnd.nextInt(30) + 10).map { id =>
+        val text = Seq.fill(rnd.nextInt(8))("w" + rnd.nextInt(4)).mkString(" ")
+        (id.toLong, "src" + rnd.nextInt(4), text)
+      }
+      // reference: per source, lay docs out by (hash, id); keep while the
+      // tokens BEFORE the doc fit the source's budget
+      val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
+        val budget = budgets.getOrElse(src, default)
+        val ordered = ds.map { case (id, _, text) =>
+          (id, refTokens(text.toLowerCase).size.toLong, refHash60(s"$id#mix"))
+        }.sortBy { case (id, _, hk) => (hk, id) }
+        var before = 0L
+        ordered.flatMap { case (id, nTok, _) =>
+          val keep = before < budget
+          before += nTok
+          if (keep) Some((id, src, nTok, before)) else None
+        }
+      }.toSet
+      val got = TextAnalysis.tokenBudgetMixFrom(
+          docs.toDF("doc_id", "source", "text"), budgets, default)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected, s"seed=$seed budgets=$budgets default=$default docs=$docs")
+    }
+  }
+
   test("repetition score matches a direct reference on random texts") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
