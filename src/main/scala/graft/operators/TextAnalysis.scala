@@ -163,14 +163,21 @@ object TextAnalysis {
   def ngramCounts(s: SparkSession, dir: String, n: Int = 2, k: Int = 20): DataFrame =
     ngramCountsFrom(Tables.documents(s, dir), n, k)
 
+  /** All word n-grams of a token-array column, non-distinct, in order —
+    * zip_with fold of n shifted slices (argument-position only; see
+    * [[ngramCounts]] for why the token array must be a multi-referenced
+    * alias, not an expression captured in a lambda). */
+  private[graft] def wordNgramsOf(tk: Column, n: Int): Column = {
+    val nGrams = greatest(size(tk) - (n - 1), lit(0))
+    val shifted = (0 until n).map(m => slice(tk, lit(m + 1), nGrams))
+    shifted.reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b)))
+  }
+
   def ngramCountsFrom(docs: DataFrame, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
-    val nGrams = greatest(size($"tk") - (n - 1), lit(0))
-    val shifted = (0 until n).map(m => slice($"tk", lit(m + 1), nGrams))
-    val grams = shifted.reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b)))
     docs
       .select(wsTokens(lower($"text")).as("tk"))
-      .select(explode(grams).as("gram"))
+      .select(explode(wordNgramsOf($"tk", n)).as("gram"))
       .groupBy($"gram").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"gram".asc)
       .limit(k)

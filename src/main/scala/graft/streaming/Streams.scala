@@ -251,6 +251,31 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the n-gram vocabulary counts
+    * (graft.operators.TextAnalysis.ngramCounts) on the corpus-ingestion
+    * seam: per-window word n-gram frequencies — the vocab-drift /
+    * contamination-burst monitor a live ingestion pipeline runs (a gram
+    * whose frequency spikes in one ingestion window is a crawl-loop or
+    * spam signature long before it dominates the corpus total). The
+    * gram construction is the SAME zip_with fold as batch
+    * ([[TextAnalysis.wordNgramsOf]]); counts are a watermarked windowed
+    * aggregate (update mode), so state is (windows-within-watermark x
+    * distinct grams) and closed windows are finalized and dropped —
+    * all-time totals are a downstream sum, and the batch top-k is that
+    * rollup ranked (StreamingSpec asserts it). */
+  def ngramCounts(docs: Dataset[Doc], n: Int = 2,
+                  windowLen: String = "1 hour"): DataFrame = {
+    import graft.functions.EngineNeutral.wsTokens
+    import graft.operators.TextAnalysis
+    docs
+      .withWatermark("ingest_ts", "2 hours")
+      .select($"ingest_ts", wsTokens(lower($"text")).as("tk"))
+      .select($"ingest_ts", explode(TextAnalysis.wordNgramsOf($"tk", n)).as("gram"))
+      .groupBy(window($"ingest_ts", windowLen), $"gram")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("window_ts"), $"gram", $"n")
+  }
+
   /** Streaming twin of Events.topTypePerUser: each user's CURRENT
     * most-frequent event type, re-emitted whenever it may have changed
     * (update mode — the latest emission per user is the answer, which is

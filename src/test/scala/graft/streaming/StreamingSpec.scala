@@ -227,6 +227,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed ngram counts roll up to the batch top-k vocabulary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the harness corpus with synthetic ingest stamps spread over 3 windows
+    val t0 = 1700000000000L
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getLong(0), r.getString(1),
+          new java.sql.Timestamp(t0 + (i % 3) * 3600 * 1000L))
+      }.toSeq
+    val stream = MemoryStream[Doc]
+    val query = Streams.ngramCounts(stream.toDS())
+      .writeStream.format("memory").queryName("ngram_stream")
+      .outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-ng-${System.nanoTime()}")
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      // final count per (window, gram) = max over update-mode re-emissions;
+      // all-time totals are the cross-window sum, ranked like the batch op
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"n".desc, $"gram".asc)
+      val streamedTop = spark.table("ngram_stream")
+        .groupBy("window_ts", "gram").agg(max("n").as("n"))
+        .groupBy("gram").agg(sum("n").as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 20).select("gram", "n")
+      val batchTop = graft.operators.TextAnalysis.ngramCounts(spark, Sf)
+      assert(streamedTop.exceptAll(batchTop).isEmpty &&
+        batchTop.exceptAll(streamedTop).isEmpty)
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps one survivor per batch fingerprint group") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
