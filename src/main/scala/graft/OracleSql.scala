@@ -835,7 +835,26 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round(${cosSql("e.v", "cv.cv")}, 4) AS cos_sim FROM e, cv)
          |SELECT vec_id, bucket, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
-         |  FROM scored) WHERE rn <= 1""".stripMargin)
+         |  FROM scored) WHERE rn <= 1""".stripMargin,
+    "sim_lloyd_iteration" ->
+      // twin of Similarity.lloydIteration(nBits=8): the assignment twin
+      // as a CTE, then the decimal-exact mean recompute over the
+      // ASSIGNED clusters
+      s"""WITH $centroidCtes,
+         |cv AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
+         |  FROM a GROUP BY bucket),
+         |scored AS (SELECT e.vec_id, cv.bucket,
+         |  round(${cosSql("e.v", "cv.cv")}, 4) AS cos_sim FROM e, cv),
+         |assigned AS (SELECT vec_id, bucket FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
+         |  FROM scored) WHERE rn <= 1),
+         |x2 AS (SELECT g.bucket, generate_subscripts(e.v, 1) - 1 AS pos, unnest(e.v) AS comp
+         |  FROM e JOIN assigned g ON e.vec_id = g.vec_id),
+         |a2 AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+         |  FROM x2 GROUP BY bucket, pos)
+         |SELECT bucket, CAST(pos AS BIGINT) AS pos,
+         |  round(CAST(s AS DOUBLE) / cnt, 6) AS mean_comp, cnt AS n_vecs
+         |FROM a2""".stripMargin)
 
   // ---- multimodal -------------------------------------------------------
   // payload = UTF-8 bytes of `text` (ASCII corpus), so the oracle mirrors

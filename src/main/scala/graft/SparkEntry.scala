@@ -113,6 +113,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_bucket_centroids" -> ((s, d) => Similarity.bucketCentroids(s, d)),
     "sim_centroid_assign" -> ((s, d) => Similarity.centroidAssign(s, d)),
+    "sim_lloyd_iteration" -> ((s, d) => Similarity.lloydIteration(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),

@@ -244,6 +244,32 @@ object Similarity {
       .select($"vec_id", $"t.vec_id".as("bucket"), $"t.cos_sim".as("cos_sim"))
   }
 
+  /** ONE FULL LLOYD ITERATION as a single query: [[centroidAssign]]
+    * composed with the recompute-means half of [[bucketCentroids]] —
+    * the updated centroids AFTER every vector moves to its most-similar
+    * centroid. Chaining this operator is k-means; each link is
+    * deterministic and oracle-checked end-to-end (SRP seeding →
+    * assignment → decimal-exact new means in one plan). Shapes are the
+    * proven ones: broadcast centroid table, k=1 heap argmax, bounded
+    * posexplode, decimal partial sums. Clusters that lose every vector
+    * disappear from the output — standard Lloyd behavior. */
+  def lloydIteration(s: SparkSession, dir: String, nBits: Int = 8): DataFrame =
+    lloydIterationFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nBits)
+
+  /** Core of [[lloydIteration]] over any (vec_id, v) frame. */
+  def lloydIterationFrom(e: DataFrame, nBits: Int): DataFrame = {
+    val assigned = centroidAssignFrom(e, nBits).select($"vec_id", $"bucket")
+    e.join(assigned, "vec_id")
+      .select($"bucket", posexplode($"v").as(Seq("pos", "comp")))
+      .groupBy($"bucket", $"pos")
+      .agg(sum($"comp".cast("decimal(27,10)")).as("s"), count(lit(1)).as("n_vecs"))
+      .select($"bucket", $"pos".cast("long").as("pos"),
+        round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
+  }
+
   /** Target mean bucket population for auto-sized SRP banding. */
   val AutoTargetBucketRows = 64L
 

@@ -87,6 +87,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(moved > 0L, "Lloyd step reassigned nothing — suspicious for random data")
   }
 
+  test("lloyd iteration: new means are exactly the assigned clusters' means") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val out = Similarity.lloydIterationFrom(e, nBits = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // reference: group vectors by the (independently spec'd) assignment,
+    // then decimal-exact means driver-side
+    def dec10(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val assign = Similarity.centroidAssignFrom(e, nBits = 8)
+      .select($"vec_id", $"bucket")
+    val grouped = e.join(assign, "vec_id").select($"bucket", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).groupBy(_._1)
+    // every vector lands in exactly one surviving cluster
+    assert(out.map(_._2._2).sum === e.count() * grouped.head._2.head._2.size)
+    assert(out.keySet.map(_._1) === grouped.keySet)
+    grouped.foreach { case (bucket, rows) =>
+      val vs = rows.map(_._2)
+      for (pos <- vs.head.indices) {
+        val s = vs.map(v => dec10(v(pos))).reduce(_ add _)
+        val (m, n) = out((bucket, pos.toLong))
+        assert(n === vs.size.toLong)
+        assert(m === round6(s.doubleValue() / vs.size), s"bucket $bucket pos $pos")
+      }
+    }
+  }
+
   test("exact dedup: groups partition the corpus; keep_id is the min doc") {
     val groups = Dedup.exact(spark, Sf)
     val total = groups.agg(sum("n_copies")).collect()(0).getLong(0)
