@@ -134,6 +134,17 @@ class PlanSpec extends SparkSpec {
       s"per-source top-k is not map-side combined in:\n$p")
   }
 
+  test("centroid assignment broadcasts the centroid table, argmax map-side") {
+    val df = Similarity.centroidAssign(spark, Sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the O(buckets) centroid table rides a BroadcastExchange; the
+    // corpus is never shuffled for the scoring join, and the per-vector
+    // argmax combines map-side as 1-row heaps
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast in:\n$p")
+    assert(p.contains("partial_graft_topk"), s"argmax not map-side combined in:\n$p")
+  }
+
   test("bucketed fact join is co-located: zero exchanges before the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
