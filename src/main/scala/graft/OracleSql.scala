@@ -887,6 +887,23 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round((hv % 256)::DOUBLE + ((hv >> 8) % 256)::DOUBLE + ((hv >> 16) % 256)::DOUBLE, 2) AS f_sig
          |FROM h""".stripMargin
     },
+    "mm_resize" ->
+      // twin of MultiModal.mmResize(box=256): same integer fit-within
+      // geometry and area-law byte budget; ASCII corpus so the byte
+      // probe mirrors on text substr
+      s"""WITH m AS (SELECT doc_id, text,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |       ELSE 'video/mp4' END AS mime,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  CAST(doc_id % 5 * 160 + 320 AS BIGINT) AS w,
+         |  CAST(doc_id % 5 * 90 + 180 AS BIGINT) AS h FROM $docs),
+         |g AS (SELECT *, greatest((greatest(w, h) + 255) // 256, 1) AS scale FROM m)
+         |SELECT doc_id, mime, w, h, scale,
+         |  w // scale AS new_w, h // scale AS new_h,
+         |  (n_bytes + scale * scale - 1) // (scale * scale) AS out_bytes,
+         |  md5(substr(text, 1, CAST((n_bytes + scale * scale - 1) // (scale * scale) AS INTEGER))) AS probe
+         |FROM g""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, mime, frame_off, md5(substr(text, CAST(frame_off + 1 AS INTEGER), 32)) AS frame_probe
          |FROM (SELECT doc_id, text,

@@ -118,6 +118,34 @@ object MultiModal {
     }
   }
 
+  /** RESIZE (stub geometry + payload budget): fit the asset's declared
+    * dimensions inside a `box`-pixel bounding box with integer
+    * fit-within arithmetic (scale = ceil(longest/box); new dims =
+    * floor(dim/scale)) and budget the payload proportionally
+    * (bytes/scale², area-law). The pixel resample itself belongs to the
+    * decode seam ([[decodeStub]]/[[stubCodec]]); what this operator
+    * pins — and what survives a codec swap — is the deterministic
+    * geometry, the byte budget, and a content probe over the retained
+    * prefix. Pure per-row arithmetic: scan-speed, no shuffle at all. */
+  def mmResize(s: SparkSession, dir: String, box: Long = 256L): DataFrame = {
+    require(box > 0, s"bounding box must be positive, got $box")
+    asMultimodal(s, dir)
+      .select($"doc_id", $"meta.mime".as("mime"), $"payload",
+        $"meta.width".as("w"), $"meta.height".as("h"),
+        $"meta.n_bytes".as("n_bytes"))
+      // integer ceil via (x + box - 1) / box: all values positive and
+      // far below 2^52, so the double division truncates exactly
+      .withColumn("scale",
+        greatest(((greatest($"w", $"h") + box - 1) / lit(box)).cast("long"), lit(1L)))
+      .withColumn("new_w", ($"w" / $"scale").cast("long"))
+      .withColumn("new_h", ($"h" / $"scale").cast("long"))
+      .withColumn("out_bytes",
+        (($"n_bytes" + $"scale" * $"scale" - 1) / ($"scale" * $"scale")).cast("long"))
+      .select($"doc_id", $"mime", $"w", $"h", $"scale", $"new_w", $"new_h",
+        $"out_bytes",
+        md5($"payload".substr(lit(1), $"out_bytes")).as("probe"))
+  }
+
   /** Frame/sample selection: deterministic stride over byte offsets — the
     * shape of frame-sampling (video) or windowing (audio) without a codec:
     * one output row per sampled offset, partition-parallel per asset. */

@@ -340,6 +340,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(diff.count() === 0L)
   }
 
+  test("resize: fit-within box geometry is tight, byte budget follows the area law") {
+    val box = 256L
+    val rows = MultiModal.mmResize(spark, Sf, box).collect().map(r =>
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, h, scale, newW, newH, outBytes) =>
+      assert(math.max(newW, newH) <= box, s"($w,$h) resized outside the box")
+      // scale is MINIMAL: one step smaller would overflow the box
+      // (unless already at the identity scale)
+      if (scale > 1L)
+        assert(math.max(w, h) / (scale - 1) > box ||
+          (math.max(w, h) + scale - 2) / (scale - 1) > box,
+          s"($w,$h) over-shrunk at scale $scale")
+      assert(newW === w / scale && newH === h / scale)
+      assert(outBytes >= 0L)
+    }
+    // the harness dims (320..960 x 180..720) must exercise scale 2..4
+    assert(rows.map(_._3).toSet === Set(2L, 3L, 4L))
+  }
+
   test("batched decode path equals the expression stub path") {
     import org.apache.spark.sql.functions.round
     val batched = MultiModal.decodeBatched(spark, Sf)
