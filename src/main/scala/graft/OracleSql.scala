@@ -299,6 +299,20 @@ private[graft] final class OracleSqlGen(sfDir: String) {
 
   // ---- text analysis ----------------------------------------------------
 
+  /** Composite quality score over a `text` column — twin of
+    * TextAnalysis.qualitySignals' third component; shared by the
+    * score/filter/curation twins so the formula can never drift. */
+  private lazy val qualitySql: String = {
+    val nTok = s"len(${toks("lower(text)")})::DOUBLE"
+    val alnum = s"length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
+    val punct = s"((length(text)::DOUBLE - $alnum) / length(text)::DOUBLE)"
+    val enHits =
+      s"len(list_filter(${toks("lower(text)")}, t -> t IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE"
+    val stop = s"(CASE WHEN $nTok > 0 THEN $enHits / $nTok ELSE 0.0 END)"
+    val lenScore = s"least($nTok / 64.0, 1.0)"
+    s"$lenScore * 0.4 + (1.0 - $punct) * 0.3 + $stop * 0.3"
+  }
+
   private val text: Map[String, String] = Map(
     "text_token_stats" ->
       s"""SELECT doc_id,
@@ -329,27 +343,42 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |        i -> tk[i] || ' ' || tk[i+1])) AS gram FROM tk)
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
-    "text_quality_filter" -> {
+    "text_quality_filter" ->
       // twin of TextAnalysis.qualityFilterFrom: same composite-quality
       // formula, per-source exact median stated as quantile_cont(0.5) —
       // the Spark side's middle-two-average IS continuous-quantile
       // interpolation at 0.5, so the rounded doubles hash-match
-      val nTok = s"len(${toks("lower(text)")})::DOUBLE"
-      val alnum = s"length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
-      val punct = s"((length(text)::DOUBLE - $alnum) / length(text)::DOUBLE)"
-      val enHits =
-        s"len(list_filter(${toks("lower(text)")}, t -> t IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE"
-      val stop = s"(CASE WHEN $nTok > 0 THEN $enHits / $nTok ELSE 0.0 END)"
-      val lenScore = s"least($nTok / 64.0, 1.0)"
       s"""WITH scored AS (
-         |  SELECT doc_id, source,
-         |    round($lenScore * 0.4 + (1.0 - $punct) * 0.3 + $stop * 0.3, 6) AS quality
+         |  SELECT doc_id, source, round($qualitySql, 6) AS quality
          |  FROM $docs)
          |SELECT doc_id, source, quality,
          |  round(quantile_cont(quality, 0.5) OVER (PARTITION BY source), 6) AS median_q
          |FROM scored
-         |QUALIFY quality >= median_q""".stripMargin
-    },
+         |QUALIFY quality >= median_q""".stripMargin,
+    "text_curation_manifest" ->
+      // twin of TextAnalysis.curationManifest(budget=256): the three
+      // stage twins chained — median gate, fingerprint dedup (min doc),
+      // pack manifest — checking the SEAMS the per-stage gates can't
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, text, round($qualitySql, 6) AS quality
+         |  FROM $docs),
+         |keep AS (SELECT doc_id, source, text FROM (
+         |  SELECT *, round(quantile_cont(quality, 0.5) OVER (PARTITION BY source), 6) AS median_q
+         |  FROM scored) WHERE quality >= median_q),
+         |surv AS (SELECT doc_id, source, text FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |    ORDER BY doc_id ASC) AS rn FROM keep) WHERE rn = 1),
+         |d AS (SELECT doc_id, source,
+         |  CAST(len(${toks("lower(text)")}) AS BIGINT) AS n_tok,
+         |  ${h60("concat(CAST(doc_id AS VARCHAR), '#pack')")} AS hk
+         |  FROM surv),
+         |c AS (SELECT source, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY hk ASC, doc_id ASC) AS cum
+         |  FROM d)
+         |SELECT source, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+         |FROM c GROUP BY source, pack_id""".stripMargin,
     "text_lang_id" -> {
       val lists = Map(
         "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),

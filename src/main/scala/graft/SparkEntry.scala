@@ -76,6 +76,7 @@ object SparkEntry {
     "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "text_repetition_score" -> (TextAnalysis.repetitionScore _),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "text_curation_manifest" -> ((s, d) => TextAnalysis.curationManifest(s, d)),
     "text_redact" -> (TextAnalysis.redact _),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "rel_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: sketch

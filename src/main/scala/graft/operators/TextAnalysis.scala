@@ -317,6 +317,34 @@ object TextAnalysis {
       .select($"doc_id", $"source", $"n_tok", $"cum")
   }
 
+  /** END-TO-END CURATION MANIFEST — the three curation stages a
+    * pretraining data job actually chains, as ONE declarative plan
+    * Catalyst optimizes whole: per-source median quality gate
+    * ([[qualityFilterFrom]], as a left-semi membership join) → exact
+    * content dedup keeping the min doc per normalized fingerprint (the
+    * same fingerprint [[Dedup.exact]] groups on) → sequence packing of
+    * the survivors ([[packSequencesFrom]]). Output is the final pack
+    * manifest. The point of registering the COMPOSITION (each stage
+    * already has its own gate query) is that stage seams are where
+    * pipelines break — a column renamed, a filter applied to the wrong
+    * side — so the composed result is oracle-checked end to end too.
+    * Shuffle budget: source exchange (median windows) + fp exchange
+    * (dedup) + source exchange (packing) — three, each keyed by the
+    * stage's own grain; nothing global. */
+  def curationManifest(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val kept = qualityFilterFrom(docs).select($"doc_id")
+    val highQ = docs.join(kept, Seq("doc_id"), "left_semi")
+    val wFp = Window.partitionBy($"fp").orderBy($"doc_id".asc)
+    val survivors = highQ
+      .withColumn("fp", md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")))
+      .withColumn("rn", row_number().over(wFp))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"source", $"text")
+    packSequencesFrom(survivors, budget)
+  }
+
   /** SEQUENCE PACKING — the concat-and-chunk step that turns a filtered
     * corpus into fixed-budget training sequences: documents are laid out
     * in a DETERMINISTIC pseudo-random order (salted hash of doc_id — the

@@ -231,6 +231,26 @@ class GateSemanticsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet.subsetOf(bigger))
   }
 
+  test("curation manifest: stage seams conserve docs and tokens") {
+    val docs = Tables.documents(spark, Sf)
+    // independent recomputation of the stage chain's survivor set
+    val kept = TextAnalysis.qualityFilterFrom(docs).select($"doc_id")
+    val highQ = docs.join(kept, Seq("doc_id"), "left_semi")
+      .withColumn("fp", md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")))
+    val survTokens = highQ
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+      .select(size(graft.functions.EngineNeutral.wsTokens(lower($"text"))).cast("long").as("n"))
+      .agg(sum($"n"), count(lit(1))).collect()(0)
+    val manifest = TextAnalysis.curationManifest(spark, Sf)
+      .agg(sum($"pack_tokens"), sum($"n_docs")).collect()(0)
+    assert(manifest.getLong(0) === survTokens.getLong(0), "token totals diverge at a seam")
+    assert(manifest.getLong(1) === survTokens.getLong(1), "doc counts diverge at a seam")
+    // and the gate actually gates: fewer docs than the raw corpus
+    assert(manifest.getLong(1) < docs.count())
+  }
+
   test("quality filter: per-source exact median, odd and even group sizes") {
     // pure-alpha texts of w identical tokens: punct=0, stopwords=0, so
     // quality = round(min(w/64,1)*0.4 + 0.3, 6) — strictly increasing in w
