@@ -30,7 +30,8 @@ object Plans {
       "sim_knn_graph" -> "knn graph: block-grid EQUI-join (no nested loop, no corpus broadcast), partial_graft_topk heaps",
       "sim_bucket_centroids" -> "bucket centroids: decimal-exact partial sums per (bucket,pos), bounded posexplode fan-out",
       "sim_centroid_assign" -> "Lloyd assignment: O(buckets) centroid table broadcast, k=1 heap argmax per vector",
-      "text_token_budget_mix" -> "token-budget mix: per-source window cumsum in hash order, no global sort")
+      "text_token_budget_mix" -> "token-budget mix: per-source window cumsum in hash order, no global sort",
+      "text_curation_manifest" -> "composed curation: median gate semi-join -> fp dedup -> pack, three stage-grain exchanges")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
