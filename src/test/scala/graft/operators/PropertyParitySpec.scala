@@ -97,6 +97,39 @@ class PropertyParitySpec extends SparkSpec {
     }
   }
 
+  test("quality filter matches a sequential reference on random corpora") {
+    def round6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def refQuality(text: String): Double = {
+      val toks = refTokens(text.toLowerCase)
+      val nTok = toks.size.toDouble
+      val alnum = text.replaceAll("[^A-Za-z0-9\\s]", "").length.toDouble
+      val punct = (text.length.toDouble - alnum) / text.length.toDouble
+      val stopList = Set("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+      val stop = if (nTok > 0) toks.count(stopList).toDouble / nTok else 0.0
+      round6(math.min(nTok / 64.0, 1.0) * 0.4 + (1.0 - punct) * 0.3 + stop * 0.3)
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new Random(300 + seed)
+      val words = Seq("the", "a", "w1", "w2", "w3!", "x.y", "zz")
+      val docs = (1 to rnd.nextInt(25) + 8).map { id =>
+        val text = Seq.fill(rnd.nextInt(7) + 1)(words(rnd.nextInt(words.size))).mkString(" ")
+        (id.toLong, "src" + rnd.nextInt(3), text)
+      }
+      val expected = docs.groupBy(_._2).flatMap { case (_, ds) =>
+        val qs = ds.map { case (id, _, text) => id -> refQuality(text) }
+        val sorted = qs.map(_._2).sorted
+        val n = sorted.size
+        val median = round6(if (n % 2 == 1) sorted(n / 2)
+          else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0)
+        qs.filter(_._2 >= median).map(_._1)
+      }.toSet
+      val got = TextAnalysis.qualityFilterFrom(docs.toDF("doc_id", "source", "text"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"seed=$seed docs=$docs")
+    }
+  }
+
   test("token-budget mix matches a sequential reference on random corpora") {
     for (seed <- 1 to 6) {
       val rnd = new Random(200 + seed)
