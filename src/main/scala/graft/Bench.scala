@@ -87,7 +87,10 @@ object Bench {
     val qs = times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    s""""value":$total,"queries":$qs,"errors":$es,"n_failed":${errors.size}"""
+    // n_queries makes cross-round total comparisons self-describing —
+    // the headline SET grows across rounds, so totals are not comparable
+    // without it (r6: 19 queries, r7: 23)
+    s""""value":$total,"n_queries":${times.size},"queries":$qs,"errors":$es,"n_failed":${errors.size}"""
   }
 
   def main(args: Array[String]): Unit = {
