@@ -687,6 +687,15 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       s"""SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
          |  min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM $docs GROUP BY 1""".stripMargin,
+    "dedup_rate_by_source" ->
+      // twin of Dedup.rateBySource: integer counts divided once in
+      // double, so the rate is bit-identical
+      s"""WITH g AS (SELECT source, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         |  count(*) AS n FROM $docs GROUP BY source, fp)
+         |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         |  count(*) AS n_distinct,
+         |  round((CAST(sum(n) AS BIGINT) - count(*))::DOUBLE / CAST(sum(n) AS BIGINT), 6) AS dup_rate
+         |FROM g GROUP BY source""".stripMargin,
     "dedup_minhash_signatures" ->
       s"""WITH $minhashSigCte
          |SELECT doc_id, band_id, band_hash FROM bands""".stripMargin,

@@ -97,6 +97,7 @@ object SparkEntry {
     "events_cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_rate_by_source" -> (Dedup.rateBySource _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
     "dedup_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash_signatures" -> (Dedup.simhashSignatures _),

@@ -42,6 +42,28 @@ object Dedup {
       .groupBy($"fp")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** DUPLICATION-RATE REPORT — the per-source health metric every
+    * curation run emits (a source whose dup rate jumps is a crawler
+    * re-fetching or a mirror entering the mix): documents, distinct
+    * normalized contents, and the duplicate fraction per source. Two
+    * partial-aggregated shuffles on (source, fp) then source — the
+    * report stays a few rows however large the corpus. The rate is
+    * stated over exact-content copies (same fingerprint as [[exact]]). */
+  def rateBySource(s: SparkSession, dir: String): DataFrame =
+    rateBySourceFrom(Tables.documents(s, dir))
+
+  /** Core of [[rateBySource]] over any (source, text) frame. */
+  def rateBySourceFrom(docs: DataFrame): DataFrame =
+    docs
+      .select($"source",
+        md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("fp"))
+      .groupBy($"source", $"fp")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        round((sum($"n") - count(lit(1))).cast("double") / sum($"n"), 6).as("dup_rate"))
+
   /** End-to-end partitioned-JSONL ingestion → dedup chain: reads the
     * hive-partitioned JSONL corpus layout ([[graft.sources.Layout
     * .documentsJsonl]] — explicit schema, PERMISSIVE corrupt-record

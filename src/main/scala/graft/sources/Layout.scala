@@ -52,6 +52,29 @@ object Layout {
   def eventsByDate(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(ensureEventsByDate(s, sfDir))
 
+  /** TRAINING-SHARD WRITER — the sink every curation pipeline ends in:
+    * the corpus written as exactly `nShards` deterministic shards,
+    * sharded by a salted hash of doc_id (a pure function of the row —
+    * reproducible across runs, engines and cluster sizes; NOT
+    * round-robin, which depends on partition layout) and sorted by
+    * doc_id within each shard (stable byte-identical shard content). At
+    * 100 TB this is `repartition(n, col)` + `sortWithinPartitions` —
+    * one shuffle keyed by the shard id, then a streaming sort per
+    * shard; the hive `shard=` directories mean a trainer can read any
+    * subset with partition pruning. Returns the shard root. */
+  def writeShards(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+                  dir: String, nShards: Int): String = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    import graft.functions.EngineNeutral.hash60
+    docs
+      .withColumn("shard",
+        pmod(hash60(concat($"doc_id".cast("string"), lit("#shard"))), lit(nShards.toLong)))
+      .repartition(nShards, $"shard")
+      .sortWithinPartitions($"shard", $"doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    dir
+  }
+
   /** Documents exported as hive-partitioned (by source) JSONL — the
     * interchange layout a corpus lands in before ETL. */
   def ensureDocumentsJsonl(s: SparkSession, sfDir: String,

@@ -117,6 +117,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup rate report partitions the corpus and restates its own counts") {
+    val rows = Dedup.rateBySource(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum === Tables.documents(spark, Sf).count())
+    rows.foreach { case (src, nDocs, nDistinct, rate) =>
+      assert(nDistinct >= 1L && nDistinct <= nDocs, src)
+      val expect = java.math.BigDecimal.valueOf((nDocs - nDistinct).toDouble / nDocs)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(rate === expect, src)
+    }
+    // exact-copy detection through normalization, pinned on a fixture
+    // (the harness corpus has near-dups but no exact normalized copies)
+    import spark.implicits._
+    val fixture = Seq(
+      ("a", "Hello, World!"), ("a", "hello world"), ("a", "unrelated"),
+      ("b", "x y z")).toDF("source", "text")
+    val fx = Dedup.rateBySourceFrom(fixture).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(fx("a") === ((3L, 2L, 0.333333)), "punct/case-normalized copies must collapse")
+    assert(fx("b") === ((1L, 1L, 0.0)))
+  }
+
   test("exact dedup: groups partition the corpus; keep_id is the min doc") {
     val groups = Dedup.exact(spark, Sf)
     val total = groups.agg(sum("n_copies")).collect()(0).getLong(0)
