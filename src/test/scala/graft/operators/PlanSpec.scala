@@ -134,6 +134,15 @@ class PlanSpec extends SparkSpec {
       s"per-source top-k is not map-side combined in:\n$p")
   }
 
+  test("curation manifest: one exchange per stage grain, membership broadcast") {
+    val p = plan(TextAnalysis.curationManifest(spark, Sf))
+    // source (median windows) + fp (dedup window) + source (pack window);
+    // the kept-id membership rides a broadcast semi join, not a shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 3, s"curation shuffles $exchanges times:\n$p")
+    assert(p.contains("BroadcastExchange"), s"kept-set not broadcast in:\n$p")
+  }
+
   test("centroid assignment broadcasts the centroid table, argmax map-side") {
     val df = Similarity.centroidAssign(spark, Sf)
     df.collect()
