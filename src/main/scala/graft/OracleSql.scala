@@ -85,15 +85,31 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     * session needed) — the banded-SRP twin must mirror the Spark side's
     * corpus-size-dependent [[graft.operators.Similarity.autoBitsPerBand]]
     * at EVERY scale, not just the sf0.01 gate where the clamp happens to
-    * land on 4. Falls back to the gate size if the file is unreadable
-    * (e.g. oracle SQL rendered off-box). */
-  private val embCount: Long = scala.util.Try {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet"),
-      new org.apache.hadoop.conf.Configuration())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }.getOrElse(500L)
+    * land on 4. If the file exists locally but the footer read fails we
+    * FAIL FAST — a silent gate-size fallback would mis-size srpBits at
+    * any other scale and surface as an opaque oracle hash mismatch.
+    * Only when the file is absent (oracle SQL rendered off-box) do we
+    * assume the gate size, loudly. */
+  private val embCount: Long = {
+    val path = s"$sfDir/embeddings.parquet"
+    scala.util.Try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } match {
+      case scala.util.Success(n) => n
+      case scala.util.Failure(e) if new java.io.File(path).exists() =>
+        throw new IllegalStateException(
+          s"parquet footer read failed for existing $path — refusing to " +
+            "guess the corpus size (srpBits would silently mis-size)", e)
+      case scala.util.Failure(e) =>
+        System.err.println(
+          s"[OracleSql] $path absent ($e) — assuming gate corpus size 500")
+        500L
+    }
+  }
 
   /** Twin of the auto-sized band width srpNearDupPairs resolves at run
     * time (one count() job there, one footer read here). */
@@ -321,17 +337,19 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  CAST(length(text) AS BIGINT) AS n_chars_measured
          |FROM $docs""".stripMargin,
     "text_quality_score" -> {
+      // ratio columns re-derived locally; the composite itself is the
+      // shared $qualitySql fragment so it can never drift from the
+      // filter/curation twins
       val nTok = s"len(${toks("lower(text)")})::DOUBLE"
       val alnum = s"length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
       val punct = s"((length(text)::DOUBLE - $alnum) / length(text)::DOUBLE)"
       val enHits =
         s"len(list_filter(${toks("lower(text)")}, t -> t IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE"
       val stop = s"(CASE WHEN $nTok > 0 THEN $enHits / $nTok ELSE 0.0 END)"
-      val lenScore = s"least($nTok / 64.0, 1.0)"
       s"""SELECT doc_id,
          |  round($punct, 6) AS punct_ratio,
          |  round($stop, 6) AS stopword_ratio,
-         |  round($lenScore * 0.4 + (1.0 - $punct) * 0.3 + $stop * 0.3, 6) AS quality
+         |  round($qualitySql, 6) AS quality
          |FROM $docs""".stripMargin
     },
     "text_ngram_counts" ->

@@ -81,7 +81,14 @@ object TextAnalysis {
     * billion-row source would OOM it at 100 TB; a sort scales). All
     * three window functions share the single `source` exchange. The
     * middle-two average equals `quantile_cont(q, 0.5)`, which is the
-    * DuckDB twin. */
+    * DuckDB twin — caveat: on an even count DuckDB interpolates
+    * ((a+b)*0.5) while Spark averages (sum/2); the two can differ in
+    * the last ulp BEFORE the round(…, 6), so a boundary value sitting
+    * exactly on a rounding edge could in principle hash-differ. Rank
+    * positions are kept as LONGs so the median math itself never
+    * overflows; the real per-source row cap is `row_number`'s int
+    * return (~2.1B rows per source — beyond it, switch the rank to a
+    * sum-over-sorted-window long). */
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
     qualityFilterFrom(Tables.documents(s, dir))
 
@@ -92,9 +99,10 @@ object TextAnalysis {
     val whole = Window.partitionBy($"source")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // middle positions: (n+1) div 2 and (n+2) div 2 — equal when n is
-    // odd (single middle), adjacent when even (quantile_cont midpoint)
-    val lo = floor(($"n" + lit(1L)) / lit(2.0)).cast("int")
-    val hi = floor(($"n" + lit(2L)) / lit(2.0)).cast("int")
+    // odd (single middle), adjacent when even (quantile_cont midpoint);
+    // kept as longs (row_number's int return is the real ~2.1B cap)
+    val lo = floor(($"n" + lit(1L)) / lit(2.0)).cast("long")
+    val hi = floor(($"n" + lit(2L)) / lit(2.0)).cast("long")
     docs
       .select($"doc_id", $"source", round(quality, 6).as("quality"))
       .withColumn("rn", row_number().over(byQ))

@@ -146,14 +146,23 @@ object Streams {
     *
     * Ordering contract mirrors [[sessionize]]: in-batch arrivals are
     * sorted by event time before folding; cross-batch stragglers are
-    * handled by the watermark delay. Under that contract each emitted
-    * hit is final (a first-completion can only move earlier via an event
-    * that the fold has not yet passed), so append mode is sound. */
+    * handled by the watermark delay. Ties on event time break by FUNNEL
+    * POSITION (then event_id): a stage-k event simultaneous with the
+    * stage-(k-1) completion must count under the batch `>=` semantics,
+    * so the shallower stage has to be folded first — sorting tied
+    * events by event_id alone would skip the deeper event whenever its
+    * id happened to sort lower (StreamingSpec pins the tied case).
+    * Under that contract each emitted hit is final (a first-completion
+    * can only move earlier via an event that the fold has not yet
+    * passed), so append mode is sound. */
   def funnel(events: Dataset[Event],
              stages: Seq[String] = Seq("view", "click", "purchase"),
              idleTimeoutMs: Long = 7L * 24 * 3600 * 1000): Dataset[StageHit] = {
     require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
     import events.sparkSession.implicits._
+    // non-stage types get -1: they never advance and only feed the
+    // (order-independent) lastMs max, so their slot in a tie is free
+    val stageIdx = stages.zipWithIndex.toMap
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
@@ -166,7 +175,8 @@ object Streams {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e =>
+              (e.ts.getTime, stageIdx.getOrElse(e.event_type, -1), e.event_id))
             var st = state.getOption.getOrElse(FunnelState(Nil, Long.MinValue))
             var hits = List.empty[StageHit]
             for (e <- sorted) {
@@ -307,11 +317,17 @@ object Streams {
                 st.counts.updated(e.event_type, st.counts.getOrElse(e.event_type, 0L) + 1L),
                 math.max(st.lastMs, e.ts.getTime))
             }
-            state.update(st)
-            state.setTimeoutTimestamp(
-              math.max(st.lastMs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
-            val (t, n) = st.counts.minBy { case (ty, c) => (-c, ty) }
-            Iterator.single(TopTypeOut(uid, t, n))
+            // Spark gives no hard cross-version guarantee against a
+            // spurious empty invocation before any event lands — never
+            // materialize (or argmax) an empty-count state
+            if (st.counts.isEmpty) Iterator.empty
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastMs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
+              val (t, n) = st.counts.minBy { case (ty, c) => (-c, ty) }
+              Iterator.single(TopTypeOut(uid, t, n))
+            }
           }
       }
   }

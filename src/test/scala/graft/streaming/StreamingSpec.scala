@@ -372,6 +372,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("funnel counts a stage event TIED with the prior stage's completion") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, ms: Long, tpe: String) =
+      Event(id, new java.sql.Timestamp(ms), user, tpe, 1.0)
+    val stream = MemoryStream[Event]
+    val query = Streams.funnel(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_ties")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-ft-${System.nanoTime()}")
+      .start()
+    try {
+      // all three stages share ONE timestamp, with event_ids ordered
+      // AGAINST funnel position — under the batch `>=` semantics every
+      // stage counts; an (event_id)-only tie-break would fold purchase
+      // and click before view and drop both
+      stream.addData(Seq(
+        ev(1, 7L, t0, "purchase"), ev(2, 7L, t0, "click"), ev(3, 7L, t0, "view"),
+        // user 8: tie only between stage 1 and 2, deeper event first by id
+        ev(4, 8L, t0, "click"), ev(5, 8L, t0, "view")))
+      query.processAllAvailable()
+      val hits = spark.table("funnel_ties")
+        .select($"user_id", $"stage").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(hits === Set((7L, 1), (7L, 2), (7L, 3), (8L, 1), (8L, 2)),
+        s"tied-timestamp events mis-folded: $hits")
+      // and the streamed counts still match the batch funnel on this data
+      val batch = Events.funnelFrom(
+        spark.table("funnel_ties").sparkSession.createDataFrame(Seq(
+          (1L, t0, 7L, "purchase"), (2L, t0, 7L, "click"), (3L, t0, 7L, "view"),
+          (4L, t0, 8L, "click"), (5L, t0, 8L, "view")
+        )).toDF("event_id", "ms", "user_id", "event_type"),
+        Seq("view", "click", "purchase"))
+      val streamed = spark.table("funnel_ties")
+        .groupBy($"stage".cast("long").as("stage"), $"event_type")
+        .agg(count_distinct($"user_id").as("n_users"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally query.stop()
+  }
+
   test("funnel state is EVICTED after the idle attribution window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
