@@ -288,6 +288,15 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       """SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val FROM part
         |UNION ALL
         |SELECT p_partkey, 'psize' AS metric, CAST(p_size AS DOUBLE) AS val FROM part""".stripMargin,
+    "rel_bloom_prune_join" ->
+      // twin of Relational.q33BloomPrunedJoin — the bloom gate is a
+      // PERFORMANCE device with exact semantics (false positives die in
+      // the equi-join), so the oracle is the plain selective join
+      """SELECT p_type, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#4'
+        |GROUP BY p_type""".stripMargin,
     "rel_full_outer" ->
       // twin of Relational.q32FullOuter — disjoint-ish nation filters so
       // both unmatched directions exist in the result
@@ -452,6 +461,22 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |         ELSE 0.1 END AS rate
          |  FROM $docs)
          |WHERE frac < rate""".stripMargin,
+    "text_weighted_sample" ->
+      // twin of TextAnalysis.weightedSample (priority sampling, k=10 per
+      // source): priority = greatest(n_chars,1) / (hash-grid uniform) is
+      // one exactly-rounded cast + one exactly-rounded division in BOTH
+      // engines — bit-identical doubles, so the top-k SET matches
+      s"""SELECT doc_id, source, n_chars, round(priority, 6) AS priority, rk FROM (
+         |  SELECT doc_id, source, n_chars, priority,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY priority DESC, doc_id ASC) AS rk
+         |  FROM (
+         |    SELECT doc_id, source, n_chars,
+         |      greatest(n_chars, 1)::DOUBLE /
+         |        ((${h60("concat(CAST(doc_id AS VARCHAR), '#wsample')")} % 1000000) + 1)::DOUBLE
+         |        AS priority
+         |    FROM $docs))
+         |WHERE rk <= 10""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          |FROM $docs""".stripMargin,

@@ -63,6 +63,7 @@ object SparkEntry {
     "rel_grouping_sets" -> (Relational.q30GroupingSets _),
     "rel_unpivot" -> (Relational.q31Unpivot _),
     "rel_full_outer" -> (Relational.q32FullOuter _),
+    "rel_bloom_prune_join" -> ((s, d) => Relational.q33BloomPrunedJoin(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "text_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_hash_split" -> (TextAnalysis.hashSplit _),
     "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "text_weighted_sample" -> (TextAnalysis.weightedSample _),
     "text_repetition_score" -> (TextAnalysis.repetitionScore _),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_curation_manifest" -> ((s, d) => TextAnalysis.curationManifest(s, d)),

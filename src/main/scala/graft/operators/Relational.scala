@@ -384,4 +384,61 @@ object Relational {
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n_above_avg"))
   }
+
+  /** BLOOM-PRUNED fact↔dim join — the row-level runtime-filter pattern
+    * that matters most at 100 TB: when the dim side is SELECTIVE but too
+    * large to broadcast, every fact row still pays the shuffle unless
+    * something cheap drops non-joining rows before the exchange. Shape:
+    *
+    *   1. aggregate the filtered dim's join keys into a Bloom filter
+    *      EXECUTOR-SIDE (`df.stat.bloomFilter` is a treeAggregate — only
+    *      the ~100 KB sketch ever reaches the driver, the same way
+    *      Spark's own `spark.sql.optimizer.runtime.bloomFilter` ships
+    *      its filter to the application side);
+    *   2. embed the serialized sketch as a foldable binary `Literal` and
+    *      gate the fact scan with the native `BloomFilterMightContain`
+    *      predicate — `might_contain`'s constant contract requires a
+    *      literal or scalar subquery, and a literal keeps the whole
+    *      predicate inside whole-stage codegen;
+    *   3. run the EXACT shuffle join on the survivors. False positives
+    *      (rate `fpp`) pass the bloom but are dropped by the equi-join,
+    *      so the result is bit-identical to the unfiltered join — the
+    *      DuckDB twin is the plain join.
+    *
+    * The join is pinned SHUFFLE_HASH: with a broadcast join the bloom
+    * would be redundant (the dim is already on every executor); the
+    * pattern exists precisely for the non-broadcastable-dim regime, so
+    * the query models it honestly and PlanSpec asserts both the
+    * might_contain gate below the exchange and the shuffled join above
+    * it. Brand#4 keeps ~5% of parts, so ~95% of lineitem rows die
+    * before the fact-side exchange. */
+  def q33BloomPrunedJoin(s: SparkSession, dir: String,
+                         brand: String = "Brand#4",
+                         expectedItems: Long = 1L << 16,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val dim = Tables.part(s, dir)
+      .filter($"p_brand" === brand)
+      .select($"p_partkey", $"p_type")
+    // expectedItems is a CAPACITY BOUND, not a count — sizing from a
+    // pre-count would cost an extra pass over the dim; at 100 TB take it
+    // from table statistics instead
+    val bf = dim.stat.bloomFilter("p_partkey", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val prune = Bridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), Bridge.expression($"l_partkey")))
+    Tables.lineitem(s, dir)
+      .filter($"l_partkey".isNotNull && prune)
+      .join(dim.hint("shuffle_hash"), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+  }
 }

@@ -237,6 +237,50 @@ object TextAnalysis {
       defaultRate = 0.1)
       .select($"doc_id", $"source", $"n_chars")
 
+  /** Deterministic WEIGHTED SAMPLING — exact-k per source, inclusion
+    * probability proportional to document weight (here n_chars: longer
+    * documents carry more training signal per row, the standard
+    * length-weighted corpus draw). PRIORITY SAMPLING (Duffield, Lund &
+    * Thorup, JACM 2007): each doc gets priority w / u with u a uniform
+    * in (0, 1], and the k highest priorities per source are the sample.
+    *
+    * u comes from the salted engine-neutral hash ("#wsample" — see
+    * [[stratifiedSampleFrom]] for why salts keep the draws independent),
+    * mapped to the integer grid (hash mod 1e6) + 1 — and the priority is
+    * then ONE long→double cast and ONE division, both of which IEEE 754
+    * requires to be exactly rounded. No transcendentals (an
+    * Efraimidis–Spirakis u^(1/w) key would hinge on pow/log agreeing to
+    * the last ulp across engines — not guaranteed by either libm), so
+    * the priority DOUBLES are bit-identical in Spark and DuckDB and the
+    * selected SET is too, which is what makes a hash-twin possible at
+    * all. Reproducible across runs, engines, partitionings.
+    *
+    * Shuffle shape: one exchange on `source` + per-partition sort (the
+    * same single-window shape as [[qualityFilterFrom]]); for extreme
+    * per-source cardinalities the bounded-heap
+    * [[graft.functions.TopKAgg]] path the sim_* queries use applies
+    * here too — the window form is kept because it emits the rank. */
+  def weightedSampleFrom(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val u = pmod(hash60(concat($"doc_id".cast("string"), lit("#wsample"))),
+      lit(1000000L)) + lit(1L)
+    val w = greatest($"n_chars", lit(1L)).cast("double")
+    val byP = Window.partitionBy($"source")
+      .orderBy($"priority".desc, $"doc_id".asc)
+    docs
+      .select($"doc_id", $"source", $"n_chars",
+        (w / u.cast("double")).as("priority"))
+      .withColumn("rk", row_number().over(byP).cast("long"))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"source", $"n_chars",
+        round($"priority", 6).as("priority"), $"rk")
+  }
+
+  /** Registered form: 10 length-weighted docs per source. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSampleFrom(Tables.documents(s, dir), k = 10)
+
   /** REPETITION SCORING — the Gopher-style (Rae et al. 2021, §A1.1)
     * repeated-content signals every pretraining filter runs: fraction of
     * duplicate tokens, fraction of duplicate bigrams, and the share of

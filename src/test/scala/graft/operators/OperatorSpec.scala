@@ -97,4 +97,46 @@ class OperatorSpec extends SparkSpec {
       .agg(sum("n_docs")).collect()(0).getLong(0)
     assert(total === Tables.documents(spark, Sf).count())
   }
+
+  test("bloom-pruned join result is EXACTLY the unfiltered join") {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val bloomed = Relational.q33BloomPrunedJoin(spark, Sf)
+    val part = Tables.part(spark, Sf).filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"), col("p_type"))
+    val plain = Tables.lineitem(spark, Sf)
+      .join(bcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty,
+      "bloom false positives leaked into (or pruning dropped rows from) the join")
+  }
+
+  test("weighted sample: exact-k per source, ranked, weight-monotone") {
+    val ws = TextAnalysis.weightedSample(spark, Sf)
+    // exactly min(k, |source|) rows per source, ranks contiguous from 1
+    val perSrc = ws.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+    assert(perSrc.filter(col("n") > 10 || col("mx") =!= col("n") || col("mn") =!= 1L)
+      .count() === 0L)
+    // priorities are non-increasing in rank within a source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("rk")
+    val inversions = ws
+      .withColumn("prev", lag("priority", 1).over(w))
+      .filter(col("prev").isNotNull && col("priority") > col("prev"))
+    assert(inversions.count() === 0L, "priority not sorted within source")
+    // weight-monotonicity: blowing up one excluded doc's weight pulls it in
+    val docs = Tables.documents(spark, Sf).select("doc_id", "source", "n_chars")
+    val sampled = ws.select("doc_id").collect().map(_.getLong(0)).toSet
+    val outsider = docs.filter(!col("doc_id").isin(sampled.toSeq: _*))
+      .orderBy("doc_id").limit(1).collect()(0).getLong(0)
+    val boosted = docs.withColumn("n_chars",
+      when(col("doc_id") === outsider, lit(1000000000L)).otherwise(col("n_chars")))
+    val resampled = TextAnalysis.weightedSampleFrom(boosted, k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(resampled.contains(outsider),
+      s"doc $outsider with dominating weight was not selected")
+  }
 }

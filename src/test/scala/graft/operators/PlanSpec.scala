@@ -29,6 +29,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
   }
 
+  test("bloom-pruned join: might_contain gates the fact scan below a shuffled join") {
+    val df = Relational.q33BloomPrunedJoin(spark, Sf)
+    df.collect() // AQE finalizes the join strategy only on execution
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"no bloom gate in:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"join not shuffled (a broadcast " +
+      s"would make the bloom redundant — the query models the " +
+      s"non-broadcastable-dim regime):\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"dim broadcast crept in:\n$p")
+    // the gate must sit on the FACT side, i.e. before the join: the
+    // pruned scan's filter mentions both the bloom and l_partkey
+    val gateLine = p.linesIterator.find(_.contains("might_contain")).get
+    assert(gateLine.contains("l_partkey"), s"bloom gates the wrong side:\n$p")
+  }
+
   test("aggregation is partial (map-side) before the exchange") {
     val p = plan(Relational.q1PricingSummary(spark, Sf))
     assert(p.contains("HashAggregate"), p)
