@@ -598,6 +598,17 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  SELECT user_id, event_type, count(*) AS n,
         |    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rnk
         |  FROM events GROUP BY user_id, event_type) WHERE rnk = 1""".stripMargin,
+    "events_zorder_scan" ->
+      // twin of Events.zorderScan — the result is LAYOUT-INDEPENDENT
+      // (z-ordering only changes which files hold which rows), so the
+      // twin reads the flat table. Day-boundary predicates are immune
+      // to the ns→µs truncation: floor can never move a value across a
+      // whole-second boundary from below
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 130
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
+        |GROUP BY event_type""".stripMargin,
     "events_partitioned_daily" ->
       // reads THROUGH the hive-partitioned layout graft.sources.Layout
       // materializes (Verify runs the Spark side first); ts was truncated

@@ -89,6 +89,7 @@ object SparkEntry {
     "events_top_type_per_user" -> (Events.topTypePerUser _),
     "events_props_extract" -> (Events.propsExtract _),
     "events_partitioned_daily" -> (Events.partitionedDaily _),
+    "events_zorder_scan" -> (Events.zorderScan _),
     "events_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     "events_asof_tolerance" -> ((s, d) =>
       Events.asofEnriched(s, d, toleranceMs = Some(3600000L))),

@@ -68,6 +68,22 @@ object Events {
         date_format($"event_date", "yyyy-MM-dd").as("event_date"),
         $"event_type", $"n", $"sum_value")
 
+  /** 2-D range scan through the Z-ORDERED layout
+    * ([[graft.sources.Layout.ensureEventsZOrdered]]): a user-band ∩
+    * time-window predicate — the access pattern a 1-D layout cannot
+    * localize. The answer is layout-independent (the DuckDB twin reads
+    * the flat table); what the layout buys is IO: LayoutSpec asserts
+    * the matching rows concentrate in a small fraction of the z-sorted
+    * files, which is what parquet footer min/max pruning skips by at
+    * 100 TB. */
+  def zorderScan(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.eventsZOrdered(s, dir)
+      .filter($"user_id".between(100L, 130L) &&
+        $"ts" >= lit("2024-01-10").cast("timestamp") &&
+        $"ts" < lit("2024-01-17").cast("timestamp"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+
   /** AS-OF JOIN: for each `leftType` event, the most recent `rightType`
     * event of the same user at-or-before it — the canonical time-series
     * enrichment (trade←quote, click←view) that Spark has no native

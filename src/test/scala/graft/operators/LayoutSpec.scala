@@ -25,6 +25,43 @@ class LayoutSpec extends SparkSpec {
     assert(df.count() === Tables.orders(spark, Sf).filter(col("o_orderstatus") === "F").count())
   }
 
+  test("z-order localizes a 2-D predicate; a 1-D sort scatters it") {
+    import graft.sources.Layout
+    // correctness first: the scan answer is layout-independent
+    val z = Events.zorderScan(spark, Sf)
+    val flat = Tables.events(spark, Sf)
+      .filter(col("user_id").between(100L, 130L) &&
+        col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-17").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    assert(z.exceptAll(flat).isEmpty && flat.exceptAll(z).isEmpty)
+
+    // locality: fraction of files CONTRIBUTING rows to the 2-D filter —
+    // the proxy for what parquet footer min/max pruning can skip
+    def contributing(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("user_id").between(100L, 130L) &&
+          col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-17").cast("timestamp"))
+        .select(input_file_name()).distinct().count()
+    val zdir = Layout.ensureEventsZOrdered(spark, Sf)
+    val zFiles = contributing(spark.read.parquet(zdir))
+    val zTotal = spark.read.parquet(zdir).select(input_file_name()).distinct().count()
+    // 1-D control: same file count, sorted by time alone — tight ts
+    // envelopes, but every file spans all users, so the user band hits
+    // every file in the time window
+    val out = s"$warehouse/events_ts_sorted"
+    Tables.events(spark, Sf)
+      .repartitionByRange(zTotal.toInt, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(out)
+    val tFiles = contributing(spark.read.parquet(out))
+    assert(zFiles * 2 <= tFiles,
+      s"z-order did not localize: $zFiles of $zTotal z-files vs $tFiles time-sorted files touch the predicate")
+    assert(zFiles.toDouble / zTotal <= 0.5,
+      s"2-D predicate touches $zFiles of $zTotal z-ordered files")
+  }
+
   test("shard writer: deterministic assignment, exact shard count, sorted content") {
     val out = s"$warehouse/shards"
     val docs = Tables.documents(spark, Sf).select("doc_id", "source", "text")
