@@ -761,6 +761,22 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
          |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.9""".stripMargin,
+    "dedup_cross_source_matrix" ->
+      // twin of Dedup.crossSourceMatrix — chains the LSH-pairs twin,
+      // resolves each endpoint's source, canonicalizes the pair
+      s"""WITH $minhashSigCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
+         |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jacc >= 0.9)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM p JOIN $docs da ON da.doc_id = p.doc_a
+         |       JOIN $docs db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_simhash_signatures" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sig""".stripMargin,

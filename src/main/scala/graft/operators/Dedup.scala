@@ -176,6 +176,30 @@ object Dedup {
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
   }
 
+  /** CROSS-SOURCE duplication matrix — which sources duplicate which:
+    * the diagnostic that decides whether a new crawl adds signal or
+    * re-serves an existing source (and which source to keep when
+    * survivorship is by source priority). Near-dup pairs from the
+    * banded LSH join, each endpoint resolved to its source, pair
+    * canonicalized (least, greatest) so the matrix is upper-triangular
+    * regardless of doc_id order; diagonal = within-source duplication.
+    * Shuffle shape: the LSH pair set (already candidate-bounded, never
+    * all-pairs) equi-joins the (doc_id → source) projection twice on
+    * doc_id, then one partial-agg exchange on the source pair — the
+    * lookup side is column-pruned to 2 columns at the scan. */
+  def crossSourceMatrix(s: SparkSession, dir: String,
+                        threshold: Double = 0.9): DataFrame = {
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    minhashLshPairs(s, dir, threshold)
+      .select($"doc_a", $"doc_b")
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("raw_a")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("raw_b")), "doc_b")
+      .groupBy(
+        least($"raw_a", $"raw_b").as("source_a"),
+        greatest($"raw_a", $"raw_b").as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Duplicate CLUSTERS: connected components over the near-dup pair
     * graph — the step a training pipeline actually runs after LSH (keep
     * one doc per cluster). cluster_id = the component's minimum doc_id. */

@@ -77,6 +77,22 @@ object Streams {
         unix_timestamp($"window.start").as("hour_ts"),
         $"event_type", $"n", $"sum_value")
 
+  /** STREAM-STATIC enrichment join — the ingest-time dimension lookup
+    * every event pipeline runs (click ← user profile, doc ← source
+    * config). The static side is a bounded batch DataFrame joined into
+    * every micro-batch; the join is STATELESS (no watermark, no state
+    * store — each batch joins and forgets), so it scales with batch
+    * size, not stream history. The static side is broadcast: at 100 TB
+    * the stream side is the unbounded one, the dim is the small one —
+    * if the dim outgrows broadcast, pre-bucket it and drop the hint.
+    * LEFT join + zero-fill so events from users outside the dim survive
+    * enrichment (an inner join would silently drop them). */
+  def enrichWithUserTotals(events: Dataset[Event], userTotals: DataFrame): DataFrame =
+    events.toDF()
+      .join(broadcast(userTotals), Seq("user_id"), "left")
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        coalesce($"user_total", lit(0.0)).as("user_total"))
+
   /** Streaming twin of Events.topTypePerUser's underlying counts, as a
     * WATERMARKED daily-window aggregate (update mode): the state held is
     * only the windows the watermark still admits — unlike a complete-mode

@@ -27,6 +27,35 @@ class StreamingSpec extends SparkSpec {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
 
+  test("stream-static enrichment equals the batch join, stateless") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    // the static dim: per-user historical totals from the batch table
+    val dim = Tables.events(spark, Sf).groupBy($"user_id")
+      .agg(round(sum($"value"), 2).as("user_total"))
+    val stream = MemoryStream[Event]
+    val query = Streams.enrichWithUserTotals(stream.toDS(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-en-${System.nanoTime()}")
+      .start()
+    try {
+      val third = events.size / 3
+      Seq(events.take(third), events.slice(third, 2 * third), events.drop(2 * third))
+        .foreach { b => stream.addData(b); query.processAllAvailable() }
+      val streamed = spark.table("enriched")
+      val batch = Tables.events(spark, Sf)
+        .join(dim, Seq("user_id"), "left")
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          coalesce($"user_total", lit(0.0)).as("user_total"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // stateless: the join keeps NO state store rows across batches
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "stream-static join should not allocate a state store")
+    } finally query.stop()
+  }
+
   test("streaming hourlyAgg equals the batch aggregate") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
