@@ -848,7 +848,28 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |WHERE cos_sim >= 0.4""".stripMargin)
+         |WHERE cos_sim >= 0.4""".stripMargin,
+    "dedup_semantic_survivors" ->
+      // twin of Dedup.semanticSurvivors — the embedding-neardup pair CTE
+      // chained into the same recursive transitive closure the
+      // fingerprint dedup twins use; survivor = component minimum
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |p AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  WHERE cos_sim >= 0.4),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a WHERE e2.b <> r.a),
+         |labels AS (SELECT e.vec_id AS doc_id,
+         |    least(e.vec_id, coalesce(min(r.b), e.vec_id)) AS cluster_id
+         |  FROM e LEFT JOIN reach r ON r.a = e.vec_id GROUP BY e.vec_id)
+         |SELECT e.vec_id, e.label FROM e
+         |JOIN labels l ON l.doc_id = e.vec_id AND l.doc_id = l.cluster_id""".stripMargin)
 
   // ---- similarity -------------------------------------------------------
 

@@ -109,6 +109,7 @@ object SparkEntry {
     "dedup_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_cross_source_matrix" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
+    "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
     "corpus_jsonl_dedup" -> ((s, d) => Dedup.jsonlCorpusDedup(s, d)),
     "dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     // similarity search

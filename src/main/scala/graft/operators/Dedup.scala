@@ -312,6 +312,28 @@ object Dedup {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
+  /** SEMANTIC deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * embedding-space near-dup pairs → connected components → keep one
+    * representative per component. Textually distinct rewrites of the
+    * same content — which MinHash/SimHash cannot see — collapse here.
+    * Composition of two pieces that each hold their own scale contract:
+    * [[embeddingNearDup]] (within-block pairs, hot-block guard; swap in
+    * [[graft.operators.Similarity.srpNearDupPairs]] as the pair source
+    * when blocks outgrow the quadratic budget — [[clustersFromPairs]]
+    * is agnostic to where edges come from) and the frontier-style
+    * min-label propagation. Survivor rule: the component's minimum
+    * vec_id, same as the fingerprint-dedup path. */
+  def semanticSurvivors(s: SparkSession, dir: String,
+                        threshold: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    val pairs = embeddingNearDup(s, dir, threshold)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val survivors = clustersFromPairs(emb.select($"vec_id".as("doc_id")), pairs)
+      .filter($"doc_id" === $"cluster_id")
+      .select($"doc_id".as("vec_id"))
+    emb.join(survivors, "vec_id").select($"vec_id", $"label")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   val SimhashBits = 48

@@ -392,6 +392,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(batched.exceptAll(expr).isEmpty && expr.exceptAll(batched).isEmpty)
   }
 
+  test("semantic survivors are pairwise NON-near-dup and cover every cluster") {
+    import spark.implicits._
+    val survivors = Dedup.semanticSurvivors(spark, Sf)
+    val emb = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    // exactly one survivor per connected component
+    val pairs = Dedup.embeddingNearDup(spark, Sf)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val nClusters = Dedup.clustersFromPairs(
+        emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("cluster_id")).distinct().count()
+    assert(survivors.count() === nClusters)
+    // survivor minimality: two survivors within the threshold would have
+    // shared an edge and been one component — so zero pairs remain
+    val residual = Dedup.embeddingNearDupFrom(
+      emb.join(survivors.select("vec_id"), "vec_id"), threshold = 0.4)
+    assert(residual.count() === 0L,
+      "near-dup pair survived semantic dedup")
+  }
+
   test("multimodal meta stats never read payload bytes (column pruning)") {
     val plan = MultiModal.mmMetaStats(spark, Sf).queryExecution.executedPlan.toString
     // the parquet scan must not include `text` as a data column... it IS
