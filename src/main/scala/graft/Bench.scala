@@ -32,6 +32,10 @@ object Bench {
     "rel_cte_top_segments",
     "rel_star_join_revenue",
     "rel_salted_agg",
+    "rel_bloom_prune_join", // added r8: bloom-gated shuffle join
+    "events_zorder_scan", // added r8: includes one-time z-layout write
+    "text_weighted_sample", // added r8: one-window priority sample
+    "dedup_cross_source_matrix", // added r8: LSH pairs + 2 lookups
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
@@ -107,8 +111,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up on the smallest SF so headline timings measure
-    // the plan, not first-query class loading.
-    SparkEntry.queries("rel_pricing_summary")(spark, "/root/testdata/sf0.001").count()
+    // the plan, not first-query class loading — one representative per
+    // kernel family (relational agg, vector codegen + heap agg, minhash
+    // banding): cold sim_brute_force_topk measured 7x its warm time
+    // purely from first-touch codegen/class loading.
+    Seq("rel_pricing_summary", "sim_brute_force_topk", "dedup_minhash_lsh_pairs")
+      .foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
 
     val (times, errors) = run(spark, sfDir)
 

@@ -31,7 +31,12 @@ object Plans {
       "sim_bucket_centroids" -> "bucket centroids: decimal-exact partial sums per (bucket,pos), bounded posexplode fan-out",
       "sim_centroid_assign" -> "Lloyd assignment: O(buckets) centroid table broadcast, k=1 heap argmax per vector",
       "text_token_budget_mix" -> "token-budget mix: per-source window cumsum in hash order, no global sort",
-      "text_curation_manifest" -> "composed curation: median gate semi-join -> fp dedup -> pack, three stage-grain exchanges")
+      "text_curation_manifest" -> "composed curation: median gate semi-join -> fp dedup -> pack, three stage-grain exchanges",
+      "rel_bloom_prune_join" -> "bloom-pruned join: might_contain literal gates the fact scan below a ShuffledHashJoin (non-broadcastable-dim regime)",
+      "events_zorder_scan" -> "z-order scan: 2-D predicate through the Morton-sorted layout; plain filter+agg plan, IO localization is the layout's job",
+      "text_weighted_sample" -> "priority sample: one source exchange, rank window, scan-speed IEEE-exact priorities",
+      "dedup_cross_source_matrix" -> "cross-source matrix: LSH pair set joins two column-pruned (doc_id,source) lookups, one pair-key agg",
+      "dedup_semantic_survivors" -> "semantic dedup: within-block pair join + frontier CC labels + survivor semi-join")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")

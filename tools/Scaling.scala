@@ -28,7 +28,10 @@ object Scaling {
       sb.append(f"| $q | ${m("sf0.001")}%.2f | ${m("sf0.01")}%.2f | ${m("sf0.1")}%.2f | ${m("sf0.1")/m("sf0.01")}%.1fx |\n")
     }
     // preserve the hand-written sections below the table
-    val existing = new String(Files.readAllBytes(Paths.get("/root/repo/docs/SCALING.md")))
+    // explicit UTF-8: the dev-loop JVM may default to the POSIX charset,
+    // which turns every em-dash in the preserved sections into U+FFFD
+    val existing = new String(Files.readAllBytes(Paths.get("/root/repo/docs/SCALING.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
     val keepFrom = existing.indexOf("\nNotes: sub-second entries")
     sb.append(existing.substring(keepFrom))
     Files.writeString(Paths.get("/root/repo/docs/SCALING.md"), sb.toString)
