@@ -308,6 +308,16 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  coalesce(n_suppliers, 0) AS n_suppliers,
         |  coalesce(n_customers, 0) AS n_customers
         |FROM sup FULL OUTER JOIN cust ON s_nationkey = c_nationkey""".stripMargin,
+    "rel_approx_distinct" ->
+      // twin of Relational.q23ApproxDistinct — sketch VALUES are
+      // engine-specific, so each engine checks ITS OWN estimate against
+      // the exact count with the same ±max(5%, 5) bound; the
+      // hash-compared columns are the exact count and the verdict
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_cust_exact,
+        |  (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))::DOUBLE
+        |     <= greatest(count(DISTINCT o_custkey) * 0.05, 5.0)) AS within_bound
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "rel_window_frames" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
@@ -564,6 +574,26 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM cg JOIN eg USING (g)
          |GROUP BY doc_id""".stripMargin
     },
+    "text_common_spans" -> {
+      // twin of TextAnalysis.commonSpans (w=5, minDf=3): per-doc DISTINCT
+      // word 5-shingle hashes, df = docs containing the shingle, per-doc
+      // common-span tallies. sum over ints is HUGEINT in DuckDB → BIGINT
+      val tk = toks("lower(text)")
+      s"""WITH t AS (SELECT doc_id, $tk AS tk FROM $docs),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |  CASE WHEN len(tk) >= 5
+         |    THEN list_transform(range(1, len(tk) - 3),
+         |      j -> concat_ws(' ', tk[j], tk[j+1], tk[j+2], tk[j+3], tk[j+4]))
+         |    ELSE CAST([] AS VARCHAR[]) END,
+         |  x -> ${h60("x")})) AS gh FROM t),
+         |e AS (SELECT doc_id, unnest(gh) AS g FROM g),
+         |d AS (SELECT g, count(*) AS df FROM e GROUP BY g)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  round(sum(CASE WHEN df >= 3 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS common_frac
+         |FROM e JOIN d USING (g)
+         |GROUP BY doc_id""".stripMargin
+    },
     "text_winnow_sketch" ->
       s"""WITH s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
          |g AS (SELECT doc_id, CASE WHEN length(sk) >= 5
@@ -692,6 +722,19 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |SELECT f.cohort, ev.p - f.cohort AS offset,
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "events_path_transitions" ->
+      // twin of Events.pathTransitions: consecutive same-user event
+      // pairs ordered by (epoch-ms, event_id) — ms, not raw ts, so the
+      // ns-vs-µs storage difference can never reorder a tie
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events WHERE user_id IS NOT NULL),
+        |x AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS next_type
+        |  FROM e)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM x WHERE next_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
@@ -943,6 +986,23 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT src_id, nbr_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
          |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "sim_threshold_histogram" -> {
+      // twin of Similarity.thresholdHistogram: the srp_neardup candidate
+      // CTE with the verify filter OPEN, bucketed at 0.1 grain — both
+      // engines floor the SAME rounded double, so bins agree bit-for-bit
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, CAST($b AS BIGINT) AS band_id, ${srpBand("v", b * srpBits, srpBits)} AS band_val FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.vec_id < r.vec_id),
+         |p AS (SELECT round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+         |  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b)
+         |SELECT CAST(floor(cos_sim * 10) AS BIGINT) AS cos_bin, count(*) AS n_pairs
+         |FROM p GROUP BY cos_bin""".stripMargin
+    },
     "sim_bucket_centroids" ->
       // twin of Similarity.bucketCentroids(nBits=8): DECIMAL component
       // sums are exact and order-independent, so the single double
@@ -1033,6 +1093,17 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  (n_bytes + scale * scale - 1) // (scale * scale) AS out_bytes,
          |  md5(substr(text, 1, CAST((n_bytes + scale * scale - 1) // (scale * scale) AS INTEGER))) AS probe
          |FROM g""".stripMargin,
+    "mm_payload_dedup" ->
+      // twin of MultiModal.mmPayloadDedup: payload = UTF-8 bytes of text
+      // (ASCII corpus), so the content hash mirrors md5(text)
+      s"""SELECT mime, md5(text) AS payload_md5,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM (SELECT doc_id, text,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |         ELSE 'video/mp4' END AS mime
+         |  FROM $docs)
+         |GROUP BY mime, payload_md5""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, mime, frame_off, md5(substr(text, CAST(frame_off + 1 AS INTEGER), 32)) AS frame_probe
          |FROM (SELECT doc_id, text,

@@ -9,9 +9,10 @@ import graft.imdb.{Pipeline, Queries => Imdb}
   * Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
   * extensions) is registered here, and every entry has a DuckDB twin in
   * [[OracleSql]] — the pair is what the driver's correctness gate runs.
-  * Sole exception: `rel_approx_distinct` (HLL estimates are
-  * engine-specific, so no cross-engine hash can match); it is gated by
-  * the 3x-rsd error-bound spec in GateSemanticsSpec instead.
+  * (`rel_approx_distinct` hash-compares the exact count plus a
+  * within-bound verdict — each engine checks its own HLL estimate, since
+  * raw sketch values are engine-specific; the tighter 3x-rsd property
+  * lives in GateSemanticsSpec.)
   * Column names and types are part of the contract (the driver compares
   * by sorted column name): builders alias every computed column and the
   * SQL twins use the same aliases.
@@ -81,7 +82,8 @@ object SparkEntry {
     "text_curation_manifest" -> ((s, d) => TextAnalysis.curationManifest(s, d)),
     "text_redact" -> (TextAnalysis.redact _),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
-    "rel_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: sketch
+    "text_common_spans" -> ((s, d) => TextAnalysis.commonSpans(s, d)),
+    "rel_approx_distinct" -> (Relational.q23ApproxDistinct _),
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
     // events (batch time-series)
     "events_hourly_agg" -> (Events.hourlyAgg _),
@@ -98,6 +100,7 @@ object SparkEntry {
     "events_range_join" -> ((s, d) => Events.rangeJoinPriorCounts(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
+    "events_path_transitions" -> (Events.pathTransitions _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_rate_by_source" -> (Dedup.rateBySource _),
@@ -121,11 +124,13 @@ object SparkEntry {
     "sim_bucket_centroids" -> ((s, d) => Similarity.bucketCentroids(s, d)),
     "sim_centroid_assign" -> ((s, d) => Similarity.centroidAssign(s, d)),
     "sim_lloyd_iteration" -> ((s, d) => Similarity.lloydIteration(s, d)),
+    "sim_threshold_histogram" -> ((s, d) => Similarity.thresholdHistogram(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),
     "mm_frame_sample" -> ((s, d) => MultiModal.mmFrameSample(s, d)),
     "mm_resize" -> ((s, d) => MultiModal.mmResize(s, d)),
+    "mm_payload_dedup" -> (MultiModal.mmPayloadDedup _),
     // IMDB parity (deterministic twins for the LIMIT/rank queries —
     // SURVEY.md §1.4(5); byte-faithful builders live in graft.imdb.Queries)
     "imdb_graf1" -> imdbQ(st => Imdb.graf1(st.dimMovies)),

@@ -314,6 +314,38 @@ object Events {
       .agg(count_distinct($"user_id").as("n_users"))
   }
 
+  /** PATH TRANSITIONS — the first-order Markov structure of user
+    * journeys: for every consecutive pair of events of the same user
+    * (ordered by time), count the (from_type → to_type) transition and
+    * the distinct users making it. This is the path-analysis primitive
+    * behind "where do users go after X" dashboards and the input to any
+    * sequence-model pretraining over event logs.
+    *
+    * Shape: ONE exchange+sort on user_id serves the lead() window (the
+    * same partitioning every per-user operator here shuffles on), then a
+    * partial-aggregated count on the (from, to) pair — the output is
+    * |types|² rows however large the log. Ordering ties break on
+    * (epoch-ms, event_id) — epoch-ms, not the raw timestamp, so the
+    * ns-vs-µs storage difference between engines can never reorder a
+    * tie. Per-user window state is one row — bounded. */
+  def pathTransitions(s: SparkSession, dir: String): DataFrame =
+    pathTransitionsFrom(
+      Tables.events(s, dir)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ms")))
+
+  /** Core of [[pathTransitions]] over any (user_id, event_id,
+    * event_type, ms) frame — unit-testable. */
+  def pathTransitionsFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+    ev
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"), count_distinct($"user_id").as("n_users"))
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object). */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -146,6 +146,23 @@ object MultiModal {
         md5($"payload".substr(lit(1), $"out_bytes")).as("probe"))
   }
 
+  /** EXACT PAYLOAD DEDUP — the multimodal twin of
+    * [[graft.operators.Dedup.exact]]: identical binary payloads (same
+    * bytes, regardless of filename/metadata) collapse to one survivor
+    * per (mime, content-hash) group. This is the first pass of every
+    * multimodal curation pipeline — a crawl re-serving the same image
+    * under a thousand URLs dies here before any expensive decode runs.
+    * One shuffle on the md5 fingerprint (computed scan-side, so the
+    * payload bytes never ride the exchange — only the 32-char digest
+    * does); grouping includes mime so a byte-coincidence across
+    * modalities (impossible for real codecs, cheap to guard) never
+    * merges assets of different types. */
+  def mmPayloadDedup(s: SparkSession, dir: String): DataFrame =
+    asMultimodal(s, dir)
+      .select($"doc_id", $"meta.mime".as("mime"), md5($"payload").as("payload_md5"))
+      .groupBy($"mime", $"payload_md5")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Frame/sample selection: deterministic stride over byte offsets — the
     * shape of frame-sampling (video) or windowing (audio) without a codec:
     * one output row per sampled offset, partition-parallel per asset. */

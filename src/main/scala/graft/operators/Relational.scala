@@ -254,13 +254,23 @@ object Relational {
 
   /** Approximate-distinct sketch (HyperLogLog++): the cardinality
     * estimator a 100 TB pipeline uses where exact countDistinct's
-    * shuffle is unaffordable. No DuckDB oracle (sketch internals are
-    * engine-specific) — the driver records a rows-only check; the exact
-    * twin q15CountDistinct is the semantic anchor. */
+    * shuffle is unaffordable. Sketch VALUES are engine-specific (Spark
+    * HLL++ vs DuckDB HLL disagree in the low digits), so the
+    * hash-comparable output is the exact count plus a WITHIN-BOUND
+    * verdict: |approx − exact| ≤ max(5% · exact, 5) — ~3σ for both
+    * engines' default precision, so the boolean is deterministically
+    * true on both sides and any sketch regression (wrong rsd plumbing,
+    * broken merge) flips it to false and fails the hash gate. The tight
+    * 3×rsd error-bound property stays in GateSemanticsSpec. */
   def q23ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy($"o_orderstatus")
-      .agg(approx_count_distinct($"o_custkey", 0.01).as("n_cust_approx"))
+      .agg(
+        countDistinct($"o_custkey").as("n_cust_exact"),
+        approx_count_distinct($"o_custkey", 0.01).as("approx"))
+      .select($"o_orderstatus", $"n_cust_exact",
+        (abs($"approx" - $"n_cust_exact").cast("double") <=
+          greatest($"n_cust_exact" * 0.05, lit(5.0))).as("within_bound"))
 
   /** Fact⋈fact revenue through BUCKETED tables (Layout.ensureBucketedFacts):
     * both sides hash-bucketed and sorted on the join key at write time,

@@ -270,6 +270,24 @@ object Similarity {
         round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
   }
 
+  /** THRESHOLD-CALIBRATION HISTOGRAM — the similarity distribution of
+    * the banded-SRP candidate pairs, bucketed at 0.1 grain: the curve a
+    * pipeline reads to PICK its near-dup threshold (the valley between
+    * the near-dup mode near 1.0 and the background mode near 0 is the
+    * defensible cut; a threshold chosen blind is a guess). Runs the
+    * exact [[srpNearDupPairsFrom]] candidate machinery with the verify
+    * filter OPEN (threshold −1 keeps every candidate), then one
+    * partial-aggregated count per bin — the output is ≤ 21 rows
+    * whatever the corpus size, and the candidate set is the banded one
+    * (linear under the auto-sized bands), never all-pairs.
+    * Bin = floor(round(cos,4)·10): both engines bucket the SAME rounded
+    * double with the SAME IEEE multiply+floor, so a value landing a few
+    * ulps under a decimal boundary bins identically either side. */
+  def thresholdHistogram(s: SparkSession, dir: String): DataFrame =
+    srpNearDupPairs(s, dir, threshold = -1.0)
+      .groupBy(floor($"cos_sim" * 10).cast("long").as("cos_bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Target mean bucket population for auto-sized SRP banding. */
   val AutoTargetBucketRows = 64L
 

@@ -503,6 +503,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** REPEATED-SPAN / BOILERPLATE detection (the corpus-level counterpart
+    * of [[repetitionScore]]'s within-doc signals — the "substring
+    * duplication" diagnostic of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", at shingle grain): a word
+    * w-shingle appearing in >= minDf distinct documents is boilerplate
+    * (navigation chrome, license headers, templated spans); each
+    * document reports how much of it is made of such spans. A doc with a
+    * high `common_frac` is template, not content — the signal that a
+    * quality gate combines with [[qualityScore]].
+    *
+    * Shape at 100 TB: per-doc DISTINCT shingle hashes (so the document
+    * frequency is a plain count), ONE partial-aggregated exchange on the
+    * shingle hash, broadcast-sized nothing — the df table rides the same
+    * equi-join shape as [[tfidfTopTerms]]' df, then one per-doc
+    * aggregate. Docs shorter than w tokens have no shingles and emit no
+    * row — in both engines identically. */
+  def commonSpans(s: SparkSession, dir: String, w: Int = 5, minDf: Int = 3): DataFrame =
+    commonSpansFrom(Tables.documents(s, dir), w, minDf)
+
+  /** Core of [[commonSpans]] over any (doc_id, text) frame. */
+  def commonSpansFrom(docs: DataFrame, w: Int, minDf: Int): DataFrame = {
+    require(w >= 1 && minDf >= 1, s"need w >= 1 and minDf >= 1, got w=$w minDf=$minDf")
+    val g = docs.select($"doc_id",
+      explode(transform(wordShingles(lower($"text"), w), x => hash60(x))).as("g"))
+    val df = g.groupBy($"g").agg(count(lit(1)).as("df"))
+    g.join(df, "g")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"df" >= minDf, 1L).otherwise(0L)).as("n_common"),
+        round(sum(when($"df" >= minDf, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("common_frac"))
+  }
+
   /** Document fingerprint: md5 over the lowercased alphanumeric skeleton
     * (whitespace/punct-insensitive content identity — the key for exact
     * dedup after normalization). */

@@ -182,8 +182,11 @@ class GateSemanticsSpec extends SparkSpec {
   }
 
   test("approx distinct: HLL estimate within 3x the configured rsd") {
-    val approx = Relational.q23ApproxDistinct(spark, Sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the raw estimate (the registered query only exposes the verdict)
+    val approx = Tables.orders(spark, Sf)
+      .groupBy($"o_orderstatus")
+      .agg(approx_count_distinct($"o_custkey", 0.01).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.orders(spark, Sf)
       .groupBy($"o_orderstatus").agg(count_distinct($"o_custkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -192,6 +195,11 @@ class GateSemanticsSpec extends SparkSpec {
       val err = math.abs(approx(k) - n).toDouble / n
       assert(err <= 0.03, s"status $k: estimate ${approx(k)} vs exact $n (err $err)")
     }
+    // and the registered verdict form agrees: exact counts + all-true
+    val verdict = Relational.q23ApproxDistinct(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(verdict.view.mapValues(_._1).toMap === exact)
+    assert(verdict.values.forall(_._2), s"within_bound violated: $verdict")
   }
 
   test("ngram counts: exact counts, deterministic top-k tie-break, n=3") {
