@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-8 curation operators on hand-built fixtures
+  * plus cross-operator invariants at sf0.001: repeated-span boilerplate
+  * fractions, event path transitions (incl. the ms-tie contract),
+  * payload dedup vs text dedup, and the threshold histogram vs the pair
+  * join it summarizes.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  test("common spans: df-threshold boilerplate fractions on a fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y"), // shingles: "a b c d e","b c d e x","c d e x y"
+      (2L, "a b c d e q r"),
+      (3L, "z a b c d e"), //   "z a b c d","a b c d e"
+      (4L, "p q r s t u"), //   both unique
+      (5L, "too short")) //     < w tokens: no shingles, no row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.commonSpansFrom(docs, w = 5, minDf = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // "a b c d e" appears in docs 1,2,3 => df=3 >= minDf; everything else df<3
+    assert(got(1L) === ((3L, 1L, 0.333333)))
+    assert(got(2L) === ((3L, 1L, 0.333333)))
+    assert(got(3L) === ((2L, 1L, 0.5)))
+    assert(got(4L) === ((2L, 0L, 0.0)))
+    assert(!got.contains(5L), "a doc shorter than w tokens emits no row")
+  }
+
+  test("common spans: minDf=1 marks every shingle common") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val r = TextAnalysis.commonSpansFrom(docs, w = 5, minDf = 1).collect()(0)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L && r.getDouble(3) === 1.0)
+  }
+
+  test("path transitions: counts, distinct users, and ms-tie by event_id") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "view", 1000L),
+      (1L, 11L, "click", 2000L),
+      (1L, 12L, "buy", 3000L),
+      // user 2: same-ms pair — order must come from event_id, not input order
+      (2L, 21L, "view", 5000L),
+      (2L, 20L, "click", 5000L))
+      .toDF("user_id", "event_id", "event_type", "ms")
+    val got = Events.pathTransitionsFrom(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("view", "click")) === ((1L, 1L)))
+    assert(got(("click", "buy")) === ((1L, 1L)))
+    // event_id 20 ("click") sorts before 21 ("view") at ms 5000
+    assert(got(("click", "view")) === ((1L, 1L)))
+    assert(got.size === 3)
+  }
+
+  test("path transitions: transition total = events - users (chain lengths)") {
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val total = Events.pathTransitionsFrom(ev)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(total === nEvents - nUsers,
+      "each user contributes (chain length - 1) transitions")
+  }
+
+  test("payload dedup groups mirror text fingerprint groups") {
+    val mm = MultiModal.mmPayloadDedup(spark, Sf)
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(mm.agg(sum("n_copies")).collect()(0).getLong(0) === nDocs)
+    // identical-bytes grouping == grouping by the raw text (UTF-8 encode
+    // is injective), modulo the mime split
+    val textGroups = Tables.documents(spark, Sf)
+      .groupBy(col("text")).agg(count(lit(1))).count()
+    val mmGroupsIgnoringMime = MultiModal.asMultimodal(spark, Sf)
+      .groupBy(md5(col("payload"))).agg(count(lit(1))).count()
+    assert(mmGroupsIgnoringMime === textGroups)
+    // keep_id is the group's minimum doc_id
+    val bad = mm.join(
+        MultiModal.asMultimodal(spark, Sf)
+          .select(col("doc_id"), col("meta.mime").as("mime"),
+            md5(col("payload")).as("payload_md5")),
+        Seq("mime", "payload_md5"))
+      .filter(col("doc_id") < col("keep_id"))
+    assert(bad.count() === 0L, "keep_id must be the min doc_id of its group")
+  }
+
+  test("threshold histogram sums to the open-threshold pair count, bins sane") {
+    val hist = Similarity.thresholdHistogram(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = Similarity.srpNearDupPairs(spark, Sf, threshold = -1.0)
+    assert(hist.values.sum === allPairs.count())
+    assert(hist.keys.forall(b => b >= -10L && b <= 10L), s"bins out of range: $hist")
+    // bins >= 4 are exactly the pairs the 0.4-threshold join emits
+    // (floor(round(cos,4)*10) >= 4 <=> round(cos,4) >= 0.4 — see docstring)
+    val atThreshold = Similarity.srpNearDupPairs(spark, Sf, threshold = 0.4).count()
+    assert(hist.filter(_._1 >= 4L).values.sum === atThreshold)
+  }
+}
