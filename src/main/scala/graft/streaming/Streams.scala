@@ -121,6 +121,45 @@ object Streams {
     * In-batch out-of-order arrivals are sorted before folding;
     * cross-batch ordering is handled the streaming-native way — by the
     * watermark delay admitting stragglers before the timeout fires. */
+  /** STREAM-STREAM INTERVAL JOIN — attribution's native shape: every
+    * (view, click) pair of the same user where the click lands within
+    * `windowSec` seconds AT-OR-AFTER the view (view→click attribution;
+    * trade→quote, impression→conversion are the same join). This is the
+    * one Structured Streaming operator class where BOTH sides buffer:
+    * correctness requires each side to hold rows until the other side's
+    * watermark proves no more matches can arrive.
+    *
+    * State bound at 100 TB — and why the time-range condition is not
+    * optional: with watermarks on both sides AND a range tying the two
+    * event times, Spark derives a per-side state-eviction horizon (a
+    * view is dropped once the click watermark passes view_ts +
+    * windowSec; a click once the view watermark passes click_ts), so
+    * state is O(events within the join window), not O(stream history).
+    * An unconstrained stream-stream join would buffer forever — the
+    * classic production incident this operator exists to avoid. Inner
+    * join → append mode; each pair is emitted exactly once, when both
+    * sides have it. StreamingSpec asserts parity with the identical
+    * batch join and that state rows stay bounded by the window. */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   windowSec: Long = 1800L, delay: String = "1 hour"): DataFrame = {
+    require(windowSec > 0, s"attribution window must be positive, got $windowSec")
+    val v = views
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val c = clicks
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"), $"value")
+      .withWatermark("click_ts", delay)
+    v.join(c,
+        $"user_id" === $"c_user" &&
+          $"click_ts" >= $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr(s"INTERVAL $windowSec SECONDS"))
+      .select($"user_id", $"view_id", $"click_id",
+        unix_millis($"view_ts").as("view_ms"),
+        unix_millis($"click_ts").as("click_ms"),
+        round($"value", 2).as("click_value"))
+  }
+
   /** Streaming twin of exact dedup (graft.operators.Dedup.exact) — the
     * corpus-ingestion seam: an at-least-once upstream (re-delivered
     * files, replayed partitions, near-simultaneous crawls of the same

@@ -475,6 +475,60 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join equals the batch join; state bounded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val views = events.filter(_.event_type == "view")
+    val clicks = events.filter(_.event_type == "click")
+    val vStream = MemoryStream[Event]
+    val cStream = MemoryStream[Event]
+    val query = Streams.intervalJoin(vStream.toDF(), cStream.toDF())
+      .writeStream.format("memory").queryName("vc_join")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-ij-${System.nanoTime()}")
+      .start()
+    try {
+      // interleaved micro-batches so pairs span batch boundaries both ways
+      val (v1, v2) = views.splitAt(views.size / 2)
+      val (c1, c2) = clicks.splitAt(clicks.size / 2)
+      vStream.addData(v1); query.processAllAvailable()
+      cStream.addData(c1); query.processAllAvailable()
+      cStream.addData(c2); query.processAllAvailable()
+      vStream.addData(v2); query.processAllAvailable()
+      // watermark-advancing tail events (disjoint users, far apart in
+      // time — they can match nothing) so buffered state gets evicted
+      val farMs = events.map(_.ts.getTime).max + 12 * 3600 * 1000L
+      vStream.addData(Seq(Event(-1L, new java.sql.Timestamp(farMs), -1L, "view", 0.0)))
+      cStream.addData(Seq(Event(-2L, new java.sql.Timestamp(farMs + 8 * 3600 * 1000L), -2L, "click", 0.0)))
+      query.processAllAvailable()
+
+      val ev = Tables.events(spark, Sf)
+      val v = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+          $"ts".as("click_ts"), $"value")
+      val batch = v.join(c,
+          $"user_id" === $"c_user" &&
+            $"click_ts" >= $"view_ts" &&
+            $"click_ts" <= $"view_ts" + expr("INTERVAL 1800 SECONDS"))
+        .select($"user_id", $"view_id", $"click_id",
+          unix_millis($"view_ts").as("view_ms"),
+          unix_millis($"click_ts").as("click_ms"),
+          round($"value", 2).as("click_value"))
+      val streamed = spark.table("vc_join")
+      assert(batch.count() > 0, "fixture must produce view→click pairs")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed interval join must equal the batch join")
+      // both-side buffers were evicted once the watermarks passed the
+      // join window: only the two tail rows (plus nothing else) remain
+      val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 4L,
+        s"join state not evicted: $stateRows rows still buffered")
+    } finally query.stop()
+  }
+
   test("sessionize state is EVICTED once the watermark passes the gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
