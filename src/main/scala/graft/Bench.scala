@@ -43,6 +43,8 @@ object Bench {
     "text_quality_score",
     "text_quality_filter",
     "text_ngram_counts",
+    "text_common_spans", // added r8: corpus shingle-df boilerplate pass
+    "events_path_transitions", // added r8: one-window Markov transitions
     "events_sessionize",
     "events_hourly_agg",
     "events_asof_join",

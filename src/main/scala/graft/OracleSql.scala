@@ -318,6 +318,30 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))::DOUBLE
         |     <= greatest(count(DISTINCT o_custkey) * 0.05, 5.0)) AS within_bound
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "rel_approx_percentile" ->
+      // twin of Relational.q34ApproxPercentile — each engine checks ITS
+      // OWN sketch against the exact 45th..55th percentile bracket; the
+      // hash-compared columns are the exact median and the verdict
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
+        |  (approx_quantile(o_totalprice, 0.5) >= quantile_cont(o_totalprice, 0.45)
+        |   AND approx_quantile(o_totalprice, 0.5) <= quantile_cont(o_totalprice, 0.55))
+        |    AS within_bracket
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "rel_string_funcs" ->
+      // twin of Relational.q35StringFuncs — same scalar chain, same
+      // rollup; counts/sums BIGINT to match Spark's long casts
+      """SELECT type3, count(*) AS n,
+        |  CAST(sum(n_brand_digits) AS BIGINT) AS sum_brand_digits,
+        |  CAST(sum(has_red) AS BIGINT) AS n_with_red,
+        |  round(avg(n_name_words), 4) AS avg_name_words
+        |FROM (SELECT
+        |    upper(substr(p_type, 1, 3)) AS type3,
+        |    CAST(length(regexp_replace(p_brand, '[^0-9]', '', 'g')) AS BIGINT) AS n_brand_digits,
+        |    CASE WHEN instr(p_name, 'red') > 0 THEN 1 ELSE 0 END AS has_red,
+        |    CAST(len(string_split(trim(p_name), ' ')) AS BIGINT) AS n_name_words
+        |  FROM part)
+        |GROUP BY type3""".stripMargin,
     "rel_window_frames" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

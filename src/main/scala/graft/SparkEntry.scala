@@ -65,6 +65,8 @@ object SparkEntry {
     "rel_unpivot" -> (Relational.q31Unpivot _),
     "rel_full_outer" -> (Relational.q32FullOuter _),
     "rel_bloom_prune_join" -> ((s, d) => Relational.q33BloomPrunedJoin(s, d)),
+    "rel_approx_percentile" -> (Relational.q34ApproxPercentile _),
+    "rel_string_funcs" -> (Relational.q35StringFuncs _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

@@ -272,6 +272,47 @@ object Relational {
         (abs($"approx" - $"n_cust_exact").cast("double") <=
           greatest($"n_cust_exact" * 0.05, lit(5.0))).as("within_bound"))
 
+  /** Approximate-percentile sketch — the other cardinality-class
+    * estimator a 100 TB pipeline leans on (exact percentile buffers a
+    * group's values; the sketch streams). Like [[q23ApproxDistinct]],
+    * sketch VALUES are engine-specific (Spark GK/QuantileSummaries vs
+    * DuckDB t-digest), so the hash-compared output is the exact median
+    * plus a RANK-BRACKET verdict: the estimate must land between the
+    * exact 45th and 55th percentiles — a rank-window bound that is
+    * scale-free (no value-magnitude tuning) and generously ~50× looser
+    * than either engine's default accuracy, so it is deterministically
+    * true on both sides yet fails on any real sketch regression. */
+  def q34ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"),
+        expr("percentile(o_totalprice, 0.45)").as("lo"),
+        expr("percentile(o_totalprice, 0.55)").as("hi"))
+      .select($"o_orderstatus", $"median_exact",
+        ($"approx" >= $"lo" && $"approx" <= $"hi").as("within_bracket"))
+
+  /** String-function surface over part: regex digit extraction, word
+    * splitting, prefix slicing, case mapping and containment — the
+    * everyday scalar toolkit, all codegen'd Column expressions that
+    * collapse into the scan projection (no shuffle until the final
+    * aggregate). Grouped to a small rollup so the oracle compares a
+    * stable aggregate, not a million formatted strings. */
+  def q35StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        upper(substring($"p_type", 1, 3)).as("type3"),
+        length(regexp_replace($"p_brand", "[^0-9]", "")).cast("long").as("n_brand_digits"),
+        when(instr($"p_name", "red") > 0, 1L).otherwise(0L).as("has_red"),
+        size(split(trim($"p_name"), " ")).cast("long").as("n_name_words"))
+      .groupBy($"type3")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"n_brand_digits").as("sum_brand_digits"),
+        sum($"has_red").as("n_with_red"),
+        round(avg($"n_name_words"), 4).as("avg_name_words"))
+
   /** Fact⋈fact revenue through BUCKETED tables (Layout.ensureBucketedFacts):
     * both sides hash-bucketed and sorted on the join key at write time,
     * so the sort-merge join runs CO-LOCATED — zero exchanges before the
