@@ -618,6 +618,17 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM e JOIN d USING (g)
          |GROUP BY doc_id""".stripMargin
     },
+    "text_unigram_logprob" ->
+      // twin of TextAnalysis.unigramLogprob: corpus unigram distribution
+      // via one grouped explode; avg of -ln(ctf/total) per doc. ln and
+      // the double average agree well past the 6-dp round
+      s"""WITH t AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM $docs),
+         |c AS (SELECT term, count(*)::DOUBLE AS ctf FROM t GROUP BY term),
+         |tot AS (SELECT count(*)::DOUBLE AS total FROM t)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(-ln(ctf / total)), 6) AS avg_neg_logprob
+         |FROM t JOIN c USING (term) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
     "text_winnow_sketch" ->
       s"""WITH s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
          |g AS (SELECT doc_id, CASE WHEN length(sk) >= 5
@@ -760,6 +771,23 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM x WHERE next_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "events_anomaly_zscore" ->
+      // twin of Events.anomalyZscore (24h trailing baseline, minBaseline
+      // 8): same hour grain, same strictly-preceding frame; integer
+      // counts keep the variance bounded away from 0, so the 4-dp
+      // rounded z is engine-stable
+      """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, hour_ts, n,
+        |  count(*) OVER w AS base_n,
+        |  avg(n) OVER w AS base_avg,
+        |  stddev_samp(n) OVER w AS base_std
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts ASC
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_ts, n, round((n - base_avg) / base_std, 4) AS z
+        |FROM b WHERE base_n >= 8 AND base_std > 0""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
@@ -1010,6 +1038,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT src_id, nbr_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
          |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "sim_recall_report" -> {
+      // twin of Similarity.recallReport: the brute-force and IVF top-k
+      // twins as CTEs, overlap counted per query
+      val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |bf AS (SELECT q_id, vec_id FROM (
+         |  SELECT q0.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q0.q_id
+         |      ORDER BY round(${cosSql("q0.q_v", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN q0 ON e.vec_id <> q0.q_id) WHERE rn <= 10),
+         |sig AS (SELECT vec_id, v, ${srpBand("v", 0, 8)} AS bucket FROM e),
+         |qp AS (SELECT vec_id AS q_id, v AS q_v, unnest($probeList) AS q_bucket
+         |  FROM sig WHERE vec_id < 5),
+         |iv AS (SELECT q_id, vec_id FROM (
+         |  SELECT qp.q_id, s.vec_id,
+         |    row_number() OVER (PARTITION BY qp.q_id
+         |      ORDER BY round(${cosSql("qp.q_v", "s.v")}, 4) DESC, s.vec_id ASC) AS rn
+         |  FROM sig s JOIN qp ON s.bucket = qp.q_bucket AND s.vec_id <> qp.q_id)
+         |  WHERE rn <= 10)
+         |SELECT bf.q_id, count(*) AS n_exact,
+         |  CAST(count(iv.vec_id) AS BIGINT) AS n_overlap,
+         |  round(count(iv.vec_id)::DOUBLE / count(*), 6) AS recall_at_k
+         |FROM bf LEFT JOIN iv ON bf.q_id = iv.q_id AND bf.vec_id = iv.vec_id
+         |GROUP BY bf.q_id""".stripMargin
+    },
     "sim_threshold_histogram" -> {
       // twin of Similarity.thresholdHistogram: the srp_neardup candidate
       // CTE with the verify filter OPEN, bucketed at 0.1 grain — both

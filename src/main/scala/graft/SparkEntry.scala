@@ -85,6 +85,7 @@ object SparkEntry {
     "text_redact" -> (TextAnalysis.redact _),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_common_spans" -> ((s, d) => TextAnalysis.commonSpans(s, d)),
+    "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "rel_approx_distinct" -> (Relational.q23ApproxDistinct _),
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
     // events (batch time-series)
@@ -103,6 +104,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     "events_path_transitions" -> (Events.pathTransitions _),
+    "events_anomaly_zscore" -> ((s, d) => Events.anomalyZscore(s, d)),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_rate_by_source" -> (Dedup.rateBySource _),
@@ -127,6 +129,7 @@ object SparkEntry {
     "sim_centroid_assign" -> ((s, d) => Similarity.centroidAssign(s, d)),
     "sim_lloyd_iteration" -> ((s, d) => Similarity.lloydIteration(s, d)),
     "sim_threshold_histogram" -> ((s, d) => Similarity.thresholdHistogram(s, d)),
+    "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),

@@ -346,6 +346,39 @@ object Events {
       .agg(count(lit(1)).as("n"), count_distinct($"user_id").as("n_users"))
   }
 
+  /** HOURLY ANOMALY Z-SCORES — the volume-spike detector an event
+    * pipeline runs continuously: each (event_type, hour) count scored
+    * against the TRAILING 24 hours' mean and sample stddev (strictly
+    * preceding — the scored hour never contaminates its own baseline).
+    * Hours whose baseline has fewer than `minBaseline` points or zero
+    * variance are unscoreable and emit no row. Shape: one aggregate to
+    * hour grain (the [[hourlyAgg]] shuffle — after which the data is
+    * types × hours, tiny), then one window per event_type; integer
+    * counts make the variance bounded away from zero, so the rounded
+    * z-score is engine-stable. */
+  def anomalyZscore(s: SparkSession, dir: String, minBaseline: Int = 8): DataFrame =
+    anomalyZscoreFrom(
+      Tables.events(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", $"ts")).as("hour_ts"),
+          $"event_type")
+        .agg(count(lit(1)).as("n")),
+      minBaseline)
+
+  /** Core of [[anomalyZscore]] over any (event_type, hour_ts, n) frame. */
+  def anomalyZscoreFrom(hourly: DataFrame, minBaseline: Int): DataFrame = {
+    require(minBaseline >= 2, s"need >= 2 baseline points, got $minBaseline")
+    val w = Window.partitionBy($"event_type").orderBy($"hour_ts".asc)
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("base_n", count(lit(1)).over(w))
+      .withColumn("base_avg", avg($"n").over(w))
+      .withColumn("base_std", stddev_samp($"n").over(w))
+      .filter($"base_n" >= minBaseline && $"base_std" > 0)
+      .select($"event_type", $"hour_ts", $"n",
+        round(($"n" - $"base_avg") / $"base_std", 4).as("z"))
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object). */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -270,6 +270,31 @@ object Similarity {
         round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
   }
 
+  /** RECALL REPORT — ANN quality measured AS A QUERY: per-query overlap
+    * of the multi-probe IVF top-k ([[ivfTopK]]) against the exact
+    * brute-force top-k ([[bruteForceTopKAgg]]). An approximate index
+    * without a continuously-measured recall is a liability at 100 TB
+    * (index drift after re-ingestion is invisible until retrieval
+    * degrades); this keeps the measurement in the engine, over the same
+    * data, as an oracle-checkable artifact. Both sides are the proven
+    * top-k shapes; the overlap is a left-semi membership probe and one
+    * aggregate per query — the output is nQueries rows. */
+  def recallReport(s: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val exact = bruteForceTopKAggFrom(e, nQueries, k).select($"q_id", $"vec_id")
+    val approx = ivfTopKFrom(e, nQueries, k)
+      .select($"q_id".as("aq"), $"vec_id".as("av"))
+    exact
+      .join(approx, $"q_id" === $"aq" && $"vec_id" === $"av", "left")
+      .groupBy($"q_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count($"av").as("n_overlap"),
+        round(count($"av").cast("double") / count(lit(1)), 6).as("recall_at_k"))
+  }
+
   /** THRESHOLD-CALIBRATION HISTOGRAM — the similarity distribution of
     * the banded-SRP candidate pairs, bucketed at 0.1 grain: the curve a
     * pipeline reads to PICK its near-dup threshold (the valley between

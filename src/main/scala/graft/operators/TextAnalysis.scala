@@ -537,6 +537,32 @@ object TextAnalysis {
           .as("common_frac"))
   }
 
+  /** UNIGRAM LM SCORING (the CCNet recipe, Wenzek et al. 2020, with the
+    * LM reduced to its unigram term): each document's average negative
+    * log-probability under the CORPUS unigram distribution — the
+    * perplexity-style quality signal that flags documents whose token
+    * mix diverges from the corpus (gibberish scores high, plain text
+    * low). The "model" is trained and applied in the same plan: corpus
+    * term frequencies are one partial-aggregated explode (the tfidf df
+    * shape), the corpus total is a broadcast 1-row aggregate, and the
+    * per-doc average is one more aggregate on doc_id. Empty documents
+    * have no tokens and emit no row — in both engines identically. */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    unigramLogprobFrom(Tables.documents(s, dir))
+
+  /** Core of [[unigramLogprob]] over any (doc_id, text) frame. */
+  def unigramLogprobFrom(docs: DataFrame): DataFrame = {
+    val tf = docs.select($"doc_id", explode(wsTokens(lower($"text"))).as("term"))
+    val corpus = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("ctf"))
+    val total = tf.agg(count(lit(1)).cast("double").as("total"))
+    tf.join(corpus, "term")
+      .join(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log($"ctf" / $"total")), 6).as("avg_neg_logprob"))
+  }
+
   /** Document fingerprint: md5 over the lowercased alphanumeric skeleton
     * (whitespace/punct-insensitive content identity — the key for exact
     * dedup after normalization). */

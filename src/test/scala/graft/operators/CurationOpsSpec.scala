@@ -93,6 +93,53 @@ class CurationOpsSpec extends SparkSpec {
     assert(bad.count() === 0L, "keep_id must be the min doc_id of its group")
   }
 
+  test("unigram logprob: hand-computed corpus distribution on a fixture") {
+    import spark.implicits._
+    // corpus tokens: a:2, b:2, z:1, total 5
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "z"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogprobFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val common = BigDecimal(-math.log(2.0 / 5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rare = BigDecimal(-math.log(1.0 / 5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((2L, common)) && got(2L) === ((2L, common)))
+    assert(got(3L) === ((1L, rare)), "rare token must score higher")
+    assert(!got.contains(4L), "empty doc emits no row")
+  }
+
+  test("anomaly z-score: trailing-baseline mean/std on a ramp fixture") {
+    import spark.implicits._
+    // one type, hour i has count i (i = 1..10): only hours 9 and 10 have
+    // >= 8 strictly-preceding baseline points
+    val hourly = (1 to 10).map(i => ("t", i * 3600L, i.toLong))
+      .toDF("event_type", "hour_ts", "n")
+    val got = Events.anomalyZscoreFrom(hourly, minBaseline = 8).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    def z(n: Double, base: Seq[Double]): Double = {
+      val avg = base.sum / base.size
+      val std = math.sqrt(base.map(x => (x - avg) * (x - avg)).sum / (base.size - 1))
+      BigDecimal((n - avg) / std).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === Map(
+      9 * 3600L -> z(9, (1 to 8).map(_.toDouble)),
+      10 * 3600L -> z(10, (1 to 9).map(_.toDouble))))
+  }
+
+  test("recall report: k exact rows per query, overlap bounded, ids complete") {
+    val rows = Similarity.recallReport(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { case (q, nExact, nOverlap, recall) =>
+      assert(nExact === 10L, s"query $q must rank exactly k exact rows")
+      assert(nOverlap >= 0L && nOverlap <= nExact)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(recall === BigDecimal(nOverlap.toDouble / nExact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("threshold histogram sums to the open-threshold pair count, bins sane") {
     val hist = Similarity.thresholdHistogram(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
