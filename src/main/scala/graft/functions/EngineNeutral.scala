@@ -92,15 +92,24 @@ object EngineNeutral {
 
   /** Word w-shingles ("a b c") over whitespace tokens.
     * DuckDB: list_transform(range(1, len(t)-w+2), j -> t[j]||' '||...).
-    */
-  def wordShingles(text: Column, w: Int): Column = {
-    val t = wsTokens(text)
-    val n = size(t)
-    array_distinct(
-      when(n >= w,
-        transform(sequence(lit(1), n - w + 1),
-          j => concat_ws(" ", (0 until w).map(k => element_at(t, j + k)): _*)))
-        .otherwise(array().cast("array<string>")))
+    *
+    * Formulated as a zip_with fold of w SHIFTED SLICES — never
+    * element_at inside a transform lambda: a lambda-captured token
+    * expression re-evaluates the regex split per ELEMENT ACCESS, i.e.
+    * O(tokens x w) splits per row (measured 35 s for a corpus pass that
+    * runs in under a second this way). The token expression still
+    * appears w times (once per slice); callers on a hot path should
+    * alias the token array and use [[wordShinglesOf]] directly so it is
+    * evaluated once. */
+  def wordShingles(text: Column, w: Int): Column =
+    array_distinct(wordShinglesOf(wsTokens(text), w))
+
+  /** Non-distinct, in-order w-shingles of an (ideally aliased) token
+    * array column. */
+  def wordShinglesOf(t: Column, w: Int): Column = {
+    val nGrams = greatest(size(t) - (w - 1), lit(0))
+    (0 until w).map(m => slice(t, lit(m + 1), nGrams))
+      .reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b)))
   }
 
   /** Exact Jaccard of two (already-distinct) string arrays, as double.

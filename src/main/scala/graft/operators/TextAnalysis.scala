@@ -490,12 +490,16 @@ object TextAnalysis {
 
   /** Core over any corpus/eval (doc_id, text) frames — unit-testable. */
   def decontaminateFrom(corpus: DataFrame, evalSet: DataFrame, w: Int): DataFrame = {
-    def gramHashes(t: Column): Column =
-      array_distinct(transform(wordShingles(lower(t), w), g => hash60(g)))
+    // tk aliased per frame so the split runs once per row (the captured
+    // form re-splits per element — see EngineNeutral.wordShinglesOf)
+    def gramHashes: Column =
+      array_distinct(transform(wordShinglesOf($"tk", w), g => hash60(g)))
     val evalGrams = evalSet
-      .select(explode(gramHashes($"text")).as("g")).distinct()
+      .select(wsTokens(lower($"text")).as("tk"))
+      .select(explode(gramHashes).as("g")).distinct()
     corpus
-      .select($"doc_id", explode(gramHashes($"text")).as("g"))
+      .select($"doc_id", wsTokens(lower($"text")).as("tk"))
+      .select($"doc_id", explode(gramHashes).as("g"))
       .join(broadcast(evalGrams), "g")
       .groupBy($"doc_id")
       // per-doc grams are already distinct (array_distinct above), so a
@@ -525,8 +529,12 @@ object TextAnalysis {
   /** Core of [[commonSpans]] over any (doc_id, text) frame. */
   def commonSpansFrom(docs: DataFrame, w: Int, minDf: Int): DataFrame = {
     require(w >= 1 && minDf >= 1, s"need w >= 1 and minDf >= 1, got w=$w minDf=$minDf")
-    val g = docs.select($"doc_id",
-      explode(transform(wordShingles(lower($"text"), w), x => hash60(x))).as("g"))
+    // tk aliased so the split runs once per row; shingles are the
+    // shifted-slice fold (see EngineNeutral.wordShinglesOf)
+    val g = docs
+      .select($"doc_id", wsTokens(lower($"text")).as("tk"))
+      .select($"doc_id",
+        explode(array_distinct(transform(wordShinglesOf($"tk", w), x => hash60(x)))).as("g"))
     val df = g.groupBy($"g").agg(count(lit(1)).as("df"))
     g.join(df, "g")
       .groupBy($"doc_id")

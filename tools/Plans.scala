@@ -36,7 +36,12 @@ object Plans {
       "events_zorder_scan" -> "z-order scan: 2-D predicate through the Morton-sorted layout; plain filter+agg plan, IO localization is the layout's job",
       "text_weighted_sample" -> "priority sample: one source exchange, rank window, scan-speed IEEE-exact priorities",
       "dedup_cross_source_matrix" -> "cross-source matrix: LSH pair set joins two column-pruned (doc_id,source) lookups, one pair-key agg",
-      "dedup_semantic_survivors" -> "semantic dedup: within-block pair join + frontier CC labels + survivor semi-join")
+      "dedup_semantic_survivors" -> "semantic dedup: within-block pair join + frontier CC labels + survivor semi-join",
+      "text_common_spans" -> "boilerplate spans: ONE gram-keyed partial-agg exchange, df equi-join back, per-doc rollup",
+      "events_path_transitions" -> "path transitions: one user_id exchange serves the lead() window, tiny (from,to) rollup",
+      "text_unigram_logprob" -> "unigram LM: tfidf-shaped term df pass, broadcast 1-row total, per-doc aggregate",
+      "events_anomaly_zscore" -> "anomaly z: hour-grain agg shuffle, then per-type window over the tiny hourly frame",
+      "sim_recall_report" -> "recall report: both top-k shapes composed, left join overlap, nQueries-row output")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
