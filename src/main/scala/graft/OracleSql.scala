@@ -788,6 +788,16 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, hour_ts, n, round((n - base_avg) / base_std, 4) AS z
         |FROM b WHERE base_n >= 8 AND base_std > 0""".stripMargin,
+    "events_sliding_agg" ->
+      // twin of Events.slidingAgg (3h window, 1h hop, epoch-aligned):
+      // the windows containing an event are starts {H-2h, H-1h, H} for
+      // H = the event's hour — stated as a bounded 3-way fan-out
+      """SELECT window_ts, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM (SELECT event_type, value,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 * k AS window_ts
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k) hops)
+        |GROUP BY 1, 2""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
@@ -856,6 +866,24 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
          |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.9""".stripMargin,
+    "dedup_minhash_calibration" -> {
+      // twin of Dedup.minhashCalibration: the LSH pair twin joined back
+      // to the 16-column signature CTE on both endpoints; est_sim = the
+      // agreeing-permutation fraction
+      val agree = (0 until 16).map(i =>
+        s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $minhashSigCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
+         |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.9)
+         |SELECT doc_a, doc_b, jaccard,
+         |  round(($agree) / 16.0, 6) AS est_sim
+         |FROM p JOIN sig sa ON sa.doc_id = doc_a
+         |       JOIN sig sb ON sb.doc_id = doc_b""".stripMargin
+    },
     "dedup_cross_source_matrix" ->
       // twin of Dedup.crossSourceMatrix — chains the LSH-pairs twin,
       // resolves each endpoint's source, canonicalizes the pair

@@ -105,11 +105,13 @@ object SparkEntry {
     "events_cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     "events_path_transitions" -> (Events.pathTransitions _),
     "events_anomaly_zscore" -> ((s, d) => Events.anomalyZscore(s, d)),
+    "events_sliding_agg" -> (Events.slidingAgg _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_rate_by_source" -> (Dedup.rateBySource _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
     "dedup_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
     "dedup_simhash_signatures" -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, threshold = 0.6, n = 5)),

@@ -176,6 +176,36 @@ object Dedup {
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
   }
 
+  /** MINHASH CALIBRATION — the sketch-quality audit next to the pair
+    * join (the dedup-side analogue of [[graft.operators.Similarity
+    * .recallReport]]): for every verified near-dup pair, the similarity
+    * the SIGNATURE estimates (fraction of agreeing permutations —
+    * E[est] = true Jaccard, the MinHash identity) against the exact
+    * verified Jaccard. A drifting estimator (wrong permutation
+    * constants, truncated signatures) shows up as |est − jaccard| mass
+    * far from 0 long before recall visibly degrades. Shape: the pair
+    * set equi-joins the 16-column signature table twice on doc_id —
+    * signatures are 128 bytes/doc, the same lookup-shape as
+    * [[crossSourceMatrix]]'s source resolution. */
+  def minhashCalibration(s: SparkSession, dir: String,
+                         threshold: Double = 0.9): DataFrame = {
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb"))
+    val sig = hashed.select(
+      $"doc_id",
+      array((0 until MinhashPerms).map { i =>
+        array_min(transform($"hb", h => minhashPerm(h, i)))
+      }: _*).as("mhs"))
+    val agree = (0 until MinhashPerms).map(i =>
+      when(element_at($"mhs_a", i + 1) === element_at($"mhs_b", i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    minhashLshPairs(s, dir, threshold)
+      .join(sig.select($"doc_id".as("doc_a"), $"mhs".as("mhs_a")), "doc_a")
+      .join(sig.select($"doc_id".as("doc_b"), $"mhs".as("mhs_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"jaccard",
+        round(agree.cast("double") / MinhashPerms, 6).as("est_sim"))
+  }
+
   /** CROSS-SOURCE duplication matrix — which sources duplicate which:
     * the diagnostic that decides whether a new crawl adds signal or
     * re-serves an existing source (and which source to keep when

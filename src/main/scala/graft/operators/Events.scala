@@ -346,6 +346,21 @@ object Events {
       .agg(count(lit(1)).as("n"), count_distinct($"user_id").as("n_users"))
   }
 
+  /** SLIDING (hopping) WINDOW aggregate — the 3-hour window advancing
+    * hourly: each event contributes to windowHours/hopHours overlapping
+    * windows, the shape trend dashboards and rate alerts read. Uses
+    * Spark's native `window()` generator (one bounded fan-out per row —
+    * the same plan Structured Streaming runs, so the batch result IS
+    * the streaming semantics), then one partial-aggregated exchange on
+    * (window, type). Output keyed by epoch-second window start. */
+  def slidingAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "3 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select(
+        unix_timestamp($"window.start").as("window_ts"),
+        $"event_type", $"n", $"sum_value")
+
   /** HOURLY ANOMALY Z-SCORES — the volume-spike detector an event
     * pipeline runs continuously: each (event_type, hour) count scored
     * against the TRAILING 24 hours' mean and sample stddev (strictly

@@ -140,6 +140,37 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("sliding agg: every event lands in exactly 3 hop windows, aligned") {
+    val sliding = Events.slidingAgg(spark, Sf)
+    val nEvents = Tables.events(spark, Sf).count()
+    assert(sliding.agg(sum("n")).collect()(0).getLong(0) === 3L * nEvents)
+    val misaligned = sliding.filter(pmod(col("window_ts"), lit(3600L)) =!= 0L)
+    assert(misaligned.count() === 0L, "window starts must be hour-aligned")
+    // the hop windows cover the tumbling hourly counts: summing each
+    // hour's 3 covering windows triple-counts exactly
+    val hourly = Events.hourlyAgg(spark, Sf).agg(sum("n")).collect()(0).getLong(0)
+    assert(hourly === nEvents)
+  }
+
+  test("minhash calibration: estimates on the 1/16 grid, near the exact jaccard") {
+    val rows = Dedup.minhashCalibration(spark, Sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (jacc, est) =>
+      // any LSH pair shares a full band = 4 consecutive agreeing perms
+      assert(est >= 0.25 - 1e-9 && est <= 1.0 + 1e-9, s"est $est out of range")
+      val grid = math.round(est * 16) / 16.0
+      assert(math.abs(est - BigDecimal(grid).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"est $est not on the 1/16 grid")
+      assert(jacc >= 0.9, "pairs come from the 0.9-threshold join")
+    }
+    // unbiased estimator: the mean absolute error stays small over the
+    // (high-similarity) pair population
+    val mae = rows.map { case (j, e) => math.abs(j - e) }.sum / rows.size
+    assert(mae < 0.15, s"mean |est - jaccard| = $mae — estimator drifting")
+  }
+
   test("threshold histogram sums to the open-threshold pair count, bins sane") {
     val hist = Similarity.thresholdHistogram(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
