@@ -342,6 +342,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |    CAST(len(string_split(trim(p_name), ' ')) AS BIGINT) AS n_name_words
         |  FROM part)
         |GROUP BY type3""".stripMargin,
+    "rel_window_ranks" ->
+      // twin of Relational.q36WindowRanks — same unique order key, so
+      // ntile/percent_rank/cume_dist agree exactly; quartile rollup
+      """SELECT o_orderstatus, quartile, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(pr), 6) AS max_pr,
+        |  round(max(cd), 6) AS max_cd
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC))
+        |GROUP BY o_orderstatus, quartile""".stripMargin,
+    "rel_array_agg" ->
+      // twin of Relational.q37ArrayAgg — list() with the same unique
+      // in-group order, sliced to 3; JSON rendering of the key list and
+      // a sequential sum of the price slice
+      """SELECT o_orderstatus,
+        |  to_json(ks[1:3]) AS top3_keys,
+        |  round(list_sum(ps[1:3]), 2) AS top3_sum
+        |FROM (SELECT o_orderstatus,
+        |    list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS ks,
+        |    list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey ASC) AS ps
+        |  FROM orders GROUP BY o_orderstatus)""".stripMargin,
     "rel_window_frames" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -67,6 +67,8 @@ object SparkEntry {
     "rel_bloom_prune_join" -> ((s, d) => Relational.q33BloomPrunedJoin(s, d)),
     "rel_approx_percentile" -> (Relational.q34ApproxPercentile _),
     "rel_string_funcs" -> (Relational.q35StringFuncs _),
+    "rel_window_ranks" -> (Relational.q36WindowRanks _),
+    "rel_array_agg" -> (Relational.q37ArrayAgg _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

@@ -313,6 +313,51 @@ object Relational {
         sum($"has_red").as("n_with_red"),
         round(avg($"n_name_words"), 4).as("avg_name_words"))
 
+  /** Distribution-rank window functions — ntile/percent_rank/cume_dist
+    * over a UNIQUE order key (price, then orderkey), so every rank is
+    * engine-deterministic. One exchange on the partition key serves all
+    * three, same as the frame suite in [[q22WindowFrames]]; aggregated
+    * to quartile grain so the oracle compares a small rollup. */
+  def q36WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy($"o_orderstatus", $"quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"pr"), 6).as("max_pr"),
+        round(max($"cd"), 6).as("max_cd"))
+  }
+
+  /** Ordered ARRAY AGGREGATION — collect per-group values into a sorted
+    * bounded array (the "top products per segment as a list" shape) and
+    * operate on it with array functions: slice for the bound, to_json
+    * for a stable string rendering (hash-comparable across engines —
+    * raw array columns compare fine too, but the JSON keeps the oracle
+    * dtype-simple). The collect is bounded to 3 elements AFTER an
+    * in-group sort — deterministic because the sort key (price desc,
+    * orderkey asc) is unique. */
+  def q37ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(slice(
+        array_sort(
+          collect_list(struct($"o_totalprice", $"o_orderkey")),
+          (a, b) => when(a("o_totalprice") > b("o_totalprice"), -1)
+            .when(a("o_totalprice") < b("o_totalprice"), 1)
+            .when(a("o_orderkey") < b("o_orderkey"), -1)
+            .otherwise(1)),
+        1, 3).as("top3"))
+      .select($"o_orderstatus",
+        to_json(transform($"top3", x => x.getField("o_orderkey"))).as("top3_keys"),
+        round(aggregate(transform($"top3", x => x.getField("o_totalprice")),
+          lit(0.0), (acc, x) => acc + x), 2).as("top3_sum"))
+
   /** Fact⋈fact revenue through BUCKETED tables (Layout.ensureBucketedFacts):
     * both sides hash-bucketed and sorted on the join key at write time,
     * so the sort-merge join runs CO-LOCATED — zero exchanges before the
