@@ -824,6 +824,37 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 * k AS window_ts
         |  FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k) hops)
         |GROUP BY 1, 2""".stripMargin,
+    "events_rfm" -> {
+      // twin of Events.rfm: exact-cents monetary, quantile_cont
+      // boundaries (== Spark's interpolated percentile), boundary
+      // bucketing with the same strict > comparisons
+      def bucket(v: String, bs: String) =
+        (1 to 4).map(i => s"(CASE WHEN $v > $bs[$i] THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", " + 1)")
+      s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |mx AS (SELECT max(ms) AS corpus_max_ms FROM ev),
+         |pu AS (SELECT user_id, max(ms) AS last_ms, count(*) AS freq,
+         |    CAST(sum(cents) AS BIGINT) AS cents
+         |  FROM ev GROUP BY user_id),
+         |pr AS (SELECT user_id, freq, cents,
+         |    CAST(floor((mx.corpus_max_ms - last_ms) / 86400000.0) AS BIGINT) AS recency_days
+         |  FROM pu CROSS JOIN mx),
+         |b AS (SELECT
+         |    quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+         |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+         |    quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+         |  FROM pr)
+         |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users,
+         |  round(sum(cents) / 100.0, 2) AS total_monetary
+         |FROM (SELECT cents,
+         |    CAST(6 - ${bucket("recency_days", "rb")} AS BIGINT) AS r_bucket,
+         |    CAST(${bucket("freq", "fb")} AS BIGINT) AS f_bucket,
+         |    CAST(${bucket("cents", "mb")} AS BIGINT) AS m_bucket
+         |  FROM pr CROSS JOIN b)
+         |GROUP BY r_bucket, f_bucket, m_bucket""".stripMargin
+    },
     "events_props_extract" ->
       """SELECT event_type, count(k) AS n_with_k, round(avg(k), 4) AS avg_k FROM (
         |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
@@ -971,6 +1002,28 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
          |FROM $docs d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      // twin of Dedup.clusterSizes — the clusters CTE rolled up to the
+      // size histogram
+      s"""WITH RECURSIVE $minhashSigCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
+         |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jacc >= 0.9),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         |labels AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |  FROM $docs d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id)
+         |GROUP BY sz""".stripMargin,
     "dedup_survivors" ->
       // one doc per cluster: doc_id equals its component minimum
       s"""WITH RECURSIVE $minhashSigCte,

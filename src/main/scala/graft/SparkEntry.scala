@@ -108,6 +108,7 @@ object SparkEntry {
     "events_path_transitions" -> (Events.pathTransitions _),
     "events_anomaly_zscore" -> ((s, d) => Events.anomalyZscore(s, d)),
     "events_sliding_agg" -> (Events.slidingAgg _),
+    "events_rfm" -> ((s, d) => Events.rfm(s, d)),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_rate_by_source" -> (Dedup.rateBySource _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, threshold = 0.6, n = 5)),
     "dedup_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizes(s, d)),
     "dedup_cross_source_matrix" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
     "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
     "corpus_jsonl_dedup" -> ((s, d) => Dedup.jsonlCorpusDedup(s, d)),

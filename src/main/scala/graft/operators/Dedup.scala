@@ -330,6 +330,19 @@ object Dedup {
       .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
   }
 
+  /** CLUSTER-SIZE HISTOGRAM — the dedup health report read before any
+    * survivor set ships: how many near-dup clusters of each size exist
+    * and how many documents they absorb. A fat tail (one 10k-doc
+    * cluster) means a template/mirror dominating the corpus; a spike at
+    * size 2 means crawl-level re-fetching. Two tiny aggregates over the
+    * CC labels — the output is O(distinct sizes) rows. */
+  def clusterSizes(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
+    dupClusters(s, dir, threshold)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"sz").as("n_docs"))
+
   /** The deduplicated corpus: keep exactly one document per near-dup
     * cluster (the minimum doc_id). This is the operator a training
     * pipeline actually ships — pairs and clusters are its evidence. */

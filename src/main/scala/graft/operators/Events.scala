@@ -394,6 +394,49 @@ object Events {
         round(($"n" - $"base_avg") / $"base_std", 4).as("z"))
   }
 
+  /** RFM SEGMENTATION — the recency/frequency/monetary user rollup
+    * behind lifecycle marketing and churn models. Per purchase-user:
+    * days since last purchase (relative to the corpus max timestamp, so
+    * the query is reproducible), purchase count, and monetary total in
+    * EXACT CENTS (a double sum's partial-agg order is nondeterministic
+    * in the last ulp, which could flip a boundary user's bucket —
+    * integer cents cannot). Bucketing is by exact QUINTILE BOUNDARIES
+    * (the percentile aggregate is a tiny 1-row frame, broadcast back) —
+    * NOT a global ntile window, which would funnel every user through
+    * one partition at 100 TB. Ties land in the same bucket on both
+    * engines by construction (boundary comparison, no rank tiebreak).
+    * Output is the segment rollup (≤125 rows). */
+  def rfm(s: SparkSession, dir: String, eventType: String = "purchase"): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter($"event_type" === eventType && $"user_id".isNotNull)
+      .select($"user_id", unix_millis($"ts").as("ms"),
+        round($"value" * 100).cast("long").as("cents"))
+    val maxMs = ev.agg(max($"ms").as("corpus_max_ms"))
+    val perUser = ev.groupBy($"user_id")
+      .agg(max($"ms").as("last_ms"), count(lit(1)).as("freq"),
+        sum($"cents").as("cents"))
+      .join(broadcast(maxMs))
+      .withColumn("recency_days",
+        floor(($"corpus_max_ms" - $"last_ms") / lit(86400000.0)).cast("long"))
+    val bounds = perUser.agg(
+      expr("percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(cents, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def bucketOf(v: Column, bs: Column): Column =
+      (0 until 4).map(i => when(v > element_at(bs, i + 1), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+    perUser.join(broadcast(bounds))
+      .select($"user_id", $"freq", $"cents",
+        // recency: LOWER days = better = higher bucket → invert
+        (lit(6L) - bucketOf($"recency_days", $"rb")).as("r_bucket"),
+        bucketOf($"freq", $"fb").as("f_bucket"),
+        bucketOf($"cents", $"mb").as("m_bucket"))
+      .groupBy($"r_bucket", $"f_bucket", $"m_bucket")
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(sum($"cents") / 100.0, 2).as("total_monetary"))
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object). */
   def propsExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -171,6 +171,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(mae < 0.15, s"mean |est - jaccard| = $mae — estimator drifting")
   }
 
+  test("rfm: buckets in 1..5, users and monetary fully partitioned") {
+    val seg = Events.rfm(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    seg.foreach { case (rB, fB, mB, _, _) =>
+      assert(Seq(rB, fB, mB).forall(b => b >= 1L && b <= 5L), s"bucket out of range: ($rB,$fB,$mB)")
+    }
+    val purchases = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+    assert(seg.map(_._4).sum === purchases.select("user_id").distinct().count())
+    val totalCents = purchases
+      .agg(sum(round(col("value") * 100).cast("long"))).collect()(0).getLong(0)
+    val segCents = seg.map(s => BigDecimal(s._5) * 100).sum
+    assert(segCents.toLongExact === totalCents,
+      "segment monetary totals must partition the corpus purchase value")
+  }
+
+  test("cluster sizes histogram partitions the corpus and matches the labels") {
+    val hist = Dedup.clusterSizes(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(hist.values.map(_._2).sum === nDocs, "every doc is in exactly one cluster")
+    hist.foreach { case (sz, (nC, nD)) => assert(nD === sz * nC) }
+    // agrees with an independent rollup of the labels
+    val direct = Dedup.dupClusters(spark, Sf)
+      .groupBy("cluster_id").count()
+      .groupBy("count").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.view.mapValues(_._1).toMap === direct)
+  }
+
   test("threshold histogram sums to the open-threshold pair count, bins sane") {
     val hist = Similarity.thresholdHistogram(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
