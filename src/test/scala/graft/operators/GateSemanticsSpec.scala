@@ -14,6 +14,12 @@ class GateSemanticsSpec extends SparkSpec {
   private lazy val s = spark
   import s.implicits._
 
+  test("registry invariant: queries and oracle twins are the same key set") {
+    // the driver's gate only checks queries that have a twin — a
+    // registration drifting out of either map silently weakens the gate
+    assert(graft.SparkEntry.queries.keySet === graft.SparkEntry.oracleSql.keySet)
+  }
+
   private def md5hex(x: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
