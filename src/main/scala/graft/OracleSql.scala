@@ -342,6 +342,11 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |    CAST(len(string_split(trim(p_name), ' ')) AS BIGINT) AS n_name_words
         |  FROM part)
         |GROUP BY type3""".stripMargin,
+    "rel_cross_join" ->
+      // twin of Relational.q38CrossJoin
+      """SELECT r.r_name, n.n_name,
+        |  (n.n_regionkey = r.r_regionkey) AS is_member
+        |FROM region r CROSS JOIN nation n""".stripMargin,
     "rel_window_ranks" ->
       // twin of Relational.q36WindowRanks — same unique order key, so
       // ntile/percent_rank/cume_dist agree exactly; quartile rollup

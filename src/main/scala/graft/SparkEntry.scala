@@ -69,6 +69,7 @@ object SparkEntry {
     "rel_string_funcs" -> (Relational.q35StringFuncs _),
     "rel_window_ranks" -> (Relational.q36WindowRanks _),
     "rel_array_agg" -> (Relational.q37ArrayAgg _),
+    "rel_cross_join" -> (Relational.q38CrossJoin _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

@@ -313,6 +313,18 @@ object Relational {
         sum($"has_red").as("n_with_red"),
         round(avg($"n_name_words"), 4).as("avg_name_words"))
 
+  /** Explicit CROSS JOIN — the last join type in the enumeration
+    * (inner/left/semi/anti/full-outer live in q5-q32): every
+    * (region, nation) combination INCLUDING non-member pairs, tagged
+    * with membership — the template-expansion shape (every source ×
+    * every metric) that is only safe when at least one side is
+    * guaranteed tiny and broadcast, as here. */
+  def q38CrossJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select($"r_regionkey", $"r_name")
+      .crossJoin(broadcast(Tables.nation(s, dir).select($"n_regionkey", $"n_name")))
+      .select($"r_name", $"n_name",
+        ($"n_regionkey" === $"r_regionkey").as("is_member"))
+
   /** Distribution-rank window functions — ntile/percent_rank/cume_dist
     * over a UNIQUE order key (price, then orderkey), so every rank is
     * engine-deterministic. One exchange on the partition key serves all
