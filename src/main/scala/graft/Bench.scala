@@ -44,7 +44,9 @@ object Bench {
     "text_quality_filter",
     "text_ngram_counts",
     "text_common_spans", // added r8: corpus shingle-df boilerplate pass
+    "text_unigram_logprob", // added r8: corpus LM train+apply in one plan
     "events_path_transitions", // added r8: one-window Markov transitions
+    "events_sliding_agg", // added r8: 3x hop-window fan-out aggregate
     "events_sessionize",
     "events_hourly_agg",
     "events_asof_join",

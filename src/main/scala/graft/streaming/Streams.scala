@@ -121,6 +121,19 @@ object Streams {
     * In-batch out-of-order arrivals are sorted before folding;
     * cross-batch ordering is handled the streaming-native way — by the
     * watermark delay admitting stragglers before the timeout fires. */
+  /** Hopping-window twin of Events.slidingAgg — the SAME window()
+    * generator expression, so batch and stream share the window
+    * semantics by construction; the watermark bounds state to the
+    * windows it still admits (windowHours/hopHours per key in flight). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "3 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select(
+        unix_timestamp($"window.start").as("window_ts"),
+        $"event_type", $"n", $"sum_value")
+
   /** STREAM-STREAM INTERVAL JOIN — attribution's native shape: every
     * (view, click) pair of the same user where the click lands within
     * `windowSec` seconds AT-OR-AFTER the view (view→click attribution;

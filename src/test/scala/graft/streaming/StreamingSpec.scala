@@ -475,6 +475,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming slidingAgg equals the batch hopping-window aggregate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val query = Streams.slidingAgg(stream.toDF())
+      .writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = events.splitAt(events.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val streamed = spark.table("sliding_stream")
+        .select("window_ts", "event_type", "n", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Events.slidingAgg(spark, Sf).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join equals the batch join; state bounded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
