@@ -162,6 +162,64 @@ class PropertyParitySpec extends SparkSpec {
     }
   }
 
+  test("common spans matches a brute-force df reference on random corpora") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (w, minDf) = (3, 2)
+    for (seed <- 1 to 6) {
+      val rnd = new Random(300 + seed)
+      // tiny vocab so shingles genuinely repeat across docs
+      val docs = (1 to 25).map { id =>
+        (id.toLong, Seq.fill(rnd.nextInt(10))("w" + rnd.nextInt(4)).mkString(" "))
+      }
+      def shingles(text: String): Seq[Long] = {
+        val tk = refTokens(text.toLowerCase)
+        if (tk.size < w) Seq.empty
+        else tk.sliding(w).map(g => refHash60(g.mkString(" "))).toSeq.distinct
+      }
+      val df = docs.flatMap { case (_, t) => shingles(t) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = docs.flatMap { case (id, t) =>
+        val sh = shingles(t)
+        if (sh.isEmpty) None
+        else {
+          val common = sh.count(g => df(g) >= minDf).toLong
+          Some(id -> ((sh.size.toLong, common, round6(common.toDouble / sh.size))))
+        }
+      }.toMap
+      val got = TextAnalysis.commonSpansFrom(docs.toDF("doc_id", "text"), w, minDf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got === expected, s"seed=$seed docs=$docs")
+    }
+  }
+
+  test("unigram logprob matches a direct reference on random corpora") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- 1 to 6) {
+      val rnd = new Random(400 + seed)
+      val docs = (1 to 25).map { id =>
+        (id.toLong, Seq.fill(rnd.nextInt(8))("w" + rnd.nextInt(5)).mkString(" "))
+      }
+      val all = docs.flatMap { case (_, t) => refTokens(t.toLowerCase) }
+      val ctf = all.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val total = all.size.toDouble
+      val expected = docs.flatMap { case (id, t) =>
+        val tk = refTokens(t.toLowerCase)
+        if (tk.isEmpty) None
+        else Some(id -> ((tk.size.toLong,
+          round6(tk.map(x => -math.log(ctf(x) / total)).sum / tk.size))))
+      }.toMap
+      val got = TextAnalysis.unigramLogprobFrom(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(got === expected, s"seed=$seed docs=$docs")
+    }
+  }
+
   test("repetition score matches a direct reference on random texts") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
