@@ -1150,6 +1150,29 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT src_id, nbr_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
          |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "sim_centroid_shift" ->
+      // twin of Similarity.centroidShift: the seed-centroid and
+      // lloyd-iteration twins composed; cosine over the same rounded
+      // component means, so the doubles agree bit-for-bit
+      s"""WITH $centroidCtes,
+         |cv0 AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS v0,
+         |    max(cnt) AS n0 FROM a GROUP BY bucket),
+         |cv AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
+         |  FROM a GROUP BY bucket),
+         |scored AS (SELECT e.vec_id, cv.bucket,
+         |  round(${cosSql("e.v", "cv.cv")}, 4) AS cos_sim FROM e, cv),
+         |assigned AS (SELECT vec_id, bucket FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
+         |  FROM scored) WHERE rn <= 1),
+         |x2 AS (SELECT g.bucket, generate_subscripts(e.v, 1) - 1 AS pos, unnest(e.v) AS comp
+         |  FROM e JOIN assigned g ON e.vec_id = g.vec_id),
+         |a2 AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+         |  FROM x2 GROUP BY bucket, pos),
+         |cv1 AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS v1,
+         |    max(cnt) AS n1 FROM a2 GROUP BY bucket)
+         |SELECT cv0.bucket, round(${cosSql("cv0.v0", "cv1.v1")}, 4) AS cos_move,
+         |  n0 AS n_before, n1 AS n_after
+         |FROM cv0 JOIN cv1 ON cv0.bucket = cv1.bucket""".stripMargin,
     "sim_recall_report" -> {
       // twin of Similarity.recallReport: the brute-force and IVF top-k
       // twins as CTEs, overlap counted per query

@@ -137,6 +137,7 @@ object SparkEntry {
     "sim_lloyd_iteration" -> ((s, d) => Similarity.lloydIteration(s, d)),
     "sim_threshold_histogram" -> ((s, d) => Similarity.thresholdHistogram(s, d)),
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
+    "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),

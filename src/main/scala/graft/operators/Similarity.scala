@@ -270,6 +270,32 @@ object Similarity {
         round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
   }
 
+  /** CENTROID SHIFT — Lloyd convergence measured AS A QUERY: for every
+    * bucket that survives one iteration, the cosine between its seed
+    * centroid ([[bucketCentroids]]) and its post-assignment centroid
+    * ([[lloydIteration]]), plus the population change. The k-means
+    * stopping rule ("iterate until centroids stop moving") needs
+    * exactly this artifact; keeping it oracle-checked means a broken
+    * assignment step shows up as spurious movement, not silence. Both
+    * sides are tiny exploded centroid tables (O(buckets × dims) rows);
+    * the reassembly and cosine run at driver-irrelevant scale. */
+  def centroidShift(s: SparkSession, dir: String, nBits: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    def assemble(df: DataFrame, vecName: String, nName: String): DataFrame =
+      df.groupBy($"bucket")
+        .agg(
+          transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+            x => x.getField("mean_comp")).as(vecName),
+          max($"n_vecs").as(nName))
+    val before = assemble(bucketCentroidsFrom(e, nBits), "v0", "n0")
+    val after = assemble(lloydIterationFrom(e, nBits), "v1", "n1")
+    before.join(after, "bucket")
+      .select($"bucket",
+        round(cosine($"v0", $"v1"), 4).as("cos_move"),
+        $"n0".as("n_before"), $"n1".as("n_after"))
+  }
+
   /** RECALL REPORT — ANN quality measured AS A QUERY: per-query overlap
     * of the multi-probe IVF top-k ([[ivfTopK]]) against the exact
     * brute-force top-k ([[bruteForceTopKAgg]]). An approximate index

@@ -201,6 +201,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(hist.view.mapValues(_._1).toMap === direct)
   }
 
+  test("centroid shift: populations partition the corpus, movement bounded") {
+    val rows = Similarity.centroidShift(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(rows.map(_._3).sum === n, "seed populations must partition the corpus")
+    rows.foreach { case (b, cosMove, n0, n1) =>
+      assert(cosMove <= 1.0 + 1e-9, s"bucket $b cos_move $cosMove > 1")
+      assert(n0 >= 1L && n1 >= 1L)
+    }
+    // a bucket whose population is unchanged AND whose members were all
+    // already best-assigned has cos_move 1.0 — the fixture corpus has
+    // many singleton/stable buckets, so some exact-1 rows must exist
+    assert(rows.exists(_._2 == 1.0), "expected at least one stable centroid")
+  }
+
   test("threshold histogram sums to the open-threshold pair count, bins sane") {
     val hist = Similarity.thresholdHistogram(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
