@@ -70,6 +70,9 @@ object SparkEntry {
     "rel_window_ranks" -> (Relational.q36WindowRanks _),
     "rel_array_agg" -> (Relational.q37ArrayAgg _),
     "rel_cross_join" -> (Relational.q38CrossJoin _),
+    "rel_stats_agg" -> (Relational.q39StatsAgg _),
+    "rel_latest_per_key" -> (Relational.q40LatestPerKey _),
+    "rel_conditional_agg" -> (Relational.q41ConditionalAgg _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

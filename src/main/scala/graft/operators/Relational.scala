@@ -549,4 +549,53 @@ object Relational {
         count(lit(1)).as("n_lines"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
   }
+
+  /** Statistical aggregates — stddev/variance/correlation/covariance per
+    * group, the moment sketches behind data profiling and drift checks.
+    * All four are one-pass co-moment aggregates in Spark (partial
+    * map-side state = (n, mean, M2, co-moment)), so the plan is a single
+    * exchange on the 3-value group key regardless of input size; at
+    * 100 TB the reduce side sees 3 rows of constant state per partition.
+    * Rounded to 4 to absorb engine summation-order ULPs. */
+  def q39StatsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("covar_qty_price"),
+        round(skewness($"l_extendedprice"), 4).as("skew_price"))
+
+  /** Keep-latest-row-per-key — THE canonical warehouse dedup/upsert-view
+    * pattern (CDC compaction, SCD type-1, snapshot-from-log): one
+    * row_number window over (key ORDER BY recency DESC, unique tiebreak
+    * DESC), filter rank = 1. One exchange+sort on the key; at 100 TB the
+    * same shape serves any log→snapshot compaction, and the rank = 1
+    * filter is applied streamingly inside the window operator (no second
+    * pass). Tiebreak on o_orderkey makes the survivor deterministic. */
+  def q40LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("latest_orderkey"),
+        $"o_orderdate".as("latest_date"), $"o_totalprice".as("latest_price"))
+  }
+
+  /** Conditional aggregation — count_if / bool_or / bool_and, the
+    * FILTER-clause family (per-segment KPI counting without N scans).
+    * Each conditional is fused into the same hash-aggregate pass as the
+    * plain counts: one scan, one exchange on the group key, regardless
+    * of how many conditions are stacked. */
+  def q41ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        count_if($"o_totalprice" > 200000.0).as("n_big"),
+        count_if($"o_orderstatus" === "F").as("n_finished"),
+        bool_or($"o_totalprice" > 400000.0).as("any_jumbo"),
+        bool_and($"o_totalprice" > 1000.0).as("all_above_floor"))
 }
