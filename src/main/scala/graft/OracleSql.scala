@@ -385,7 +385,45 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0), 4) AS moving_avg3,
         |  (cents - coalesce(lag(cents, 1) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey), cents)) / 100.0 AS delta_prev
-        |FROM o""".stripMargin)
+        |FROM o""".stripMargin,
+    "rel_stats_agg" ->
+      // twin of Relational.q39StatsAgg — stddev/var/corr/covar agree
+      // directly (both engines' defaults are the sample estimators);
+      // skewness does NOT: Spark computes the population estimator
+      // g1 = m3/m2^1.5, DuckDB the bias-corrected sample estimator
+      // G1 = g1*sqrt(n(n-1))/(n-2), so the twin converts explicitly
+      // via g1 = G1*(n-2)/sqrt(n(n-1)) before the shared round(.,4)
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |  round(skewness(l_extendedprice)
+        |        * (count(l_extendedprice) - 2)
+        |        / sqrt(count(l_extendedprice) * (count(l_extendedprice) - 1.0)),
+        |    4) AS skew_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "rel_latest_per_key" ->
+      // twin of Relational.q40LatestPerKey — identical window spec with
+      // the o_orderkey DESC tiebreak, so the survivor row is
+      // deterministic in both engines
+      """SELECT o_custkey, o_orderkey AS latest_orderkey,
+        |  o_orderdate AS latest_date, o_totalprice AS latest_price
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "rel_conditional_agg" ->
+      // twin of Relational.q41ConditionalAgg — Spark count_if/bool_or/
+      // bool_and map to DuckDB FILTER-clause counts and the same
+      // bool aggregates; counts are BIGINT in both engines
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  bool_or(o_totalprice > 400000.0) AS any_jumbo,
+        |  bool_and(o_totalprice > 1000.0) AS all_above_floor
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
 
   // ---- text analysis ----------------------------------------------------
 

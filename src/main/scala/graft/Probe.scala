@@ -12,9 +12,14 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("--explain")
-    val reps = args.sliding(2).collectFirst { case Array("--reps", n) => n.toInt }.getOrElse(2)
-    val pos = args.filterNot(_.startsWith("--"))
-      .filterNot(a => args.sliding(2).exists { case Array("--reps", n) => n == a; case _ => false })
+    val repsIdx = args.indexOf("--reps")
+    val reps = if (repsIdx >= 0 && repsIdx + 1 < args.length) args(repsIdx + 1).toInt else 2
+    // drop exactly the --reps flag and its value token, not anything
+    // string-equal to the value (e.g. `Probe dir q1 2 --reps 2`)
+    val pos = args.zipWithIndex.collect {
+      case (a, i) if (repsIdx < 0 || (i != repsIdx && i != repsIdx + 1)) &&
+        !a.startsWith("--") => a
+    }
     val dirSpec = pos.head
     val names = pos.tail.toSeq
     val spark = SparkSession.builder()

@@ -310,4 +310,78 @@ class GateSemanticsSpec extends SparkSpec {
     dropped.groupBy($"source").agg(max($"quality").as("mx")).collect()
       .foreach(r => assert(r.getDouble(1) < minKept(r.getString(0)), r.getString(0)))
   }
+
+  test("latest-per-key: one row per key, survivor is max (date, orderkey)") {
+    val out = Relational.q40LatestPerKey(spark, Sf)
+    val orders = Tables.orders(spark, Sf)
+    // exactly one survivor per customer present in orders
+    assert(out.count() === orders.select($"o_custkey").distinct().count())
+    assert(out.select($"o_custkey").distinct().count() === out.count())
+    // the survivor is the max (o_orderdate, o_orderkey) struct of its key —
+    // the deterministic-tiebreak contract, independent of the window impl
+    val expect = orders.groupBy($"o_custkey")
+      .agg(max(struct($"o_orderdate", $"o_orderkey")).as("mx"))
+      .select($"o_custkey", $"mx.o_orderkey".as("latest_orderkey"))
+    val got = out.select($"o_custkey", $"latest_orderkey")
+    assert(got.exceptAll(expect).count() === 0L)
+    assert(expect.exceptAll(got).count() === 0L)
+  }
+
+  test("latest-per-key: orderdate ties break on the higher orderkey") {
+    val orders = Tables.orders(spark, Sf)
+    // synthesize guaranteed ties: coarsen every date to its month, so most
+    // customers have several same-date orders; survivor must be the max
+    // orderkey among the max-month rows
+    val coarse = orders.withColumn("o_orderdate", date_trunc("month", $"o_orderdate"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val got = coarse.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey")
+    val expect = coarse.groupBy($"o_custkey")
+      .agg(max(struct($"o_orderdate", $"o_orderkey")).as("mx"))
+      .select($"o_custkey", $"mx.o_orderkey".as("o_orderkey"))
+    assert(got.exceptAll(expect).count() === 0L)
+  }
+
+  test("conditional agg: each count_if equals its filtered-subquery count") {
+    val orders = Tables.orders(spark, Sf)
+    val out = Relational.q41ConditionalAgg(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val prios = orders.select($"o_orderpriority").distinct()
+      .collect().map(_.getString(0))
+    assert(out.keySet === prios.toSet)
+    prios.foreach { p =>
+      val g = orders.filter($"o_orderpriority" === p)
+      val r = out(p)
+      assert(r.getLong(1) === g.count(), s"$p: n")
+      assert(r.getLong(2) === g.filter($"o_totalprice" > 200000.0).count(), s"$p: n_big")
+      assert(r.getLong(3) === g.filter($"o_orderstatus" === "F").count(), s"$p: n_finished")
+      assert(r.getBoolean(4) === (g.filter($"o_totalprice" > 400000.0).count() > 0), s"$p: any_jumbo")
+      assert(r.getBoolean(5) === (g.filter(!($"o_totalprice" > 1000.0)).count() === 0L), s"$p: all_above_floor")
+    }
+  }
+
+  test("stats agg: var = sd^2, corr in [-1,1], skewness sign matches moments") {
+    val rows = Relational.q39StatsAgg(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sd, v, c) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // both sides rounded to 4dp independently, so compare loosely
+      assert(math.abs(sd * sd - v) <= 2e-3, s"var != sd^2: $r")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+    }
+    // population-g1 contract: Spark's skewness must match the explicit
+    // central-moment form m3/m2^1.5 computed from first principles
+    val fl = rows.head.getString(0)
+    val prices = Tables.lineitem(spark, Sf)
+      .filter($"l_returnflag" === fl).select($"l_extendedprice")
+      .collect().map(_.getDouble(0))
+    val n = prices.length.toDouble
+    val mu = prices.sum / n
+    val m2 = prices.map(x => (x - mu) * (x - mu)).sum / n
+    val m3 = prices.map(x => math.pow(x - mu, 3)).sum / n
+    val g1 = m3 / math.pow(m2, 1.5)
+    val got = rows.find(_.getString(0) == fl).get.getDouble(5)
+    assert(math.abs(got - g1) <= 1e-3, s"skewness not population g1: got $got want $g1")
+  }
 }
