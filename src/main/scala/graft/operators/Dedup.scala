@@ -317,8 +317,12 @@ object Dedup {
         .filter($"u" =!= $"v")
         .distinct()
         .localCheckpoint(true)
+      // fixpoint probe: both sides are distinct sets, so equal counts +
+      // an empty anti-join ⟺ set equality. The anti-join short-circuits
+      // at the first novel edge (limit 1) — one hash-join pass instead
+      // of exceptAll's full multiset-difference aggregation per round.
       converged = small.count() == edges.count() &&
-        small.exceptAll(edges).limit(1).count() == 0
+        small.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
       edges = small
       iter += 1
     }
