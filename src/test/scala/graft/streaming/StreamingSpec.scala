@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   * their state must be BOUNDED — eviction is asserted, not assumed. */
 class StreamingSpec extends SparkSpec {
 
+  /** Suite-scoped checkpoint root, deleted in afterAll — no /tmp litter
+    * accumulating across test runs. */
+  private val ckptRoot =
+    java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile
+
+  private def ckpt(tag: String): String =
+    s"${ckptRoot.getAbsolutePath}/$tag-${System.nanoTime()}"
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(ckptRoot)
+    super.afterAll()
+  }
+
   private def loadEvents(): Seq[Event] = {
     import spark.implicits._
     Tables.events(spark, Sf)
@@ -38,7 +55,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.enrichWithUserTotals(stream.toDS(), dim)
       .writeStream.format("memory").queryName("enriched")
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-en-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("en"))
       .start()
     try {
       val third = events.size / 3
@@ -85,7 +102,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.typeCounts(stream.toDF())
       .writeStream.format("memory").queryName("type_counts_stream")
       .outputMode("update")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-tc-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("tc"))
       .start()
     try {
       val (b1, b2) = events.splitAt(events.size / 2)
@@ -116,7 +133,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.topTypePerUser(stream.toDS())
       .writeStream.format("memory").queryName("top_type_stream")
       .outputMode("update")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-tt-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("tt"))
       .start()
     try {
       val (b1, b2) = events.splitAt(events.size / 2)
@@ -145,7 +162,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.topTypePerUser(stream.toDS(), idleTimeoutMs = 1800000L)
       .writeStream.format("memory").queryName("top_type_evict")
       .outputMode("update")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-tte-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("tte"))
       .start()
     try {
       // user 1: b,b,a — then a catches up to the tie, top flips to 'a'
@@ -176,7 +193,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.hourlyAgg(stream.toDF())
       .writeStream.format("memory").queryName("hourly_wm")
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-wm-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("wm"))
       .start()
     try {
       // feed everything, then a straggler 3h older than the max event time:
@@ -206,7 +223,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.sessionize(stream.toDS())
       .writeStream.format("memory").queryName("sessions_shuffled")
       .outputMode("update")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-sh-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("sh"))
       .start()
     try {
       stream.addData(shuffled); query.processAllAvailable()
@@ -224,7 +241,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.sessionize(stream.toDS())
       .writeStream.format("memory").queryName("sessions_stream")
       .outputMode("update")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("x"))
       .start()
     try {
       val third = events.size / 3
@@ -270,7 +287,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.ngramCounts(stream.toDS())
       .writeStream.format("memory").queryName("ngram_stream")
       .outputMode("update")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-ng-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("ng"))
       .start()
     try {
       val (b1, b2) = docs.splitAt(docs.size / 2)
@@ -301,7 +318,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.dedupByFingerprint(stream.toDS())
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-dd-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("dd"))
       .start()
     try {
       // every doc delivered TWICE (at-least-once upstream), split so the
@@ -331,7 +348,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.dedupByFingerprint(stream.toDS())
       .writeStream.format("memory").queryName("dedup_evict")
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-de-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("de"))
       .start()
     try {
       stream.addData(Seq(
@@ -357,7 +374,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.funnel(stream.toDS())
       .writeStream.format("memory").queryName("funnel_stream")
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-fn-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("fn"))
       .start()
     try {
       val third = events.size / 3
@@ -383,7 +400,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.cohortRetention(stream.toDS())
       .writeStream.format("memory").queryName("retention_stream")
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-cr-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("cr"))
       .start()
     try {
       val third = events.size / 3
@@ -411,7 +428,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.funnel(stream.toDS())
       .writeStream.format("memory").queryName("funnel_ties")
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-ft-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("ft"))
       .start()
     try {
       // all three stages share ONE timestamp, with event_ids ordered
@@ -451,7 +468,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.funnel(stream.toDS(), idleTimeoutMs = 1800000L)
       .writeStream.format("memory").queryName("funnel_evict")
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-fe-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("fe"))
       .start()
     try {
       // user 1 converts fully; user 2 stalls at stage 1; then only user 3
@@ -506,7 +523,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.intervalJoin(vStream.toDF(), cStream.toDF())
       .writeStream.format("memory").queryName("vc_join")
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-ij-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("ij"))
       .start()
     try {
       // interleaved micro-batches so pairs span batch boundaries both ways
@@ -559,7 +576,7 @@ class StreamingSpec extends SparkSpec {
     val query = Streams.sessionize(stream.toDS())
       .writeStream.format("memory").queryName("sessions_evict")
       .outputMode("update")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-ev-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt("ev"))
       .start()
     try {
       // user 1's session, then only user 2 far enough in the future that
