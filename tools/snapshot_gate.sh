@@ -1,0 +1,27 @@
+#!/bin/bash
+# End-of-round snapshot gate: refuse to commit a snapshot unless the
+# build AND the full test suite are green. Rounds 5 and 8 both shipped
+# final snapshots over a red verification step; this makes the invariant
+# mechanical instead of a discipline.
+#
+# Usage: tools/snapshot_gate.sh ["commit message"]
+#   - runs sbt -batch compile && sbt -batch test
+#   - on success, commits the working tree (if dirty) with the given
+#     message (default: "snapshot: gate green")
+#   - on ANY failure, exits non-zero and commits NOTHING
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "[gate] sbt -batch compile"
+sbt -batch compile
+echo "[gate] sbt -batch test"
+sbt -batch test
+
+if [[ -n "$(git status --porcelain)" ]]; then
+  git add -A
+  git commit -m "${1:-snapshot: gate green}"
+  echo "[gate] committed: $(git log --oneline -1)"
+else
+  echo "[gate] tree clean, nothing to commit"
+fi
+echo "[gate] GREEN"
