@@ -50,6 +50,25 @@ final case class TopTypeState(counts: Map[String, Long], lastMs: Long)
 /** User `user_id`'s current most-frequent event type (count `n`). */
 final case class TopTypeOut(user_id: Long, event_type: String, n: Long)
 
+/** Per-event-type anomaly-detector state: counts of hours the watermark
+  * still holds OPEN (hourMs -> n), plus the trailing ring of the last
+  * <= 24 FINALIZED hour counts (newest first) — the batch z-score's
+  * rowsBetween(-24,-1) baseline, carried as at most 24 longs. */
+final case class ZScoreState(open: Map[Long, Long], ring: List[Long])
+
+/** One finalized, scoreable hour: `n` events of `event_type` in the hour
+  * starting at `hour_ts` (epoch seconds), `z` standard deviations from
+  * the trailing-24-observed-hours mean. */
+final case class ZScoreOut(event_type: String, hour_ts: Long, n: Long, z: Double)
+
+/** Per-user running RFM profile: last purchase (ms), purchase count,
+  * monetary total in exact cents — three longs per user, the minimal
+  * state ANY running recency/frequency/monetary rollup must hold. */
+final case class RfmState(lastMs: Long, freq: Long, cents: Long)
+
+/** User `user_id`'s current RFM profile after each update. */
+final case class RfmOut(user_id: Long, last_ms: Long, freq: Long, cents: Long)
+
 /** Structured Streaming twins of the batch operators in
   * graft.operators.Events — same aggregation logic, driven by
   * `readStream` instead of `read`. The batch forms remain the
@@ -442,6 +461,121 @@ object Streams {
               math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             (SessionOut(uid, st.startMs, st.lastMs, st.nEvents) :: closed)
               .reverseIterator
+          }
+      }
+  }
+
+  /** Streaming twin of the batch anomaly detector
+    * (graft.operators.Events.anomalyZscore): each (event_type, hour)
+    * count scored against the trailing 24 OBSERVED hours' mean and
+    * sample stddev the moment the watermark closes the hour. An hour is
+    * scored exactly once, against exactly the baseline the batch window
+    * (rowsBetween(-24,-1) per type, hours in event-time order) would
+    * give it, so append mode is sound and the batch query is the oracle.
+    *
+    * State at 100 TB: per event TYPE (a small closed set — this is the
+    * smallest-keyed operator in the file): the open hours the watermark
+    * still admits (bounded by the watermark delay) plus <= 24 finalized
+    * counts. An event-time timeout fires when the watermark passes the
+    * earliest open hour's end, so quiet types still finalize and score
+    * their hours without waiting for their next event. */
+  def anomalyZscore(events: Dataset[Event], minBaseline: Int = 8,
+                    maxTrailing: Int = 24): Dataset[ZScoreOut] = {
+    require(minBaseline >= 2, s"need >= 2 baseline points, got $minBaseline")
+    import events.sparkSession.implicits._
+
+    def finalize(typ: String, st: ZScoreState, wmMs: Long): (ZScoreState, List[ZScoreOut]) = {
+      val (closable, open) = st.open.partition { case (h, _) => h + 3600000L <= wmMs }
+      var ring = st.ring
+      var out = List.empty[ZScoreOut]
+      // ascending event-time order — the batch window's frame order
+      closable.toSeq.sortBy(_._1).foreach { case (h, n) =>
+        val base = ring.take(maxTrailing)
+        if (base.size >= minBaseline) {
+          val mean = base.sum.toDouble / base.size
+          val varS = base.map(x => (x - mean) * (x - mean)).sum / (base.size - 1)
+          val std = math.sqrt(varS)
+          if (std > 0) {
+            val z = java.math.BigDecimal.valueOf((n - mean) / std)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            out ::= ZScoreOut(typ, h / 1000L, n, z)
+          }
+        }
+        ring = (n :: ring).take(maxTrailing)
+      }
+      (ZScoreState(open, ring), out.reverse)
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ZScoreState, ZScoreOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, it: Iterator[Event], state: GroupState[ZScoreState]) =>
+          val prior = state.getOption.getOrElse(ZScoreState(Map.empty, Nil))
+          val merged =
+            if (state.hasTimedOut) prior
+            else {
+              var open = prior.open
+              it.foreach { e =>
+                val h = e.ts.getTime - e.ts.getTime % 3600000L
+                open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+              }
+              prior.copy(open = open)
+            }
+          val (st, hits) = finalize(typ, merged, state.getCurrentWatermarkMs())
+          state.update(st)
+          // re-arm to the earliest still-open hour's end so the score
+          // fires as soon as the watermark closes it; clamped a tick
+          // past the watermark (the API rejects <= wm)
+          if (st.open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              st.open.keys.min + 3600000L, state.getCurrentWatermarkMs() + 1))
+          hits.iterator
+      }
+  }
+
+  /** Streaming twin of the RFM rollup's per-user core
+    * (graft.operators.Events.rfm): a RUNNING recency/frequency/monetary
+    * profile per purchasing user, refreshed on every purchase (update
+    * mode). The batch operator's quintile BUCKETING stays a batch/serving
+    * concern — boundaries are global order statistics, recomputed over
+    * the profile table, not stream state.
+    *
+    * State at 100 TB: three longs per user active within `churnMs` — an
+    * event-time timeout drops profiles the watermark has seen nothing
+    * from for the churn window (the same boundary a lifecycle model
+    * treats as churned), so state is O(recently-active purchasers), not
+    * O(ever-seen). Monetary is EXACT CENTS, mirroring the batch
+    * operator's determinism argument (double-sum partial-agg order
+    * cannot flip a boundary user). */
+  def rfmRunning(events: Dataset[Event], eventType: String = "purchase",
+                 churnMs: Long = 90L * 24 * 3600 * 1000): Dataset[RfmOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == eventType)
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RfmState, RfmOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[RfmState]) =>
+          if (state.hasTimedOut) {
+            // churn boundary passed: every profile update was already
+            // emitted — just forget the user
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))
+            it.foreach { e =>
+              val cents = java.math.BigDecimal.valueOf(e.value * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+              st = RfmState(math.max(st.lastMs, e.ts.getTime), st.freq + 1L,
+                st.cents + cents)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + churnMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(RfmOut(uid, st.lastMs, st.freq, st.cents))
           }
       }
   }

@@ -598,4 +598,71 @@ class StreamingSpec extends SparkSpec {
       assert(u1.length === 1 && u1(0).getAs[Long]("n") === 2L)
     } finally query.stop()
   }
+
+  test("streaming anomaly z-scores equal the batch z-scores") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val maxMs = events.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    val query = Streams.anomalyZscore(stream.toDS())
+      .writeStream.format("memory").queryName("zscore_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("az"))
+      .start()
+    try {
+      val third = events.size / 3
+      Seq(events.take(third), events.slice(third, 2 * third), events.drop(2 * third))
+        .foreach { b => stream.addData(b); query.processAllAvailable() }
+      // sentinel batches push the watermark past every real hour so the
+      // tail hours finalize and their timeouts fire; the sentinel's own
+      // type is excluded from the comparison
+      Seq(maxMs + 30L * 24 * 3600 * 1000, maxMs + 31L * 24 * 3600 * 1000).foreach { ms =>
+        stream.addData(Seq(Event(-1L, new java.sql.Timestamp(ms), -1L, "__wm__", 0.0)))
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("zscore_stream")
+        .filter($"event_type" =!= "__wm__")
+        .select($"event_type", $"hour_ts", $"n", $"z")
+      val batch = Events.anomalyZscore(spark, Sf)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // append-mode scores are final: no (type, hour) emitted twice
+      val dups = spark.table("zscore_stream")
+        .groupBy("event_type", "hour_ts").count().filter($"count" > 1).count()
+      assert(dups === 0L, "an hour was scored more than once")
+    } finally query.stop()
+  }
+
+  test("streaming RFM profiles converge to the batch per-user rollup") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val query = Streams.rfmRunning(stream.toDS())
+      .writeStream.format("memory").queryName("rfm_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt("rf"))
+      .start()
+    try {
+      val third = events.size / 3
+      Seq(events.take(third), events.slice(third, 2 * third), events.drop(2 * third))
+        .foreach { b => stream.addData(b); query.processAllAvailable() }
+      // freq is strictly increasing per emission, so the max-freq struct
+      // per user is that user's final profile
+      val streamed = spark.table("rfm_stream")
+        .groupBy($"user_id")
+        .agg(max(struct($"freq", $"last_ms", $"cents")).as("p"))
+        .select($"user_id", $"p.last_ms", $"p.freq", $"p.cents")
+      val batch = Tables.events(spark, Sf)
+        .filter($"event_type" === "purchase" && $"user_id".isNotNull)
+        .groupBy($"user_id")
+        .agg(max(unix_millis($"ts")).as("last_ms"), count(lit(1)).as("freq"),
+          sum(round($"value" * 100).cast("long")).as("cents"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // state is one profile per purchasing user, nothing more
+      val nUsers = batch.count()
+      val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= nUsers, s"state $stateRows rows > $nUsers purchasers")
+    } finally query.stop()
+  }
 }
