@@ -423,7 +423,17 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
         |  bool_or(o_totalprice > 400000.0) AS any_jumbo,
         |  bool_and(o_totalprice > 1000.0) AS all_above_floor
-        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "rel_scd2_intervals" ->
+      // twin of Relational.q42Scd2Intervals — same window spec with the
+      // o_orderkey tiebreak, open interval keeps NULL valid_to
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)
 
   // ---- text analysis ----------------------------------------------------
 

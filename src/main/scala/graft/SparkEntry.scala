@@ -73,6 +73,7 @@ object SparkEntry {
     "rel_stats_agg" -> (Relational.q39StatsAgg _),
     "rel_latest_per_key" -> (Relational.q40LatestPerKey _),
     "rel_conditional_agg" -> (Relational.q41ConditionalAgg _),
+    "rel_scd2_intervals" -> (Relational.q42Scd2Intervals _),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

@@ -598,4 +598,21 @@ object Relational {
         count_if($"o_orderstatus" === "F").as("n_finished"),
         bool_or($"o_totalprice" > 400000.0).as("any_jumbo"),
         bool_and($"o_totalprice" > 1000.0).as("all_above_floor"))
+
+  /** SCD TYPE-2 INTERVALS from a change log — the other half of the CDC
+    * pair with [[q40LatestPerKey]]: each key's ordered change rows become
+    * validity intervals [valid_from, valid_to) via lead(), the open
+    * (current) row keeping a NULL valid_to. One exchange+sort per key —
+    * the same shape compacts any 100 TB mutation log into a queryable
+    * history table; the o_orderkey tiebreak keeps tied-date intervals
+    * deterministic. */
+  def q42Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"valid_from".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        $"o_orderdate".as("valid_from"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+  }
 }

@@ -343,6 +343,23 @@ class GateSemanticsSpec extends SparkSpec {
     assert(got.exceptAll(expect).count() === 0L)
   }
 
+  test("scd2 intervals: per-key timeline chains with one open interval") {
+    val out = Relational.q42Scd2Intervals(spark, Sf)
+    val orders = Tables.orders(spark, Sf)
+    assert(out.count() === orders.count(), "SCD2 must keep every log row")
+    // exactly one current (open) interval per key
+    val openPerKey = out.filter($"is_current").groupBy($"o_custkey").count()
+    assert(openPerKey.filter($"count" =!= 1).count() === 0L)
+    // intervals chain: every closed interval's valid_to is the valid_from
+    // of ANOTHER interval of the same key, and never precedes valid_from
+    assert(out.filter($"valid_to" < $"valid_from").count() === 0L)
+    val froms = out.select($"o_custkey", $"valid_from".as("valid_to")).distinct()
+    val dangling = out.filter($"valid_to".isNotNull)
+      .select($"o_custkey", $"valid_to")
+      .join(froms, Seq("o_custkey", "valid_to"), "left_anti")
+    assert(dangling.count() === 0L, "a closed interval points at no successor")
+  }
+
   test("conditional agg: each count_if equals its filtered-subquery count") {
     val orders = Tables.orders(spark, Sf)
     val out = Relational.q41ConditionalAgg(spark, Sf).collect()
