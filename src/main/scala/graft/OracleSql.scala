@@ -1137,6 +1137,34 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |a AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
        |  FROM x GROUP BY bucket, pos)""".stripMargin
 
+  /** Subspace SRP projection — twin of the PQ code's fused kernel: plane
+    * (a driver-side constant) truncated to the 8-dim subspace, exactly
+    * how SrpBandExpr projects a shorter vector. */
+  private def pqSubProj(sv: String, bit: Int): String = {
+    val plane = graft.functions.SrpPlanes.plane(bit).take(8)
+      .map(_.toString).mkString("[", ",", "]")
+    s"list_sum(list_transform(range(8), i -> ($sv)[i+1] * " +
+      s"(CAST($plane AS DOUBLE[]))[i+1]))"
+  }
+
+  /** Packed PQ code over subspace bits [offset, offset+n). */
+  private def pqSubCode(sv: String, offset: Int, n: Int): String =
+    (0 until n).map { lb =>
+      s"(CASE WHEN ${pqSubProj(sv, offset + lb)} >= 0 THEN ${1L << lb} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Shared CTE of the PQ twins — twin of Similarity.pqDecomposed:
+    * embeddings → 8 subvector slices, each with its 4-bit SRP code. */
+  private lazy val pqCte: String = {
+    val subs = (0 until 8).map { j =>
+      val sv = s"list_slice(v, ${j * 8 + 1}, ${(j + 1) * 8})"
+      s"SELECT vec_id, CAST($j AS BIGINT) AS sub, " +
+        s"CAST(${pqSubCode(sv, j * 4, 4)} AS BIGINT) AS code, $sv AS sv FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+       |pq AS ($subs)""".stripMargin
+  }
+
   private val similarity: Map[String, String] = Map(
     "sim_brute_force_topk" ->
       // the Spark two-phase rank == a single global rank per query
@@ -1304,7 +1332,38 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  FROM x2 GROUP BY bucket, pos)
          |SELECT bucket, CAST(pos AS BIGINT) AS pos,
          |  round(CAST(s AS DOUBLE) / cnt, 6) AS mean_comp, cnt AS n_vecs
-         |FROM a2""".stripMargin)
+         |FROM a2""".stripMargin,
+    "sim_pq_codes" ->
+      s"""WITH $pqCte
+         |SELECT vec_id, sub, code FROM pq""".stripMargin,
+    "sim_pq_codebooks" ->
+      // twin of Similarity.pqCodebooks: per-(sub, code) mean subvector,
+      // decimal-exact sums, 0-based component positions
+      s"""WITH $pqCte,
+         |x AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(sv) AS comp FROM pq),
+         |a AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
+         |  count(*) AS n_vecs FROM x GROUP BY sub, code, pos)
+         |SELECT sub, code, pos,
+         |  round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp, n_vecs
+         |FROM a""".stripMargin,
+    "sim_pq_recon_error" ->
+      // twin of Similarity.pqReconError: squared deviations from the
+      // ROUNDED codebook mean (identical double on both sides), summed
+      // in decimal for an order-independent total
+      s"""WITH $pqCte,
+         |x AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(sv) AS comp FROM pq),
+         |a AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
+         |  count(*) AS n_vecs FROM x GROUP BY sub, code, pos),
+         |cb AS (SELECT sub, code, pos,
+         |  round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp FROM a)
+         |SELECT x.sub, x.pos,
+         |  round(CAST(sum(CAST((x.comp - cb.mean_comp) * (x.comp - cb.mean_comp)
+         |    AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS mse,
+         |  count(*) AS n_vecs
+         |FROM x JOIN cb ON x.sub = cb.sub AND x.code = cb.code AND x.pos = cb.pos
+         |GROUP BY x.sub, x.pos""".stripMargin)
 
   // ---- multimodal -------------------------------------------------------
   // payload = UTF-8 bytes of `text` (ASCII corpus), so the oracle mirrors

@@ -74,6 +74,9 @@ object SparkEntry {
     "rel_latest_per_key" -> (Relational.q40LatestPerKey _),
     "rel_conditional_agg" -> (Relational.q41ConditionalAgg _),
     "rel_scd2_intervals" -> (Relational.q42Scd2Intervals _),
+    "sim_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
+    "sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooks(s, d)),
+    "sim_pq_recon_error" -> ((s, d) => Similarity.pqReconError(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

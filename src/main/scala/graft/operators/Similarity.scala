@@ -420,4 +420,88 @@ object Similarity {
       .filter($"cos_sim" >= threshold)
       .select($"vec_a", $"vec_b", $"cos_sim")
   }
+
+  // ---- product quantization ---------------------------------------------
+
+  /** PQ geometry: m subspaces over the 64-dim embedding. */
+  private val PqSubspaces = 8
+  private val PqBitsPerCode = 4
+  private def pqSubDim: Int = graft.functions.SrpPlanes.Dim / PqSubspaces
+
+  /** Per-row (sub, code, subvector) decomposition shared by the three PQ
+    * operators: subspace j's code is the SRP band of the 8-dim SUBVECTOR
+    * over planes [j*nBits, (j+1)*nBits) (the fused codegen kernel
+    * projects shorter vectors over their own length, so the plane is
+    * effectively its first 8 components) — a deterministic, data-free
+    * quantizer seeding, exactly like the IVF coarse quantizer. */
+  private def pqDecomposed(e: DataFrame): DataFrame =
+    e.select($"vec_id", posexplode(array((0 until PqSubspaces).map { j =>
+        val sv = slice($"v", j * pqSubDim + 1, pqSubDim)
+        struct(
+          srpSignatureSlice(sv, j * PqBitsPerCode, PqBitsPerCode).as("code"),
+          sv.as("sv"))
+      }: _*)).as(Seq("sub", "sc")))
+      .select($"vec_id", $"sub".cast("long").as("sub"),
+        $"sc.code".as("code"), $"sc.sv".as("sv"))
+
+  /** PRODUCT-QUANTIZATION CODES — each 64-dim vector compressed to m=8
+    * 4-bit subspace codes (512 B of doubles → 4 B of codes, the 128×
+    * memory collapse that makes billion-vector ANN candidate scoring fit
+    * in RAM; pairs with [[ivfTopK]] as the standard IVF-PQ layout).
+    * Shape: ONE codegen scan, zero shuffles — every code is a fused
+    * SRP-band projection of a vector slice. */
+  def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+
+  /** Core of [[pqCodes]] over any (vec_id, v) frame. */
+  def pqCodesFrom(e: DataFrame): DataFrame =
+    pqDecomposed(e).select($"vec_id", $"sub", $"code")
+
+  /** PQ CODEBOOKS — the reconstruction table: per (subspace, code), the
+    * mean subvector of every vector that quantized there (exactly the
+    * [[bucketCentroids]] aggregate per subspace; a PQ-Lloyd refinement
+    * step would re-run this against reassigned codes). Component sums in
+    * DECIMAL(27,10): exact, order-independent, engine-identical. Output
+    * is exploded (sub, code, pos, mean_comp, n_vecs) — ≤ m·2^bits·subDim
+    * = 1,024 rows whatever the corpus size; one exchange total. */
+  def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    pqCodebooksFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+
+  /** Core of [[pqCodebooks]] over any (vec_id, v) frame. */
+  def pqCodebooksFrom(e: DataFrame): DataFrame =
+    pqDecomposed(e)
+      .select($"sub", $"code", posexplode($"sv").as(Seq("pos", "comp")))
+      .groupBy($"sub", $"code", $"pos")
+      .agg(sum($"comp".cast("decimal(27,10)")).as("s"), count(lit(1)).as("n_vecs"))
+      .select($"sub", $"code", $"pos".cast("long").as("pos"),
+        round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
+
+  /** PQ RECONSTRUCTION ERROR — quantization quality measured AS A QUERY
+    * (the recall-report discipline applied to compression): per
+    * (subspace, component), the mean squared error between original
+    * components and their codebook reconstruction. The artifact a 100 TB
+    * deployment watches for codebook drift after re-ingestion — rising
+    * MSE in one subspace says "re-train that codebook" long before
+    * retrieval quality visibly decays. Shape: the ≤1,024-row codebook is
+    * BROADCAST back against the decomposed scan; squared deviations sum
+    * in DECIMAL for engine-exact totals; one exchange on (sub, pos).
+    * Output is m·subDim = 64 rows. */
+  def pqReconError(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cb = pqCodebooksFrom(e).select($"sub", $"code", $"pos", $"mean_comp")
+    pqDecomposed(e)
+      .select($"sub", $"code", posexplode($"sv").as(Seq("pos", "comp")))
+      .withColumn("pos", $"pos".cast("long"))
+      .join(broadcast(cb), Seq("sub", "code", "pos"))
+      .select($"sub", $"pos",
+        (($"comp" - $"mean_comp") * ($"comp" - $"mean_comp"))
+          .cast("decimal(27,10)").as("sq"))
+      .groupBy($"sub", $"pos")
+      .agg(sum($"sq").as("s"), count(lit(1)).as("n_vecs"))
+      .select($"sub", $"pos",
+        round($"s".cast("double") / $"n_vecs", 6).as("mse"), $"n_vecs")
+  }
 }

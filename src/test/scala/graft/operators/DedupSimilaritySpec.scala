@@ -421,4 +421,37 @@ class DedupSimilaritySpec extends SparkSpec {
     val rows = MultiModal.mmMetaStats(spark, Sf).collect()
     assert(rows.map(_.getAs[Long]("n_assets")).sum === 500L)
   }
+
+  test("PQ codes: 8 codes per vector, each in [0, 16)") {
+    val codes = Similarity.pqCodes(spark, Sf)
+    val nVecs = Tables.embeddings(spark, Sf).count()
+    assert(codes.count() === nVecs * 8)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() === 0L)
+    val perVec = codes.groupBy(col("vec_id")).count().filter(col("count") =!= 8)
+    assert(perVec.count() === 0L, "a vector without exactly 8 subspace codes")
+  }
+
+  test("PQ reconstruction beats the subspace-blind baseline componentwise") {
+    // codebook means minimize within-bucket SSE for the partition, so the
+    // per-(sub, pos) MSE can never exceed the variance around the global
+    // per-(sub, pos) mean (the m2 both sides' rounding can't mask)
+    val err = Similarity.pqReconError(spark, Sf)
+      .select(col("sub"), col("pos"), col("mse"), col("n_vecs"))
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val baseline = e
+      .select(posexplode(col("v")).as(Seq("gpos", "comp")))
+      .withColumn("sub", (col("gpos") / 8).cast("long"))
+      .withColumn("pos", (col("gpos") % 8).cast("long"))
+      .groupBy(col("sub"), col("pos"))
+      .agg(var_pop(col("comp")).as("varc"))
+    val joined = err.join(baseline, Seq("sub", "pos")).collect()
+    assert(joined.length === 64)
+    joined.foreach { r =>
+      val (mse, varc) = (r.getAs[Double]("mse"), r.getAs[Double]("varc"))
+      assert(mse <= varc + 1e-6, s"sub=${r.getAs[Long]("sub")} pos=${r.getAs[Long]("pos")}: mse $mse > var $varc")
+    }
+    // every component cell was reconstructed for the whole corpus
+    assert(err.filter(col("n_vecs") =!= e.count()).count() === 0L)
+  }
 }
