@@ -1165,6 +1165,16 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |pq AS ($subs)""".stripMargin
   }
 
+  /** Shared codebook CTE chain (follows [[pqCte]]): exploded subvector
+    * components → decimal-exact per-(sub, code, pos) means. */
+  private lazy val pqCodebookCtes: String =
+    """x AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
+      |  unnest(sv) AS comp FROM pq),
+      |a AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
+      |  count(*) AS n_vecs FROM x GROUP BY sub, code, pos),
+      |cb AS (SELECT sub, code, pos,
+      |  round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp, n_vecs FROM a)""".stripMargin
+
   private val similarity: Map[String, String] = Map(
     "sim_brute_force_topk" ->
       // the Spark two-phase rank == a single global rank per query
@@ -1340,30 +1350,73 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin of Similarity.pqCodebooks: per-(sub, code) mean subvector,
       // decimal-exact sums, 0-based component positions
       s"""WITH $pqCte,
-         |x AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
-         |  unnest(sv) AS comp FROM pq),
-         |a AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
-         |  count(*) AS n_vecs FROM x GROUP BY sub, code, pos)
-         |SELECT sub, code, pos,
-         |  round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp, n_vecs
-         |FROM a""".stripMargin,
+         |$pqCodebookCtes
+         |SELECT sub, code, pos, mean_comp, n_vecs FROM cb""".stripMargin,
     "sim_pq_recon_error" ->
       // twin of Similarity.pqReconError: squared deviations from the
       // ROUNDED codebook mean (identical double on both sides), summed
       // in decimal for an order-independent total
       s"""WITH $pqCte,
-         |x AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
-         |  unnest(sv) AS comp FROM pq),
-         |a AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
-         |  count(*) AS n_vecs FROM x GROUP BY sub, code, pos),
-         |cb AS (SELECT sub, code, pos,
-         |  round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp FROM a)
+         |$pqCodebookCtes
          |SELECT x.sub, x.pos,
          |  round(CAST(sum(CAST((x.comp - cb.mean_comp) * (x.comp - cb.mean_comp)
          |    AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS mse,
          |  count(*) AS n_vecs
          |FROM x JOIN cb ON x.sub = cb.sub AND x.code = cb.code AND x.pos = cb.pos
-         |GROUP BY x.sub, x.pos""".stripMargin)
+         |GROUP BY x.sub, x.pos""".stripMargin,
+    "sim_pq_adc_topk" ->
+      // twin of Similarity.pqAdcTopK: per-query lookup table against the
+      // codebook, decimal partial sums (exact under any agg order — the
+      // 8 per-pair partials are bit-identical doubles on both engines),
+      // same rank spec as every top-k twin
+      s"""WITH $pqCte,
+         |$pqCodebookCtes,
+         |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
+         |  FROM cb GROUP BY sub, code),
+         |q AS (SELECT vec_id AS q_id, sub, sv AS qv FROM pq WHERE vec_id < 5),
+         |lut AS (SELECT q_id, q.sub, cbv.code,
+         |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
+         |    AS DECIMAL(27,10)) AS part
+         |  FROM q JOIN cbv ON q.sub = cbv.sub),
+         |scored AS (SELECT l.q_id, p.vec_id,
+         |  round(CAST(sum(part) AS DOUBLE), 6) AS adc_score
+         |  FROM pq p JOIN lut l ON p.sub = l.sub AND p.code = l.code
+         |    AND p.vec_id <> l.q_id
+         |  GROUP BY l.q_id, p.vec_id)
+         |SELECT q_id, vec_id, adc_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_score DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "sim_pq_recall" ->
+      // twin of Similarity.pqRecall: brute-force and ADC top-k CTEs,
+      // overlap per query
+      s"""WITH $pqCte,
+         |$pqCodebookCtes,
+         |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
+         |  FROM cb GROUP BY sub, code),
+         |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |bf AS (SELECT q_id, vec_id FROM (
+         |  SELECT q0.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q0.q_id
+         |      ORDER BY round(${cosSql("q0.q_v", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN q0 ON e.vec_id <> q0.q_id) WHERE rn <= 10),
+         |q AS (SELECT vec_id AS q_id, sub, sv AS qv FROM pq WHERE vec_id < 5),
+         |lut AS (SELECT q_id, q.sub, cbv.code,
+         |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
+         |    AS DECIMAL(27,10)) AS part
+         |  FROM q JOIN cbv ON q.sub = cbv.sub),
+         |adc AS (SELECT q_id, vec_id FROM (
+         |  SELECT l.q_id, p.vec_id,
+         |    row_number() OVER (PARTITION BY l.q_id
+         |      ORDER BY round(CAST(sum(part) AS DOUBLE), 6) DESC, p.vec_id ASC) AS rn
+         |  FROM pq p JOIN lut l ON p.sub = l.sub AND p.code = l.code
+         |    AND p.vec_id <> l.q_id
+         |  GROUP BY l.q_id, p.vec_id) WHERE rn <= 10)
+         |SELECT bf.q_id, count(*) AS n_exact,
+         |  CAST(count(adc.vec_id) AS BIGINT) AS n_overlap,
+         |  round(count(adc.vec_id)::DOUBLE / count(*), 6) AS recall_at_k
+         |FROM bf LEFT JOIN adc ON bf.q_id = adc.q_id AND bf.vec_id = adc.vec_id
+         |GROUP BY bf.q_id""".stripMargin)
 
   // ---- multimodal -------------------------------------------------------
   // payload = UTF-8 bytes of `text` (ASCII corpus), so the oracle mirrors

@@ -77,6 +77,8 @@ object SparkEntry {
     "sim_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooks(s, d)),
     "sim_pq_recon_error" -> ((s, d) => Similarity.pqReconError(s, d)),
+    "sim_pq_adc_topk" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

@@ -504,4 +504,69 @@ object Similarity {
       .select($"sub", $"pos",
         round($"s".cast("double") / $"n_vecs", 6).as("mse"), $"n_vecs")
   }
+
+  /** PQ-ADC TOP-K — the query path of IVF-PQ: each query builds a tiny
+    * LOOKUP TABLE (its dot product against every codebook entry,
+    * m·2^bits = 128 doubles), and corpus similarity is a table lookup
+    * per stored code — the scan never touches raw corpus vectors, which
+    * is the entire point at 100 TB (the 4-byte code column streams;
+    * the 512-byte embedding column stays cold). Shape: LUT = queries ×
+    * broadcast codebook (≤ nQueries·128 rows, broadcast back); the code
+    * scan joins it on (sub, code); per-(query, vector) partials sum in
+    * DECIMAL (exact under any partial-agg order — 8 doubles per pair,
+    * bit-identical on both engines, so the ADC score hash-matches); the
+    * final rank is the proven two-phase top-k. Scores are inner products
+    * against RECONSTRUCTED vectors — approximate by construction; the
+    * companion [[pqRecall]] measures exactly how approximate. */
+  def pqAdcTopK(s: SparkSession, dir: String,
+                nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cbVecs = pqCodebooksFrom(e)
+      .groupBy($"sub", $"code")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"))
+    val q = pqDecomposed(e).filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"sub", $"sv".as("qv"))
+    val lut = q.join(broadcast(cbVecs), "sub")
+      .select($"q_id", $"sub", $"code",
+        graft.functions.VectorOps.dot($"qv", $"cv")
+          .cast("decimal(27,10)").as("part"))
+    val scored = pqCodesFrom(e)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(round(sum($"part").cast("double"), 6).as("adc_score"))
+    val bucketed = scored.withColumn("bkt", pmod(hash($"vec_id"), lit(8)))
+    val wLocal = Window.partitionBy($"q_id", $"bkt")
+      .orderBy($"adc_score".desc, $"vec_id".asc)
+    val wFinal = Window.partitionBy($"q_id")
+      .orderBy($"adc_score".desc, $"vec_id".asc)
+    bucketed
+      .withColumn("rn_local", row_number().over(wLocal))
+      .filter($"rn_local" <= k)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter($"rn" <= k)
+      .select($"q_id", $"vec_id", $"adc_score")
+  }
+
+  /** PQ RECALL REPORT — per-query overlap of the ADC top-k against the
+    * exact brute-force top-k, the [[recallReport]] discipline applied to
+    * the compressed path: a PQ index whose recall is not continuously
+    * measured is silent retrieval decay waiting to ship. */
+  def pqRecall(s: SparkSession, dir: String,
+               nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val exact = bruteForceTopKAggFrom(e, nQueries, k).select($"q_id", $"vec_id")
+    val approx = pqAdcTopK(s, dir, nQueries, k)
+      .select($"q_id".as("aq"), $"vec_id".as("av"))
+    exact
+      .join(approx, $"q_id" === $"aq" && $"vec_id" === $"av", "left")
+      .groupBy($"q_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count($"av").as("n_overlap"),
+        round(count($"av").cast("double") / count(lit(1)), 6).as("recall_at_k"))
+  }
 }

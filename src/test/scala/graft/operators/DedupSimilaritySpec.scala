@@ -454,4 +454,36 @@ class DedupSimilaritySpec extends SparkSpec {
     // every component cell was reconstructed for the whole corpus
     assert(err.filter(col("n_vecs") =!= e.count()).count() === 0L)
   }
+
+  test("PQ ADC scores equal exact dots against reconstructed vectors") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes = Similarity.pqCodes(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cb = Similarity.pqCodebooks(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    def recon(id: Long): Array[Double] =
+      Array.tabulate(64) { g =>
+        val (sub, pos) = (g / 8, g % 8)
+        cb((sub.toLong, codes((id, sub.toLong)), pos.toLong))
+      }
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = Similarity.pqAdcTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(got.nonEmpty)
+    got.foreach { case ((q, v), score) =>
+      val expect = round6((vecs(q), recon(v)).zipped.map(_ * _).sum)
+      assert(math.abs(score - expect) < 1e-6, s"q=$q v=$v: $score != $expect")
+    }
+    // recall report: k exact rows per query, recall within [0, 1]
+    val rec = Similarity.pqRecall(spark, Sf).collect()
+    assert(rec.length === 5)
+    rec.foreach { r =>
+      assert(r.getLong(1) === 10L)
+      val rk = r.getDouble(3)
+      assert(rk >= 0.0 && rk <= 1.0)
+    }
+  }
 }
