@@ -56,6 +56,8 @@ object Bench {
     "sim_ivf_topk",
     "sim_srp_neardup_pairs",
     "sim_bucket_centroids",
+    "sim_pq_adc_topk", // added r9: code-only ADC scan + broadcast LUT
+    "rel_scd2_intervals", // added r9: full-table window materialization
     "mm_meta_stats")
   // sim_knn_graph is deliberately NOT benched: the exact graph is
   // quadratic by contract (the scale path is ivf_topk per node), and a

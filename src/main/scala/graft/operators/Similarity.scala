@@ -508,16 +508,20 @@ object Similarity {
   /** PQ-ADC TOP-K — the query path of IVF-PQ: each query builds a tiny
     * LOOKUP TABLE (its dot product against every codebook entry,
     * m·2^bits = 128 doubles), and corpus similarity is a table lookup
-    * per stored code — the scan never touches raw corpus vectors, which
-    * is the entire point at 100 TB (the 4-byte code column streams;
-    * the 512-byte embedding column stays cold). Shape: LUT = queries ×
-    * broadcast codebook (≤ nQueries·128 rows, broadcast back); the code
-    * scan joins it on (sub, code); per-(query, vector) partials sum in
-    * DECIMAL (exact under any partial-agg order — 8 doubles per pair,
-    * bit-identical on both engines, so the ADC score hash-matches); the
-    * final rank is the proven two-phase top-k. Scores are inner products
-    * against RECONSTRUCTED vectors — approximate by construction; the
-    * companion [[pqRecall]] measures exactly how approximate. */
+    * per stored code. SCORING dereferences only (vec_id, sub, code) —
+    * the point at 100 TB, where the 4-byte code table is the stored
+    * artifact that streams and the 512-byte embedding column stays cold.
+    * (On this test corpus no code column is materialized, so the plan
+    * derives codes inline from the embedding scan; a deployment swaps
+    * that leaf for the code table and nothing downstream changes.)
+    * Shape: LUT = queries × broadcast codebook (≤ nQueries·128 rows,
+    * broadcast back); the code scan joins it on (sub, code);
+    * per-(query, vector) partials sum in DECIMAL (exact under any
+    * partial-agg order — 8 doubles per pair, bit-identical on both
+    * engines, so the ADC score hash-matches); the final rank is the
+    * proven two-phase top-k. Scores are inner products against
+    * RECONSTRUCTED vectors — approximate by construction; the companion
+    * [[pqRecall]] measures exactly how approximate. */
   def pqAdcTopK(s: SparkSession, dir: String,
                 nQueries: Int = 5, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, dir)

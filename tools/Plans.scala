@@ -41,7 +41,10 @@ object Plans {
       "events_path_transitions" -> "path transitions: one user_id exchange serves the lead() window, tiny (from,to) rollup",
       "text_unigram_logprob" -> "unigram LM: tfidf-shaped term df pass, broadcast 1-row total, per-doc aggregate",
       "events_anomaly_zscore" -> "anomaly z: hour-grain agg shuffle, then per-type window over the tiny hourly frame",
-      "sim_recall_report" -> "recall report: both top-k shapes composed, left join overlap, nQueries-row output")
+      "sim_recall_report" -> "recall report: both top-k shapes composed, left join overlap, nQueries-row output",
+      "sim_pq_codes" -> "PQ codes: single codegen scan (graft_srp_band over slices), ZERO exchanges",
+      "sim_pq_adc_topk" -> "PQ-ADC: code scan joins broadcast LUT, decimal partial sums, two-phase rank; no raw-vector column in the scan",
+      "rel_scd2_intervals" -> "SCD2: one exchange+sort per key serves the lead() window")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
