@@ -80,7 +80,11 @@ final case class RfmOut(user_id: Long, last_ms: Long, freq: Long, cents: Long)
   *    closed windows are finalized and dropped by the watermark;
   *  - sessionize keeps ONE open-session struct per ACTIVE user and
   *    evicts it via event-time timeout as soon as the watermark passes
-  *    the session gap — user churn cannot grow state without bound.
+  *    the session gap — user churn cannot grow state without bound;
+  *  - anomalyZscore keeps (open hours + a 24-count ring) per event TYPE
+  *    — the smallest key space in the file;
+  *  - rfmRunning keeps three longs per purchaser active within the
+  *    churn window, evicted by event-time timeout at the churn boundary.
   */
 object Streams {
 
