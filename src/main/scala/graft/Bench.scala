@@ -106,14 +106,23 @@ object Bench {
     (times.result(), errors.result())
   }
 
-  private def section(times: Seq[(String, Double)], errors: Seq[(String, String)]): String = {
-    val qs = times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+  /** 3-decimal (millisecond) rendering for the stdout line — the driver
+    * keeps only a 2,000-char tail of stdout, so the printed line must stay
+    * well under that; full-precision values go to the JSON file. */
+  private def ms(v: Double): String = BigDecimal(v)
+    .setScale(3, scala.math.BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def section(times: Seq[(String, Double)], errors: Seq[(String, String)],
+      rounded: Boolean = false): String = {
+    val qs = times.map { case (k, v) =>
+      jstr(k) + ":" + (if (rounded) ms(v) else v.toString)
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     // n_queries makes cross-round total comparisons self-describing —
     // the headline SET grows across rounds, so totals are not comparable
     // without it (r6: 19 queries, r7: 23)
-    s""""value":$total,"n_queries":${times.size},"queries":$qs,"errors":$es,"n_failed":${errors.size}"""
+    s""""value":${if (rounded) ms(total) else total.toString},"n_queries":${times.size},"queries":$qs,"errors":$es,"n_failed":${errors.size}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -140,8 +149,13 @@ object Bench {
 
     val (times, errors) = run(spark, sfDir, reps)
 
-    val scaleJson =
-      if (scaleK <= 1) "null"
+    // (fullScale, stdoutScale): the file record keeps the per-query scale
+    // map at full precision; the stdout record summarizes scale to totals
+    // only, because the driver captures a 2,000-char stdout tail and the
+    // full two-map line (~3.5 KB) gets decapitated → "parsed": null in
+    // BENCH_r8/r9.json. The stdout line stays ~1.3 KB with headroom.
+    val (fullScale, stdoutScale) =
+      if (scaleK <= 1) ("null", "null")
       else try {
         val target = "/root/repo/target/graft-scale" + scaleK + "-" +
           new java.io.File(sfDir).getName
@@ -149,20 +163,28 @@ object Bench {
         graft.sources.ScaledCorpus.ensure(spark, sfDir, target, scaleK)
         val prepSec = (System.nanoTime() - tPrep0) / 1e9
         val (st, se) = run(spark, target, reps)
-        s"""{"factor":$scaleK,"base":${jstr(sfDir)},"prep_sec":$prepSec,${section(st, se)}}"""
+        val head = s""""factor":$scaleK,"base":${jstr(sfDir)},"prep_sec":${ms(prepSec)}"""
+        (s"""{$head,${section(st, se)}}""",
+          s"""{$head,"value":${ms(st.map(_._2).sum)},"n_queries":${st.size},"n_failed":${se.size}}""")
       } catch {
         case e: Throwable =>
-          s"""{"factor":$scaleK,"error":${jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+          val err = s"""{"factor":$scaleK,"error":${jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+          (err, err)
       }
 
-    val line =
-      s"""{"metric":"total","reps":$reps,${section(times, errors)},"unit":"sec","sf":${jstr(sfDir)},"scale":$scaleJson}"""
-    // always written to a file (env-overridable path) so sbt log noise
-    // can never bury the machine-readable result
+    // full-precision, both query maps — the canonical record, always
+    // written to a file (env-overridable path) so sbt log noise can
+    // never bury it
+    val fileLine =
+      s"""{"metric":"total","reps":$reps,${section(times, errors)},"unit":"sec","sf":${jstr(sfDir)},"scale":$fullScale}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench_last.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileLine + "\n")
+    // compact stdout line: full base query map (rounded), scale totals,
+    // and a pointer to the complete record
+    val stdoutLine =
+      s"""{"metric":"total","reps":$reps,${section(times, errors, rounded = true)},"unit":"sec","sf":${jstr(sfDir)},"scale":$stdoutScale,"detail":${jstr(outPath)}}"""
+    println(stdoutLine)
     spark.stop()
   }
 }
