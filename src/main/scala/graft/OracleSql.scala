@@ -433,7 +433,24 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  (lead(o_orderdate) OVER w IS NULL) AS is_current
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
-        |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "rel_scd2_asof" ->
+      // twin of Relational.q43Scd2Asof — the interval CTE joined by the
+      // custkey equi key with the residual as-of range; disjoint
+      // intervals keep at most one row per probe
+      """WITH hist AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+        |  FROM orders),
+        |probes AS (SELECT c_custkey,
+        |  unnest([DATE '1993-06-17', DATE '1995-01-01', DATE '1997-10-01']) AS asof_date
+        |  FROM customer)
+        |SELECT c_custkey, asof_date, o_orderkey, o_totalprice, valid_from, valid_to
+        |FROM probes JOIN hist ON c_custkey = o_custkey
+        |  AND valid_from <= asof_date
+        |  AND (valid_to IS NULL OR asof_date < valid_to)""".stripMargin)
 
   // ---- text analysis ----------------------------------------------------
 
@@ -1387,9 +1404,66 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc_score DESC, vec_id ASC) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
-    "sim_pq_recall" ->
-      // twin of Similarity.pqRecall: brute-force and ADC top-k CTEs,
-      // overlap per query
+    "sim_ivfpq_topk" -> {
+      // twin of Similarity.ivfPqTopK: the sim_ivf_topk coarse probe CTE
+      // composed with the sim_pq_adc_topk LUT — ADC scoring restricted to
+      // candidates whose coarse bucket is in the query's probe set; a
+      // corpus vector matches at most ONE probe per query (probe buckets
+      // are distinct XORs of one bucket), so cand is duplicate-free on
+      // both engines and the 8 decimal partials sum once
+      val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
+      s"""WITH $pqCte,
+         |$pqCodebookCtes,
+         |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
+         |  FROM cb GROUP BY sub, code),
+         |sig AS (SELECT vec_id, ${srpBand("v", 0, 8)} AS bucket FROM e),
+         |qp AS (SELECT vec_id AS q_id, unnest($probeList) AS q_bucket
+         |  FROM sig WHERE vec_id < 5),
+         |q AS (SELECT vec_id AS q_id, sub, sv AS qv FROM pq WHERE vec_id < 5),
+         |lut AS (SELECT q_id, q.sub, cbv.code,
+         |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
+         |    AS DECIMAL(27,10)) AS part
+         |  FROM q JOIN cbv ON q.sub = cbv.sub),
+         |cand AS (SELECT qp.q_id, s.vec_id FROM sig s
+         |  JOIN qp ON s.bucket = qp.q_bucket AND s.vec_id <> qp.q_id),
+         |scored AS (SELECT c.q_id, p.vec_id,
+         |  round(CAST(sum(part) AS DOUBLE), 6) AS adc_score
+         |  FROM pq p JOIN cand c ON p.vec_id = c.vec_id
+         |  JOIN lut l ON l.q_id = c.q_id AND p.sub = l.sub AND p.code = l.code
+         |  GROUP BY c.q_id, p.vec_id)
+         |SELECT q_id, vec_id, adc_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_score DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin
+    },
+    "sim_pq_lloyd" ->
+      // twin of Similarity.pqLloydCodebooks: nearest SEED codebook entry
+      // per (vector, subspace) by squared L2 (d² = <x,x> − 2<x,c> + <c,c>,
+      // the same dot kernel and fp order as Spark, rounded to 6; ties to
+      // the smaller code = the heap's tiebreak), then the decimal-exact
+      // mean recompute over the new assignment
+      s"""WITH $pqCte,
+         |$pqCodebookCtes,
+         |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
+         |  FROM cb GROUP BY sub, code),
+         |scored AS (SELECT p.vec_id, p.sub, cbv.code, p.sv,
+         |  round(list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (p.sv)[i+1]))
+         |    - 2.0 * list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (cv)[i+1]))
+         |    + list_sum(list_transform(range(8), i -> (cv)[i+1] * (cv)[i+1])), 6) AS d2
+         |  FROM pq p JOIN cbv ON p.sub = cbv.sub),
+         |assigned AS (SELECT vec_id, sub, code, sv FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY d2 ASC, code ASC) AS rn FROM scored) WHERE rn <= 1),
+         |x2 AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(sv) AS comp FROM assigned),
+         |a2 AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
+         |  count(*) AS n_vecs FROM x2 GROUP BY sub, code, pos)
+         |SELECT sub, code, pos, round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp, n_vecs
+         |FROM a2""".stripMargin,
+    "sim_pq_recall" -> {
+      // twin of Similarity.pqRecall: brute-force, flat-ADC and IVF-PQ
+      // top-k CTEs, both compressed paths' overlap per query
+      val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
       s"""WITH $pqCte,
          |$pqCodebookCtes,
          |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
@@ -1411,12 +1485,28 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |      ORDER BY round(CAST(sum(part) AS DOUBLE), 6) DESC, p.vec_id ASC) AS rn
          |  FROM pq p JOIN lut l ON p.sub = l.sub AND p.code = l.code
          |    AND p.vec_id <> l.q_id
-         |  GROUP BY l.q_id, p.vec_id) WHERE rn <= 10)
+         |  GROUP BY l.q_id, p.vec_id) WHERE rn <= 10),
+         |sig AS (SELECT vec_id, ${srpBand("v", 0, 8)} AS bucket FROM e),
+         |qp AS (SELECT vec_id AS q_id, unnest($probeList) AS q_bucket
+         |  FROM sig WHERE vec_id < 5),
+         |cand AS (SELECT qp.q_id, s.vec_id FROM sig s
+         |  JOIN qp ON s.bucket = qp.q_bucket AND s.vec_id <> qp.q_id),
+         |ipq AS (SELECT q_id, vec_id FROM (
+         |  SELECT c.q_id, p.vec_id,
+         |    row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY round(CAST(sum(part) AS DOUBLE), 6) DESC, p.vec_id ASC) AS rn
+         |  FROM pq p JOIN cand c ON p.vec_id = c.vec_id
+         |  JOIN lut l ON l.q_id = c.q_id AND p.sub = l.sub AND p.code = l.code
+         |  GROUP BY c.q_id, p.vec_id) WHERE rn <= 10)
          |SELECT bf.q_id, count(*) AS n_exact,
          |  CAST(count(adc.vec_id) AS BIGINT) AS n_overlap,
-         |  round(count(adc.vec_id)::DOUBLE / count(*), 6) AS recall_at_k
+         |  round(count(adc.vec_id)::DOUBLE / count(*), 6) AS recall_at_k,
+         |  CAST(count(ipq.vec_id) AS BIGINT) AS ivfpq_overlap,
+         |  round(count(ipq.vec_id)::DOUBLE / count(*), 6) AS ivfpq_recall_at_k
          |FROM bf LEFT JOIN adc ON bf.q_id = adc.q_id AND bf.vec_id = adc.vec_id
-         |GROUP BY bf.q_id""".stripMargin)
+         |LEFT JOIN ipq ON bf.q_id = ipq.q_id AND bf.vec_id = ipq.vec_id
+         |GROUP BY bf.q_id""".stripMargin
+    })
 
   // ---- multimodal -------------------------------------------------------
   // payload = UTF-8 bytes of `text` (ASCII corpus), so the oracle mirrors

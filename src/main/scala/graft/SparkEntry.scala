@@ -74,10 +74,13 @@ object SparkEntry {
     "rel_latest_per_key" -> (Relational.q40LatestPerKey _),
     "rel_conditional_agg" -> (Relational.q41ConditionalAgg _),
     "rel_scd2_intervals" -> (Relational.q42Scd2Intervals _),
+    "rel_scd2_asof" -> ((s, d) => Relational.q43Scd2Asof(s, d)),
     "sim_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooks(s, d)),
     "sim_pq_recon_error" -> ((s, d) => Similarity.pqReconError(s, d)),
     "sim_pq_adc_topk" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "sim_pq_lloyd" -> ((s, d) => Similarity.pqLloydCodebooks(s, d)),
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),

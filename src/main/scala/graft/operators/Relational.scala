@@ -615,4 +615,35 @@ object Relational {
       .withColumn("valid_to", lead($"valid_from", 1).over(w))
       .withColumn("is_current", $"valid_to".isNull)
   }
+
+  /** SCD2 POINT-IN-TIME LOOKUP — the half that makes [[q42Scd2Intervals]]
+    * useful: join a probe set of (key, as-of date) against the interval
+    * table with `valid_from <= ts < coalesce(valid_to, +inf)`, returning
+    * the row that WAS current at each probe instant. The probe set here is
+    * every customer at a fixed literal date panel (the audit shape:
+    * "reconstruct the book at quarter-ends"); any (key, ts) frame slots
+    * in. Shape: the custkey EQUI key carries the join — one shuffle per
+    * side on the key, the interval predicate applied as a residual filter
+    * on equi-matched candidates (never a nested loop; PlanSpec asserts no
+    * cartesian/loop join survives). Per probe the residual keeps at most
+    * ONE row: lead() intervals are disjoint by construction (date ties
+    * collapse to empty [d, d) intervals under the orderkey tiebreak), so
+    * output cardinality is bounded by |probes| — the property that keeps
+    * the lookup linear at a 100 TB history table, where both sides
+    * co-partition on the key and the history side reuses the window's
+    * exchange. */
+  def q43Scd2Asof(s: SparkSession, dir: String,
+                  asofDates: Seq[String] =
+                    Seq("1993-06-17", "1995-01-01", "1997-10-01")): DataFrame = {
+    val hist = q42Scd2Intervals(s, dir)
+    val probes = Tables.customer(s, dir)
+      .select($"c_custkey",
+        explode(array(asofDates.map(d => to_date(lit(d))): _*)).as("asof_date"))
+    probes.join(hist,
+        $"c_custkey" === $"o_custkey" &&
+          $"valid_from" <= $"asof_date" &&
+          ($"valid_to".isNull || $"asof_date" < $"valid_to"))
+      .select($"c_custkey", $"asof_date", $"o_orderkey", $"o_totalprice",
+        $"valid_from", $"valid_to")
+  }
 }

@@ -434,15 +434,16 @@ object Similarity {
     * projects shorter vectors over their own length, so the plane is
     * effectively its first 8 components) — a deterministic, data-free
     * quantizer seeding, exactly like the IVF coarse quantizer. */
-  private def pqDecomposed(e: DataFrame): DataFrame =
-    e.select($"vec_id", posexplode(array((0 until PqSubspaces).map { j =>
-        val sv = slice($"v", j * pqSubDim + 1, pqSubDim)
-        struct(
-          srpSignatureSlice(sv, j * PqBitsPerCode, PqBitsPerCode).as("code"),
-          sv.as("sv"))
-      }: _*)).as(Seq("sub", "sc")))
-      .select($"vec_id", $"sub".cast("long").as("sub"),
-        $"sc.code".as("code"), $"sc.sv".as("sv"))
+  private def pqDecomposed(e: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    e.select($"vec_id" +: extra.map(col) :+
+        posexplode(array((0 until PqSubspaces).map { j =>
+          val sv = slice($"v", j * pqSubDim + 1, pqSubDim)
+          struct(
+            srpSignatureSlice(sv, j * PqBitsPerCode, PqBitsPerCode).as("code"),
+            sv.as("sv"))
+        }: _*)).as(Seq("sub", "sc")): _*)
+      .select($"vec_id" +: extra.map(col) ++: Seq($"sub".cast("long").as("sub"),
+        $"sc.code".as("code"), $"sc.sv".as("sv")): _*)
 
   /** PRODUCT-QUANTIZATION CODES — each 64-dim vector compressed to m=8
     * 4-bit subspace codes (512 B of doubles → 4 B of codes, the 128×
@@ -517,30 +518,47 @@ object Similarity {
     * Shape: LUT = queries × broadcast codebook (≤ nQueries·128 rows,
     * broadcast back); the code scan joins it on (sub, code);
     * per-(query, vector) partials sum in DECIMAL (exact under any
-    * partial-agg order — 8 doubles per pair, bit-identical on both
-    * engines, so the ADC score hash-matches); the final rank is the
-    * proven two-phase top-k. Scores are inner products against
+    * partial-agg order; the dot-product DOUBLES agree to the last ULP
+    * on both engines — the one residual asymmetry is the double→decimal
+    * cast itself, HALF_UP in Spark vs half-even in DuckDB, which only
+    * differs on an exact tie at the 10th decimal, never observed on
+    * these hash-derived values); the final rank is the proven two-phase
+    * top-k. Scores are inner products against
     * RECONSTRUCTED vectors — approximate by construction; the companion
     * [[pqRecall]] measures exactly how approximate. */
   def pqAdcTopK(s: SparkSession, dir: String,
                 nQueries: Int = 5, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val cbVecs = pqCodebooksFrom(e)
-      .groupBy($"sub", $"code")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
-        x => x.getField("mean_comp")).as("cv"))
-    val q = pqDecomposed(e).filter($"vec_id" < nQueries)
-      .select($"vec_id".as("q_id"), $"sub", $"sv".as("qv"))
-    val lut = q.join(broadcast(cbVecs), "sub")
-      .select($"q_id", $"sub", $"code",
-        graft.functions.VectorOps.dot($"qv", $"cv")
-          .cast("decimal(27,10)").as("part"))
     val scored = pqCodesFrom(e)
-      .join(broadcast(lut), Seq("sub", "code"))
+      .join(broadcast(pqAdcLut(e, nQueries)), Seq("sub", "code"))
       .filter($"vec_id" =!= $"q_id")
       .groupBy($"q_id", $"vec_id")
       .agg(round(sum($"part").cast("double"), 6).as("adc_score"))
+    adcRank(scored, k)
+  }
+
+  /** Codebook entries reassembled to vectors: (sub, code, cv). ≤128 rows
+    * whatever the corpus size — always broadcast-sized. */
+  private def pqCodebookVecs(e: DataFrame): DataFrame =
+    pqCodebooksFrom(e)
+      .groupBy($"sub", $"code")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"))
+
+  /** Per-query ADC lookup table (q_id, sub, code, part): each query's dot
+    * product against every codebook entry — ≤ nQueries·m·2^bits rows of
+    * DECIMAL partials, broadcast to the code scan. */
+  private def pqAdcLut(e: DataFrame, nQueries: Int): DataFrame =
+    pqDecomposed(e).filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"sub", $"sv".as("qv"))
+      .join(broadcast(pqCodebookVecs(e)), "sub")
+      .select($"q_id", $"sub", $"code",
+        graft.functions.VectorOps.dot($"qv", $"cv")
+          .cast("decimal(27,10)").as("part"))
+
+  /** The proven two-phase top-k over (q_id, vec_id, adc_score). */
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
     val bucketed = scored.withColumn("bkt", pmod(hash($"vec_id"), lit(8)))
     val wLocal = Window.partitionBy($"q_id", $"bkt")
       .orderBy($"adc_score".desc, $"vec_id".asc)
@@ -554,10 +572,111 @@ object Similarity {
       .select($"q_id", $"vec_id", $"adc_score")
   }
 
-  /** PQ RECALL REPORT — per-query overlap of the ADC top-k against the
-    * exact brute-force top-k, the [[recallReport]] discipline applied to
-    * the compressed path: a PQ index whose recall is not continuously
-    * measured is silent retrieval decay waiting to ship. */
+  /** IVF-PQ TOP-K — the billion-vector ANN layout: [[ivfTopK]]'s coarse
+    * multi-probe pruning composed with [[pqAdcTopK]]'s table-lookup
+    * scoring, so ADC dereferences ONLY codes in the probed coarse buckets
+    * instead of all N. At 100 TB the stored artifact is the (bucket, sub,
+    * code) table written bucketed/partitioned by the coarse bucket:
+    * the probe join becomes partition pruning, and each query reads
+    * |probes|/2^nBits of the code table (H<=1 at nBits=8 = 9/256 ≈ 3.5%
+    * of N) — the full-scan reservation the flat-ADC docstring carries is
+    * exactly what this operator removes. Shape: both the probe set
+    * (nQueries·|probes| rows) and the ADC LUT (nQueries·128 rows) are
+    * BROADCAST against the one code scan; DECIMAL partials; the proven
+    * two-phase rank. Recall compounds the coarse quantizer's candidate
+    * loss with PQ's score distortion — [[pqRecall]] reports both paths
+    * side by side. */
+  def ivfPqTopK(s: SparkSession, dir: String,
+                nQueries: Int = 5, k: Int = 10, nBits: Int = 8,
+                probeHamming: Int = 1): DataFrame =
+    ivfPqTopKFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k, nBits, probeHamming)
+
+  /** Core of [[ivfPqTopK]] over any (vec_id, v) frame. */
+  def ivfPqTopKFrom(e: DataFrame, nQueries: Int, k: Int, nBits: Int = 8,
+                    probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      s"probeHamming must be in [0, $nBits], got $probeHamming")
+    val eb = e.withColumn("bucket", srpSignature($"v", nBits))
+    val probeCols = probeMasks(nBits, probeHamming).map {
+      case 0L => $"bucket"
+      case m => $"bucket".bitwiseXOR(lit(m))
+    }
+    val probes = eb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("p_id"), explode(array(probeCols: _*)).as("q_bucket"))
+    val lut = pqAdcLut(e, nQueries)
+      .withColumnRenamed("sub", "l_sub").withColumnRenamed("code", "l_code")
+    val scored = pqDecomposed(eb, Seq("bucket"))
+      .select($"vec_id", $"bucket", $"sub", $"code")
+      .join(broadcast(probes), $"bucket" === $"q_bucket" && $"vec_id" =!= $"p_id")
+      .join(broadcast(lut),
+        $"q_id" === $"p_id" && $"sub" === $"l_sub" && $"code" === $"l_code")
+      .groupBy($"q_id", $"vec_id")
+      .agg(round(sum($"part").cast("double"), 6).as("adc_score"))
+    adcRank(scored, k)
+  }
+
+  /** PQ-LLOYD CODEBOOK REFINEMENT — one Lloyd iteration over the
+    * SRP-seeded codebooks, per subspace (the [[lloydIteration]] discipline
+    * applied to PQ training): every subvector is REASSIGNED to its
+    * nearest codebook entry by squared L2 distance (the PQ metric — codes
+    * approximate inner products, so training minimizes reconstruction
+    * SSE, not cosine), then per-(sub, code) means are recomputed over the
+    * new assignment. Both Lloyd half-steps are SSE-non-increasing, so
+    * refined reconstruction MSE <= seed MSE by construction — asserted on
+    * the fixture in DedupSimilaritySpec, and the honest artifact a
+    * deployment chains until the codebook converges. Shape: the ≤128-row
+    * codebook is BROADCAST; the per-(vector, sub) argmin is the k=1
+    * bounded-heap aggregate (map-side combined, so the exchange carries
+    * one row per group, not the ×2^bits scored fan-out); d² composes the
+    * codegen dot kernel (⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩, identical fp order on
+    * both engines); DECIMAL component sums, division+round once. */
+  def pqLloydCodebooks(s: SparkSession, dir: String): DataFrame =
+    pqLloydCodebooksFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+
+  /** Lloyd assignment half-step: (vec_id, sub, code, sv) with `code` the
+    * nearest SEED codebook entry by (rounded) squared L2, ties to the
+    * smaller code — exposed for the spec's SSE-monotonicity check. */
+  private[graft] def pqLloydAssignFrom(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val dec = pqDecomposed(e).select($"vec_id", $"sub", $"sv")
+    val cb = pqCodebookVecs(e).withColumnRenamed("sub", "c_sub")
+    val scored = dec.join(broadcast(cb), $"sub" === $"c_sub")
+      .withColumn("d2", round(
+        graft.functions.VectorOps.dot($"sv", $"sv")
+          - lit(2.0) * graft.functions.VectorOps.dot($"sv", $"cv")
+          + graft.functions.VectorOps.dot($"cv", $"cv"), 6))
+    // argmin via the bounded heap: score = -d2 (desc), ties on smaller code
+    val top1 = Bridge.column(
+      graft.functions.TopKAgg(
+        Bridge.expression(-$"d2"),
+        Bridge.expression($"code"), 1).toAggregateExpression())
+    val assigned = scored.groupBy($"vec_id", $"sub")
+      .agg(top1.as("tk"))
+      .select($"vec_id", $"sub", explode($"tk").as("t"))
+      .select($"vec_id", $"sub", $"t.vec_id".as("code"))
+    dec.join(assigned, Seq("vec_id", "sub"))
+  }
+
+  /** Core of [[pqLloydCodebooks]] over any (vec_id, v) frame. */
+  def pqLloydCodebooksFrom(e: DataFrame): DataFrame =
+    pqLloydAssignFrom(e)
+      .select($"sub", $"code", posexplode($"sv").as(Seq("pos", "comp")))
+      .groupBy($"sub", $"code", $"pos")
+      .agg(sum($"comp".cast("decimal(27,10)")).as("s"), count(lit(1)).as("n_vecs"))
+      .select($"sub", $"code", $"pos".cast("long").as("pos"),
+        round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
+
+  /** PQ RECALL REPORT — per-query overlap of the compressed top-k paths
+    * against the exact brute-force top-k, the [[recallReport]] discipline
+    * applied to compression: a PQ index whose recall is not continuously
+    * measured is silent retrieval decay waiting to ship. Reports BOTH the
+    * flat-ADC path ([[pqAdcTopK]], full code scan — score distortion
+    * only) and the IVF-PQ path ([[ivfPqTopK]], probed buckets — candidate
+    * loss compounded on score distortion) side by side, so the marginal
+    * recall cost of coarse pruning is itself a monitored artifact. */
   def pqRecall(s: SparkSession, dir: String,
                nQueries: Int = 5, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -565,12 +684,17 @@ object Similarity {
     val exact = bruteForceTopKAggFrom(e, nQueries, k).select($"q_id", $"vec_id")
     val approx = pqAdcTopK(s, dir, nQueries, k)
       .select($"q_id".as("aq"), $"vec_id".as("av"))
+    val ivfpq = ivfPqTopK(s, dir, nQueries, k)
+      .select($"q_id".as("iq"), $"vec_id".as("iv"))
     exact
       .join(approx, $"q_id" === $"aq" && $"vec_id" === $"av", "left")
+      .join(ivfpq, $"q_id" === $"iq" && $"vec_id" === $"iv", "left")
       .groupBy($"q_id")
       .agg(
         count(lit(1)).as("n_exact"),
         count($"av").as("n_overlap"),
-        round(count($"av").cast("double") / count(lit(1)), 6).as("recall_at_k"))
+        round(count($"av").cast("double") / count(lit(1)), 6).as("recall_at_k"),
+        count($"iv").as("ivfpq_overlap"),
+        round(count($"iv").cast("double") / count(lit(1)), 6).as("ivfpq_recall_at_k"))
   }
 }

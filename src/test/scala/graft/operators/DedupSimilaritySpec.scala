@@ -477,13 +477,89 @@ class DedupSimilaritySpec extends SparkSpec {
       val expect = round6((vecs(q), recon(v)).zipped.map(_ * _).sum)
       assert(math.abs(score - expect) < 1e-6, s"q=$q v=$v: $score != $expect")
     }
-    // recall report: k exact rows per query, recall within [0, 1]
+    // recall report: k exact rows per query, recalls within [0, 1], and
+    // the IVF-PQ path can only LOSE candidates vs flat ADC, never gain
     val rec = Similarity.pqRecall(spark, Sf).collect()
     assert(rec.length === 5)
     rec.foreach { r =>
       assert(r.getLong(1) === 10L)
       val rk = r.getDouble(3)
       assert(rk >= 0.0 && rk <= 1.0)
+      val irk = r.getDouble(5)
+      assert(irk >= 0.0 && irk <= 1.0)
     }
+  }
+
+  test("IVF-PQ top-k is exactly the ADC ranking restricted to probed buckets") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val buckets = e.withColumn("b", VectorOps.srpSignature(col("v"), 8))
+      .select(col("vec_id"), col("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes = Similarity.pqCodes(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cb = Similarity.pqCodebooks(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    def recon(id: Long): Array[Double] =
+      Array.tabulate(64) { g =>
+        val (sub, pos) = (g / 8, g % 8)
+        cb((sub.toLong, codes((id, sub.toLong)), pos.toLong))
+      }
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // reference: per query, candidates = vectors whose coarse bucket is in
+    // the H<=1 probe set; rank by the SAME ADC score as the flat path
+    val expect = (0L until 5L).flatMap { q =>
+      val probeSet = (Seq(0L) ++ (0 until 8).map(b => 1L << b))
+        .map(buckets(q) ^ _).toSet
+      vecs.keys.toSeq
+        .filter(v => v != q && probeSet.contains(buckets(v)))
+        .map(v => (q, v, round6((vecs(q), recon(v)).zipped.map(_ * _).sum)))
+        .sortBy { case (_, v, s) => (-s, v) }
+        .take(10)
+    }.toSet
+    val got = Similarity.ivfPqTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    // pruning is real: no cartesian product anywhere in the plan
+    val plan = Similarity.ivfPqTopK(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "IVF-PQ plan has a cartesian product")
+  }
+
+  test("PQ-Lloyd refinement never increases reconstruction SSE") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val nVecs = e.count()
+    // seed SSE from the recon-error artifact (mse is per-cell mean over
+    // the whole corpus)
+    val seedSse = Similarity.pqReconError(spark, Sf).collect()
+      .map(r => r.getAs[Double]("mse") * r.getAs[Long]("n_vecs")).sum
+    // refined SSE: every subvector against the refined mean of its NEW
+    // assignment
+    val refined = Similarity.pqLloydCodebooksFrom(e)
+    val cbMap = refined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val assigned = Similarity.pqLloydAssignFrom(e)
+      .select(col("sub"), col("code"), col("sv")).collect()
+    assert(assigned.length === nVecs * 8)
+    val refinedSse = assigned.map { r =>
+      val (sub, code) = (r.getLong(0), r.getLong(1))
+      r.getSeq[Double](2).zipWithIndex.map { case (x, i) =>
+        val d = x - cbMap((sub, code, i.toLong))
+        d * d
+      }.sum
+    }.sum
+    // both Lloyd half-steps are SSE-non-increasing; the slack covers the
+    // 1e-6 rounding of stored means on both sides
+    assert(refinedSse <= seedSse + 1e-3,
+      s"refined SSE $refinedSse > seed SSE $seedSse")
+    // refined codebook stays within the code alphabet and covers the corpus
+    assert(refined.filter(col("code") < 0 || col("code") >= 16).count() === 0L)
+    val perSub = refined.filter(col("pos") === 0).groupBy(col("sub"))
+      .agg(sum(col("n_vecs")).as("n")).collect()
+    assert(perSub.length === 8)
+    perSub.foreach(r => assert(r.getAs[Long]("n") === nVecs))
   }
 }

@@ -193,6 +193,16 @@ class PlanSpec extends SparkSpec {
       s"range join degenerated to a nested loop:\n$p")
   }
 
+  test("scd2 as-of lookup joins on the custkey equi key, never a nested loop") {
+    val p = plan(Relational.q43Scd2Asof(spark, Sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of interval lookup degenerated to a nested loop:\n$p")
+    // at most one current row per probe: probes x dates in, <= that out
+    val n = Relational.q43Scd2Asof(spark, Sf).count()
+    val probes = graft.sources.Tables.customer(spark, Sf).count() * 3
+    assert(n <= probes, s"$n rows from $probes probes — intervals overlap")
+  }
+
   test("as-of join is one exchange (union-and-carry, no range explosion)") {
     val p = plan(Events.asofJoin(spark, Sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
