@@ -482,10 +482,26 @@ object Streams {
     * still admits (bounded by the watermark delay) plus <= 24 finalized
     * counts. An event-time timeout fires when the watermark passes the
     * earliest open hour's end, so quiet types still finalize and score
-    * their hours without waiting for their next event. */
+    * their hours without waiting for their next event.
+    *
+    * Timezone coupling: hours are bucketed by UTC epoch-ms floor
+    * (ts % 3600000), while the batch oracle's date_trunc("hour")
+    * truncates in the SESSION timezone — they agree because every
+    * session builder in this repo pins spark.sql.session.timeZone=UTC
+    * (any whole-hour-offset zone would also agree; a half-hour zone
+    * like Asia/Kolkata would silently diverge). The require below makes
+    * the coupling explicit instead of ambient. */
   def anomalyZscore(events: Dataset[Event], minBaseline: Int = 8,
                     maxTrailing: Int = 24): Dataset[ZScoreOut] = {
     require(minBaseline >= 2, s"need >= 2 baseline points, got $minBaseline")
+    // see the timezone-coupling note above: epoch-hour flooring matches
+    // the batch oracle's date_trunc only under a whole-hour-offset zone
+    val tz = java.util.TimeZone.getTimeZone(
+      events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC"))
+    require(tz.getRawOffset % 3600000 == 0,
+      s"anomalyZscore buckets hours by UTC epoch floor; session timezone " +
+        s"${tz.getID} has a non-whole-hour offset and would diverge from " +
+        "the batch date_trunc oracle")
     import events.sparkSession.implicits._
 
     def finalize(typ: String, st: ZScoreState, wmMs: Long): (ZScoreState, List[ZScoreOut]) = {
@@ -552,7 +568,16 @@ object Streams {
     * treats as churned), so state is O(recently-active purchasers), not
     * O(ever-seen). Monetary is EXACT CENTS, mirroring the batch
     * operator's determinism argument (double-sum partial-agg order
-    * cannot flip a boundary user). */
+    * cannot flip a boundary user).
+    *
+    * Churn-reset semantics (INTENTIONAL lifecycle behavior, a
+    * divergence from the batch full-history rollup): once a user's
+    * state is dropped at the churn timeout, a later purchase restarts
+    * freq/cents from zero — the profile describes the CURRENT activity
+    * episode, not all history. Equality with the batch oracle therefore
+    * holds only while the corpus span stays inside `churnMs`; the
+    * StreamingSpec parity test passes churnMs explicitly larger than
+    * its corpus span rather than relying on the default. */
   def rfmRunning(events: Dataset[Event], eventType: String = "purchase",
                  churnMs: Long = 90L * 24 * 3600 * 1000): Dataset[RfmOut] = {
     import events.sparkSession.implicits._

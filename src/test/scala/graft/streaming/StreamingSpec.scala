@@ -638,7 +638,11 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val events = loadEvents()
     val stream = MemoryStream[Event]
-    val query = Streams.rfmRunning(stream.toDS())
+    // churnMs explicitly wider than any corpus span: profiles reset at
+    // the churn boundary by design (episode semantics), so batch parity
+    // must not depend on the 90-day default exceeding the test data span
+    val query = Streams.rfmRunning(stream.toDS(),
+        churnMs = 100L * 365 * 24 * 3600 * 1000)
       .writeStream.format("memory").queryName("rfm_stream")
       .outputMode("update")
       .option("checkpointLocation", ckpt("rf"))

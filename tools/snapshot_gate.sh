@@ -18,6 +18,19 @@ echo "[gate] sbt -batch test"
 sbt -batch test
 
 if [[ -n "$(git status --porcelain)" ]]; then
+  # a green build does not mean every untracked file belongs in the
+  # snapshot: show exactly what will be swept in, and refuse untracked
+  # files outside the known artifact paths (src/ tools/ docs/ *.md)
+  echo "[gate] changes to be committed:"
+  git status --porcelain
+  stray=$(git status --porcelain | awk '$1 == "??" {print $2}' |
+    grep -Ev '^(src/|tools/|docs/|[^/]+\.md$)' || true)
+  if [[ -n "$stray" ]]; then
+    echo "[gate] REFUSING: untracked files outside src/ tools/ docs/ *.md:"
+    echo "$stray"
+    echo "[gate] add them explicitly or clean them up, then re-run"
+    exit 1
+  fi
   git add -A
   git commit -m "${1:-snapshot: gate green}"
   echo "[gate] committed: $(git log --oneline -1)"
