@@ -57,7 +57,9 @@ object Bench {
     "sim_srp_neardup_pairs",
     "sim_bucket_centroids",
     "sim_pq_adc_topk", // added r9: code-only ADC scan + broadcast LUT
+    "sim_ivfpq_topk", // added r10: coarse-probe-pruned ADC (the IVF-PQ layout)
     "rel_scd2_intervals", // added r9: full-table window materialization
+    "rel_scd2_asof", // added r10: interval point-in-time probe join
     "mm_meta_stats")
   // sim_knn_graph is deliberately NOT benched: the exact graph is
   // quadratic by contract (the scale path is ivf_topk per node), and a

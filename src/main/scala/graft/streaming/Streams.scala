@@ -61,6 +61,21 @@ final case class ZScoreState(open: Map[Long, Long], ring: List[Long])
   * the trailing-24-observed-hours mean. */
 final case class ZScoreOut(event_type: String, hour_ts: Long, n: Long, z: Double)
 
+/** One CDC change row feeding the streaming SCD2 snapshot (the `orders`
+  * change-log shape: key, unique change id as tiebreak, payload,
+  * effective timestamp). */
+final case class Change(custkey: Long, orderkey: Long, totalprice: Double,
+                        ts: java.sql.Timestamp)
+
+/** Per-key CURRENT interval: the (valid_from, orderkey)-maximal change
+  * seen so far, plus the newest change timestamp for retirement. */
+final case class Scd2State(validFromMs: Long, orderkey: Long,
+                           totalprice: Double, lastSeenMs: Long)
+
+/** Key `custkey`'s current open interval after an update. */
+final case class Scd2Out(custkey: Long, orderkey: Long, totalprice: Double,
+                         valid_from_ms: Long)
+
 /** Per-user running RFM profile: last purchase (ms), purchase count,
   * monetary total in exact cents — three longs per user, the minimal
   * state ANY running recency/frequency/monetary rollup must hold. */
@@ -605,6 +620,73 @@ object Streams {
             state.setTimeoutTimestamp(
               math.max(st.lastMs + churnMs, state.getCurrentWatermarkMs() + 1))
             Iterator(RfmOut(uid, st.lastMs, st.freq, st.cents))
+          }
+      }
+  }
+
+  /** Streaming twin of the SCD2 pair's serving half
+    * (graft.operators.Relational.q42Scd2Intervals → is_current rows): a
+    * RUNNING current-interval snapshot per key, maintained from the
+    * change stream (update mode). Current = the (valid_from,
+    * orderkey)-MAXIMAL change — exactly the row the batch lead() window
+    * leaves open under its (valid_from ASC, orderkey ASC) order — and
+    * max-merge is order-insensitive, so disorder WITHIN the stream never
+    * corrupts the snapshot (a late change that doesn't dominate is
+    * simply absorbed without emission). A row is emitted only when the
+    * current interval actually changes, so the sink's last row per key
+    * IS the batch snapshot.
+    *
+    * State at 100 TB: ONE fixed-size row per key active within
+    * `retireMs` — an event-time timeout retires keys the watermark has
+    * seen no change from for that long (a serving snapshot's state only
+    * needs keys that may still update; emitted rows already live in the
+    * sink). The contract mirrors every watermark: retireMs must exceed
+    * the source's maximum disorder, because a change arriving AFTER its
+    * key retired is judged only against later changes — it would be
+    * re-emitted as current even if a dominating row had been emitted
+    * before retirement. The parity test passes retireMs explicitly
+    * wider than its corpus span rather than relying on the default. */
+  def scd2Current(changes: Dataset[Change],
+                  retireMs: Long = 365L * 24 * 3600 * 1000,
+                  delay: String = "1 hour"): Dataset[Scd2Out] = {
+    import changes.sparkSession.implicits._
+    changes
+      .withWatermark("ts", delay)
+      .groupByKey(_.custkey)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[Change], state: GroupState[Scd2State]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption
+            var cur = prior
+            var lastSeen = prior.map(_.lastSeenMs).getOrElse(Long.MinValue)
+            it.foreach { c =>
+              val ms = c.ts.getTime
+              lastSeen = math.max(lastSeen, ms)
+              val dominates = cur.forall(s =>
+                ms > s.validFromMs ||
+                  (ms == s.validFromMs && c.orderkey > s.orderkey))
+              if (dominates)
+                cur = Some(Scd2State(ms, c.orderkey, c.totalprice, lastSeen))
+            }
+            cur.foreach { s =>
+              state.update(s.copy(lastSeenMs = lastSeen))
+              state.setTimeoutTimestamp(math.max(
+                lastSeen + retireMs, state.getCurrentWatermarkMs() + 1))
+            }
+            val changed = (cur, prior) match {
+              case (Some(c), Some(p)) =>
+                c.validFromMs != p.validFromMs || c.orderkey != p.orderkey
+              case (Some(_), None) => true
+              case _ => false
+            }
+            if (changed)
+              cur.iterator.map(s =>
+                Scd2Out(key, s.orderkey, s.totalprice, s.validFromMs))
+            else Iterator.empty
           }
       }
   }

@@ -669,4 +669,57 @@ class StreamingSpec extends SparkSpec {
       assert(stateRows <= nUsers, s"state $stateRows rows > $nUsers purchasers")
     } finally query.stop()
   }
+
+  test("streaming SCD2 current rows converge to the batch interval snapshot") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the change log: orders in effective-date arrival order (CDC shape)
+    val changes = Tables.orders(spark, Sf)
+      .select($"o_custkey".as("custkey"), $"o_orderkey".as("orderkey"),
+        $"o_totalprice".cast("double").as("totalprice"),
+        $"o_orderdate".cast("timestamp").as("ts"))
+      .as[Change].collect().toSeq.sortBy(c => (c.ts.getTime, c.orderkey))
+    val minMs = changes.map(_.ts.getTime).min
+    val maxMs = changes.map(_.ts.getTime).max
+    val span = maxMs - minMs
+    val stream = MemoryStream[Change]
+    // retireMs explicitly wider than the corpus span: snapshot parity
+    // must not depend on a default exceeding the test data span
+    val query = Streams.scd2Current(stream.toDS(), retireMs = span + 60000L)
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt("s2"))
+      .start()
+    try {
+      val third = changes.size / 3
+      Seq(changes.take(third), changes.slice(third, 2 * third), changes.drop(2 * third))
+        .foreach { b => stream.addData(b); query.processAllAvailable() }
+      // emissions are monotone in (valid_from, orderkey) per key, so the
+      // max struct per key is that key's final current row
+      val streamed = spark.table("scd2_stream")
+        .groupBy($"custkey")
+        .agg(max(struct($"valid_from_ms", $"orderkey", $"totalprice")).as("c"))
+        .select($"custkey", $"c.orderkey".as("orderkey"),
+          $"c.totalprice".as("totalprice"), $"c.valid_from_ms".as("valid_from_ms"))
+      val batch = graft.operators.Relational.q42Scd2Intervals(spark, Sf)
+        .filter($"is_current")
+        .select($"o_custkey".as("custkey"), $"o_orderkey".as("orderkey"),
+          $"o_totalprice".cast("double").as("totalprice"),
+          unix_millis($"valid_from".cast("timestamp")).as("valid_from_ms"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // bounded state: at most one fixed-size row per key
+      val nKeys = batch.count()
+      val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= nKeys, s"state $stateRows rows > $nKeys keys")
+      // eviction: sentinels push the watermark past every key's
+      // retirement boundary; timeouts fire on the following batch and
+      // the store collapses to (at most) the sentinel key itself
+      Seq(maxMs + span + 3660000L, maxMs + span + 7320000L).foreach { ms =>
+        stream.addData(Seq(Change(-1L, -1L, 0.0, new java.sql.Timestamp(ms))))
+        query.processAllAvailable()
+      }
+      val evicted = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(evicted <= 2L, s"retirement left $evicted state rows")
+    } finally query.stop()
+  }
 }
