@@ -1039,18 +1039,53 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
     "dedup_ngram_jaccard_pairs" -> {
-      // prefix filtering is exactness-preserving, so the oracle verifies
-      // over ALL pairs — same final set, no window mirroring needed.
-      // Shingles are hashed (mirroring the Spark side) so set ops run on
-      // BIGINT lists; collisions hit both engines identically. n must
-      // match the SparkEntry registration.
+      // PREFIX-FILTERED oracle (exactness-preserving, like the Spark
+      // side's PPJoin): under ANY fixed total order on tokens, a pair
+      // with Jaccard >= t MUST share a token within each side's first
+      // |x| - ceil(t|x|) + 1 tokens — so candidates come from an
+      // equi-join on exploded prefix tokens and only candidates pay the
+      // exact list_intersect verify. The order is the canonical PPJoin
+      // one, ASCENDING DOCUMENT FREQUENCY (tok tiebreak): rare tokens
+      // land in prefixes, so the candidate join stays near the true
+      // pair volume on a self-similar corpus (a hash-order prefix puts
+      // corpus-wide shingles in every prefix and re-explodes
+      // quadratically — measured >35 min at sf0.1; this form runs the
+      // sweep). Candidates are further cut ~3x by the exact PPJoin
+      // LENGTH filter (J <= min/max, so min >= ceil(t*max)) and
+      // POSITIONAL filter (for a shared prefix token at ranks (i, j),
+      // overlap <= 1 + min(|A|-i, |B|-j); a qualifying pair needs
+      // overlap >= t/(1+t)*(|A|+|B|), and its FIRST shared token
+      // attains the bound, so max-over-matches keeps a superset). The
+      // 1e-9 slack makes float boundary cases err toward keeping
+      // candidates — never dropping a true pair. Same final set as the
+      // former all-pairs formulation (validated at the gate scale).
+      // Shingles are hashed (mirroring
+      // the Spark side) so set ops run on BIGINT lists; collisions hit
+      // both engines identically. n must match the SparkEntry
+      // registration.
       val n = 5
       val grams =
         s"list_distinct(CASE WHEN length(sk) >= $n THEN list_transform(range(1, length(sk) - $n + 2), j -> sk[j:j+${n - 1}]) ELSE CAST([] AS VARCHAR[]) END)"
       s"""WITH s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
          |g AS (SELECT doc_id, list_distinct(list_transform($grams, x -> ${h60("x")})) AS gh FROM s),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jac("a.gh", "b.gh")} AS jacc
-         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |tok AS (SELECT doc_id, unnest(gh) AS tok, len(gh) AS n_tok FROM g),
+         |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+         |pre AS (SELECT doc_id, tok, rnk, n_tok FROM (
+         |  SELECT t.doc_id, t.tok, t.n_tok,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY df.df ASC, t.tok ASC) AS rnk
+         |  FROM tok t JOIN df ON df.tok = t.tok)
+         |  WHERE rnk <= n_tok - CAST(ceil(0.6 * n_tok) AS BIGINT) + 1),
+         |cand AS (SELECT doc_a, doc_b FROM (
+         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |    max(least(l.n_tok - l.rnk, r.n_tok - r.rnk) + 1) AS ub,
+         |    max(ceil(0.6 * (l.n_tok + r.n_tok) / 1.6 - 1e-9)) AS need
+         |  FROM pre l JOIN pre r ON l.tok = r.tok AND l.doc_id < r.doc_id
+         |  WHERE least(l.n_tok, r.n_tok) >= ceil(0.6 * greatest(l.n_tok, r.n_tok) - 1e-9)
+         |  GROUP BY 1, 2)
+         |  WHERE ub >= need),
+         |p AS (SELECT doc_a, doc_b, ${jac("a.gh", "b.gh")} AS jacc
+         |  FROM cand JOIN g a ON a.doc_id = doc_a JOIN g b ON b.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM p WHERE jacc >= 0.6""".stripMargin
     },
     "dedup_clusters" ->
@@ -1170,17 +1205,24 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       s"(CASE WHEN ${pqSubProj(sv, offset + lb)} >= 0 THEN ${1L << lb} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** Shared CTE of the PQ twins — twin of Similarity.pqDecomposed:
-    * embeddings → 8 subvector slices, each with its 4-bit SRP code. */
-  private lazy val pqCte: String = {
+  /** PQ decomposition CTE over source `src` (must expose vec_id, v and
+    * any `extra` columns): 8 subvector slices, each with its 4-bit SRP
+    * code — emits `name AS (…)`. Twin of Similarity.pqDecomposed. */
+  private def pqDecompCte(src: String, name: String,
+                          extra: Seq[String] = Nil): String = {
+    val ex = extra.map(c => s"$c, ").mkString
     val subs = (0 until 8).map { j =>
       val sv = s"list_slice(v, ${j * 8 + 1}, ${(j + 1) * 8})"
-      s"SELECT vec_id, CAST($j AS BIGINT) AS sub, " +
-        s"CAST(${pqSubCode(sv, j * 4, 4)} AS BIGINT) AS code, $sv AS sv FROM e"
+      s"SELECT vec_id, ${ex}CAST($j AS BIGINT) AS sub, " +
+        s"CAST(${pqSubCode(sv, j * 4, 4)} AS BIGINT) AS code, $sv AS sv FROM $src"
     }.mkString("\n  UNION ALL ")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
-       |pq AS ($subs)""".stripMargin
+    s"$name AS ($subs)"
   }
+
+  /** Shared CTE of the PQ twins: embeddings decomposed as `pq`. */
+  private lazy val pqCte: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+       |${pqDecompCte("e", "pq")}""".stripMargin
 
   /** Shared codebook CTE chain (follows [[pqCte]]): exploded subvector
     * components → decimal-exact per-(sub, code, pos) means. */
@@ -1431,6 +1473,54 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  FROM pq p JOIN cand c ON p.vec_id = c.vec_id
          |  JOIN lut l ON l.q_id = c.q_id AND p.sub = l.sub AND p.code = l.code
          |  GROUP BY c.q_id, p.vec_id)
+         |SELECT q_id, vec_id, adc_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_score DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin
+    },
+    "sim_ivfadc_topk" -> {
+      // twin of Similarity.ivfAdcTopK — residual-coded IVF-PQ: coarse
+      // SRP bucket + rounded centroid means; residuals v − centroid
+      // decomposed through the same PQ kernel; score = ⟨q, centroid⟩ +
+      // Σ residual-LUT parts, all DECIMAL partials; the usual rank spec.
+      // The 64-dim dot mirrors the codegen kernel's left-to-right order;
+      // residual components are differences of engine-identical doubles.
+      val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
+      val dot64 = "list_sum(list_transform(range(64), i -> (q0.q_v)[i+1] * (cv.cv)[i+1]))"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |sigv AS (SELECT vec_id, v, CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket FROM e),
+         |cx AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sigv),
+         |ca AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+         |  FROM cx GROUP BY bucket, pos),
+         |cv AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
+         |  FROM ca GROUP BY bucket),
+         |rv AS (SELECT s.vec_id, s.bucket,
+         |  list_transform(range(64), i -> (s.v)[i+1] - (cv.cv)[i+1]) AS v
+         |  FROM sigv s JOIN cv ON cv.bucket = s.bucket),
+         |${pqDecompCte("rv", "rpq", Seq("bucket"))},
+         |rx AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(sv) AS comp FROM rpq),
+         |ra AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
+         |  count(*) AS n FROM rx GROUP BY sub, code, pos),
+         |rcbv AS (SELECT sub, code, list(round(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS cv
+         |  FROM ra GROUP BY sub, code),
+         |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |qp AS (SELECT vec_id AS q_id, unnest($probeList) AS q_bucket
+         |  FROM sigv WHERE vec_id < 5),
+         |coarse AS (SELECT qp.q_id, qp.q_bucket,
+         |  CAST($dot64 AS DECIMAL(27,10)) AS cpart
+         |  FROM qp JOIN q0 ON q0.q_id = qp.q_id JOIN cv ON cv.bucket = qp.q_bucket),
+         |qs AS (SELECT q_id, CAST(t.s AS BIGINT) AS sub,
+         |  list_slice(q_v, t.s * 8 + 1, t.s * 8 + 8) AS qv FROM q0, range(8) t(s)),
+         |lut AS (SELECT q_id, qs.sub, rcbv.code,
+         |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
+         |    AS DECIMAL(27,10)) AS part
+         |  FROM qs JOIN rcbv ON qs.sub = rcbv.sub),
+         |scored AS (SELECT co.q_id, p.vec_id,
+         |  round(CAST(sum(l.part) + max(co.cpart) AS DOUBLE), 6) AS adc_score
+         |  FROM rpq p JOIN coarse co ON p.bucket = co.q_bucket AND p.vec_id <> co.q_id
+         |  JOIN lut l ON l.q_id = co.q_id AND l.sub = p.sub AND l.code = p.code
+         |  GROUP BY co.q_id, p.vec_id)
          |SELECT q_id, vec_id, adc_score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc_score DESC, vec_id ASC) AS rn

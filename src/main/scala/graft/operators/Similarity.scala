@@ -617,6 +617,104 @@ object Similarity {
     adcRank(scored, k)
   }
 
+  /** IVFADC TOP-K — the full residual-coded IVF-PQ layout (the
+    * billion-vector structure of Jégou et al., TPAMI'11: coarse
+    * quantizer + PQ over RESIDUALS): every vector stores its coarse
+    * bucket plus 8 4-bit codes of the residual v − centroid(bucket), and
+    * a query's score against a candidate is
+    * ⟨q, centroid(bucket)⟩ + Σ_sub LUT(q, sub, code) — the coarse term
+    * looked up per probed bucket, the residual term per stored code.
+    * Residuals concentrate around 0, so the same 4-bit alphabet spends
+    * its resolution on the part of the vector the coarse quantizer
+    * didn't already explain — tighter reconstructions than flat PQ at
+    * identical storage ([[ivfPqTopK]] quantizes raw vectors; this
+    * operator is what that layout graduates into). Shape: coarse
+    * centroid table ≤2^nBits rows and residual codebook ≤128 rows, BOTH
+    * broadcast — the residual derivation, coding and scoring all ride
+    * the one corpus scan; probe set and LUT broadcast as in
+    * [[ivfPqTopK]]; DECIMAL partials (coarse + 8 residual parts per
+    * candidate, exact under any agg order); the proven two-phase rank.
+    * At 100 TB the stored artifact is (bucket, 4 B codes) written
+    * bucketed by the coarse bucket — probe-side partition pruning, raw
+    * vectors cold. */
+  def ivfAdcTopK(s: SparkSession, dir: String,
+                 nQueries: Int = 5, k: Int = 10, nBits: Int = 8,
+                 probeHamming: Int = 1): DataFrame =
+    ivfAdcTopKFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k, nBits, probeHamming)
+
+  /** Coarse centroids reassembled to vectors: (bucket, cv) — ≤2^nBits
+    * rows, always broadcast-sized. */
+  private[graft] def coarseCentroidVecs(e: DataFrame, nBits: Int): DataFrame =
+    bucketCentroidsFrom(e, nBits)
+      .groupBy($"bucket")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"))
+
+  /** Residual frame (vec_id, bucket, v): v − centroid(bucket). Means are
+    * rounded to 6 on both engines, so residual components are
+    * engine-identical doubles. */
+  private[graft] def residualFrameFrom(e: DataFrame, nBits: Int): DataFrame =
+    e.withColumn("bucket", srpSignature($"v", nBits))
+      .join(broadcast(coarseCentroidVecs(e, nBits)), "bucket")
+      .select($"vec_id", $"bucket",
+        zip_with($"v", $"cv", (a, b) => a - b).as("v"))
+
+  /** Residual codebook (global across buckets, the standard IVFADC
+    * sharing): (sub, code, cv) over residual subvectors — ≤128 rows,
+    * decimal-exact means like [[pqCodebooks]]. */
+  private[graft] def residualCodebookVecs(e: DataFrame, nBits: Int): DataFrame =
+    pqDecomposed(residualFrameFrom(e, nBits), Seq("bucket"))
+      .select($"sub", $"code", posexplode($"sv").as(Seq("pos", "comp")))
+      .groupBy($"sub", $"code", $"pos")
+      .agg(sum($"comp".cast("decimal(27,10)")).as("s"), count(lit(1)).as("n"))
+      .select($"sub", $"code", $"pos",
+        round($"s".cast("double") / $"n", 6).as("mean_comp"))
+      .groupBy($"sub", $"code")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"))
+
+  /** Core of [[ivfAdcTopK]] over any (vec_id, v) frame. */
+  def ivfAdcTopKFrom(e: DataFrame, nQueries: Int, k: Int, nBits: Int = 8,
+                     probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      s"probeHamming must be in [0, $nBits], got $probeHamming")
+    val eb = e.withColumn("bucket", srpSignature($"v", nBits))
+    val cents = coarseCentroidVecs(e, nBits)
+    val rdec = pqDecomposed(residualFrameFrom(e, nBits), Seq("bucket"))
+    // probe set carrying the coarse term ⟨q, centroid(probed bucket)⟩;
+    // probes of empty buckets drop in the centroid join (no codes there
+    // anyway)
+    val probeCols = probeMasks(nBits, probeHamming).map {
+      case 0L => $"bucket"
+      case m => $"bucket".bitwiseXOR(lit(m))
+    }
+    val probes = eb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("p_id"), $"v".as("p_v"),
+        explode(array(probeCols: _*)).as("q_bucket"))
+      .join(broadcast(cents), $"q_bucket" === cents("bucket"))
+      .select($"p_id", $"q_bucket",
+        graft.functions.VectorOps.dot($"p_v", $"cv")
+          .cast("decimal(27,10)").as("coarse"))
+    // residual ADC LUT: RAW query subvectors against the residual
+    // codebook (the score decomposes as ⟨q,c⟩ + ⟨q,r̂⟩)
+    val lut = pqDecomposed(e).filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"sub", $"sv".as("qv"))
+      .join(broadcast(residualCodebookVecs(e, nBits)), "sub")
+      .select($"q_id", $"sub".as("l_sub"), $"code".as("l_code"),
+        graft.functions.VectorOps.dot($"qv", $"cv")
+          .cast("decimal(27,10)").as("part"))
+    val scored = rdec.select($"vec_id", $"bucket", $"sub", $"code")
+      .join(broadcast(probes), $"bucket" === $"q_bucket" && $"vec_id" =!= $"p_id")
+      .join(broadcast(lut),
+        $"q_id" === $"p_id" && $"sub" === $"l_sub" && $"code" === $"l_code")
+      .groupBy($"q_id", $"vec_id")
+      .agg(round((sum($"part") + max($"coarse")).cast("double"), 6)
+        .as("adc_score"))
+    adcRank(scored, k)
+  }
+
   /** PQ-LLOYD CODEBOOK REFINEMENT — one Lloyd iteration over the
     * SRP-seeded codebooks, per subspace (the [[lloydIteration]] discipline
     * applied to PQ training): every subvector is REASSIGNED to its

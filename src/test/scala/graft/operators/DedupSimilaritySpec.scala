@@ -528,6 +528,63 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "IVF-PQ plan has a cartesian product")
   }
 
+  test("IVFADC equals dots against coarse+residual reconstructions, probed buckets only") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val buckets = e.withColumn("b", VectorOps.srpSignature(col("v"), 8))
+      .select(col("vec_id"), col("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = Similarity.coarseCentroidVecs(e, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // residual codes through the SAME public code kernel the index uses
+    val rcodes = Similarity.pqCodesFrom(Similarity.residualFrameFrom(e, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rcb = Similarity.residualCodebookVecs(e, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2).toArray).toMap
+    def recon(id: Long): Array[Double] = {
+      val c = cents(buckets(id))
+      Array.tabulate(64) { g =>
+        val (sub, pos) = (g / 8, g % 8)
+        c(g) + rcb((sub.toLong, rcodes((id, sub.toLong))))(pos)
+      }
+    }
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expect = (0L until 5L).flatMap { q =>
+      val probeSet = (Seq(0L) ++ (0 until 8).map(b => 1L << b))
+        .map(buckets(q) ^ _).toSet
+      vecs.keys.toSeq
+        .filter(v => v != q && probeSet.contains(buckets(v)))
+        .map(v => (q, v, round6((vecs(q), recon(v)).zipped.map(_ * _).sum)))
+        .sortBy { case (_, v, s) => (-s, v) }
+        .take(10)
+    }.toSet
+    val got = Similarity.ivfAdcTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    // residual coding is the point: reconstruction through coarse +
+    // residual codebooks must beat flat-PQ reconstruction in total SSE
+    // (the coarse centroid explains variance the flat codebook must
+    // spend its 4-bit alphabet on)
+    val flatCb = Similarity.pqCodebooks(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val flatCodes = Similarity.pqCodes(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def flatRecon(id: Long): Array[Double] =
+      Array.tabulate(64) { g =>
+        val (sub, pos) = (g / 8, g % 8)
+        flatCb((sub.toLong, flatCodes((id, sub.toLong)), pos.toLong))
+      }
+    def sse(rec: Long => Array[Double]): Double =
+      vecs.keys.toSeq.map { id =>
+        (vecs(id), rec(id)).zipped.map((a, b) => (a - b) * (a - b)).sum
+      }.sum
+    val (rSse, fSse) = (sse(recon), sse(flatRecon))
+    assert(rSse < fSse,
+      s"residual-coded SSE $rSse not below flat-PQ SSE $fSse")
+  }
+
   test("PQ-Lloyd refinement never increases reconstruction SSE") {
     val e = Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -44,7 +44,11 @@ object Plans {
       "sim_recall_report" -> "recall report: both top-k shapes composed, left join overlap, nQueries-row output",
       "sim_pq_codes" -> "PQ codes: single codegen scan (graft_srp_band over slices), ZERO exchanges",
       "sim_pq_adc_topk" -> "PQ-ADC: code scan joins broadcast LUT, decimal partial sums, two-phase rank; no raw-vector column in the scan",
-      "rel_scd2_intervals" -> "SCD2: one exchange+sort per key serves the lead() window")
+      "sim_ivfpq_topk" -> "IVF-PQ: code scan gated by broadcast probe set (coarse bucket equi-join) BEFORE the broadcast-LUT ADC join — only probed buckets are scored",
+      "sim_ivfadc_topk" -> "IVFADC: residual derivation + coding + scoring ride one corpus scan; centroids, probe set and residual LUT all broadcast; decimal coarse+residual partials",
+      "sim_pq_lloyd" -> "PQ-Lloyd: <=128-row codebook broadcast, codegen d2 dot composition, k=1 heap argmin, decimal mean recompute",
+      "rel_scd2_intervals" -> "SCD2: one exchange+sort per key serves the lead() window",
+      "rel_scd2_asof" -> "SCD2 as-of: custkey equi SMJ with residual interval filter — no nested loop; probe side is a bounded literal-date explode")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
