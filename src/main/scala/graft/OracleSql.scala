@@ -1224,6 +1224,50 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
        |${pqDecompCte("e", "pq")}""".stripMargin
 
+  /** Shared CTE chain of the IVFADC twins, through the per-(query,
+    * candidate) `scored` relation: coarse SRP bucket → rounded centroid
+    * means → residuals → residual PQ codes + codebook → probe set with
+    * coarse ⟨q, centroid⟩ term → residual LUT → decimal coarse+residual
+    * score over probed buckets only. */
+  private lazy val ivfadcCtes: String = {
+    val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
+    val dot64 = "list_sum(list_transform(range(64), i -> (q0.q_v)[i+1] * (cv.cv)[i+1]))"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+       |sigv AS (SELECT vec_id, v, CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket FROM e),
+       |cx AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sigv),
+       |ca AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+       |  FROM cx GROUP BY bucket, pos),
+       |cv AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
+       |  FROM ca GROUP BY bucket),
+       |rv AS (SELECT s.vec_id, s.bucket,
+       |  list_transform(range(64), i -> (s.v)[i+1] - (cv.cv)[i+1]) AS v
+       |  FROM sigv s JOIN cv ON cv.bucket = s.bucket),
+       |${pqDecompCte("rv", "rpq", Seq("bucket"))},
+       |rx AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
+       |  unnest(sv) AS comp FROM rpq),
+       |ra AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
+       |  count(*) AS n FROM rx GROUP BY sub, code, pos),
+       |rcbv AS (SELECT sub, code, list(round(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS cv
+       |  FROM ra GROUP BY sub, code),
+       |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+       |qp AS (SELECT vec_id AS q_id, unnest($probeList) AS q_bucket
+       |  FROM sigv WHERE vec_id < 5),
+       |coarse AS (SELECT qp.q_id, qp.q_bucket,
+       |  CAST($dot64 AS DECIMAL(27,10)) AS cpart
+       |  FROM qp JOIN q0 ON q0.q_id = qp.q_id JOIN cv ON cv.bucket = qp.q_bucket),
+       |qs AS (SELECT q_id, CAST(t.s AS BIGINT) AS sub,
+       |  list_slice(q_v, t.s * 8 + 1, t.s * 8 + 8) AS qv FROM q0, range(8) t(s)),
+       |lut AS (SELECT q_id, qs.sub, rcbv.code,
+       |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
+       |    AS DECIMAL(27,10)) AS part
+       |  FROM qs JOIN rcbv ON qs.sub = rcbv.sub),
+       |scored AS (SELECT co.q_id, p.vec_id,
+       |  round(CAST(sum(l.part) + max(co.cpart) AS DOUBLE), 6) AS adc_score
+       |  FROM rpq p JOIN coarse co ON p.bucket = co.q_bucket AND p.vec_id <> co.q_id
+       |  JOIN lut l ON l.q_id = co.q_id AND l.sub = p.sub AND l.code = p.code
+       |  GROUP BY co.q_id, p.vec_id)""".stripMargin
+  }
+
   /** Shared codebook CTE chain (follows [[pqCte]]): exploded subvector
     * components → decimal-exact per-(sub, code, pos) means. */
   private lazy val pqCodebookCtes: String =
@@ -1478,54 +1522,36 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |    ORDER BY adc_score DESC, vec_id ASC) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin
     },
-    "sim_ivfadc_topk" -> {
+    "sim_ivfadc_topk" ->
       // twin of Similarity.ivfAdcTopK — residual-coded IVF-PQ: coarse
       // SRP bucket + rounded centroid means; residuals v − centroid
       // decomposed through the same PQ kernel; score = ⟨q, centroid⟩ +
       // Σ residual-LUT parts, all DECIMAL partials; the usual rank spec.
       // The 64-dim dot mirrors the codegen kernel's left-to-right order;
       // residual components are differences of engine-identical doubles.
-      val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
-      val dot64 = "list_sum(list_transform(range(64), i -> (q0.q_v)[i+1] * (cv.cv)[i+1]))"
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
-         |sigv AS (SELECT vec_id, v, CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket FROM e),
-         |cx AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sigv),
-         |ca AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
-         |  FROM cx GROUP BY bucket, pos),
-         |cv AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
-         |  FROM ca GROUP BY bucket),
-         |rv AS (SELECT s.vec_id, s.bucket,
-         |  list_transform(range(64), i -> (s.v)[i+1] - (cv.cv)[i+1]) AS v
-         |  FROM sigv s JOIN cv ON cv.bucket = s.bucket),
-         |${pqDecompCte("rv", "rpq", Seq("bucket"))},
-         |rx AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
-         |  unnest(sv) AS comp FROM rpq),
-         |ra AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
-         |  count(*) AS n FROM rx GROUP BY sub, code, pos),
-         |rcbv AS (SELECT sub, code, list(round(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS cv
-         |  FROM ra GROUP BY sub, code),
-         |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
-         |qp AS (SELECT vec_id AS q_id, unnest($probeList) AS q_bucket
-         |  FROM sigv WHERE vec_id < 5),
-         |coarse AS (SELECT qp.q_id, qp.q_bucket,
-         |  CAST($dot64 AS DECIMAL(27,10)) AS cpart
-         |  FROM qp JOIN q0 ON q0.q_id = qp.q_id JOIN cv ON cv.bucket = qp.q_bucket),
-         |qs AS (SELECT q_id, CAST(t.s AS BIGINT) AS sub,
-         |  list_slice(q_v, t.s * 8 + 1, t.s * 8 + 8) AS qv FROM q0, range(8) t(s)),
-         |lut AS (SELECT q_id, qs.sub, rcbv.code,
-         |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
-         |    AS DECIMAL(27,10)) AS part
-         |  FROM qs JOIN rcbv ON qs.sub = rcbv.sub),
-         |scored AS (SELECT co.q_id, p.vec_id,
-         |  round(CAST(sum(l.part) + max(co.cpart) AS DOUBLE), 6) AS adc_score
-         |  FROM rpq p JOIN coarse co ON p.bucket = co.q_bucket AND p.vec_id <> co.q_id
-         |  JOIN lut l ON l.q_id = co.q_id AND l.sub = p.sub AND l.code = p.code
-         |  GROUP BY co.q_id, p.vec_id)
+      s"""WITH $ivfadcCtes
          |SELECT q_id, vec_id, adc_score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc_score DESC, vec_id ASC) AS rn
-         |  FROM scored) WHERE rn <= 10""".stripMargin
-    },
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "sim_ivfadc_recall" ->
+      // twin of Similarity.ivfAdcRecall: the IVFADC scored CTE ranked,
+      // overlapped per query against the brute-force top-k
+      s"""WITH $ivfadcCtes,
+         |bf AS (SELECT q_id, vec_id FROM (
+         |  SELECT q0.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q0.q_id
+         |      ORDER BY round(${cosSql("q0.q_v", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN q0 ON e.vec_id <> q0.q_id) WHERE rn <= 10),
+         |adc AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_score DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10)
+         |SELECT bf.q_id, count(*) AS n_exact,
+         |  CAST(count(adc.vec_id) AS BIGINT) AS ivfadc_overlap,
+         |  round(count(adc.vec_id)::DOUBLE / count(*), 6) AS ivfadc_recall_at_k
+         |FROM bf LEFT JOIN adc ON bf.q_id = adc.q_id AND bf.vec_id = adc.vec_id
+         |GROUP BY bf.q_id""".stripMargin,
     "sim_pq_lloyd" ->
       // twin of Similarity.pqLloydCodebooks: nearest SEED codebook entry
       // per (vector, subspace) by squared L2 (d² = <x,x> − 2<x,c> + <c,c>,

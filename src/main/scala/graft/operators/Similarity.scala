@@ -715,6 +715,29 @@ object Similarity {
     adcRank(scored, k)
   }
 
+  /** IVFADC RECALL REPORT — the [[recallReport]] discipline applied to
+    * the residual-coded path: per-query overlap of [[ivfAdcTopK]]
+    * against the exact brute-force top-k. Read alongside [[pqRecall]]
+    * (flat-ADC and raw-code IVF-PQ): the three reports together price
+    * each layout step — compression, coarse pruning, residual coding —
+    * in recall, continuously, in the engine. */
+  def ivfAdcRecall(s: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val exact = bruteForceTopKAggFrom(e, nQueries, k).select($"q_id", $"vec_id")
+    val approx = ivfAdcTopK(s, dir, nQueries, k)
+      .select($"q_id".as("aq"), $"vec_id".as("av"))
+    exact
+      .join(approx, $"q_id" === $"aq" && $"vec_id" === $"av", "left")
+      .groupBy($"q_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count($"av").as("ivfadc_overlap"),
+        round(count($"av").cast("double") / count(lit(1)), 6)
+          .as("ivfadc_recall_at_k"))
+  }
+
   /** PQ-LLOYD CODEBOOK REFINEMENT — one Lloyd iteration over the
     * SRP-seeded codebooks, per subspace (the [[lloydIteration]] discipline
     * applied to PQ training): every subvector is REASSIGNED to its
