@@ -1268,6 +1268,59 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |  GROUP BY co.q_id, p.vec_id)""".stripMargin
   }
 
+  /** Shared CTE chain of the Lloyd-refinement twins: seed decomposition
+    * + seed codebook (`cbv`) → nearest-seed-entry reassignment (d² in
+    * the same fp order as the codegen kernel, rounded to 6, ties to the
+    * smaller code = the heap's tiebreak) → decimal-exact refined means
+    * `lcb`. Twin of Similarity.pqLloydCodebooksFrom; shared by
+    * sim_pq_lloyd and the trained-ADC twins to prevent drift. */
+  private lazy val pqLloydCtes: String =
+    s"""$pqCte,
+       |$pqCodebookCtes,
+       |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
+       |  FROM cb GROUP BY sub, code),
+       |lscored AS (SELECT p.vec_id, p.sub, cbv.code, p.sv,
+       |  round(list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (p.sv)[i+1]))
+       |    - 2.0 * list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (cv)[i+1]))
+       |    + list_sum(list_transform(range(8), i -> (cv)[i+1] * (cv)[i+1])), 6) AS d2
+       |  FROM pq p JOIN cbv ON p.sub = cbv.sub),
+       |lassigned AS (SELECT vec_id, sub, code, sv FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY d2 ASC, code ASC) AS rn FROM lscored) WHERE rn <= 1),
+       |lx AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
+       |  unnest(sv) AS comp FROM lassigned),
+       |la AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
+       |  count(*) AS n_vecs FROM lx GROUP BY sub, code, pos),
+       |lcb AS (SELECT sub, code, pos, round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp,
+       |  n_vecs FROM la)""".stripMargin
+
+  /** Trained-ADC CTE chain (follows [[pqLloydCtes]]): refined codebook
+    * vectors → corpus re-encode (nearest refined entry, same d² and
+    * tiebreak) → per-query LUT against the refined entries → decimal
+    * ADC partials summed per (query, candidate) as `tsc`. Twin of
+    * Similarity.adcTrainedTopKFrom's scored relation. */
+  private lazy val trainedAdcCtes: String =
+    """lcbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
+      |  FROM lcb GROUP BY sub, code),
+      |tscored AS (SELECT p.vec_id, p.sub, lcbv.code,
+      |  round(list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (p.sv)[i+1]))
+      |    - 2.0 * list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (cv)[i+1]))
+      |    + list_sum(list_transform(range(8), i -> (cv)[i+1] * (cv)[i+1])), 6) AS d2
+      |  FROM pq p JOIN lcbv ON p.sub = lcbv.sub),
+      |tcodes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |    ORDER BY d2 ASC, code ASC) AS rn FROM tscored) WHERE rn <= 1),
+      |tq AS (SELECT vec_id AS q_id, sub, sv AS qv FROM pq WHERE vec_id < 5),
+      |tlut AS (SELECT q_id, tq.sub, lcbv.code,
+      |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
+      |    AS DECIMAL(27,10)) AS part
+      |  FROM tq JOIN lcbv ON tq.sub = lcbv.sub),
+      |tsc AS (SELECT l.q_id, t.vec_id,
+      |  round(CAST(sum(part) AS DOUBLE), 6) AS adc_score
+      |  FROM tcodes t JOIN tlut l ON t.sub = l.sub AND t.code = l.code
+      |    AND t.vec_id <> l.q_id
+      |  GROUP BY l.q_id, t.vec_id)""".stripMargin
+
   /** Shared codebook CTE chain (follows [[pqCte]]): exploded subvector
     * components → decimal-exact per-(sub, code, pos) means. */
   private lazy val pqCodebookCtes: String =
@@ -1557,25 +1610,55 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // per (vector, subspace) by squared L2 (d² = <x,x> − 2<x,c> + <c,c>,
       // the same dot kernel and fp order as Spark, rounded to 6; ties to
       // the smaller code = the heap's tiebreak), then the decimal-exact
-      // mean recompute over the new assignment
-      s"""WITH $pqCte,
-         |$pqCodebookCtes,
-         |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
-         |  FROM cb GROUP BY sub, code),
-         |scored AS (SELECT p.vec_id, p.sub, cbv.code, p.sv,
-         |  round(list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (p.sv)[i+1]))
-         |    - 2.0 * list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (cv)[i+1]))
-         |    + list_sum(list_transform(range(8), i -> (cv)[i+1] * (cv)[i+1])), 6) AS d2
-         |  FROM pq p JOIN cbv ON p.sub = cbv.sub),
-         |assigned AS (SELECT vec_id, sub, code, sv FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-         |    ORDER BY d2 ASC, code ASC) AS rn FROM scored) WHERE rn <= 1),
-         |x2 AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
-         |  unnest(sv) AS comp FROM assigned),
-         |a2 AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
-         |  count(*) AS n_vecs FROM x2 GROUP BY sub, code, pos)
-         |SELECT sub, code, pos, round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp, n_vecs
-         |FROM a2""".stripMargin,
+      // mean recompute over the new assignment — the shared chain
+      s"""WITH $pqLloydCtes
+         |SELECT sub, code, pos, mean_comp, n_vecs FROM lcb""".stripMargin,
+    "sim_adc_trained_topk" ->
+      // twin of Similarity.adcTrainedTopK: the Lloyd chain's refined
+      // codebook re-encodes the corpus (same d² fp order and
+      // smaller-code tiebreak as the heap argmin), the per-query LUT is
+      // rebuilt from refined entries, decimal partials, the usual rank
+      s"""WITH $pqLloydCtes,
+         |$trainedAdcCtes
+         |SELECT q_id, vec_id, adc_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_score DESC, vec_id ASC) AS rn
+         |  FROM tsc) WHERE rn <= 10""".stripMargin,
+    "sim_pq_trained_recall" ->
+      // twin of Similarity.pqTrainedRecall: brute-force exact top-k vs
+      // the SEED flat-ADC rank (sim_pq_adc_topk's chain over cbv) and
+      // the TRAINED rank (tsc), overlaps per query side by side
+      s"""WITH $pqLloydCtes,
+         |$trainedAdcCtes,
+         |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |bf AS (SELECT q_id, vec_id FROM (
+         |  SELECT q0.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q0.q_id
+         |      ORDER BY round(${cosSql("q0.q_v", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN q0 ON e.vec_id <> q0.q_id) WHERE rn <= 10),
+         |slut AS (SELECT q_id, tq.sub, cbv.code,
+         |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
+         |    AS DECIMAL(27,10)) AS part
+         |  FROM tq JOIN cbv ON tq.sub = cbv.sub),
+         |sadc AS (SELECT q_id, vec_id FROM (
+         |  SELECT l.q_id, p.vec_id,
+         |    row_number() OVER (PARTITION BY l.q_id
+         |      ORDER BY round(CAST(sum(part) AS DOUBLE), 6) DESC, p.vec_id ASC) AS rn
+         |  FROM pq p JOIN slut l ON p.sub = l.sub AND p.code = l.code
+         |    AND p.vec_id <> l.q_id
+         |  GROUP BY l.q_id, p.vec_id) WHERE rn <= 10),
+         |tadc AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_score DESC, vec_id ASC) AS rn
+         |  FROM tsc) WHERE rn <= 10)
+         |SELECT bf.q_id, count(*) AS n_exact,
+         |  CAST(count(sadc.vec_id) AS BIGINT) AS seed_overlap,
+         |  round(count(sadc.vec_id)::DOUBLE / count(*), 6) AS seed_recall_at_k,
+         |  CAST(count(tadc.vec_id) AS BIGINT) AS trained_overlap,
+         |  round(count(tadc.vec_id)::DOUBLE / count(*), 6) AS trained_recall_at_k
+         |FROM bf LEFT JOIN sadc ON bf.q_id = sadc.q_id AND bf.vec_id = sadc.vec_id
+         |LEFT JOIN tadc ON bf.q_id = tadc.q_id AND bf.vec_id = tadc.vec_id
+         |GROUP BY bf.q_id""".stripMargin,
     "sim_pq_recall" -> {
       // twin of Similarity.pqRecall: brute-force, flat-ADC and IVF-PQ
       // top-k CTEs, both compressed paths' overlap per query

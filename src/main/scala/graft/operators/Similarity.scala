@@ -757,13 +757,16 @@ object Similarity {
     pqLloydCodebooksFrom(Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")))
 
-  /** Lloyd assignment half-step: (vec_id, sub, code, sv) with `code` the
-    * nearest SEED codebook entry by (rounded) squared L2, ties to the
-    * smaller code — exposed for the spec's SSE-monotonicity check. */
-  private[graft] def pqLloydAssignFrom(e: DataFrame): DataFrame = {
+  /** Nearest-entry assignment (vec_id, sub, code) of each decomposed
+    * subvector row against an arbitrary ≤128-row codebook frame
+    * (sub, code, cv), by rounded squared L2 with ties to the smaller
+    * code. Shape: the codebook is BROADCAST (≤2^bits entries per
+    * subspace fan-out on the scan); the argmin is the k=1 bounded-heap
+    * aggregate (map-side combined — the one exchange carries a single
+    * row per (vector, subspace), not the ×2^bits scored fan-out). */
+  private def nearestCodeIn(dec: DataFrame, cbv: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val dec = pqDecomposed(e).select($"vec_id", $"sub", $"sv")
-    val cb = pqCodebookVecs(e).withColumnRenamed("sub", "c_sub")
+    val cb = cbv.withColumnRenamed("sub", "c_sub")
     val scored = dec.join(broadcast(cb), $"sub" === $"c_sub")
       .withColumn("d2", round(
         graft.functions.VectorOps.dot($"sv", $"sv")
@@ -774,11 +777,18 @@ object Similarity {
       graft.functions.TopKAgg(
         Bridge.expression(-$"d2"),
         Bridge.expression($"code"), 1).toAggregateExpression())
-    val assigned = scored.groupBy($"vec_id", $"sub")
+    scored.groupBy($"vec_id", $"sub")
       .agg(top1.as("tk"))
       .select($"vec_id", $"sub", explode($"tk").as("t"))
       .select($"vec_id", $"sub", $"t.vec_id".as("code"))
-    dec.join(assigned, Seq("vec_id", "sub"))
+  }
+
+  /** Lloyd assignment half-step: (vec_id, sub, code, sv) with `code` the
+    * nearest SEED codebook entry by (rounded) squared L2, ties to the
+    * smaller code — exposed for the spec's SSE-monotonicity check. */
+  private[graft] def pqLloydAssignFrom(e: DataFrame): DataFrame = {
+    val dec = pqDecomposed(e).select($"vec_id", $"sub", $"sv")
+    dec.join(nearestCodeIn(dec, pqCodebookVecs(e)), Seq("vec_id", "sub"))
   }
 
   /** Core of [[pqLloydCodebooks]] over any (vec_id, v) frame. */
@@ -817,5 +827,85 @@ object Similarity {
         round(count($"av").cast("double") / count(lit(1)), 6).as("recall_at_k"),
         count($"iv").as("ivfpq_overlap"),
         round(count($"iv").cast("double") / count(lit(1)), 6).as("ivfpq_recall_at_k"))
+  }
+
+  /** Refined codebook entries reassembled to vectors (sub, code, cv) —
+    * the [[pqLloydCodebooks]] means; ≤128 rows, always broadcast-sized.
+    * Entries that lost every member in the reassignment simply drop out
+    * (standard Lloyd: empty cells vanish; re-seeding is a policy choice
+    * left to the training loop). */
+  private def pqLloydCodebookVecs(e: DataFrame): DataFrame =
+    pqLloydCodebooksFrom(e)
+      .groupBy($"sub", $"code")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"))
+
+  /** TRAINED-CODEBOOK ADC TOP-K — [[pqAdcTopK]] run against the
+    * Lloyd-REFINED codebooks instead of the data-free SRP seed: the
+    * corpus is RE-ENCODED (nearest refined entry per subvector — the
+    * assignment half-step against the trained table) and each query's
+    * LUT is built from the refined entries. This is what a deployment
+    * ships after training: [[pqLloydCodebooks]] is one refinement step,
+    * this operator is the retrieval path that consumes its output, and
+    * [[pqTrainedRecall]] prices the improvement. Shape: refined
+    * codebook ≤128 rows broadcast twice (re-encode argmin + LUT); the
+    * re-encode exchange carries one row per (vector, subspace) — at
+    * 100 TB the trained codes are the stored artifact, written once,
+    * and retrieval reduces to the same code-scan + broadcast-LUT join
+    * as the seed path; DECIMAL partials; the proven two-phase rank. */
+  def adcTrainedTopK(s: SparkSession, dir: String,
+                     nQueries: Int = 5, k: Int = 10): DataFrame =
+    adcTrainedTopKFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k)
+
+  /** Core of [[adcTrainedTopK]] over any (vec_id, v) frame. */
+  def adcTrainedTopKFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val lcbv = pqLloydCodebookVecs(e)
+    val dec = pqDecomposed(e).select($"vec_id", $"sub", $"sv")
+    val tcodes = nearestCodeIn(dec, lcbv)
+    val lut = dec.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"sub", $"sv".as("qv"))
+      .join(broadcast(lcbv), "sub")
+      .select($"q_id", $"sub".as("l_sub"), $"code".as("l_code"),
+        graft.functions.VectorOps.dot($"qv", $"cv")
+          .cast("decimal(27,10)").as("part"))
+    val scored = tcodes
+      .join(broadcast(lut),
+        $"sub" === $"l_sub" && $"code" === $"l_code" && $"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(round(sum($"part").cast("double"), 6).as("adc_score"))
+    adcRank(scored, k)
+  }
+
+  /** TRAINED-PQ RECALL REPORT — seed-codebook flat ADC ([[pqAdcTopK]])
+    * and trained-codebook ADC ([[adcTrainedTopK]]) overlapped against
+    * the exact brute-force top-k, side by side per query: the marginal
+    * retrieval value of one Lloyd refinement step, measured in the
+    * engine. (Training minimizes reconstruction SSE — guaranteed
+    * monotone, asserted in DedupSimilaritySpec; recall is the
+    * downstream symptom this report watches, not a quantity with a
+    * monotonicity guarantee.) */
+  def pqTrainedRecall(s: SparkSession, dir: String,
+                      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val exact = bruteForceTopKAggFrom(e, nQueries, k).select($"q_id", $"vec_id")
+    val seed = pqAdcTopK(s, dir, nQueries, k)
+      .select($"q_id".as("sq"), $"vec_id".as("sv_id"))
+    val trained = adcTrainedTopKFrom(e, nQueries, k)
+      .select($"q_id".as("tq"), $"vec_id".as("tv"))
+    exact
+      .join(seed, $"q_id" === $"sq" && $"vec_id" === $"sv_id", "left")
+      .join(trained, $"q_id" === $"tq" && $"vec_id" === $"tv", "left")
+      .groupBy($"q_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count($"sv_id").as("seed_overlap"),
+        round(count($"sv_id").cast("double") / count(lit(1)), 6)
+          .as("seed_recall_at_k"),
+        count($"tv").as("trained_overlap"),
+        round(count($"tv").cast("double") / count(lit(1)), 6)
+          .as("trained_recall_at_k"))
   }
 }

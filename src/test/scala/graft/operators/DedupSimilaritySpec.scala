@@ -619,4 +619,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(perSub.length === 8)
     perSub.foreach(r => assert(r.getAs[Long]("n") === nVecs))
   }
+
+  test("trained-codebook ADC: re-encode SSE <= seed SSE; rank well-formed") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val seedSse = Similarity.pqReconError(spark, Sf).collect()
+      .map(r => r.getAs[Double]("mse") * r.getAs[Long]("n_vecs")).sum
+    // independent Scala-side re-encode against the refined codebook:
+    // nearest entry by exact squared L2 (the engine rounds d2 to 1e-6,
+    // which can only flip exact near-ties; the slack covers it)
+    val lcb = Similarity.pqLloydCodebooksFrom(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val entries = lcb.keys.map(k => (k._1, k._2)).toSeq.distinct.sorted
+      .map { case (sub, code) =>
+        (sub, code, Array.tabulate(8)(p => lcb((sub, code, p.toLong)))) }
+    val trainedSse = vecs.toSeq.map { case (_, v) =>
+      (0 until 8).map { sub =>
+        val sv = v.slice(sub * 8, sub * 8 + 8)
+        entries.filter(_._1 == sub).map { case (_, _, cv) =>
+          (sv, cv).zipped.map((a, b) => (a - b) * (a - b)).sum
+        }.min
+      }.sum
+    }.sum
+    assert(trainedSse <= seedSse + 1e-3,
+      s"trained re-encode SSE $trainedSse > seed SSE $seedSse")
+    // the retrieval artifact: 10 rows per query, scores non-increasing,
+    // never the query itself
+    val got = Similarity.adcTrainedTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 10, s"query $q returned ${rows.length} rows")
+      assert(!rows.exists(_._2 == q), s"query $q retrieved itself")
+      val scores = rows.sortBy(r => (-r._3, r._2)).map(_._3)
+      assert(scores.sameElements(rows.map(_._3).sorted(Ordering[Double].reverse)))
+    }
+    // the recall report prices both paths against the same exact set
+    val rep = Similarity.pqTrainedRecall(spark, Sf).collect()
+    assert(rep.length === 5)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 10L)
+      val (s, t) = (r.getAs[Double]("seed_recall_at_k"),
+        r.getAs[Double]("trained_recall_at_k"))
+      assert(s >= 0.0 && s <= 1.0 && t >= 0.0 && t <= 1.0)
+    }
+  }
 }

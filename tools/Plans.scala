@@ -47,6 +47,7 @@ object Plans {
       "sim_ivfpq_topk" -> "IVF-PQ: code scan gated by broadcast probe set (coarse bucket equi-join) BEFORE the broadcast-LUT ADC join — only probed buckets are scored",
       "sim_ivfadc_topk" -> "IVFADC: residual derivation + coding + scoring ride one corpus scan; centroids, probe set and residual LUT all broadcast; decimal coarse+residual partials",
       "sim_pq_lloyd" -> "PQ-Lloyd: <=128-row codebook broadcast, codegen d2 dot composition, k=1 heap argmin, decimal mean recompute",
+      "sim_adc_trained_topk" -> "trained ADC: refined codebook broadcast twice (re-encode argmin + LUT); one (vec,sub) exchange for codes, then the seed ADC shape",
       "rel_scd2_intervals" -> "SCD2: one exchange+sort per key serves the lead() window",
       "rel_scd2_asof" -> "SCD2 as-of: custkey equi SMJ with residual interval filter — no nested loop; probe side is a bounded literal-date explode")
     val sb = new StringBuilder
