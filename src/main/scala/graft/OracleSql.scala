@@ -450,7 +450,20 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |SELECT c_custkey, asof_date, o_orderkey, o_totalprice, valid_from, valid_to
         |FROM probes JOIN hist ON c_custkey = o_custkey
         |  AND valid_from <= asof_date
-        |  AND (valid_to IS NULL OR asof_date < valid_to)""".stripMargin)
+        |  AND (valid_to IS NULL OR asof_date < valid_to)""".stripMargin,
+    "rel_ntile_cume" ->
+      // twin of Relational.q44NtileCume: decimal revenue sums rounded
+      // once in double; the (revenue DESC, custkey ASC) total order
+      // makes ntile/percent_rank/cume_dist deterministic on both engines
+      """WITH rev AS (SELECT o_custkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,10))) AS DOUBLE), 2) AS revenue
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_custkey, c.c_mktsegment, r.revenue,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer c JOIN rev r ON c.c_custkey = r.o_custkey
+        |WINDOW w AS (PARTITION BY c.c_mktsegment ORDER BY r.revenue DESC, c.c_custkey ASC)""".stripMargin)
 
   // ---- text analysis ----------------------------------------------------
 
@@ -1707,6 +1720,70 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |GROUP BY bf.q_id""".stripMargin
     })
 
+  // ---- graph ------------------------------------------------------------
+
+  /** Shared CTE chain of the graph twins: the LSH near-dup pair set
+    * (identical to the dedup_minhash_lsh_pairs twin) read as edges
+    * (a < b), the symmetrized adjacency, and per-node degrees. */
+  private lazy val graphCtes: String =
+    s"""$minhashSigCte,
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+       |jj AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
+       |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM jj WHERE jacc >= 0.9),
+       |adj AS (SELECT a AS src, b AS dst FROM edges
+       |  UNION ALL SELECT b AS src, a AS dst FROM edges),
+       |nodes AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY src)""".stripMargin
+
+  private val graph: Map[String, String] = Map(
+    "graph_degree_distribution" ->
+      // twin of Graph.degreeDistribution
+      s"""WITH $graphCtes
+         |SELECT deg AS degree, count(*) AS n_nodes FROM nodes GROUP BY deg""".stripMargin,
+    "graph_triangle_census" ->
+      // twin of Graph.triangleCensus: degree-ordered orientation, wedge
+      // pairs canonicalized x < y probed against the undirected edge
+      // set; wedge terms deg*(deg-1)/2 are exact integers in double on
+      // both engines
+      s"""WITH $graphCtes,
+         |stats AS (SELECT count(*) AS n_nodes, CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         |  CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM nodes),
+         |ed AS (SELECT e.a, e.b, na.deg AS da, nb.deg AS db FROM edges e
+         |  JOIN nodes na ON na.node = e.a JOIN nodes nb ON nb.node = e.b),
+         |oriented AS (SELECT
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v FROM ed),
+         |wedges AS (SELECT o1.v AS x, o2.v AS y FROM oriented o1 JOIN oriented o2
+         |  ON o1.u = o2.u AND o1.v < o2.v),
+         |tri AS (SELECT count(*) AS n_triangles FROM wedges w
+         |  JOIN edges e ON e.a = w.x AND e.b = w.y)
+         |SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
+         |  round(CAST(3.0 AS DOUBLE) * t.n_triangles / s.n_wedges, 6) AS global_clustering
+         |FROM stats s CROSS JOIN tri t""".stripMargin,
+    "graph_pagerank" -> {
+      // twin of Graph.pageRank: 3 unrolled power iterations, DECIMAL
+      // contribution sums, rank rounded to 8 per iteration so both
+      // engines iterate on identical doubles
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT a.dst, CAST(r.pr / r.deg AS DECIMAL(27,10)) AS c
+           |  FROM adj a JOIN $prev r ON a.src = r.node),
+           |s$i AS (SELECT dst, sum(c) AS sc FROM c$i GROUP BY dst),
+           |r$i AS (SELECT n.node, n.deg, nn.n,
+           |  round(CAST(0.15 AS DOUBLE) / nn.n
+           |    + CAST(0.85 AS DOUBLE) * CAST(s.sc AS DOUBLE), 8) AS pr
+           |  FROM nodes n CROSS JOIN nn JOIN s$i s ON s.dst = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, deg, n, round(CAST(1.0 AS DOUBLE) / n, 8) AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT node AS doc_id, deg AS degree, pr FROM r3""".stripMargin
+    })
+
   // ---- multimodal -------------------------------------------------------
   // payload = UTF-8 bytes of `text` (ASCII corpus), so the oracle mirrors
   // byte-level ops on the string directly.
@@ -1861,5 +1938,6 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |GROUP BY country ORDER BY movie_count DESC, country ASC LIMIT 10""".stripMargin)
 
   val all: Map[String, String] =
-    relational ++ text ++ events ++ dedup ++ similarity ++ multimodal ++ imdb
+    relational ++ text ++ events ++ dedup ++ similarity ++ graph ++
+      multimodal ++ imdb
 }

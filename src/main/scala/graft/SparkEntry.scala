@@ -75,6 +75,7 @@ object SparkEntry {
     "rel_conditional_agg" -> (Relational.q41ConditionalAgg _),
     "rel_scd2_intervals" -> (Relational.q42Scd2Intervals _),
     "rel_scd2_asof" -> ((s, d) => Relational.q43Scd2Asof(s, d)),
+    "rel_ntile_cume" -> (Relational.q44NtileCume _),
     "sim_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooks(s, d)),
     "sim_pq_recon_error" -> ((s, d) => Similarity.pqReconError(s, d)),
@@ -86,6 +87,10 @@ object SparkEntry {
     "sim_adc_trained_topk" -> ((s, d) => Similarity.adcTrainedTopK(s, d)),
     "sim_pq_trained_recall" -> ((s, d) => Similarity.pqTrainedRecall(s, d)),
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
+    // graph analytics over the near-dup pair graph
+    "graph_degree_distribution" -> (Graph.degreeDistribution _),
+    "graph_triangle_census" -> (Graph.triangleCensus _),
+    "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.syntax._
+
+/** Graph analytics over the document near-duplicate graph — the
+  * [[Dedup.minhashLshPairs]] edge set read as an undirected simple graph
+  * (doc_a < doc_b, one row per edge). The dedup suite already runs
+  * connectivity over this graph ([[Dedup.dupClusters]]); this suite adds
+  * the structural reports a 100 TB curation run reads alongside it:
+  * degree distribution (mirror/hub detection), a triangle census (how
+  * clique-like the duplication is — boilerplate families close
+  * triangles, chained near-dup drift does not), and PageRank (which
+  * documents sit centrally in the duplication web — the survivors worth
+  * keeping, or the templates worth filtering).
+  *
+  * Scale notes: everything is equi-join + aggregate — no all-pairs step
+  * beyond what the banded LSH join already bounds. The triangle census
+  * uses the DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii, WWW'11):
+  * each edge points from its lower-(degree, id) endpoint to the higher,
+  * so per-node out-degree is bounded by O(sqrt(E)) and the wedge join's
+  * fan-out by the graph's arboricity — the property that keeps triangle
+  * counting feasible on power-law graphs at cluster scale. PageRank is
+  * a fixed unrolled iteration count (a convergence loop is a driver
+  * policy, not a plan shape), with per-target contribution sums in
+  * DECIMAL so partial-agg order never moves a rank.
+  */
+object Graph {
+
+  /** Undirected edge set (a, b), a < b, one row per edge. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(s, dir).select($"doc_a".as("a"), $"doc_b".as("b"))
+
+  /** Symmetrized adjacency (src, dst): every undirected edge both ways. */
+  private def adjacency(e: DataFrame): DataFrame =
+    e.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(e.select($"b".as("src"), $"a".as("dst")))
+
+  /** Per-node degree (node, deg) of the undirected graph. */
+  private def degrees(e: DataFrame): DataFrame =
+    adjacency(e).groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+
+  /** DEGREE DISTRIBUTION — (degree, n_nodes) histogram of the near-dup
+    * graph. The curation health artifact: a fat tail appearing between
+    * two ingestion runs means a template/mirror family entered the mix.
+    * Two partial-aggregated shuffles; output is O(max degree) rows
+    * whatever the corpus size. */
+  def degreeDistribution(s: SparkSession, dir: String): DataFrame =
+    degrees(edges(s, dir))
+      .groupBy($"deg".as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** TRIANGLE CENSUS — node/edge/wedge/triangle counts and the global
+    * clustering coefficient 3T/W of the near-dup graph, in one row.
+    * Each triangle is counted exactly once: under the degree-ordered
+    * orientation every triangle has exactly one node whose two edges
+    * both point outward, so the wedge join (pairs of out-neighbors,
+    * canonicalized x < y) probed against the undirected edge set yields
+    * each triangle once. Wedge count W = Σ deg·(deg−1)/2 comes straight
+    * off the degree table (terms are exact integers in double well past
+    * any realistic degree — the sum is order-independent). */
+  def triangleCensus(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val deg = degrees(e)
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum($"deg") / 2).cast("long").as("n_edges"),
+      sum($"deg" * ($"deg" - 1) / 2).cast("long").as("n_wedges"))
+    val ed = e
+      .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
+    val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val oriented = ed.select(
+      when(lowFirst, $"a").otherwise($"b").as("u"),
+      when(lowFirst, $"b").otherwise($"a").as("v"))
+    val wedges = oriented.select($"u", $"v".as("x"))
+      .join(oriented.select($"u".as("u2"), $"v".as("y")),
+        $"u" === $"u2" && $"x" < $"y")
+      .select($"x", $"y")
+    val tri = wedges
+      .join(e, $"x" === $"a" && $"y" === $"b")
+      .agg(count(lit(1)).as("n_triangles"))
+    stats.crossJoin(tri)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        round(lit(3.0) * $"n_triangles" / $"n_wedges", 6)
+          .as("global_clustering"))
+  }
+
+  /** PAGERANK over the (symmetrized) near-dup graph — `iters` unrolled
+    * power iterations at damping 0.85, uniform 1/N start. Each
+    * iteration is one equi-join (adjacency × current ranks) and one
+    * aggregation on the target node; contributions pr/deg sum in
+    * DECIMAL(27,10) (exact under any partial-agg order), and each
+    * iteration's rank is rounded to 8 so both engines iterate on
+    * identical doubles. Every node of this graph has degree ≥ 1 and the
+    * graph is symmetric, so there are no dangling nodes and every node
+    * receives mass — the contribution join is inner by construction. */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val adj = adjacency(edges(s, dir))
+    val nodes = degrees(edges(s, dir))
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select($"node", $"deg", $"n", round(lit(1.0) / $"n", 8).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks.select($"node", ($"pr" / $"deg").as("c")),
+          $"src" === $"node")
+        .select($"dst", $"c".cast("decimal(27,10)").as("c"))
+      val sums = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+      ranks = nodes.crossJoin(broadcast(n))
+        .join(sums, $"node" === $"dst")
+        .select($"node", $"deg", $"n",
+          round(lit(0.15) / $"n" + lit(0.85) * $"sc".cast("double"), 8)
+            .as("pr"))
+    }
+    ranks.select($"node".as("doc_id"), $"deg".as("degree"), $"pr")
+  }
+}

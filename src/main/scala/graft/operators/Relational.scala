@@ -646,4 +646,29 @@ object Relational {
       .select($"c_custkey", $"asof_date", $"o_orderkey", $"o_totalprice",
         $"valid_from", $"valid_to")
   }
+
+  /** WINDOW DISTRIBUTION FAMILY — ntile / percent_rank / cume_dist, the
+    * rank functions [[Relational]] didn't yet exercise: per-customer
+    * revenue quartiled WITHIN market segment. Revenue sums in
+    * DECIMAL(27,10) then rounds once in double, so the window ORDER BY
+    * compares engine-identical values; the c_custkey tiebreak makes the
+    * total order (and therefore every rank function) deterministic.
+    * Shape: one exchange on the segment serves all three functions (one
+    * shared window spec — Spark evaluates them in a single Window
+    * operator); partitioning by segment rather than a global ORDER BY
+    * keeps the sort distributed at 100 TB. */
+  def q44NtileCume(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice".cast("decimal(27,10)")).cast("double"), 2)
+        .as("revenue"))
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+    Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+      .join(rev, $"c_custkey" === $"o_custkey")
+      .select($"c_custkey", $"c_mktsegment", $"revenue",
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Properties of the graph-analytics suite at sf0.001, checked against
+  * independent Scala-side brute-force computations on the collected
+  * (small) edge set — the census and rank claims are verified, not
+  * assumed.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def edgeSet(): Set[(Long, Long)] =
+    Dedup.minhashLshPairs(spark, Sf).select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("triangle census matches a brute-force count; wedges match degrees") {
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val nodes = deg.keySet
+    // brute-force triangles: ordered node triples with all three edges
+    val adjOf = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val bruteTri = e.toSeq.map { case (a, b) =>
+      (adjOf(a) intersect adjOf(b)).count(c => c > b)
+    }.sum.toLong
+    val bruteWedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val row = Graph.triangleCensus(spark, Sf).collect().head
+    assert(row.getAs[Long]("n_nodes") === nodes.size.toLong)
+    assert(row.getAs[Long]("n_edges") === e.size.toLong)
+    assert(row.getAs[Long]("n_wedges") === bruteWedges)
+    assert(row.getAs[Long]("n_triangles") === bruteTri)
+    val cc = row.getAs[Double]("global_clustering")
+    assert(cc >= 0.0 && cc <= 1.0)
+    // degree distribution covers every node exactly once
+    val dist = Graph.degreeDistribution(spark, Sf).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_nodes")).toMap
+    assert(dist.values.sum === nodes.size.toLong)
+    assert(dist === deg.values.groupBy(identity).map { case (d, xs) =>
+      d -> xs.size.toLong
+    })
+  }
+
+  test("pagerank: mass conserved, positive, matches brute-force iteration") {
+    val e = edgeSet()
+    val und = (e ++ e.map { case (a, b) => (b, a) }).toSeq
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size }
+    val n = deg.size
+    def round8(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    var pr: Map[Long, Double] = deg.map { case (k, _) => k -> round8(1.0 / n) }
+    for (_ <- 1 to 3) {
+      // contributions summed via BigDecimal — mirrors the engine's
+      // DECIMAL(27,10) order-independent partials
+      val in = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          java.math.BigDecimal.valueOf(pr(src) / deg(src))
+            .setScale(10, java.math.RoundingMode.HALF_UP)
+        }.reduce(_ add _)
+      }
+      pr = deg.map { case (k, _) =>
+        k -> round8(0.15 / n + 0.85 * in(k).doubleValue())
+      }
+    }
+    val got = Graph.pageRank(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("degree"),
+        r.getAs[Double]("pr")))
+    assert(got.length === n)
+    got.foreach { case (id, d, p) =>
+      assert(d === deg(id).toLong)
+      assert(math.abs(p - pr(id)) < 1e-9, s"node $id: engine $p vs ref ${pr(id)}")
+      assert(p > 0.0)
+    }
+    val mass = got.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"pagerank mass $mass drifted from 1")
+  }
+}

@@ -139,4 +139,28 @@ class OperatorSpec extends SparkSpec {
     assert(resampled.contains(outsider),
       s"doc $outsider with dominating weight was not selected")
   }
+
+  test("ntile/percent_rank/cume_dist: quartile balance and rank bounds") {
+    val rows = Relational.q44NtileCume(spark, Sf).collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Double]("revenue"),
+        r.getAs[Long]("quartile"), r.getAs[Double]("pct_rank"),
+        r.getAs[Double]("cume")))
+    // one row per customer that has orders
+    val nExpected = Tables.orders(spark, Sf)
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(rows.length.toLong === nExpected)
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val n = rs.length
+      // ntile: quartile sizes differ by at most one, labels are 1..4
+      val sizes = rs.groupBy(_._3).map { case (q, xs) => q -> xs.size }
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L, 4L)), s"segment $seg labels")
+      assert(sizes.values.max - sizes.values.min <= 1, s"segment $seg imbalance")
+      // percent_rank spans [0, 1] exactly (the custkey tiebreak makes
+      // the order total, so ranks are dense); cume_dist ends at 1
+      assert(rs.map(_._4).min === 0.0)
+      assert(n == 1 || rs.map(_._4).max === 1.0)
+      assert(rs.map(_._5).max === 1.0)
+      assert(rs.forall(r => r._5 > 0.0 && r._5 <= 1.0 && r._4 >= 0.0 && r._4 <= 1.0))
+    }
+  }
 }

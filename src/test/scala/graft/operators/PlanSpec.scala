@@ -282,4 +282,29 @@ class PlanSpec extends SparkSpec {
     assert(!j.contains("CartesianProduct") && !j.contains("BroadcastNestedLoopJoin"),
       s"salted join degenerated:\n$j")
   }
+
+  test("triangle census: wedge and closure joins are equi, never a nested loop") {
+    val p = plan(Graph.triangleCensus(spark, Sf))
+    // the only permissible non-equi join is the final 1x1 stats x tri glue
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(p).size +
+      "CartesianProduct".r.findAllIn(p).size
+    assert(loops <= 1, s"wedge/closure joins degenerated to nested loops:\n$p")
+  }
+
+  test("pagerank: every iteration joins on the node equi key, no loops") {
+    val p = plan(Graph.pageRank(spark, Sf))
+    // 1x1 count frames broadcast per iteration are fine; real joins must
+    // stay equi — no cartesian on any many-row side
+    assert(!p.contains("CartesianProduct"),
+      s"pagerank degenerated to a cartesian product:\n$p")
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty)
+  }
+
+  test("ntile/percent_rank/cume_dist share one window exchange per segment") {
+    val p = plan(Relational.q44NtileCume(spark, Sf))
+    // all three rank functions ride a single Window operator
+    assert("Window ".r.findAllIn(p).size <= 2, s"window spec split:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition sort crept into the segment window:\n$p")
+  }
 }
