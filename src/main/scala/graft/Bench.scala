@@ -60,6 +60,7 @@ object Bench {
     "sim_ivfpq_topk", // added r10: coarse-probe-pruned ADC (the IVF-PQ layout)
     "sim_ivfadc_topk", // added r10: residual-coded IVF-PQ (IVFADC proper)
     "sim_adc_trained_topk", // added r10: Lloyd-trained codebook re-encode + ADC
+    "graph_pagerank", // added r10: LSH pair graph + 3 unrolled power iterations
     "rel_scd2_intervals", // added r9: full-table window materialization
     "rel_scd2_asof", // added r10: interval point-in-time probe join
     "mm_meta_stats")
