@@ -463,7 +463,26 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  round(percent_rank() OVER w, 6) AS pct_rank,
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM customer c JOIN rev r ON c.c_custkey = r.o_custkey
-        |WINDOW w AS (PARTITION BY c.c_mktsegment ORDER BY r.revenue DESC, c.c_custkey ASC)""".stripMargin)
+        |WINDOW w AS (PARTITION BY c.c_mktsegment ORDER BY r.revenue DESC, c.c_custkey ASC)""".stripMargin,
+    "rel_merge_upsert" ->
+      // twin of Relational.q45MergeUpsert: MERGE INTO as a full-outer
+      // join + coalesce, merge_action labelling the MATCHED arms
+      """WITH b AS (SELECT o_custkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,10))) AS DOUBLE), 2) AS spent,
+        |  max(o_orderdate) AS last_order, count(*) AS n_orders
+        |  FROM orders WHERE o_orderdate < DATE '1995-01-01' GROUP BY o_custkey),
+        |c AS (SELECT o_custkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,10))) AS DOUBLE), 2) AS spent,
+        |  max(o_orderdate) AS last_order, count(*) AS n_orders
+        |  FROM orders WHERE o_orderdate >= DATE '1995-01-01' GROUP BY o_custkey)
+        |SELECT coalesce(b.o_custkey, c.o_custkey) AS custkey,
+        |  round(coalesce(b.spent, 0.0) + coalesce(c.spent, 0.0), 2) AS spent,
+        |  CASE WHEN c.o_custkey IS NOT NULL THEN c.last_order ELSE b.last_order END AS last_order,
+        |  coalesce(b.n_orders, 0) + coalesce(c.n_orders, 0) AS n_orders,
+        |  CASE WHEN b.o_custkey IS NULL THEN 'insert'
+        |       WHEN c.o_custkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS merge_action
+        |FROM b FULL OUTER JOIN c ON b.o_custkey = c.o_custkey""".stripMargin)
 
   // ---- text analysis ----------------------------------------------------
 

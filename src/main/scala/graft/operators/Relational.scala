@@ -657,6 +657,47 @@ object Relational {
     * shared window spec — Spark evaluates them in a single Window
     * operator); partitioning by segment rather than a global ORDER BY
     * keeps the sort distributed at 100 TB. */
+  /** MERGE / UPSERT — the warehouse `MERGE INTO` statement expressed
+    * Spark-first: a FULL OUTER join of the base snapshot with the
+    * change-set rollup, coalesced per column, with the matched /
+    * not-matched branches surfaced as a `merge_action` label (update /
+    * insert / keep — the WHEN MATCHED / WHEN NOT MATCHED arms). Here the
+    * base is the per-customer rollup before a cutoff date and the
+    * changes are the orders since — the incremental-refresh shape: at
+    * 100 TB both sides shuffle once on the merge key (or co-locate for
+    * free when the snapshot is bucketed by it) and the merge is one
+    * sort-merge pass; re-running the full rollup instead would re-scan
+    * the entire history. The invariant merge(base, changes) ==
+    * full recompute is asserted in OperatorSpec. */
+  def q45MergeUpsert(s: SparkSession, dir: String,
+                     cutoff: String = "1995-01-01"): DataFrame = {
+    def rollup(df: DataFrame) = df.groupBy($"o_custkey")
+      .agg(
+        round(sum($"o_totalprice".cast("decimal(27,10)")).cast("double"), 2)
+          .as("spent"),
+        max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("n_orders"))
+    val orders = Tables.orders(s, dir)
+    val base = rollup(orders.filter($"o_orderdate" < to_date(lit(cutoff))))
+      .select($"o_custkey".as("b_key"), $"spent".as("b_spent"),
+        $"last_order".as("b_last"), $"n_orders".as("b_n"))
+    val changes = rollup(orders.filter($"o_orderdate" >= to_date(lit(cutoff))))
+      .select($"o_custkey".as("c_key"), $"spent".as("c_spent"),
+        $"last_order".as("c_last"), $"n_orders".as("c_n"))
+    base.join(changes, $"b_key" === $"c_key", "full_outer")
+      .select(
+        coalesce($"b_key", $"c_key").as("custkey"),
+        round(coalesce($"b_spent", lit(0.0)) + coalesce($"c_spent", lit(0.0)), 2)
+          .as("spent"),
+        // changes are strictly post-cutoff, so a matched row's latest
+        // order is always the change side's
+        when($"c_key".isNotNull, $"c_last").otherwise($"b_last").as("last_order"),
+        (coalesce($"b_n", lit(0L)) + coalesce($"c_n", lit(0L))).as("n_orders"),
+        when($"b_key".isNull, lit("insert"))
+          .when($"c_key".isNull, lit("keep"))
+          .otherwise(lit("update")).as("merge_action"))
+  }
+
   def q44NtileCume(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(s, dir)
       .groupBy($"o_custkey")

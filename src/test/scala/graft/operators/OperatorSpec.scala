@@ -140,6 +140,42 @@ class OperatorSpec extends SparkSpec {
       s"doc $outsider with dominating weight was not selected")
   }
 
+  test("merge upsert equals the full recompute; actions partition the keys") {
+    val merged = Relational.q45MergeUpsert(spark, Sf)
+    // merge(base, changes) == rollup over ALL orders — the incremental
+    // refresh must be indistinguishable from the batch recompute
+    val full = Tables.orders(spark, Sf).groupBy(col("o_custkey"))
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(27,10)")).cast("double"), 2)
+          .as("spent"),
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey").as("custkey"), col("spent"),
+        col("last_order"), col("n_orders"))
+    val m = merged.select("custkey", "spent", "last_order", "n_orders")
+    assert(m.exceptAll(full).isEmpty && full.exceptAll(m).isEmpty,
+      "incremental merge diverged from the batch recompute")
+    // spent compares exactly: prices are 2-decimal values, so the
+    // DECIMAL(27,10) partial sums are exact multiples of 0.01 and
+    // round(a,2)+round(b,2) == round(a+b,2) identically
+    val actions = merged.groupBy("merge_action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(actions.keySet.subsetOf(Set("insert", "update", "keep")))
+    assert(actions.values.sum === merged.count())
+    // an inserted key has no pre-cutoff orders; a kept key none after
+    val cutoff = to_date(lit("1995-01-01"))
+    val preKeys = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    merged.filter(col("merge_action") === "insert")
+      .select("custkey").collect().map(_.getLong(0))
+      .foreach(k => assert(!preKeys.contains(k), s"insert key $k exists in base"))
+    merged.filter(col("merge_action") === "keep")
+      .select("custkey").collect().map(_.getLong(0))
+      .foreach(k => assert(preKeys.contains(k), s"keep key $k missing from base"))
+  }
+
   test("ntile/percent_rank/cume_dist: quartile balance and rank bounds") {
     val rows = Relational.q44NtileCume(spark, Sf).collect()
       .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Double]("revenue"),
