@@ -49,7 +49,9 @@ object Plans {
       "sim_pq_lloyd" -> "PQ-Lloyd: <=128-row codebook broadcast, codegen d2 dot composition, k=1 heap argmin, decimal mean recompute",
       "sim_adc_trained_topk" -> "trained ADC: refined codebook broadcast twice (re-encode argmin + LUT); one (vec,sub) exchange for codes, then the seed ADC shape",
       "rel_scd2_intervals" -> "SCD2: one exchange+sort per key serves the lead() window",
-      "rel_scd2_asof" -> "SCD2 as-of: custkey equi SMJ with residual interval filter — no nested loop; probe side is a bounded literal-date explode")
+      "rel_scd2_asof" -> "SCD2 as-of: custkey equi SMJ with residual interval filter — no nested loop; probe side is a bounded literal-date explode",
+      "rel_merge_upsert" -> "MERGE/upsert: one shuffle per side on the merge key, full-outer SMJ, coalesce projection — the incremental-refresh shape",
+      "graph_pagerank" -> "PageRank: equi-join + decimal agg per unrolled iteration; the repeated LSH pair subtrees dedupe at runtime (executed AQE plan: 22 ReusedExchange vs 21 built)")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
