@@ -1656,6 +1656,23 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc_score DESC, vec_id ASC) AS rn
          |  FROM tsc) WHERE rn <= 10""".stripMargin,
+    "sim_pq_lloyd_shift" -> {
+      // twin of Similarity.pqLloydShift: seed (cb) and refined (lcb)
+      // codebooks reassembled, d2 in the shared dot composition,
+      // clamped at 0 before the sqrt
+      def dot8(a: String, b: String) =
+        s"list_sum(list_transform(range(8), i -> ($a)[i+1] * ($b)[i+1]))"
+      s"""WITH $pqLloydCtes,
+         |cb0 AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS v0,
+         |  max(n_vecs) AS n0 FROM cb GROUP BY sub, code),
+         |cb1 AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS v1,
+         |  max(n_vecs) AS n1 FROM lcb GROUP BY sub, code)
+         |SELECT b.sub, b.code,
+         |  round(sqrt(greatest(${dot8("v0", "v0")} - 2.0 * ${dot8("v0", "v1")}
+         |    + ${dot8("v1", "v1")}, 0.0)), 6) AS l2_shift,
+         |  b.n0 AS n_before, a.n1 AS n_after
+         |FROM cb0 b JOIN cb1 a ON b.sub = a.sub AND b.code = a.code""".stripMargin
+    },
     "sim_pq_trained_recall" ->
       // twin of Similarity.pqTrainedRecall: brute-force exact top-k vs
       // the SEED flat-ADC rank (sim_pq_adc_topk's chain over cbv) and

@@ -878,6 +878,36 @@ object Similarity {
     adcRank(scored, k)
   }
 
+  /** PQ CODEBOOK SHIFT — the [[centroidShift]] discipline applied to PQ
+    * training: per (subspace, code), the L2 displacement of the codebook
+    * entry under one Lloyd step, with member counts before and after.
+    * The convergence monitor a training loop watches (chain Lloyd steps
+    * until the shift column goes quiet) and the drift alarm a deployment
+    * re-checks after re-ingestion. d² composes the codegen dot kernel
+    * (⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩, identical fp order on both engines),
+    * clamped at 0 before the sqrt (a self-distance can land a hair
+    * negative in fp). ≤128 output rows; both codebooks are bounded
+    * aggregates — one exchange each. */
+  def pqLloydShift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    def assemble(df: DataFrame, vecName: String, nName: String): DataFrame =
+      df.groupBy($"sub", $"code")
+        .agg(
+          transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+            x => x.getField("mean_comp")).as(vecName),
+          max($"n_vecs").as(nName))
+    val before = assemble(pqCodebooksFrom(e), "v0", "n0")
+    val after = assemble(pqLloydCodebooksFrom(e), "v1", "n1")
+    import graft.functions.VectorOps.dot
+    before.join(after, Seq("sub", "code"))
+      .select($"sub", $"code",
+        round(sqrt(greatest(
+          dot($"v0", $"v0") - lit(2.0) * dot($"v0", $"v1") + dot($"v1", $"v1"),
+          lit(0.0))), 6).as("l2_shift"),
+        $"n0".as("n_before"), $"n1".as("n_after"))
+  }
+
   /** TRAINED-PQ RECALL REPORT — seed-codebook flat ADC ([[pqAdcTopK]])
     * and trained-codebook ADC ([[adcTrainedTopK]]) overlapped against
     * the exact brute-force top-k, side by side per query: the marginal

@@ -620,6 +620,26 @@ class DedupSimilaritySpec extends SparkSpec {
     perSub.foreach(r => assert(r.getAs[Long]("n") === nVecs))
   }
 
+  test("pq codebook shift: nonnegative, keyed by surviving entries, nonzero") {
+    val shift = Similarity.pqLloydShift(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(shift.nonEmpty && shift.size <= 128)
+    shift.values.foreach { case (l2, n0, n1) =>
+      assert(l2 >= 0.0); assert(n0 > 0L && n1 > 0L)
+    }
+    // the SSE-monotonicity test proves reassignment moved subvectors, so
+    // at least one surviving entry must have physically moved
+    assert(shift.values.exists(_._1 > 0.0), "Lloyd step moved no codebook entry")
+    // shift rows are exactly the entries present in BOTH codebooks
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val refinedKeys = Similarity.pqLloydCodebooksFrom(e)
+      .select(col("sub"), col("code")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shift.keySet.subsetOf(refinedKeys))
+  }
+
   test("trained-codebook ADC: re-encode SSE <= seed SSE; rank well-formed") {
     val e = Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
