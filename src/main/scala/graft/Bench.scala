@@ -131,6 +131,19 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // The driver parses the benchmark record from this process's stdout;
+    // anything else that lands there (Spark banners, Hadoop warnings,
+    // stray library printlns) can bury or decapitate the line (r8-r10
+    // all recorded "parsed": null). Make the JSON line the FIRST AND
+    // ONLY stdout line: capture the real fd-1 stream up front, then
+    // point System.out/Console.out at stderr for everything else.
+    val realOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    System.setOut(System.err)
+    scala.Console.withOut(System.err)(benchBody(realOut))
+  }
+
+  private def benchBody(realOut: java.io.PrintStream): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scaleK = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -189,7 +202,8 @@ object Bench {
     // and a pointer to the complete record
     val stdoutLine =
       s"""{"metric":"total","reps":$reps,${section(times, errors, rounded = true)},"unit":"sec","sf":${jstr(sfDir)},"scale":$stdoutScale,"detail":${jstr(outPath)}}"""
-    println(stdoutLine)
+    realOut.println(stdoutLine)
+    realOut.flush()
     spark.stop()
   }
 }

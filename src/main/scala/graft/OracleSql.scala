@@ -464,25 +464,64 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM customer c JOIN rev r ON c.c_custkey = r.o_custkey
         |WINDOW w AS (PARTITION BY c.c_mktsegment ORDER BY r.revenue DESC, c.c_custkey ASC)""".stripMargin,
+    "rel_scd2_late_splice" ->
+      // twin of Relational.q46Scd2LateSplice: late batch = hash60(
+      // orderkey)%16==0 withheld from the base history; affected keys
+      // re-windowed (base + late), untouched keys' intervals verbatim
+      s"""WITH src AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderdate AS valid_from,
+        |    (${h60("CAST(o_orderkey AS VARCHAR)")} % 16 = 0) AS is_late
+        |  FROM orders),
+        |aff AS (SELECT DISTINCT o_custkey FROM src WHERE is_late),
+        |hist0 AS (SELECT o_custkey, o_orderkey, o_totalprice, is_late, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY o_custkey
+        |      ORDER BY valid_from ASC, o_orderkey ASC) AS valid_to
+        |  FROM src WHERE NOT is_late),
+        |untouched AS (SELECT o_custkey, o_orderkey, o_totalprice, is_late,
+        |    valid_from, valid_to, 'untouched' AS splice
+        |  FROM hist0 WHERE o_custkey NOT IN (SELECT o_custkey FROM aff)),
+        |spliced AS (SELECT o_custkey, o_orderkey, o_totalprice, is_late, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY o_custkey
+        |      ORDER BY valid_from ASC, o_orderkey ASC) AS valid_to,
+        |    'spliced' AS splice
+        |  FROM src WHERE o_custkey IN (SELECT o_custkey FROM aff))
+        |SELECT o_custkey, o_orderkey, o_totalprice, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current, is_late, splice
+        |FROM (SELECT * FROM untouched UNION ALL SELECT * FROM spliced)""".stripMargin,
     "rel_merge_upsert" ->
       // twin of Relational.q45MergeUpsert: MERGE INTO as a full-outer
-      // join + coalesce, merge_action labelling the MATCHED arms
-      """WITH b AS (SELECT o_custkey,
+      // join + coalesce, merge_action labelling all four arms
+      // (update / insert / keep / delete); tombstone = hash60(key)%8==0
+      // on the change key, unmatched tombstones dropped (delete of a
+      // nonexistent row is a no-op), deleted rows carry the base state
+      s"""WITH b AS (SELECT o_custkey,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,10))) AS DOUBLE), 2) AS spent,
         |  max(o_orderdate) AS last_order, count(*) AS n_orders
-        |  FROM orders WHERE o_orderdate < DATE '1995-01-01' GROUP BY o_custkey),
+        |  FROM orders WHERE o_orderdate < DATE '1998-07-01' GROUP BY o_custkey),
         |c AS (SELECT o_custkey,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,10))) AS DOUBLE), 2) AS spent,
         |  max(o_orderdate) AS last_order, count(*) AS n_orders
-        |  FROM orders WHERE o_orderdate >= DATE '1995-01-01' GROUP BY o_custkey)
-        |SELECT coalesce(b.o_custkey, c.o_custkey) AS custkey,
-        |  round(coalesce(b.spent, 0.0) + coalesce(c.spent, 0.0), 2) AS spent,
-        |  CASE WHEN c.o_custkey IS NOT NULL THEN c.last_order ELSE b.last_order END AS last_order,
-        |  coalesce(b.n_orders, 0) + coalesce(c.n_orders, 0) AS n_orders,
-        |  CASE WHEN b.o_custkey IS NULL THEN 'insert'
-        |       WHEN c.o_custkey IS NULL THEN 'keep'
+        |  FROM orders WHERE o_orderdate >= DATE '1998-07-01' GROUP BY o_custkey),
+        |j AS (SELECT b.o_custkey AS b_key, b.spent AS b_spent,
+        |    b.last_order AS b_last, b.n_orders AS b_n,
+        |    c.o_custkey AS c_key, c.spent AS c_spent,
+        |    c.last_order AS c_last, c.n_orders AS c_n,
+        |    (CASE WHEN c.o_custkey IS NULL THEN FALSE
+        |      ELSE ${h60("CAST(c.o_custkey AS VARCHAR)")} % 8 = 0 END) AS tomb
+        |  FROM b FULL OUTER JOIN c ON b.o_custkey = c.o_custkey)
+        |SELECT coalesce(b_key, c_key) AS custkey,
+        |  CASE WHEN tomb THEN b_spent
+        |       ELSE round(coalesce(b_spent, 0.0) + coalesce(c_spent, 0.0), 2)
+        |  END AS spent,
+        |  CASE WHEN tomb THEN b_last
+        |       WHEN c_key IS NOT NULL THEN c_last ELSE b_last END AS last_order,
+        |  CASE WHEN tomb THEN b_n
+        |       ELSE coalesce(b_n, 0) + coalesce(c_n, 0) END AS n_orders,
+        |  CASE WHEN tomb THEN 'delete'
+        |       WHEN b_key IS NULL THEN 'insert'
+        |       WHEN c_key IS NULL THEN 'keep'
         |       ELSE 'update' END AS merge_action
-        |FROM b FULL OUTER JOIN c ON b.o_custkey = c.o_custkey""".stripMargin)
+        |FROM j WHERE NOT (b_key IS NULL AND tomb)""".stripMargin)
 
   // ---- text analysis ----------------------------------------------------
 
@@ -1668,10 +1707,11 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |cb1 AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS v1,
          |  max(n_vecs) AS n1 FROM lcb GROUP BY sub, code)
          |SELECT b.sub, b.code,
-         |  round(sqrt(greatest(${dot8("v0", "v0")} - 2.0 * ${dot8("v0", "v1")}
-         |    + ${dot8("v1", "v1")}, 0.0)), 6) AS l2_shift,
-         |  b.n0 AS n_before, a.n1 AS n_after
-         |FROM cb0 b JOIN cb1 a ON b.sub = a.sub AND b.code = a.code""".stripMargin
+         |  CASE WHEN a.v1 IS NOT NULL THEN
+         |    round(sqrt(greatest(${dot8("v0", "v0")} - 2.0 * ${dot8("v0", "v1")}
+         |      + ${dot8("v1", "v1")}, 0.0)), 6) END AS l2_shift,
+         |  b.n0 AS n_before, coalesce(a.n1, 0) AS n_after
+         |FROM cb0 b LEFT JOIN cb1 a ON b.sub = a.sub AND b.code = a.code""".stripMargin
     },
     "sim_pq_trained_recall" ->
       // twin of Similarity.pqTrainedRecall: brute-force exact top-k vs

@@ -77,6 +77,7 @@ object SparkEntry {
     "rel_scd2_asof" -> ((s, d) => Relational.q43Scd2Asof(s, d)),
     "rel_ntile_cume" -> (Relational.q44NtileCume _),
     "rel_merge_upsert" -> ((s, d) => Relational.q45MergeUpsert(s, d)),
+    "rel_scd2_late_splice" -> ((s, d) => Relational.q46Scd2LateSplice(s, d)),
     "sim_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooks(s, d)),
     "sim_pq_recon_error" -> ((s, d) => Similarity.pqReconError(s, d)),

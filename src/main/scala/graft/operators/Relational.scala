@@ -647,30 +647,101 @@ object Relational {
         $"valid_from", $"valid_to")
   }
 
-  /** WINDOW DISTRIBUTION FAMILY — ntile / percent_rank / cume_dist, the
-    * rank functions [[Relational]] didn't yet exercise: per-customer
-    * revenue quartiled WITHIN market segment. Revenue sums in
-    * DECIMAL(27,10) then rounds once in double, so the window ORDER BY
-    * compares engine-identical values; the c_custkey tiebreak makes the
-    * total order (and therefore every rank function) deterministic.
-    * Shape: one exchange on the segment serves all three functions (one
-    * shared window spec — Spark evaluates them in a single Window
-    * operator); partitioning by segment rather than a global ORDER BY
-    * keeps the sort distributed at 100 TB. */
-  /** MERGE / UPSERT — the warehouse `MERGE INTO` statement expressed
-    * Spark-first: a FULL OUTER join of the base snapshot with the
-    * change-set rollup, coalesced per column, with the matched /
-    * not-matched branches surfaced as a `merge_action` label (update /
-    * insert / keep — the WHEN MATCHED / WHEN NOT MATCHED arms). Here the
-    * base is the per-customer rollup before a cutoff date and the
-    * changes are the orders since — the incremental-refresh shape: at
-    * 100 TB both sides shuffle once on the merge key (or co-locate for
-    * free when the snapshot is bucketed by it) and the merge is one
-    * sort-merge pass; re-running the full rollup instead would re-scan
-    * the entire history. The invariant merge(base, changes) ==
-    * full recompute is asserted in OperatorSpec. */
+  /** SCD2 LATE-ARRIVING SPLICE — the messy half of real CDC that
+    * [[q42Scd2Intervals]]/[[q43Scd2Asof]] don't exercise: a change row
+    * arriving OUT OF ORDER, landing INSIDE an already-built validity
+    * interval. The splice must close the predecessor (its valid_to
+    * becomes the late row's valid_from), insert the late row's interval,
+    * and re-point the successor — an interval rewrite upsert.
+    *
+    * Spark-first shape: rewriting one interval in place is pointer
+    * surgery in a row store, but on an immutable columnar history the
+    * correct unit of rewrite is the KEY — re-window all change rows of
+    * the affected keys (one exchange+sort bounded by the late batch's
+    * key set, NOT the history size) and keep every untouched key's
+    * intervals verbatim via an anti join. lead() over the merged per-key
+    * rows performs exactly the close/insert/re-point in one pass, and
+    * handles every edge (multiple late rows in one interval, late row
+    * tying an existing valid_from — the o_orderkey tiebreak keeps it
+    * deterministic, late row before the key's first interval, after its
+    * last). At 100 TB: late batches are small and skewed by key, so the
+    * spliced side is a few partitions while the untouched side is a
+    * metadata-only pass-through (with the history bucketed by key, the
+    * anti join is shuffle-free).
+    *
+    * The late batch is synthesized deterministically: rows whose
+    * hash60(o_orderkey) % lateMod == 0 are withheld from the base
+    * history and arrive late. Output = the corrected history plus audit
+    * columns (`is_late`: the row arrived in the late batch; `splice`:
+    * whether the key's intervals were rewritten). Invariant (spec'd in
+    * OperatorSpec): the corrected history equals q42Scd2Intervals over
+    * the full log — splice(base, late) == rebuild(base ∪ late). */
+  def q46Scd2LateSplice(s: SparkSession, dir: String,
+                        lateMod: Int = 16): DataFrame = {
+    val src = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        $"o_orderdate".as("valid_from"))
+      .withColumn("is_late",
+        graft.functions.EngineNeutral.hash60($"o_orderkey".cast("string"))
+          % lateMod === 0)
+    scd2SpliceFrom(src)
+  }
+
+  /** Splice kernel behind [[q46Scd2LateSplice]], shared with the spec's
+    * hand-built edge fixtures (mid-interval landing, boundary-date tie).
+    * `src` carries (o_custkey, o_orderkey, o_totalprice, valid_from,
+    * is_late). */
+  private[operators] def scd2SpliceFrom(src: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"valid_from".asc, $"o_orderkey".asc)
+    val affected = src.filter($"is_late").select($"o_custkey").distinct()
+    // the standing history table: intervals built before the late batch
+    val hist0 = src.filter(!$"is_late")
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+    val untouched = hist0
+      .join(affected, Seq("o_custkey"), "left_anti")
+      .withColumn("splice", lit("untouched"))
+    // affected keys: base + late rows re-windowed — lead() closes the
+    // predecessor, inserts the late interval, re-points the successor
+    val spliced = src
+      .join(affected, Seq("o_custkey"), "left_semi")
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+      .withColumn("splice", lit("spliced"))
+    untouched.unionByName(spliced)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        $"valid_from", $"valid_to", $"valid_to".isNull.as("is_current"),
+        $"is_late", $"splice")
+  }
+
+  /** MERGE / UPSERT / DELETE — the warehouse `MERGE INTO` statement
+    * expressed Spark-first: a FULL OUTER join of the base snapshot with
+    * the change-set rollup, coalesced per column, with every arm
+    * surfaced as a `merge_action` label. The full CDC action space:
+    *  - WHEN MATCHED AND tombstone THEN DELETE — the row leaves the
+    *    snapshot; the audit output keeps it, labelled `delete`, carrying
+    *    the BASE values being removed (survivors = merge_action !=
+    *    'delete').
+    *  - WHEN MATCHED THEN UPDATE — base + changes, labelled `update`.
+    *  - WHEN NOT MATCHED AND NOT tombstone THEN INSERT — labelled
+    *    `insert`. An unmatched tombstone (a delete for a row that does
+    *    not exist) is a no-op per MERGE semantics: the change row is
+    *    dropped entirely, no output row.
+    *  - no change row at all → `keep`.
+    * The tombstone marker is synthesized deterministically from the
+    * change key (hash60(key) % tombstoneMod == 0 — the engine-neutral
+    * md5 kernel, identical in the DuckDB twin), standing in for the
+    * delete flag a real CDC feed carries. Here the base is the
+    * per-customer rollup before a cutoff date and the changes are the
+    * orders since — the incremental-refresh shape: at 100 TB both sides
+    * shuffle once on the merge key (or co-locate for free when the
+    * snapshot is bucketed by it) and the merge is one sort-merge pass;
+    * re-running the full rollup instead would re-scan the entire
+    * history. The invariant merge(base, changes) minus deletes ==
+    * full recompute minus tombstoned change keys is asserted in
+    * OperatorSpec. */
   def q45MergeUpsert(s: SparkSession, dir: String,
-                     cutoff: String = "1995-01-01"): DataFrame = {
+                     cutoff: String = "1998-07-01",
+                     tombstoneMod: Int = 8): DataFrame = {
     def rollup(df: DataFrame) = df.groupBy($"o_custkey")
       .agg(
         round(sum($"o_totalprice".cast("decimal(27,10)")).cast("double"), 2)
@@ -684,20 +755,43 @@ object Relational {
     val changes = rollup(orders.filter($"o_orderdate" >= to_date(lit(cutoff))))
       .select($"o_custkey".as("c_key"), $"spent".as("c_spent"),
         $"last_order".as("c_last"), $"n_orders".as("c_n"))
+    val tomb = $"c_key".isNotNull &&
+      (graft.functions.EngineNeutral.hash60($"c_key".cast("string"))
+        % tombstoneMod === 0)
     base.join(changes, $"b_key" === $"c_key", "full_outer")
+      .withColumn("tomb", tomb)
+      // unmatched tombstone = delete of a nonexistent row = no-op
+      .filter(!($"b_key".isNull && $"tomb"))
       .select(
         coalesce($"b_key", $"c_key").as("custkey"),
-        round(coalesce($"b_spent", lit(0.0)) + coalesce($"c_spent", lit(0.0)), 2)
+        when($"tomb", $"b_spent").otherwise(
+          round(coalesce($"b_spent", lit(0.0)) + coalesce($"c_spent", lit(0.0)), 2))
           .as("spent"),
         // changes are strictly post-cutoff, so a matched row's latest
-        // order is always the change side's
-        when($"c_key".isNotNull, $"c_last").otherwise($"b_last").as("last_order"),
-        (coalesce($"b_n", lit(0L)) + coalesce($"c_n", lit(0L))).as("n_orders"),
-        when($"b_key".isNull, lit("insert"))
+        // order is always the change side's; a deleted row reports the
+        // base state being removed
+        when($"tomb", $"b_last")
+          .when($"c_key".isNotNull, $"c_last").otherwise($"b_last")
+          .as("last_order"),
+        when($"tomb", $"b_n")
+          .otherwise(coalesce($"b_n", lit(0L)) + coalesce($"c_n", lit(0L)))
+          .as("n_orders"),
+        when($"tomb", lit("delete"))
+          .when($"b_key".isNull, lit("insert"))
           .when($"c_key".isNull, lit("keep"))
           .otherwise(lit("update")).as("merge_action"))
   }
 
+  /** WINDOW DISTRIBUTION FAMILY — ntile / percent_rank / cume_dist, the
+    * rank functions [[Relational]] didn't yet exercise: per-customer
+    * revenue quartiled WITHIN market segment. Revenue sums in
+    * DECIMAL(27,10) then rounds once in double, so the window ORDER BY
+    * compares engine-identical values; the c_custkey tiebreak makes the
+    * total order (and therefore every rank function) deterministic.
+    * Shape: one exchange on the segment serves all three functions (one
+    * shared window spec — Spark evaluates them in a single Window
+    * operator); partitioning by segment rather than a global ORDER BY
+    * keeps the sort distributed at 100 TB. */
   def q44NtileCume(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(s, dir)
       .groupBy($"o_custkey")

@@ -887,7 +887,11 @@ object Similarity {
     * (⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩, identical fp order on both engines),
     * clamped at 0 before the sqrt (a self-distance can land a hair
     * negative in fp). ≤128 output rows; both codebooks are bounded
-    * aggregates — one exchange each. */
+    * aggregates — one exchange each. Seed entries that lose every
+    * member under the Lloyd step (an emptied cell — exactly the event
+    * a drift alarm must surface) are KEPT via a left join, reported
+    * with n_after = 0 and a null l2_shift rather than silently
+    * dropped. */
   def pqLloydShift(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -900,12 +904,13 @@ object Similarity {
     val before = assemble(pqCodebooksFrom(e), "v0", "n0")
     val after = assemble(pqLloydCodebooksFrom(e), "v1", "n1")
     import graft.functions.VectorOps.dot
-    before.join(after, Seq("sub", "code"))
+    before.join(after, Seq("sub", "code"), "left")
       .select($"sub", $"code",
-        round(sqrt(greatest(
-          dot($"v0", $"v0") - lit(2.0) * dot($"v0", $"v1") + dot($"v1", $"v1"),
-          lit(0.0))), 6).as("l2_shift"),
-        $"n0".as("n_before"), $"n1".as("n_after"))
+        when($"v1".isNotNull,
+          round(sqrt(greatest(
+            dot($"v0", $"v0") - lit(2.0) * dot($"v0", $"v1") + dot($"v1", $"v1"),
+            lit(0.0))), 6)).as("l2_shift"),
+        $"n0".as("n_before"), coalesce($"n1", lit(0L)).as("n_after"))
   }
 
   /** TRAINED-PQ RECALL REPORT — seed-codebook flat ADC ([[pqAdcTopK]])

@@ -513,10 +513,10 @@ object Streams {
     // the batch oracle's date_trunc only under a whole-hour-offset zone
     val tz = java.util.TimeZone.getTimeZone(
       events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC"))
-    require(tz.getRawOffset % 3600000 == 0,
+    require(tz.getRawOffset % 3600000 == 0 && tz.getDSTSavings % 3600000 == 0,
       s"anomalyZscore buckets hours by UTC epoch floor; session timezone " +
-        s"${tz.getID} has a non-whole-hour offset and would diverge from " +
-        "the batch date_trunc oracle")
+        s"${tz.getID} has a non-whole-hour offset (raw or DST) and would " +
+        "diverge from the batch date_trunc oracle")
     import events.sparkSession.implicits._
 
     def finalize(typ: String, st: ZScoreState, wmMs: Long): (ZScoreState, List[ZScoreOut]) = {

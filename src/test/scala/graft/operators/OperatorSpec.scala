@@ -140,10 +140,22 @@ class OperatorSpec extends SparkSpec {
       s"doc $outsider with dominating weight was not selected")
   }
 
-  test("merge upsert equals the full recompute; actions partition the keys") {
+  test("merge upsert+delete equals the recompute with deletes excluded; " +
+    "actions partition the keys") {
     val merged = Relational.q45MergeUpsert(spark, Sf)
-    // merge(base, changes) == rollup over ALL orders — the incremental
-    // refresh must be indistinguishable from the batch recompute
+    val cutoff = to_date(lit("1998-07-01"))
+    // tombstoned change keys: post-cutoff activity AND hash60(key)%8==0 —
+    // the synthesized CDC delete markers
+    val changeKeys = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate") >= cutoff)
+      .select(col("o_custkey")).distinct()
+    val tombKeys = changeKeys
+      .filter(graft.functions.EngineNeutral.hash60(col("o_custkey").cast("string")) % 8 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(tombKeys.nonEmpty, "fixture must exercise the delete arm")
+    // survivors (non-delete arms) == rollup over ALL orders EXCLUDING the
+    // tombstoned keys — the full CDC apply must be indistinguishable from
+    // the batch recompute with deletes excluded
     val full = Tables.orders(spark, Sf).groupBy(col("o_custkey"))
       .agg(
         round(sum(col("o_totalprice").cast("decimal(27,10)")).cast("double"), 2)
@@ -152,28 +164,130 @@ class OperatorSpec extends SparkSpec {
         count(lit(1)).as("n_orders"))
       .select(col("o_custkey").as("custkey"), col("spent"),
         col("last_order"), col("n_orders"))
-    val m = merged.select("custkey", "spent", "last_order", "n_orders")
+      .filter(!col("custkey").isin(tombKeys.toSeq: _*))
+    val m = merged.filter(col("merge_action") =!= "delete")
+      .select("custkey", "spent", "last_order", "n_orders")
     assert(m.exceptAll(full).isEmpty && full.exceptAll(m).isEmpty,
-      "incremental merge diverged from the batch recompute")
+      "incremental merge diverged from the batch recompute minus deletes")
     // spent compares exactly: prices are 2-decimal values, so the
     // DECIMAL(27,10) partial sums are exact multiples of 0.01 and
     // round(a,2)+round(b,2) == round(a+b,2) identically
     val actions = merged.groupBy("merge_action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(actions.keySet.subsetOf(Set("insert", "update", "keep")))
+    assert(actions.keySet.subsetOf(Set("insert", "update", "keep", "delete")))
     assert(actions.values.sum === merged.count())
     // an inserted key has no pre-cutoff orders; a kept key none after
-    val cutoff = to_date(lit("1995-01-01"))
     val preKeys = Tables.orders(spark, Sf)
       .filter(col("o_orderdate") < cutoff)
       .select(col("o_custkey")).distinct()
       .collect().map(_.getLong(0)).toSet
     merged.filter(col("merge_action") === "insert")
       .select("custkey").collect().map(_.getLong(0))
-      .foreach(k => assert(!preKeys.contains(k), s"insert key $k exists in base"))
+      .foreach { k =>
+        assert(!preKeys.contains(k), s"insert key $k exists in base")
+        assert(!tombKeys.contains(k), s"unmatched tombstone $k must be a no-op, not an insert")
+      }
     merged.filter(col("merge_action") === "keep")
       .select("custkey").collect().map(_.getLong(0))
       .foreach(k => assert(preKeys.contains(k), s"keep key $k missing from base"))
+    // delete rows: exactly the matched tombstones, carrying the BASE state
+    val expectedDeleteKeys = tombKeys & preKeys
+    assert(expectedDeleteKeys.nonEmpty,
+      "fixture never fires the MATCHED delete arm — cutoff leaves base empty?")
+    val deleteRows = merged.filter(col("merge_action") === "delete")
+      .select("custkey", "spent", "last_order", "n_orders")
+    assert(deleteRows.collect().map(_.getLong(0)).toSet === expectedDeleteKeys,
+      "delete arm must cover exactly the matched tombstoned keys")
+    val baseRollup = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate") < cutoff)
+      .groupBy(col("o_custkey"))
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(27,10)")).cast("double"), 2)
+          .as("spent"),
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey").as("custkey"), col("spent"),
+        col("last_order"), col("n_orders"))
+      .filter(col("custkey").isin(expectedDeleteKeys.toSeq: _*))
+    assert(deleteRows.exceptAll(baseRollup).isEmpty &&
+      baseRollup.exceptAll(deleteRows).isEmpty,
+      "deleted rows must report the base state being removed")
+  }
+
+  test("scd2 late splice equals the full rebuild; fixture hits mid-interval") {
+    val spliced = Relational.q46Scd2LateSplice(spark, Sf)
+    // splice(base, late) == rebuild(base ∪ late): the corrected history
+    // must be indistinguishable from re-windowing the full log
+    val rebuilt = Relational.q42Scd2Intervals(spark, Sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "valid_from", "valid_to", "is_current")
+    val sp = spliced.select("o_custkey", "o_orderkey", "o_totalprice",
+      "valid_from", "valid_to", "is_current")
+    assert(sp.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(sp).isEmpty,
+      "spliced history diverged from the full rebuild")
+    // every untouched key has no late rows; every spliced key has one
+    val byKey = spliced.groupBy("o_custkey")
+      .agg(count_if(col("is_late")).as("n_late"),
+        countDistinct(col("splice")).as("n_labels"),
+        first(col("splice")).as("label"))
+    assert(byKey.filter(col("n_labels") =!= 1).isEmpty,
+      "a key must be entirely spliced or entirely untouched")
+    assert(byKey.filter(col("label") === "untouched" && col("n_late") > 0).isEmpty)
+    assert(byKey.filter(col("label") === "spliced" && col("n_late") === 0).isEmpty)
+    // the fixture must actually exercise the mid-interval landing: some
+    // late row falls STRICTLY inside a pre-splice interval of its key
+    val lateRows = spliced.filter(col("is_late"))
+      .select(col("o_custkey").as("k"), col("valid_from").as("late_vf"))
+    val baseHist = spliced.filter(!col("is_late") && col("splice") === "spliced")
+    // pre-splice intervals of affected keys: re-derive from base rows only
+    val preSplice = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+      baseHist.select(col("o_custkey"), col("o_orderkey"), col("valid_from"))
+        .withColumn("pre_vt", lead(col("valid_from"), 1).over(w))
+    }
+    val midHits = lateRows.join(preSplice,
+      col("k") === col("o_custkey") &&
+        col("valid_from") < col("late_vf") && col("late_vf") < col("pre_vt"))
+    assert(midHits.count() > 0,
+      "fixture never lands a late row strictly inside an existing interval")
+  }
+
+  test("scd2 late splice closes/inserts/re-points at mid-interval and boundary") {
+    import spark.implicits._
+    val src = Seq(
+      // key 1: base [jan,mar), [mar,∞); late row lands mid-interval at feb
+      (1L, 10L, 100.0, "1995-01-01", false),
+      (1L, 30L, 300.0, "1995-03-01", false),
+      (1L, 20L, 200.0, "1995-02-01", true),
+      // key 2: late row TIES an existing boundary date (apr); the
+      // o_orderkey tiebreak (21 < 41) makes the late interval the empty
+      // [apr, apr) and keeps the existing row's interval open
+      (2L, 11L, 110.0, "1995-01-01", false),
+      (2L, 41L, 410.0, "1995-04-01", false),
+      (2L, 21L, 210.0, "1995-04-01", true),
+      // key 3: no late rows — must pass through untouched
+      (3L, 12L, 120.0, "1995-01-01", false))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "valid_from", "is_late")
+      .withColumn("valid_from", to_date(col("valid_from")))
+    val out = Relational.scd2SpliceFrom(src).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.getDate(3)).map(_.toString), Option(r.getDate(4)).map(_.toString),
+          r.getBoolean(5), r.getString(7))).toMap
+    // key 1: predecessor closed at the late valid_from, late interval
+    // inserted, successor re-pointed (its own interval unchanged here)
+    assert(out((1L, 10L)) === ((Some("1995-01-01"), Some("1995-02-01"), false, "spliced")))
+    assert(out((1L, 20L)) === ((Some("1995-02-01"), Some("1995-03-01"), false, "spliced")))
+    assert(out((1L, 30L)) === ((Some("1995-03-01"), None, true, "spliced")))
+    // key 2 boundary tie: [jan,apr) closed at the tied date against the
+    // LATE row (tiebreak), late row collapses to the empty [apr,apr),
+    // existing apr row stays current
+    assert(out((2L, 11L)) === ((Some("1995-01-01"), Some("1995-04-01"), false, "spliced")))
+    assert(out((2L, 21L)) === ((Some("1995-04-01"), Some("1995-04-01"), false, "spliced")))
+    assert(out((2L, 41L)) === ((Some("1995-04-01"), None, true, "spliced")))
+    // key 3 untouched
+    assert(out((3L, 12L)) === ((Some("1995-01-01"), None, true, "untouched")))
   }
 
   test("ntile/percent_rank/cume_dist: quartile balance and rank bounds") {

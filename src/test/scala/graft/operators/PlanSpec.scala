@@ -203,6 +203,12 @@ class PlanSpec extends SparkSpec {
     assert(n <= probes, s"$n rows from $probes probes — intervals overlap")
   }
 
+  test("scd2 late splice: key-equi anti/semi joins, never a nested loop") {
+    val p = plan(Relational.q46Scd2LateSplice(spark, Sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"late splice degenerated to a nested loop:\n$p")
+  }
+
   test("as-of join is one exchange (union-and-carry, no range explosion)") {
     val p = plan(Events.asofJoin(spark, Sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

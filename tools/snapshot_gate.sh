@@ -23,8 +23,14 @@ if [[ -n "$(git status --porcelain)" ]]; then
   # files outside the known artifact paths (src/ tools/ docs/ *.md)
   echo "[gate] changes to be committed:"
   git status --porcelain
-  stray=$(git status --porcelain | awk '$1 == "??" {print $2}' |
-    grep -Ev '^(src/|tools/|docs/|[^/]+\.md$)' || true)
+  # null-delimited so untracked paths containing spaces (which porcelain
+  # quotes and awk would truncate) cannot evade the allowlist
+  stray=""
+  while IFS= read -r -d '' f; do
+    if [[ ! "$f" =~ ^(src/|tools/|docs/) && ! "$f" =~ ^[^/]+\.md$ ]]; then
+      stray+="$f"$'\n'
+    fi
+  done < <(git ls-files --others --exclude-standard -z)
   if [[ -n "$stray" ]]; then
     echo "[gate] REFUSING: untracked files outside src/ tools/ docs/ *.md:"
     echo "$stray"
