@@ -1345,35 +1345,46 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     * smaller code = the heap's tiebreak) → decimal-exact refined means
     * `lcb`. Twin of Similarity.pqLloydCodebooksFrom; shared by
     * sim_pq_lloyd and the trained-ADC twins to prevent drift. */
+  /** One Lloyd step as CTEs: every `pq` subvector reassigned to its
+    * nearest entry of `inV` (sub, code, cv) — same d² composition,
+    * 6-decimal round and smaller-code tiebreak as
+    * Similarity.nearestCodeIn (the assigned d2 rides along for the
+    * trajectory's MSE) — then per-(sub, code, pos) DECIMAL means and
+    * reassembled entry vectors. Emits `<p>scored`, `<p>assigned`,
+    * `<p>x`, `<p>a`, `<p>cb`, `<p>cbv`; chain steps by feeding
+    * `<p>cbv` to the next step's `inV`. */
+  private def lloydStepCtes(inV: String, p: String): String =
+    s"""${p}scored AS (SELECT p.vec_id, p.sub, $inV.code, p.sv,
+       |  round(list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (p.sv)[i+1]))
+       |    - 2.0 * list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (cv)[i+1]))
+       |    + list_sum(list_transform(range(8), i -> (cv)[i+1] * (cv)[i+1])), 6) AS d2
+       |  FROM pq p JOIN $inV ON p.sub = $inV.sub),
+       |${p}assigned AS (SELECT vec_id, sub, code, sv, d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY d2 ASC, code ASC) AS rn FROM ${p}scored) WHERE rn <= 1),
+       |${p}x AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
+       |  unnest(sv) AS comp FROM ${p}assigned),
+       |${p}a AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
+       |  count(*) AS n_vecs FROM ${p}x GROUP BY sub, code, pos),
+       |${p}cb AS (SELECT sub, code, pos, round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp,
+       |  n_vecs FROM ${p}a),
+       |${p}cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
+       |  FROM ${p}cb GROUP BY sub, code)""".stripMargin
+
   private lazy val pqLloydCtes: String =
     s"""$pqCte,
        |$pqCodebookCtes,
        |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
        |  FROM cb GROUP BY sub, code),
-       |lscored AS (SELECT p.vec_id, p.sub, cbv.code, p.sv,
-       |  round(list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (p.sv)[i+1]))
-       |    - 2.0 * list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (cv)[i+1]))
-       |    + list_sum(list_transform(range(8), i -> (cv)[i+1] * (cv)[i+1])), 6) AS d2
-       |  FROM pq p JOIN cbv ON p.sub = cbv.sub),
-       |lassigned AS (SELECT vec_id, sub, code, sv FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-       |    ORDER BY d2 ASC, code ASC) AS rn FROM lscored) WHERE rn <= 1),
-       |lx AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
-       |  unnest(sv) AS comp FROM lassigned),
-       |la AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
-       |  count(*) AS n_vecs FROM lx GROUP BY sub, code, pos),
-       |lcb AS (SELECT sub, code, pos, round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp,
-       |  n_vecs FROM la)""".stripMargin
+       |${lloydStepCtes("cbv", "l")}""".stripMargin
 
-  /** Trained-ADC CTE chain (follows [[pqLloydCtes]]): refined codebook
-    * vectors → corpus re-encode (nearest refined entry, same d² and
+  /** Trained-ADC CTE chain (follows [[pqLloydCtes]], which now supplies
+    * the refined codebook vectors `lcbv`): corpus re-encode (nearest refined entry, same d² and
     * tiebreak) → per-query LUT against the refined entries → decimal
     * ADC partials summed per (query, candidate) as `tsc`. Twin of
     * Similarity.adcTrainedTopKFrom's scored relation. */
   private lazy val trainedAdcCtes: String =
-    """lcbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
-      |  FROM lcb GROUP BY sub, code),
-      |tscored AS (SELECT p.vec_id, p.sub, lcbv.code,
+    """tscored AS (SELECT p.vec_id, p.sub, lcbv.code,
       |  round(list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (p.sv)[i+1]))
       |    - 2.0 * list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (cv)[i+1]))
       |    + list_sum(list_transform(range(8), i -> (cv)[i+1] * (cv)[i+1])), 6) AS d2
@@ -1695,6 +1706,43 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc_score DESC, vec_id ASC) AS rn
          |  FROM tsc) WHERE rn <= 10""".stripMargin,
+    "sim_pq_lloyd_chain" ->
+      // twin of Similarity.pqLloydChain (iters=3): the one-step chain in
+      // pqLloydCtes extended by two more generated steps, each feeding
+      // the previous step's reassembled entry vectors
+      s"""WITH $pqLloydCtes,
+         |${lloydStepCtes("lcbv", "l2")},
+         |${lloydStepCtes("l2cbv", "l3")}
+         |SELECT sub, code, pos, mean_comp, n_vecs FROM l3cb""".stripMargin,
+    "sim_pq_lloyd_trajectory" -> {
+      // twin of Similarity.pqLloydTrajectory (iters=3): per-iteration
+      // reconstruction MSE (mean assigned d2), surviving entry count,
+      // and max entry L2 shift vs the previous iteration
+      def mseSel(assigned: String) =
+        s"(SELECT round(CAST(sum(CAST(d2 AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) FROM $assigned)"
+      def shiftSel(prevV: String, curV: String) =
+        s"""(SELECT max(round(sqrt(greatest(
+           |    list_sum(list_transform(range(8), i -> (b.cv)[i+1] * (b.cv)[i+1]))
+           |    - 2.0 * list_sum(list_transform(range(8), i -> (b.cv)[i+1] * (a.cv)[i+1]))
+           |    + list_sum(list_transform(range(8), i -> (a.cv)[i+1] * (a.cv)[i+1])), 0.0)), 6))
+           |  FROM $prevV b JOIN $curV a ON b.sub = a.sub AND b.code = a.code)""".stripMargin
+      s"""WITH $pqLloydCtes,
+         |${lloydStepCtes("lcbv", "l2")},
+         |${lloydStepCtes("l2cbv", "l3")},
+         |${lloydStepCtes("l3cbv", "l4")}
+         |SELECT CAST(0 AS BIGINT) AS iter, ${mseSel("lassigned")} AS mse,
+         |  (SELECT count(*) FROM cbv) AS n_entries,
+         |  CAST(NULL AS DOUBLE) AS max_shift
+         |UNION ALL
+         |SELECT 1, ${mseSel("l2assigned")}, (SELECT count(*) FROM lcbv),
+         |  ${shiftSel("cbv", "lcbv")}
+         |UNION ALL
+         |SELECT 2, ${mseSel("l3assigned")}, (SELECT count(*) FROM l2cbv),
+         |  ${shiftSel("lcbv", "l2cbv")}
+         |UNION ALL
+         |SELECT 3, ${mseSel("l4assigned")}, (SELECT count(*) FROM l3cbv),
+         |  ${shiftSel("l2cbv", "l3cbv")}""".stripMargin
+    },
     "sim_pq_lloyd_shift" -> {
       // twin of Similarity.pqLloydShift: seed (cb) and refined (lcb)
       // codebooks reassembled, d2 in the shared dot composition,

@@ -87,6 +87,8 @@ object SparkEntry {
     "sim_ivfadc_recall" -> ((s, d) => Similarity.ivfAdcRecall(s, d)),
     "sim_pq_lloyd" -> ((s, d) => Similarity.pqLloydCodebooks(s, d)),
     "sim_pq_lloyd_shift" -> ((s, d) => Similarity.pqLloydShift(s, d)),
+    "sim_pq_lloyd_chain" -> ((s, d) => Similarity.pqLloydChain(s, d)),
+    "sim_pq_lloyd_trajectory" -> ((s, d) => Similarity.pqLloydTrajectory(s, d)),
     "sim_adc_trained_topk" -> ((s, d) => Similarity.adcTrainedTopK(s, d)),
     "sim_pq_trained_recall" -> ((s, d) => Similarity.pqTrainedRecall(s, d)),
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),

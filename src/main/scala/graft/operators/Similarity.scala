@@ -772,7 +772,9 @@ object Similarity {
         graft.functions.VectorOps.dot($"sv", $"sv")
           - lit(2.0) * graft.functions.VectorOps.dot($"sv", $"cv")
           + graft.functions.VectorOps.dot($"cv", $"cv"), 6))
-    // argmin via the bounded heap: score = -d2 (desc), ties on smaller code
+    // argmin via the bounded heap: score = -d2 (desc), ties on smaller
+    // code; the winning (already-rounded) d2 rides along as -score for
+    // the trajectory's reconstruction-MSE aggregate
     val top1 = Bridge.column(
       graft.functions.TopKAgg(
         Bridge.expression(-$"d2"),
@@ -780,7 +782,8 @@ object Similarity {
     scored.groupBy($"vec_id", $"sub")
       .agg(top1.as("tk"))
       .select($"vec_id", $"sub", explode($"tk").as("t"))
-      .select($"vec_id", $"sub", $"t.vec_id".as("code"))
+      .select($"vec_id", $"sub", $"t.vec_id".as("code"),
+        (-$"t.cos_sim").as("d2"))
   }
 
   /** Lloyd assignment half-step: (vec_id, sub, code, sv) with `code` the
@@ -791,14 +794,20 @@ object Similarity {
     dec.join(nearestCodeIn(dec, pqCodebookVecs(e)), Seq("vec_id", "sub"))
   }
 
-  /** Core of [[pqLloydCodebooks]] over any (vec_id, v) frame. */
-  def pqLloydCodebooksFrom(e: DataFrame): DataFrame =
-    pqLloydAssignFrom(e)
+  /** Means half-step: per-(sub, code, pos) component means over an
+    * assignment frame (vec_id, sub, code, sv) — DECIMAL sums, one
+    * division + round. Shared by the one-step refinement and the chain. */
+  private def lloydMeansOf(assigned: DataFrame): DataFrame =
+    assigned
       .select($"sub", $"code", posexplode($"sv").as(Seq("pos", "comp")))
       .groupBy($"sub", $"code", $"pos")
       .agg(sum($"comp".cast("decimal(27,10)")).as("s"), count(lit(1)).as("n_vecs"))
       .select($"sub", $"code", $"pos".cast("long").as("pos"),
         round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
+
+  /** Core of [[pqLloydCodebooks]] over any (vec_id, v) frame. */
+  def pqLloydCodebooksFrom(e: DataFrame): DataFrame =
+    lloydMeansOf(pqLloydAssignFrom(e))
 
   /** PQ RECALL REPORT — per-query overlap of the compressed top-k paths
     * against the exact brute-force top-k, the [[recallReport]] discipline
@@ -835,10 +844,101 @@ object Similarity {
     * (standard Lloyd: empty cells vanish; re-seeding is a policy choice
     * left to the training loop). */
   private def pqLloydCodebookVecs(e: DataFrame): DataFrame =
-    pqLloydCodebooksFrom(e)
-      .groupBy($"sub", $"code")
+    cbVecsOf(pqLloydCodebooksFrom(e))
+
+  /** Codebook rows (sub, code, pos, mean_comp, …) reassembled to entry
+    * vectors (sub, code, cv) — ≤128 rows, always broadcast-sized. */
+  private def cbVecsOf(cb: DataFrame): DataFrame =
+    cb.groupBy($"sub", $"code")
       .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
         x => x.getField("mean_comp")).as("cv"))
+
+  /** PQ-LLOYD TRAINING CHAIN — [[pqLloydCodebooks]] iterated to a FIXED
+    * depth (the [[graft.operators.Graph.pageRank]] discipline: a fixed
+    * unroll with per-step 6-decimal state rounding keeps both engines
+    * iterating on identical doubles, so the chain is oracle-exact; a
+    * convergence-driven `while shift > ε` is driver policy a deployment
+    * wraps around this step function, watching [[pqLloydTrajectory]]).
+    * Each step: reassign every subvector to its nearest current entry
+    * (broadcast ≤128-row codebook, k=1 bounded-heap argmin), recompute
+    * per-(sub, code) means (DECIMAL partials). Both half-steps are
+    * SSE-non-increasing, so reconstruction MSE is monotone down the
+    * chain — asserted per step in DedupSimilaritySpec. Shape per step:
+    * one broadcast join + one exchange carrying a row per (vector,
+    * subspace); the corpus scan is shared across steps by AQE exchange
+    * reuse. Returns the trained codebook (sub, code, pos, mean_comp,
+    * n_vecs) after `iters` steps. */
+  def pqLloydChain(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    pqLloydChainFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")), iters)
+
+  /** Core of [[pqLloydChain]] over any (vec_id, v) frame. */
+  def pqLloydChainFrom(e: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need >= 1 Lloyd steps, got $iters")
+    val dec = pqDecomposed(e).select($"vec_id", $"sub", $"sv")
+    var cbv = pqCodebookVecs(e)
+    var cb: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val assigned = dec.join(nearestCodeIn(dec, cbv), Seq("vec_id", "sub"))
+      cb = lloydMeansOf(assigned)
+      cbv = cbVecsOf(cb)
+    }
+    cb
+  }
+
+  /** PQ-LLOYD TRAINING TRAJECTORY — the artifact a training run actually
+    * reads: one row per iteration 0..iters with (reconstruction `mse`
+    * under nearest-entry assignment to that iteration's codebook,
+    * `n_entries` surviving cells, `max_shift` L2 displacement of the
+    * worst-moved entry vs the previous iteration — NULL at iter 0).
+    * Together they answer "has training converged, and did any cell
+    * empty out" without a separate probe query. MSE sums the
+    * (already-rounded) assignment d² in DECIMAL(27,10) and divides
+    * once — engine-identical; the shift max is over entries present in
+    * both iterations (a vanished cell shows up as an `n_entries` drop).
+    * Every per-iteration aggregate is a single-row reduction over
+    * broadcast-sized frames; the (vector, subspace) assignment exchange
+    * per level is the same one the chain itself needs — AQE reuses it. */
+  def pqLloydTrajectory(s: SparkSession, dir: String,
+                        iters: Int = 3): DataFrame =
+    pqLloydTrajectoryFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")), iters)
+
+  /** Core of [[pqLloydTrajectory]] over any (vec_id, v) frame. */
+  def pqLloydTrajectoryFrom(e: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need >= 1 Lloyd steps, got $iters")
+    import graft.functions.VectorOps.dot
+    val dec = pqDecomposed(e).select($"vec_id", $"sub", $"sv")
+    def summary(assigned: DataFrame, cbvI: DataFrame, iter: Int,
+                prev: Option[DataFrame]): DataFrame = {
+      val mse = assigned.agg(
+        round(sum($"d2".cast("decimal(27,10)")).cast("double")
+          / count(lit(1)), 6).as("mse"))
+      val n = cbvI.agg(count(lit(1)).as("n_entries"))
+      val shift = prev.map { p =>
+        p.select($"sub", $"code", $"cv".as("v0"))
+          .join(cbvI.select($"sub", $"code", $"cv".as("v1")), Seq("sub", "code"))
+          .agg(max(round(sqrt(greatest(
+            dot($"v0", $"v0") - lit(2.0) * dot($"v0", $"v1")
+              + dot($"v1", $"v1"),
+            lit(0.0))), 6)).as("max_shift"))
+      }.getOrElse(e.sparkSession.range(1)
+        .select(lit(null).cast("double").as("max_shift")))
+      mse.crossJoin(n).crossJoin(shift)
+        .select(lit(iter.toLong).as("iter"), $"mse", $"n_entries", $"max_shift")
+    }
+    var cbv = pqCodebookVecs(e)
+    var assigned = dec.join(nearestCodeIn(dec, cbv), Seq("vec_id", "sub"))
+    var out = summary(assigned, cbv, 0, None)
+    (1 to iters).foreach { i =>
+      val next = cbVecsOf(lloydMeansOf(assigned))
+      val assignedNext = dec.join(nearestCodeIn(dec, next), Seq("vec_id", "sub"))
+      out = out.unionByName(summary(assignedNext, next, i, Some(cbv)))
+      cbv = next
+      assigned = assignedNext
+    }
+    out
+  }
 
   /** TRAINED-CODEBOOK ADC TOP-K — [[pqAdcTopK]] run against the
     * Lloyd-REFINED codebooks instead of the data-free SRP seed: the

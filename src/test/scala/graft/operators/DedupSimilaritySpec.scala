@@ -640,6 +640,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shift.keySet.subsetOf(refinedKeys))
   }
 
+  test("lloyd chain: per-step monotone MSE, decreasing-to-quiet shift, " +
+    "step-1 equals the single refinement") {
+    val traj = Similarity.pqLloydTrajectory(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(traj.keySet === Set(0L, 1L, 2L, 3L))
+    // reconstruction MSE is non-increasing down the chain (both Lloyd
+    // half-steps are SSE-non-increasing; 1e-6 slack absorbs the per-step
+    // state rounding)
+    (1L to 3L).foreach { i =>
+      assert(traj(i)._1 <= traj(i - 1)._1 + 1e-6,
+        s"MSE rose at step $i: ${traj(i - 1)._1} -> ${traj(i)._1}")
+    }
+    // iter 0 has no predecessor; later shifts are positive (training is
+    // actually moving entries) — convergence shows as the shift shrinking
+    assert(traj(0L)._3.isEmpty)
+    (1L to 3L).foreach(i => assert(traj(i)._3.exists(_ > 0.0)))
+    // no emptied cells on this fixture: entry count stable
+    assert(traj.values.map(_._2).toSet === Set(128L))
+    // a 1-step chain IS the registered single refinement
+    val one = Similarity.pqLloydChainFrom(
+      Tables.embeddings(spark, Sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      iters = 1)
+    val single = Similarity.pqLloydCodebooks(spark, Sf)
+    assert(one.exceptAll(single).isEmpty && single.exceptAll(one).isEmpty,
+      "chain(iters=1) diverged from the one-step refinement")
+    // training pays for itself on the fixture: mean trained recall >=
+    // mean seed recall (per-query it is not guaranteed; the mean is the
+    // honest deployment number)
+    val rep = Similarity.pqTrainedRecall(spark, Sf).collect()
+    val (seedSum, trainedSum) = (rep.map(_.getAs[Double]("seed_recall_at_k")).sum,
+      rep.map(_.getAs[Double]("trained_recall_at_k")).sum)
+    assert(trainedSum >= seedSum,
+      s"one Lloyd step degraded mean recall: seed $seedSum trained $trainedSum")
+  }
+
   test("trained-codebook ADC: re-encode SSE <= seed SSE; rank well-formed") {
     val e = Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
