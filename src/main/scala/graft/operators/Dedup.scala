@@ -131,23 +131,37 @@ object Dedup {
     *    docs; sorted+distinct at build time) and a codegen merge loop
     *    (SortedJaccardExpr) computes set Jaccard with zero per-pair
     *    allocation. */
-  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
-    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
-    import graft.functions.SortedJaccardExpr
-    import org.apache.spark.sql.graftbridge.Bridge
-    val hashed = Tables.documents(s, dir)
+  /** Per-doc LSH features over any (doc_id, text) frame: `bks` (the
+    * [[Bands]] banded signature keys candidate generation joins on) and
+    * `hb` (the sorted distinct 31-bit token-hash set the exact verify
+    * consumes). Narrow ops only — no shuffle, no state — so the same
+    * definition computes the standing index from a batch corpus AND
+    * featurizes a streaming micro-batch of arriving docs
+    * ([[graft.streaming.Streams.nearDupMaintenance]]); parity between
+    * the two paths is therefore structural, not re-implemented. */
+  def minhashDocFeatures(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb0"))
     val sig = hashed.select(
       col("doc_id") +: (0 until MinhashPerms).map { i =>
         array_min(transform($"hb0", h => minhashPerm(h, i))).as(s"mh$i")
-      }: _*)
-    // per-doc array of 4 cheap band keys (hash60 of the quadruple)
-    val withKeys = sig.select(
+      } :+ $"hb0": _*)
+    sig.select(
       $"doc_id",
+      // per-doc array of 4 cheap band keys (hash60 of the quadruple)
       array((0 until Bands).map { b =>
         val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))
         hash60(concat_ws("|", cols: _*))
-      }: _*).as("bks"))
+      }: _*).as("bks"),
+      sort_array(array_distinct($"hb0")).as("hb"))
+  }
+
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    import graft.functions.SortedJaccardExpr
+    import org.apache.spark.sql.graftbridge.Bridge
+    val feats = minhashDocFeatures(Tables.documents(s, dir).select($"doc_id", $"text"))
+    val withKeys = feats.select($"doc_id", $"bks")
     val bandRows = withKeys.select(
       $"doc_id", $"bks",
       explode(array((0 until Bands).map(b =>
@@ -165,7 +179,7 @@ object Dedup {
         $"band_id" === $"band_id_r" && $"bk" === $"bk_r" && $"doc_a" < $"doc_b" &&
           noEarlierMatch)
       .select($"doc_a", $"doc_b")
-    val hb = hashed.select($"doc_id", sort_array(array_distinct($"hb0")).as("hb"))
+    val hb = feats.select($"doc_id", $"hb")
     def sortedJaccard(a: Column, b: Column): Column =
       Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
     cands

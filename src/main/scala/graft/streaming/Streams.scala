@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.syntax._
@@ -646,6 +646,64 @@ object Streams {
     * re-emitted as current even if a dominating row had been emitted
     * before retirement. The parity test passes retireMs explicitly
     * wider than its corpus span rather than relying on the default. */
+  /** STREAMING NEAR-DUP MAINTENANCE — the incremental-curation shape:
+    * documents ARRIVING on the ingestion stream are checked against the
+    * STANDING MinHash LSH index of the already-curated corpus, emitting
+    * each (new doc, standing near-dup) pair as it is discovered. This is
+    * the online half of [[graft.operators.Dedup.minhashLshPairs]]: batch
+    * builds the index once; the stream keeps curation current without
+    * re-running the corpus×corpus join.
+    *
+    * Parity is STRUCTURAL: both sides featurize through the single
+    * [[graft.operators.Dedup.minhashDocFeatures]] definition (band keys +
+    * exact-verify token-hash set), candidates join on the same
+    * (band_id, band_key) equi key with the same first-shared-band
+    * dedup, and the same exact-Jaccard verify filters them —
+    * StreamingSpec asserts stream output == the batch pair join
+    * restricted to (new × standing). Only new×standing pairs are in
+    * scope by contract; new×new pairs within one arriving window are
+    * the batch job's territory (or a stream-stream self-join, whose
+    * state cost this maintenance path exists to avoid).
+    *
+    * State: NONE — a stream-static inner join is stateless (each
+    * micro-batch probes the static side and forgets), asserted in
+    * StreamingSpec. At 100 TB the index side is the pre-exploded
+    * (band_id, band_key → doc) table bucketed by band_key, so each
+    * micro-batch's probe is a broadcast-or-bucketed lookup, never a
+    * corpus scan; the verify joins fetch only the candidates' token
+    * sets. */
+  def nearDupMaintenance(docs: Dataset[Doc], index: DataFrame,
+                         threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    import graft.functions.SortedJaccardExpr
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.operators.Dedup.Bands
+    val feats = graft.operators.Dedup.minhashDocFeatures(
+      docs.toDF().select($"doc_id", $"text"))
+    def explodeBands(f: DataFrame): DataFrame = f.select(
+      $"doc_id", $"bks", $"hb",
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band_id"), element_at($"bks", b + 1).as("bk"))): _*)).as("b"))
+      .select($"doc_id", $"bks", $"hb", $"b.band_id".as("band_id"), $"b.bk".as("bk"))
+    val arriving = explodeBands(feats)
+    val standing = explodeBands(index).select(
+      $"doc_id".as("dup_doc_id"), $"bks".as("bks_s"), $"hb".as("hb_s"),
+      $"band_id".as("band_id_s"), $"bk".as("bk_s"))
+    // same first-shared-band candidate dedup as the batch pair join
+    val noEarlierMatch = (0 until Bands - 1).map { e =>
+      $"band_id" <= e || element_at($"bks", e + 1) =!= element_at($"bks_s", e + 1)
+    }.reduce(_ && _)
+    def sortedJaccard(a: Column, b: Column): Column =
+      Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
+    arriving.join(standing,
+        $"band_id" === $"band_id_s" && $"bk" === $"bk_s" &&
+          $"doc_id" =!= $"dup_doc_id" && noEarlierMatch)
+      .withColumn("jaccard", sortedJaccard($"hb", $"hb_s"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_id", $"dup_doc_id", round($"jaccard", 6).as("jaccard"))
+  }
+
   def scd2Current(changes: Dataset[Change],
                   retireMs: Long = 365L * 24 * 3600 * 1000,
                   delay: String = "1 hour"): Dataset[Scd2Out] = {

@@ -273,6 +273,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup maintenance equals the batch pair join " +
+    "restricted to new x standing, stateless") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    // split the corpus: standing index from 3/4 of docs, the rest ARRIVE
+    val all = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val isNew = Tables.documents(spark, Sf)
+      .filter(graft.functions.EngineNeutral.hash60($"doc_id".cast("string")) % 4 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val standing = Tables.documents(spark, Sf).select($"doc_id", $"text")
+      .filter(!$"doc_id".isin(isNew.toSeq: _*))
+    val index = graft.operators.Dedup.minhashDocFeatures(standing)
+    val arriving = all.filter(d => isNew(d._1)).zipWithIndex.map {
+      case ((id, tx), i) => Doc(id, tx, new java.sql.Timestamp(t0 + i * 1000L)) }
+    val stream = MemoryStream[Doc]
+    val query = Streams.nearDupMaintenance(stream.toDS(), index)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("nd"))
+      .start()
+    try {
+      val (b1, b2) = arriving.splitAt(arriving.size / 2)
+      stream.addData(b1.toSeq); query.processAllAvailable()
+      stream.addData(b2.toSeq); query.processAllAvailable()
+      val streamed = spark.table("neardup_stream").collect()
+        .map { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          (math.min(a, b), math.max(a, b), r.getDouble(2)) }.toSet
+      // batch pairs with exactly one endpoint among the arriving docs
+      val batch = graft.operators.Dedup.minhashLshPairs(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => isNew(a) ^ isNew(b) }.toSet
+      assert(batch.nonEmpty, "fixture split produced no cross pairs")
+      assert(streamed === batch,
+        s"stream ${streamed.size} pairs != batch-restricted ${batch.size}")
+      // stream-static join is stateless: no state store operators at all
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "near-dup maintenance must hold no state")
+    } finally query.stop()
+  }
+
   test("windowed ngram counts roll up to the batch top-k vocabulary") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
