@@ -1886,6 +1886,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
          |  round(CAST(3.0 AS DOUBLE) * t.n_triangles / s.n_wedges, 6) AS global_clustering
          |FROM stats s CROSS JOIN tri t""".stripMargin,
+    "graph_triangle_sample" ->
+      // twin of Graph.triangleSample: DOULION sparsification by the
+      // deterministic hash60 coin (p = 1/2), then the exact census on
+      // the kept edges; est = n_triangles * 2^3
+      s"""WITH $graphCtes,
+         |sedges AS (SELECT a, b FROM edges
+         |  WHERE ${h60("concat(CAST(a AS VARCHAR), '|', CAST(b AS VARCHAR))")} % 2 = 0),
+         |sadj AS (SELECT a AS src, b AS dst FROM sedges
+         |  UNION ALL SELECT b AS src, a AS dst FROM sedges),
+         |snodes AS (SELECT src AS node, count(*) AS deg FROM sadj GROUP BY src),
+         |stats AS (SELECT count(*) AS n_nodes, CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         |  CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM snodes),
+         |ed AS (SELECT e.a, e.b, na.deg AS da, nb.deg AS db FROM sedges e
+         |  JOIN snodes na ON na.node = e.a JOIN snodes nb ON nb.node = e.b),
+         |oriented AS (SELECT
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v FROM ed),
+         |wedges AS (SELECT o1.v AS x, o2.v AS y FROM oriented o1 JOIN oriented o2
+         |  ON o1.u = o2.u AND o1.v < o2.v),
+         |tri AS (SELECT count(*) AS n_triangles FROM wedges w
+         |  JOIN sedges e ON e.a = w.x AND e.b = w.y)
+         |SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
+         |  round(CAST(3.0 AS DOUBLE) * t.n_triangles / s.n_wedges, 6) AS global_clustering,
+         |  CAST(2 AS BIGINT) AS keep_mod,
+         |  t.n_triangles * CAST(8 AS BIGINT) AS est_triangles
+         |FROM stats s CROSS JOIN tri t""".stripMargin,
     "graph_pagerank" -> {
       // twin of Graph.pageRank: 3 unrolled power iterations, DECIMAL
       // contribution sums, rank rounded to 8 per iteration so both

@@ -95,6 +95,7 @@ object SparkEntry {
     // graph analytics over the near-dup pair graph
     "graph_degree_distribution" -> (Graph.degreeDistribution _),
     "graph_triangle_census" -> (Graph.triangleCensus _),
+    "graph_triangle_sample" -> ((s, d) => Graph.triangleSample(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),

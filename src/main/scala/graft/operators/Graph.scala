@@ -60,8 +60,12 @@ object Graph {
     * each triangle once. Wedge count W = Σ deg·(deg−1)/2 comes straight
     * off the degree table (terms are exact integers in double well past
     * any realistic degree — the sum is order-independent). */
-  def triangleCensus(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+  def triangleCensus(s: SparkSession, dir: String): DataFrame =
+    censusOf(edges(s, dir))
+
+  /** Census body over any (a, b) edge frame — shared by the exact census
+    * and the DOULION-sampled estimator so the two cannot drift. */
+  private def censusOf(e: DataFrame): DataFrame = {
     val deg = degrees(e)
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
@@ -85,6 +89,39 @@ object Graph {
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
         round(lit(3.0) * $"n_triangles" / $"n_wedges", 6)
           .as("global_clustering"))
+  }
+
+  /** SAMPLED TRIANGLE CENSUS — the DOULION estimator (Tsourakakis,
+    * Kang, Miller & Faloutsos, KDD'09): sparsify the graph by keeping
+    * each edge independently with probability p, run the SAME exact
+    * degree-ordered census on the kept edges, and scale the triangle
+    * count by 1/p³ (each triangle survives with probability p³, so the
+    * estimator is unbiased). This is the 100 TB posture for the census:
+    * the exact count is Θ(Σ outdeg²) by contract — inherent, but at
+    * extreme scale a p-sparsified pass costs ~p² of the wedge work for
+    * a concentration-bounded estimate, and the knob is a single
+    * parameter.
+    *
+    * The coin is DETERMINISTIC: keep edge (a,b) iff
+    * hash60(a ⧺ '|' ⧺ b) % keepMod == 0 (p = 1/keepMod, the engine-
+    * neutral md5 kernel) — so both engines sparsify identically and the
+    * sampled census is EXACT on the sampled subgraph (the twin is a
+    * hash match, not a tolerance match; estimator variance lives in the
+    * p³ scale-up, priced against the exact census in GraphSpec). Output:
+    * the sampled graph's census columns plus the sampling modulus and
+    * `est_triangles` = n_triangles · keepMod³ (integer-exact). */
+  def triangleSample(s: SparkSession, dir: String, keepMod: Int = 2): DataFrame = {
+    require(keepMod >= 2, s"keepMod must be >= 2, got $keepMod")
+    val kept = edges(s, dir).filter(
+      graft.functions.EngineNeutral.hash60(
+        concat($"a".cast("string"), lit("|"), $"b".cast("string")))
+        % keepMod === 0)
+    censusOf(kept)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        $"global_clustering",
+        lit(keepMod.toLong).as("keep_mod"),
+        ($"n_triangles" * lit(keepMod.toLong) * lit(keepMod.toLong)
+          * lit(keepMod.toLong)).as("est_triangles"))
   }
 
   /** PAGERANK over the (symmetrized) near-dup graph — `iters` unrolled

@@ -41,6 +41,31 @@ class GraphSpec extends SparkSpec {
     })
   }
 
+  test("sampled triangle census: deterministic, consistent with the " +
+    "sparsified subgraph, estimate near the exact count") {
+    val s1 = Graph.triangleSample(spark, Sf).collect()(0)
+    val s2 = Graph.triangleSample(spark, Sf).collect()(0)
+    assert(s1 === s2, "hash-keyed sampling must be deterministic")
+    val exact = Graph.triangleCensus(spark, Sf).collect()(0)
+    // sparsification shrinks every census quantity
+    assert(s1.getAs[Long]("n_edges") < exact.getAs[Long]("n_edges"))
+    assert(s1.getAs[Long]("n_triangles") < exact.getAs[Long]("n_triangles"))
+    // p=1/2 keeps roughly half the edges (hash60 is uniform; generous
+    // 10-sigma-ish slack so corpus regeneration cannot flake this)
+    val (kept, all) = (s1.getAs[Long]("n_edges"), exact.getAs[Long]("n_edges"))
+    assert(math.abs(kept - all / 2.0) < 0.1 * all,
+      s"kept $kept of $all edges — coin badly biased")
+    // est = sampled * keepMod^3, integer-exact
+    assert(s1.getAs[Long]("est_triangles") ===
+      s1.getAs[Long]("n_triangles") * 8L)
+    // DOULION concentration on this triangle-rich graph: the estimate
+    // lands near the exact census (1.2% off on the current fixture; the
+    // 30% bound is the honest statistical envelope, not the typical)
+    val (est, t) = (s1.getAs[Long]("est_triangles"), exact.getAs[Long]("n_triangles"))
+    assert(math.abs(est - t.toDouble) <= 0.3 * t,
+      s"DOULION estimate $est too far from exact $t")
+  }
+
   test("pagerank: mass conserved, positive, matches brute-force iteration") {
     val e = edgeSet()
     val und = (e ++ e.map { case (a, b) => (b, a) }).toSeq
