@@ -61,8 +61,11 @@ object Bench {
     "sim_ivfadc_topk", // added r10: residual-coded IVF-PQ (IVFADC proper)
     "sim_adc_trained_topk", // added r10: Lloyd-trained codebook re-encode + ADC
     "graph_pagerank", // added r10: LSH pair graph + 3 unrolled power iterations
+    "graph_triangle_sample", // added r11: DOULION p=1/2 census estimator
     "rel_scd2_intervals", // added r9: full-table window materialization
     "rel_scd2_asof", // added r10: interval point-in-time probe join
+    "rel_scd2_late_splice", // added r11: affected-key interval rewrite
+    "sim_pq_lloyd_chain", // added r11: 3 chained assignment+means exchanges
     "mm_meta_stats")
   // sim_knn_graph is deliberately NOT benched: the exact graph is
   // quadratic by contract (the scale path is ivf_topk per node), and a
@@ -89,11 +92,25 @@ object Bench {
     * comparison tracks. A System.gc() between queries nudges the
     * ContextCleaner to actually free dropped broadcast / checkpoint
     * blocks instead of letting them age into someone else's timing. */
+  /** Active set: `headline`, or its intersection with the comma-list in
+    * SPARK_GRAFT_ONLY (targeted re-measurement of a few queries without
+    * paying for the full set — the n_queries field keeps the resulting
+    * totals self-describing). */
+  private def active: Seq[String] =
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(csv) =>
+        val want = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- headline.toSet
+        require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in headline: $unknown")
+        headline.filter(want)
+      case None => headline
+    }
+
   private def run(spark: SparkSession, sfDir: String, reps: Int)
   : (Seq[(String, Double)], Seq[(String, String)]) = {
     val times = Seq.newBuilder[(String, Double)]
     val errors = Seq.newBuilder[(String, String)]
-    headline.foreach { name =>
+    active.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
         val best = (1 to reps).map { _ =>

@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   *    token sets are disjoint across replicas (Jaccard 0) but isomorphic
   *    within one (same shingle counts, same Jaccard between any two docs
   *    of the same replica);
-  *  - embeddings: each replica's vectors are cyclically rotated by k
-  *    dimensions — a common permutation preserves every within-replica
-  *    dot product bit-for-bit while cross-replica cosines drop to noise;
+  *  - embeddings: each replica's vectors are cyclically rotated by
+  *    k mod 64 dimensions, and replicas beyond the 64 distinct rotations
+  *    additionally flip the sign of every odd dimension — both are
+  *    isometries applied uniformly within a replica, so every
+  *    within-replica dot product is preserved BIT-FOR-BIT (s_j x_j ·
+  *    s_j y_j = x_j y_j exactly in fp) while cross-replica cosines drop
+  *    to noise; the two knobs give 128 distinct perturbations;
   *  - events: ids/users offset, timestamps kept (load grows K-fold per
   *    hour bucket, the realistic shape).
   *
@@ -40,7 +44,8 @@ object ScaledCorpus {
 
   /** Materialize `base` scaled by `k` into `target` (idempotent). */
   def ensure(s: SparkSession, base: String, target: String, k: Int): String = {
-    require(k >= 1 && k < 64, s"scale factor must be in [1, 64), got $k")
+    require(k >= 1 && k <= 128,
+      s"scale factor must be in [1, 128] (64 rotations x 2 sign patterns), got $k")
     if (marker(target).exists()) return target
     new java.io.File(target).mkdirs()
 
@@ -80,12 +85,21 @@ object ScaledCorpus {
     }), "documents")
     write(replicate(raw("embeddings"))((d, i) =>
       if (i == 0) d
-      else offsetKeys(d, i, "vec_id")
-        .withColumn("embedding", {
-          val v = col("embedding")
-          val n = size(v)
-          concat(slice(v, lit(i + 1), n - i), slice(v, lit(1), lit(i)))
-        })), "embeddings")
+      else {
+        val rot = i % 64
+        val grp = i / 64
+        offsetKeys(d, i, "vec_id")
+          .withColumn("embedding", {
+            val v = col("embedding")
+            val n = size(v)
+            val rotated =
+              if (rot == 0) v
+              else concat(slice(v, lit(rot + 1), n - rot), slice(v, lit(1), lit(rot)))
+            if (grp == 0) rotated
+            else transform(rotated, (x, j) =>
+              when(j % 2 === 1, -x).otherwise(x))
+          })
+      }), "embeddings")
 
     marker(target).createNewFile()
     target

@@ -297,13 +297,19 @@ class PlanSpec extends SparkSpec {
     assert(loops <= 1, s"wedge/closure joins degenerated to nested loops:\n$p")
   }
 
-  test("pagerank: every iteration joins on the node equi key, no loops") {
+  test("pagerank: iterations are materialized — final plan reads stored " +
+    "ranks, never re-derives the LSH chain") {
     val p = plan(Graph.pageRank(spark, Sf))
-    // 1x1 count frames broadcast per iteration are fine; real joins must
-    // stay equi — no cartesian on any many-row side
     assert(!p.contains("CartesianProduct"),
       s"pagerank degenerated to a cartesian product:\n$p")
-    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty)
+    // per-iteration localCheckpoint truncates lineage (the round-11 100x
+    // rehearsal measured the un-materialized unroll at 88x its 10x
+    // cost): the returned frame scans the stored rank RDD — the banded
+    // LSH derivation and its documents scan must NOT reappear above it
+    assert(p.contains("ExistingRDD"),
+      s"expected a checkpointed-rank scan:\n$p")
+    assert(!p.contains("documents") && !p.contains("Parquet"),
+      s"final pagerank plan re-derives the corpus chain:\n$p")
   }
 
   test("ntile/percent_rank/cume_dist share one window exchange per segment") {
