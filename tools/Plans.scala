@@ -50,8 +50,11 @@ object Plans {
       "sim_adc_trained_topk" -> "trained ADC: refined codebook broadcast twice (re-encode argmin + LUT); one (vec,sub) exchange for codes, then the seed ADC shape",
       "rel_scd2_intervals" -> "SCD2: one exchange+sort per key serves the lead() window",
       "rel_scd2_asof" -> "SCD2 as-of: custkey equi SMJ with residual interval filter — no nested loop; probe side is a bounded literal-date explode",
-      "rel_merge_upsert" -> "MERGE/upsert: one shuffle per side on the merge key, full-outer SMJ, coalesce projection — the incremental-refresh shape",
-      "graph_pagerank" -> "PageRank: equi-join + decimal agg per unrolled iteration; the repeated LSH pair subtrees dedupe at runtime (executed AQE plan: 22 ReusedExchange vs 21 built)")
+      "rel_merge_upsert" -> "MERGE/upsert/delete: one shuffle per side on the merge key, full-outer SMJ, coalesce + tombstone-arm projection, unmatched-tombstone filter — the full CDC apply",
+      "rel_scd2_late_splice" -> "SCD2 late splice: one window over base history, anti join excludes rewritten keys, semi-joined affected keys re-windowed — rewrite cost bounded by the late batch's key set",
+      "sim_pq_lloyd_chain" -> "PQ-Lloyd chain: three assignment+means rounds, each a broadcast <=128-row codebook join + one (vec,sub) exchange; corpus scan shared via AQE exchange reuse",
+      "graph_triangle_sample" -> "DOULION census: hash60 edge coin filters the pair set BEFORE orientation — wedge fan-out shrinks ~p^2; same census body as the exact count",
+      "graph_pagerank" -> "PageRank: adjacency localCheckpoint'ed once, per-iteration rank checkpoint (lineage truncated — final plan reads ExistingRDD; the 100x rehearsal measured the un-materialized unroll at 88x its 10x cost)")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
