@@ -807,7 +807,39 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  ELSE hs END) AS fps FROM h)
          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
          |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
-         |FROM f""".stripMargin)
+         |FROM f""".stripMargin,
+    "text_bm25_topk" ->
+      // twin of TextAnalysis.bm25TopK(terms = vector/spark/stream/scan,
+      // k1 = 1.2, b = 0.75): Lucene-default idf, per-term parts rounded
+      // to 9 then DECIMAL-summed; every fp constant is composed the way
+      // Spark's driver computes it (k1+1, 1−b as runtime double ops on
+      // CAST literals, never a pre-folded decimal literal)
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM t),
+         |corpus AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         |posting AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(tk) AS term FROM t)
+         |  WHERE term IN ('vector', 'spark', 'stream', 'scan')
+         |  GROUP BY doc_id, term),
+         |idf AS (SELECT term, ln(CAST(1.0 AS DOUBLE)
+         |    + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |    AS idf
+         |  FROM (SELECT term, count(*) AS df FROM posting GROUP BY term)
+         |  CROSS JOIN corpus),
+         |scored AS (SELECT p.doc_id, count(*) AS n_terms_hit,
+         |  round(CAST(sum(CAST(round(
+         |    i.idf * (p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |      / (p.tf + CAST(1.2 AS DOUBLE)
+         |        * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+         |          + CAST(0.75 AS DOUBLE) * l.len / c.avgdl)),
+         |    9) AS DECIMAL(27,10))) AS DOUBLE), 6) AS bm25
+         |  FROM posting p JOIN idf i USING (term) JOIN lens l USING (doc_id)
+         |  CROSS JOIN corpus c
+         |  GROUP BY p.doc_id)
+         |SELECT doc_id, n_terms_hit, bm25 FROM (
+         |  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin)
 
   // ---- events -----------------------------------------------------------
 
@@ -1842,7 +1874,62 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM bf LEFT JOIN adc ON bf.q_id = adc.q_id AND bf.vec_id = adc.vec_id
          |LEFT JOIN ipq ON bf.q_id = ipq.q_id AND bf.vec_id = ipq.vec_id
          |GROUP BY bf.q_id""".stripMargin
-    })
+    },
+    "sim_sq8_topk" ->
+      // twin of Similarity.sq8TopK: per-dimension affine grid (min,
+      // range/255), floor(x+0.5)-to-grid with [0,255] clamp, decode,
+      // then the proven dot kernel + rank spec — every fp op composed
+      // in Spark's order on the same doubles
+      s"""WITH $sq8Ctes
+         |SELECT q_id, vec_id, sq8_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sq8_score DESC, vec_id ASC) AS rn
+         |  FROM sq8sc) WHERE rn <= 10""".stripMargin,
+    "sim_sq8_recall" ->
+      // twin of Similarity.sq8Recall: exact top-k by the same rounded
+      // inner product, overlapped with the SQ8 ranking per query
+      s"""WITH $sq8Ctes,
+         |bf AS (SELECT q_id, vec_id FROM (
+         |  SELECT sq.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY sq.q_id
+         |      ORDER BY round(list_sum(list_transform(range(64),
+         |        i -> (sq.q_v)[i+1] * (e.v)[i+1])), 6) DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN sq ON e.vec_id <> sq.q_id) WHERE rn <= 10),
+         |s8 AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sq8_score DESC, vec_id ASC) AS rn
+         |  FROM sq8sc) WHERE rn <= 10)
+         |SELECT bf.q_id, count(*) AS n_exact,
+         |  CAST(count(s8.vec_id) AS BIGINT) AS sq8_overlap,
+         |  round(count(s8.vec_id)::DOUBLE / count(*), 6) AS sq8_recall_at_k
+         |FROM bf LEFT JOIN s8 ON bf.q_id = s8.q_id AND bf.vec_id = s8.vec_id
+         |GROUP BY bf.q_id""".stripMargin)
+
+  /** Shared CTE chain of the SQ8 twins: per-dimension (min, range/255)
+    * grid as two position-ordered lists, grid-decoded vectors, query
+    * set, and the scored (q_id, vec_id, sq8_score) frame — each fp op
+    * composed in exactly Similarity.sq8TopKFrom's order. */
+  private lazy val sq8Ctes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+       |sp AS (SELECT vec_id, g.i, v[g.i+1] AS comp
+       |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS i) g),
+       |sst AS (SELECT i, min(comp) AS mn,
+       |  (max(comp) - min(comp)) / CAST(255.0 AS DOUBLE) AS sc
+       |  FROM sp GROUP BY i),
+       |stl AS (SELECT list(mn ORDER BY i) AS mnl, list(sc ORDER BY i) AS scl
+       |  FROM sst),
+       |sdec AS (SELECT vec_id, list_transform(range(64), i ->
+       |    CASE WHEN scl[i+1] = 0 THEN mnl[i+1]
+       |         ELSE mnl[i+1] + least(CAST(255.0 AS DOUBLE),
+       |           greatest(CAST(0.0 AS DOUBLE),
+       |             floor((v[i+1] - mnl[i+1]) / scl[i+1] + CAST(0.5 AS DOUBLE))))
+       |           * scl[i+1] END) AS dv
+       |  FROM e CROSS JOIN stl),
+       |sq AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+       |sq8sc AS (SELECT sq.q_id, sdec.vec_id,
+       |  round(list_sum(list_transform(range(64),
+       |    i -> (sq.q_v)[i+1] * (sdec.dv)[i+1])), 6) AS sq8_score
+       |  FROM sdec JOIN sq ON sdec.vec_id <> sq.q_id)""".stripMargin
 
   // ---- graph ------------------------------------------------------------
 
@@ -1932,6 +2019,33 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  FROM nodes CROSS JOIN nn),
          |$iters
          |SELECT node AS doc_id, deg AS degree, pr FROM r3""".stripMargin
+    },
+    "graph_pagerank_trajectory" -> {
+      // twin of Graph.pageRankTrajectory: 5 unrolled iterations of the
+      // graph_pagerank body; per iteration |pr_i − pr_{i-1}| rounded to
+      // 8 (the iterates are identical rounded doubles on both engines,
+      // so the subtraction is the same IEEE op), max + DECIMAL L1
+      val iters = (1 to 5).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT a.dst, CAST(r.pr / r.deg AS DECIMAL(27,10)) AS c
+           |  FROM adj a JOIN $prev r ON a.src = r.node),
+           |s$i AS (SELECT dst, sum(c) AS sc FROM c$i GROUP BY dst),
+           |r$i AS (SELECT n.node, n.deg, nn.n,
+           |  round(CAST(0.15 AS DOUBLE) / nn.n
+           |    + CAST(0.85 AS DOUBLE) * CAST(s.sc AS DOUBLE), 8) AS pr
+           |  FROM nodes n CROSS JOIN nn JOIN s$i s ON s.dst = n.node),
+           |d$i AS (SELECT round(abs(cur.pr - prv.pr), 8) AS d
+           |  FROM r$i cur JOIN $prev prv ON cur.node = prv.node),
+           |t$i AS (SELECT CAST($i AS BIGINT) AS iter, max(d) AS max_delta,
+           |  round(CAST(sum(CAST(d AS DECIMAL(27,10))) AS DOUBLE), 8) AS l1_delta
+           |  FROM d$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, deg, n, round(CAST(1.0 AS DOUBLE) / n, 8) AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |$iters
+         |${(1 to 5).map(i => s"SELECT * FROM t$i").mkString("\n UNION ALL ")}""".stripMargin
     })
 
   // ---- multimodal -------------------------------------------------------

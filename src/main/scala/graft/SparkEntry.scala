@@ -92,11 +92,14 @@ object SparkEntry {
     "sim_adc_trained_topk" -> ((s, d) => Similarity.adcTrainedTopK(s, d)),
     "sim_pq_trained_recall" -> ((s, d) => Similarity.pqTrainedRecall(s, d)),
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
+    "sim_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
+    "sim_sq8_recall" -> ((s, d) => Similarity.sq8Recall(s, d)),
     // graph analytics over the near-dup pair graph
     "graph_degree_distribution" -> (Graph.degreeDistribution _),
     "graph_triangle_census" -> (Graph.triangleCensus _),
     "graph_triangle_sample" -> ((s, d) => Graph.triangleSample(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    "graph_pagerank_trajectory" -> ((s, d) => Graph.pageRankTrajectory(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
@@ -118,6 +121,7 @@ object SparkEntry {
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "rel_approx_distinct" -> (Relational.q23ApproxDistinct _),
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
+    "text_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     // events (batch time-series)
     "events_hourly_agg" -> (Events.hourlyAgg _),
     "events_sessionize" -> (Events.sessionize _),

@@ -1043,4 +1043,103 @@ object Similarity {
         round(count($"tv").cast("double") / count(lit(1)), 6)
           .as("trained_recall_at_k"))
   }
+
+  /** Per-dimension SQ8 affine grid over a corpus: one row,
+    * (mnl, scl) — 64 mins and 64 scales (range/255), position-sorted.
+    * A bounded aggregate whatever the corpus size — always
+    * broadcast-sized (two 64-double arrays). */
+  private def sq8Stats(e: DataFrame): DataFrame =
+    e.select(posexplode($"v").as(Seq("pos", "comp")))
+      .groupBy($"pos")
+      .agg(min($"comp").as("mn"), max($"comp").as("mx"))
+      .select($"pos", $"mn", (($"mx" - $"mn") / lit(255.0)).as("sc"))
+      .agg(
+        transform(array_sort(collect_list(struct($"pos", $"mn"))),
+          x => x.getField("mn")).as("mnl"),
+        transform(array_sort(collect_list(struct($"pos", $"sc"))),
+          x => x.getField("sc")).as("scl"))
+
+  /** SQ8 TOP-K — SCALAR quantization retrieval, the other half of the
+    * quantization family next to PQ/IVFPQ/IVFADC: each dimension gets
+    * an independent affine int8 grid (min..max in 255 steps), a vector
+    * compresses to 64 uint8 codes (512 B → 64 B), and retrieval scores
+    * the query against the DECODED grid points. SQ8 is what production
+    * vector stores use when recall must stay near-exact and 8× memory
+    * is enough (PQ's 128× collapse costs more recall); it also has no
+    * codebook to train or drift — the per-dimension (min, scale) pair
+    * is the entire model, re-derivable in one bounded aggregate.
+    *
+    * Shape at 100 TB: the (mn, scale) grid is a single broadcast row
+    * (two 64-double arrays — no join key at all); encode+decode is ONE
+    * codegen scan (`transform` with the broadcast arrays — clamp,
+    * floor-to-grid, reproject); scoring distributes exactly like
+    * [[bruteForceTopK]] (broadcast queries × corpus scan, two-phase
+    * rank) but over 64 B codes instead of 512 B doubles — the scan the
+    * stored code table serves while the embedding column stays cold.
+    * (On this test corpus the codes derive inline from the embedding
+    * scan, like [[pqAdcTopK]]'s leaf — a deployment swaps in the code
+    * table and nothing downstream changes. The inner-product form
+    * Σ qᵢ·(mnᵢ + cᵢ·scᵢ) also splits as ⟨q,mn⟩ + Σ (qᵢscᵢ)·cᵢ — a
+    * per-query constant plus an integer-weighted sum, the SIMD kernel
+    * a columnar scanner runs; the decode-then-dot here is the same
+    * arithmetic composed to be engine-identical, ULP for ULP.)
+    * Grid arithmetic: floor(x + 0.5) not round() (HALF_UP vs half-even
+    * never enters), degenerate dimensions (max == min → scale 0) decode
+    * to the min, clamp to [0, 255] bounds out-of-grid queries — all the
+    * same IEEE ops on both engines. */
+  def sq8TopK(s: SparkSession, dir: String,
+              nQueries: Int = 5, k: Int = 10): DataFrame =
+    sq8TopKFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k)
+
+  /** Core of [[sq8TopK]] over any (vec_id, v) frame. */
+  def sq8TopKFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import graft.functions.VectorOps.dot
+    val dec = e.crossJoin(broadcast(sq8Stats(e)))
+      .select($"vec_id", transform($"v", (x, i) => {
+        val mn = element_at($"mnl", i + 1)
+        val sc = element_at($"scl", i + 1)
+        when(sc === 0.0, mn).otherwise(
+          mn + least(lit(255.0), greatest(lit(0.0),
+            floor((x - mn) / sc + lit(0.5)))) * sc)
+      }).as("dv"))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"))
+    val scored = dec.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(dot($"q_v", $"dv"), 6).as("adc_score"))
+    adcRank(scored, k).withColumnRenamed("adc_score", "sq8_score")
+  }
+
+  /** SQ8 RECALL REPORT — [[sq8TopK]] overlapped against the exact
+    * brute-force inner-product top-k per query: the recall the 8×
+    * compression actually costs on this corpus (the [[pqRecall]]
+    * discipline; SQ8's per-dimension grid typically sits far above
+    * PQ's subspace codebooks, and the report is where that claim gets
+    * measured instead of assumed). Exact side ranks by the same
+    * rounded inner product so the comparison isolates quantization,
+    * not metric choice. */
+  def sq8Recall(s: SparkSession, dir: String,
+                nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import graft.functions.VectorOps.dot
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"))
+    val exactScored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(dot($"q_v", $"v"), 6).as("adc_score"))
+    val exact = adcRank(exactScored, k).select($"q_id", $"vec_id")
+    val sq = sq8TopKFrom(e, nQueries, k)
+      .select($"q_id".as("sq"), $"vec_id".as("sv_id"))
+    exact
+      .join(sq, $"q_id" === $"sq" && $"vec_id" === $"sv_id", "left")
+      .groupBy($"q_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count($"sv_id").as("sq8_overlap"),
+        round(count($"sv_id").cast("double") / count(lit(1)), 6)
+          .as("sq8_recall_at_k"))
+  }
 }

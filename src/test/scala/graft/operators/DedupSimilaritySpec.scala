@@ -724,4 +724,50 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(s >= 0.0 && s <= 1.0 && t >= 0.0 && t <= 1.0)
     }
   }
+
+  test("sq8: engine ranking equals a brute-force grid mirror; recall " +
+    "near-exact and above flat PQ-ADC") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = vecs.head._2.length
+    // per-dimension affine grid, the operator's exact arithmetic
+    val mn = Array.tabulate(dim)(i => vecs.values.map(_(i)).min)
+    val sc = Array.tabulate(dim)(i => (vecs.values.map(_(i)).max - mn(i)) / 255.0)
+    def dec(v: Array[Double]): Array[Double] = Array.tabulate(dim) { i =>
+      if (sc(i) == 0.0) mn(i)
+      else mn(i) + math.min(255.0,
+        math.max(0.0, math.floor((v(i) - mn(i)) / sc(i) + 0.5))) * sc(i)
+    }
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // sequential left-to-right dot — VectorOps.dot's kernel order
+    def score(q: Array[Double], d: Array[Double]): Double =
+      round6(q.indices.foldLeft(0.0)((acc, i) => acc + q(i) * d(i)))
+    val ref = (0L until 5L).flatMap { q =>
+      vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, score(vecs(q), dec(v))) }
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+        .map { case (id, s) => (q, id, s) }
+    }.toSet
+    val got = Similarity.sq8TopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === ref, "engine SQ8 top-k diverges from the grid mirror")
+    // 8-bit per-dimension quantization is near-exact retrieval: recall
+    // at or near 1, and at least flat PQ-ADC's (which compresses 16x
+    // harder and pays for it)
+    val sq8 = Similarity.sq8Recall(spark, Sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("sq8_recall_at_k"))
+      .toMap
+    val pq = Similarity.pqRecall(spark, Sf).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_overlap").toDouble / r.getAs[Long]("n_exact")))
+      .toMap
+    assert(sq8.keySet === (0L until 5L).toSet)
+    sq8.foreach { case (q, r) =>
+      assert(r >= 0.8, s"query $q: SQ8 recall $r below the near-exact bar")
+      assert(r >= pq(q) - 1e-9,
+        s"query $q: SQ8 recall $r under PQ-ADC ${pq(q)} — 8x grid lost to 128x codebook")
+    }
+  }
 }

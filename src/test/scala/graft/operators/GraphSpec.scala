@@ -99,4 +99,79 @@ class GraphSpec extends SparkSpec {
     val mass = got.map(_._3).sum
     assert(math.abs(mass - 1.0) < 1e-3, s"pagerank mass $mass drifted from 1")
   }
+
+  /** Brute-force trajectory: iterate the spec's own reference PageRank
+    * (BigDecimal contributions, round8 iterates — the same mirror the
+    * pagerank test uses) and record (max, L1) deltas per iteration. */
+  private def bruteTrajectory(iters: Int): Seq[(Double, Double)] = {
+    val e = edgeSet()
+    val und = (e ++ e.map { case (a, b) => (b, a) }).toSeq
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size }
+    val n = deg.size
+    def round8(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    var pr: Map[Long, Double] = deg.map { case (k, _) => k -> round8(1.0 / n) }
+    (1 to iters).map { _ =>
+      val in = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          java.math.BigDecimal.valueOf(pr(src) / deg(src))
+            .setScale(10, java.math.RoundingMode.HALF_UP)
+        }.reduce(_ add _)
+      }
+      val next: Map[Long, Double] = deg.map { case (k, _) =>
+        k -> round8(0.15 / n + 0.85 * in(k).doubleValue())
+      }
+      val ds = deg.keys.toSeq.map(k => round8(math.abs(next(k) - pr(k))))
+      val l1 = ds.map(java.math.BigDecimal.valueOf)
+        .reduce(_ add _).doubleValue()
+      pr = next
+      (ds.max, round8(l1))
+    }
+  }
+
+  test("pagerank trajectory matches brute-force deltas and declines") {
+    val ref = bruteTrajectory(5)
+    val got = Graph.pageRankTrajectory(spark, Sf).collect()
+      .map(r => r.getAs[Long]("iter") ->
+        (r.getAs[Double]("max_delta"), r.getAs[Double]("l1_delta")))
+      .sortBy(_._1)
+    assert(got.map(_._1) === (1L to 5L))
+    got.foreach { case (i, (md, l1)) =>
+      val (rm, rl) = ref(i.toInt - 1)
+      assert(math.abs(md - rm) < 1e-9, s"iter $i max_delta $md vs ref $rm")
+      assert(math.abs(l1 - rl) < 1e-9, s"iter $i l1_delta $l1 vs ref $rl")
+    }
+    // the power iteration contracts on this graph: max_delta declines
+    val mds = got.map(_._2._1)
+    assert(mds.zip(mds.tail).forall { case (a, b) => b < a },
+      s"max_delta not strictly declining: ${mds.mkString(", ")}")
+  }
+
+  test("convergence-driven pagerank stops at the trajectory's first " +
+    "sub-eps iteration and equals the fixed unroll there") {
+    val traj = Graph.pageRankTrajectory(spark, Sf).collect()
+      .map(r => r.getAs[Long]("iter") -> r.getAs[Double]("max_delta"))
+      .sortBy(_._1).map(_._2)
+    // pick an eps that lands the stop strictly inside [2, 5): between
+    // the 3rd and 4th max_delta (strictly declining per the test above)
+    val eps = (traj(2) + traj(3)) / 2.0
+    val expectIters = traj.indexWhere(_ < eps) + 1
+    val conv = Graph.pageRankConverged(spark, Sf, eps = eps, maxIters = 20)
+    val rows = conv.collect()
+    assert(rows.head.getAs[Long]("n_iters") === expectIters.toLong)
+    assert(math.abs(rows.head.getAs[Double]("final_max_delta")
+      - traj(expectIters - 1)) < 1e-9)
+    // the converged iterate IS the fixed unroll at that depth,
+    // bit-identical rank for rank
+    val fixed = Graph.pageRank(spark, Sf, iters = expectIters).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("pr"))).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pr") === fixed(r.getAs[Long]("doc_id")))
+    }
+    // a generous eps stops after one iteration; a starved cap obeys it
+    assert(Graph.pageRankConverged(spark, Sf, eps = 1.0, maxIters = 20)
+      .collect().head.getAs[Long]("n_iters") === 1L)
+    assert(Graph.pageRankConverged(spark, Sf, eps = 1e-12, maxIters = 2)
+      .collect().head.getAs[Long]("n_iters") === 2L)
+  }
 }
