@@ -451,6 +451,37 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |FROM probes JOIN hist ON c_custkey = o_custkey
         |  AND valid_from <= asof_date
         |  AND (valid_to IS NULL OR asof_date < valid_to)""".stripMargin,
+    "rel_scd2_snapshot_at" ->
+      // twin of Relational.q47Scd2SnapshotAt — the interval CTE filtered
+      // to the one row per key whose interval covers the snapshot date
+      """WITH hist AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM hist
+        |WHERE valid_from <= DATE '1995-06-17'
+        |  AND (valid_to IS NULL OR DATE '1995-06-17' < valid_to)""".stripMargin,
+    "rel_skew_audit" ->
+      // twin of Relational.q48SkewAudit (k=20): per-key counts, global
+      // head rank (the Spark side's two-phase bucket rank reduces to the
+      // same total order), shares as double arithmetic, cumulative share
+      // summed over the already-filtered head exactly as Spark does
+      """WITH counts AS (SELECT l_suppkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |total AS (SELECT sum(cnt) AS total FROM counts),
+        |head AS (SELECT l_suppkey, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, l_suppkey ASC) AS rank
+        |  FROM counts QUALIFY rank <= 20)
+        |SELECT CAST(rank AS BIGINT) AS rank, l_suppkey, cnt,
+        |  round(cnt * CAST(100.0 AS DOUBLE) / total, 6) AS share_pct,
+        |  round(sum(cnt) OVER (ORDER BY cnt DESC, l_suppkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * CAST(100.0 AS DOUBLE) / total, 6) AS cum_share_pct
+        |FROM head CROSS JOIN total""".stripMargin,
     "rel_ntile_cume" ->
       // twin of Relational.q44NtileCume: decimal revenue sums rounded
       // once in double; the (revenue DESC, custkey ASC) total order
@@ -839,7 +870,40 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  GROUP BY p.doc_id)
          |SELECT doc_id, n_terms_hit, bm25 FROM (
          |  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
-         |  FROM scored) WHERE rn <= 10""".stripMargin)
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "text_span_dedup" ->
+      // twin of TextAnalysis.spanDedup (w=5): positional 5-shingles via
+      // zipped unnests (spos aligned with the shingle list), canonical
+      // occurrence = rank 1 under (doc_id, spos) within each span hash,
+      // non-canonical spans explode to removed positions, documents
+      // rebuilt by ordered string_agg over the surviving tokens
+      s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk FROM $docs),
+         |sh AS (SELECT doc_id,
+         |  unnest(range(greatest(len(tk) - 4, 0))) AS spos,
+         |  unnest(CASE WHEN len(tk) >= 5
+         |    THEN list_transform(range(1, len(tk) - 3),
+         |      j -> concat_ws(' ', tk[j], tk[j+1], tk[j+2], tk[j+3], tk[j+4]))
+         |    ELSE CAST([] AS VARCHAR[]) END) AS s
+         |  FROM t),
+         |occ AS (SELECT doc_id, spos, ${h60("s")} AS g FROM sh),
+         |r AS (SELECT doc_id, spos,
+         |  row_number() OVER (PARTITION BY g ORDER BY doc_id ASC, spos ASC) AS rn,
+         |  count(*) OVER (PARTITION BY g) AS c
+         |  FROM occ),
+         |rem AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(range(spos, spos + 5)) AS pos
+         |  FROM r WHERE c > 1 AND rn > 1)),
+         |tok AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM t),
+         |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+         |  LEFT JOIN rem ON k.doc_id = rem.doc_id AND k.pos = rem.pos
+         |  WHERE rem.pos IS NULL),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY pos ASC) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM t LEFT JOIN reb USING (doc_id)""".stripMargin)
 
   // ---- events -----------------------------------------------------------
 
@@ -1445,6 +1509,37 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       |cb AS (SELECT sub, code, pos,
       |  round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp, n_vecs FROM a)""".stripMargin
 
+  /** Shared IVF-PQ ADC chain — twin of Similarity.ivfPqTopKFrom's
+    * scoring stage, ending at `scored(q_id, vec_id, adc_score)`: the
+    * sim_ivf_topk coarse probe CTE composed with the sim_pq_adc_topk
+    * LUT — ADC scoring restricted to candidates whose coarse bucket is
+    * in the query's probe set; a corpus vector matches at most ONE
+    * probe per query (probe buckets are distinct XORs of one bucket),
+    * so cand is duplicate-free on both engines and the 8 decimal
+    * partials sum once. Shared by sim_ivfpq_topk and sim_ivfpq_rerank. */
+  private lazy val ivfPqScoredCtes: String = {
+    val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
+    s"""$pqCte,
+       |$pqCodebookCtes,
+       |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
+       |  FROM cb GROUP BY sub, code),
+       |sig AS (SELECT vec_id, ${srpBand("v", 0, 8)} AS bucket FROM e),
+       |qp AS (SELECT vec_id AS q_id, unnest($probeList) AS q_bucket
+       |  FROM sig WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS q_id, sub, sv AS qv FROM pq WHERE vec_id < 5),
+       |lut AS (SELECT q_id, q.sub, cbv.code,
+       |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
+       |    AS DECIMAL(27,10)) AS part
+       |  FROM q JOIN cbv ON q.sub = cbv.sub),
+       |cand AS (SELECT qp.q_id, s.vec_id FROM sig s
+       |  JOIN qp ON s.bucket = qp.q_bucket AND s.vec_id <> qp.q_id),
+       |scored AS (SELECT c.q_id, p.vec_id,
+       |  round(CAST(sum(part) AS DOUBLE), 6) AS adc_score
+       |  FROM pq p JOIN cand c ON p.vec_id = c.vec_id
+       |  JOIN lut l ON l.q_id = c.q_id AND p.sub = l.sub AND p.code = l.code
+       |  GROUP BY c.q_id, p.vec_id)""".stripMargin
+  }
+
   private val similarity: Map[String, String] = Map(
     "sim_brute_force_topk" ->
       // the Spark two-phase rank == a single global rank per query
@@ -1657,38 +1752,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc_score DESC, vec_id ASC) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
-    "sim_ivfpq_topk" -> {
-      // twin of Similarity.ivfPqTopK: the sim_ivf_topk coarse probe CTE
-      // composed with the sim_pq_adc_topk LUT — ADC scoring restricted to
-      // candidates whose coarse bucket is in the query's probe set; a
-      // corpus vector matches at most ONE probe per query (probe buckets
-      // are distinct XORs of one bucket), so cand is duplicate-free on
-      // both engines and the 8 decimal partials sum once
-      val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
-      s"""WITH $pqCte,
-         |$pqCodebookCtes,
-         |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
-         |  FROM cb GROUP BY sub, code),
-         |sig AS (SELECT vec_id, ${srpBand("v", 0, 8)} AS bucket FROM e),
-         |qp AS (SELECT vec_id AS q_id, unnest($probeList) AS q_bucket
-         |  FROM sig WHERE vec_id < 5),
-         |q AS (SELECT vec_id AS q_id, sub, sv AS qv FROM pq WHERE vec_id < 5),
-         |lut AS (SELECT q_id, q.sub, cbv.code,
-         |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
-         |    AS DECIMAL(27,10)) AS part
-         |  FROM q JOIN cbv ON q.sub = cbv.sub),
-         |cand AS (SELECT qp.q_id, s.vec_id FROM sig s
-         |  JOIN qp ON s.bucket = qp.q_bucket AND s.vec_id <> qp.q_id),
-         |scored AS (SELECT c.q_id, p.vec_id,
-         |  round(CAST(sum(part) AS DOUBLE), 6) AS adc_score
-         |  FROM pq p JOIN cand c ON p.vec_id = c.vec_id
-         |  JOIN lut l ON l.q_id = c.q_id AND p.sub = l.sub AND p.code = l.code
-         |  GROUP BY c.q_id, p.vec_id)
+    "sim_ivfpq_topk" ->
+      // twin of Similarity.ivfPqTopK: the shared ADC chain (see
+      // [[ivfPqScoredCtes]]) ranked straight to the final top-k
+      s"""WITH $ivfPqScoredCtes
          |SELECT q_id, vec_id, adc_score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc_score DESC, vec_id ASC) AS rn
-         |  FROM scored) WHERE rn <= 10""".stripMargin
-    },
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "sim_ivfpq_rerank" ->
+      // twin of Similarity.ivfPqRerank (shortlist=50, k=10): the shared
+      // ADC chain ranked to the 50-candidate shortlist, exact cosine on
+      // the shortlisted raw vectors (both sides fetched from e by id),
+      // final rank on the exact score with the adc_score carried along
+      s"""WITH $ivfPqScoredCtes,
+         |sl AS (SELECT q_id, vec_id, adc_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_score DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 50),
+         |rr AS (SELECT sl.q_id, sl.vec_id,
+         |  round(${cosSql("qv.v", "cv2.v")}, 4) AS cos_sim, sl.adc_score
+         |  FROM sl JOIN e cv2 ON cv2.vec_id = sl.vec_id
+         |  JOIN e qv ON qv.vec_id = sl.q_id)
+         |SELECT q_id, vec_id, cos_sim, adc_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS rn2
+         |  FROM rr) WHERE rn2 <= 10""".stripMargin,
     "sim_ivfadc_topk" ->
       // twin of Similarity.ivfAdcTopK — residual-coded IVF-PQ: coarse
       // SRP bucket + rounded centroid means; residuals v − centroid

@@ -78,11 +78,14 @@ object SparkEntry {
     "rel_ntile_cume" -> (Relational.q44NtileCume _),
     "rel_merge_upsert" -> ((s, d) => Relational.q45MergeUpsert(s, d)),
     "rel_scd2_late_splice" -> ((s, d) => Relational.q46Scd2LateSplice(s, d)),
+    "rel_scd2_snapshot_at" -> ((s, d) => Relational.q47Scd2SnapshotAt(s, d)),
+    "rel_skew_audit" -> ((s, d) => Relational.q48SkewAudit(s, d)),
     "sim_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooks(s, d)),
     "sim_pq_recon_error" -> ((s, d) => Similarity.pqReconError(s, d)),
     "sim_pq_adc_topk" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "sim_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerank(s, d)),
     "sim_ivfadc_topk" -> ((s, d) => Similarity.ivfAdcTopK(s, d)),
     "sim_ivfadc_recall" -> ((s, d) => Similarity.ivfAdcRecall(s, d)),
     "sim_pq_lloyd" -> ((s, d) => Similarity.pqLloydCodebooks(s, d)),
@@ -122,6 +125,7 @@ object SparkEntry {
     "rel_approx_distinct" -> (Relational.q23ApproxDistinct _),
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
     "text_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     // events (batch time-series)
     "events_hourly_agg" -> (Events.hourlyAgg _),
     "events_sessionize" -> (Events.sessionize _),

@@ -806,4 +806,61 @@ object Relational {
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"))
   }
+
+  /** SCD2 SNAPSHOT-AT (time travel) — reconstruct the whole dimension
+    * as it stood at one instant: the rows of [[q42Scd2Intervals]] whose
+    * interval covers the snapshot date. [[q43Scd2Asof]] answers per-probe
+    * (key, ts) lookups; this is the table-valued sibling a backfill or a
+    * reproducible-training run reads ("the book exactly as of T"). Shape:
+    * the interval predicate is a plain FILTER over the history — no join
+    * at all, and with the history stored partitioned on a valid_from
+    * bucket the filter is partition-pruned, so a snapshot read touches
+    * only the files whose interval range can cover T. Interval
+    * disjointness (lead() construction) guarantees at most one row per
+    * key — the snapshot IS a consistent dimension image. */
+  def q47Scd2SnapshotAt(s: SparkSession, dir: String,
+                        snapAt: String = "1995-06-17"): DataFrame = {
+    val at = to_date(lit(snapAt))
+    q42Scd2Intervals(s, dir)
+      .filter($"valid_from" <= at && ($"valid_to".isNull || at < $"valid_to"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        $"valid_from", $"valid_to", $"is_current")
+  }
+
+  /** JOIN-KEY SKEW AUDIT — the diagnostic you run BEFORE choosing the
+    * [[q29SaltedJoin]]/[[q28SaltedAgg]] rewrite: per-key frequencies of
+    * the join key, reduced to the heavy-hitter head (top k by count)
+    * with each key's share of total rows and the cumulative share of
+    * the head so far. At 100 TB this one cheap pass answers the two
+    * planning questions that decide the physical join: is the hot key
+    * heavy enough to need salting/AQE skew handling, and how much of
+    * the table do the top keys own (a 5-key head owning 40% of rows is
+    * a different plan than a flat distribution). Shape: one
+    * partial-aggregated exchange on the key (the same count the join
+    * itself would shuffle), a broadcast 1-row total, and a rank over
+    * the ≤k-row head — the audit never materializes the full key
+    * histogram to the driver. Determinism: count desc, key asc. */
+  def q48SkewAudit(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum($"cnt").as("total"))
+    // two-phase rank: the full key histogram is never globally sorted —
+    // each hash bucket keeps its local top k, the global rank sees <= 8k rows
+    val wLocal = Window.partitionBy($"bkt").orderBy($"cnt".desc, $"l_suppkey".asc)
+    val wFinal = Window.partitionBy(lit(0)).orderBy($"cnt".desc, $"l_suppkey".asc)
+    counts
+      .withColumn("bkt", pmod(hash($"l_suppkey"), lit(8)))
+      .withColumn("rn_local", row_number().over(wLocal))
+      .filter($"rn_local" <= k)
+      .withColumn("rank", row_number().over(wFinal))
+      .filter($"rank" <= k)
+      .crossJoin(broadcast(total))
+      .withColumn("share_pct", round($"cnt" * lit(100.0) / $"total", 6))
+      .withColumn("cum_share_pct",
+        round(sum($"cnt").over(
+          wFinal.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          * lit(100.0) / $"total", 6))
+      .select($"rank".cast("long").as("rank"), $"l_suppkey", $"cnt",
+        $"share_pct", $"cum_share_pct")
+  }
 }

@@ -617,6 +617,50 @@ object Similarity {
     adcRank(scored, k)
   }
 
+  /** TWO-STAGE RETRIEVAL: IVF-PQ SHORTLIST + EXACT RE-RANK — the shape
+    * every production ANN deployment actually serves (Jégou et al.
+    * TPAMI'11 §V: ADC orders a shortlist, exact distances re-order it):
+    * [[ivfPqTopK]] produces a shortlist of `shortlist` candidates per
+    * query by compressed-domain ADC score, then ONLY those candidates'
+    * raw vectors are fetched and scored with exact cosine, and the final
+    * top-k is ranked on the exact score. PQ's score distortion is
+    * confined to candidate SELECTION (where a miss costs recall already
+    * priced by [[pqRecall]]), never to the returned ORDER — the ranking
+    * the user sees is exact.
+    *
+    * Shape at 100 TB: the expensive pass stays compressed — the corpus
+    * scan touches only (bucket, codes). The re-rank side is
+    * nQueries x shortlist rows (hundreds), BROADCAST against the raw
+    * vector table, so the exact-score fetch is a broadcast-pruned point
+    * read (with the vector table sorted/bucketed on vec_id it is an
+    * index fetch, raw vectors otherwise cold). The final rank windows
+    * over <= shortlist rows per query — no two-phase needed. Both
+    * scores are kept: adc_score (what stage 1 believed) next to cos_sim
+    * (the truth) is the per-hit distortion audit. */
+  def ivfPqRerank(s: SparkSession, dir: String,
+                  nQueries: Int = 5, k: Int = 10, shortlist: Int = 50,
+                  nBits: Int = 8, probeHamming: Int = 1): DataFrame =
+    ivfPqRerankFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k, shortlist, nBits, probeHamming)
+
+  /** Core of [[ivfPqRerank]] over any (vec_id, v) frame. */
+  def ivfPqRerankFrom(e: DataFrame, nQueries: Int, k: Int, shortlist: Int,
+                      nBits: Int = 8, probeHamming: Int = 1): DataFrame = {
+    require(shortlist >= k, s"shortlist must be >= k, got $shortlist < $k")
+    val cand = ivfPqTopKFrom(e, nQueries, shortlist, nBits, probeHamming)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"))
+    val wFinal = Window.partitionBy($"q_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos_sim", round(cosine($"q_v", $"v"), 4))
+      .withColumn("rn", row_number().over(wFinal))
+      .filter($"rn" <= k)
+      .select($"q_id", $"vec_id", $"cos_sim", $"adc_score")
+  }
+
   /** IVFADC TOP-K — the full residual-coded IVF-PQ layout (the
     * billion-vector structure of Jégou et al., TPAMI'11: coarse
     * quantizer + PQ over RESIDUALS): every vector stores its coarse

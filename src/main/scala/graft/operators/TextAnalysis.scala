@@ -672,4 +672,59 @@ object TextAnalysis {
       .filter($"rn" <= k)
       .select($"doc_id", $"n_terms_hit", $"bm25")
   }
+
+  /** DUPLICATED-SPAN REMOVAL — the C4 recipe (Raffel et al., JMLR'20
+    * §2.2: "we discarded all but one of any three-sentence span
+    * occurring more than once in the data set"), re-expressed over
+    * whitespace tokens: every w-token span that occurs more than once
+    * CORPUS-WIDE is removed from every document except its canonical
+    * first occurrence (min (doc_id, start-pos) — deterministic in both
+    * engines), and each document is REBUILT from its surviving tokens.
+    * This is the heavy-hammer sibling of [[commonSpans]]: that operator
+    * only scores boilerplate; this one excises it and hands back a
+    * cleaned corpus — the step between near-dup detection and training.
+    *
+    * Shape at 100 TB: the shingle stream is O(tokens) rows and rides
+    * ONE exchange on the span hash — the canonical-occurrence choice is
+    * a window (rank + count) over that exchange, never a self-join.
+    * Removed token positions are an explode of the non-canonical spans
+    * (bounded by the duplicated-span volume, the thing being removed),
+    * and reconstruction is one per-doc aggregate over an anti join —
+    * all linear, nothing all-pairs. Overlapping duplicate spans simply
+    * union their covered positions; a span duplicated within ONE
+    * document keeps only the earlier start. Docs shorter than w tokens
+    * contribute no spans and pass through verbatim. */
+  def spanDedup(s: SparkSession, dir: String, w: Int = 5): DataFrame =
+    spanDedupFrom(Tables.documents(s, dir), w)
+
+  /** Core of [[spanDedup]] over any (doc_id, text) frame. */
+  def spanDedupFrom(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1, s"need w >= 1, got w=$w")
+    val toks = docs.select($"doc_id", wsTokens($"text").as("tk"))
+    val occ = toks
+      .select($"doc_id", posexplode(wordShinglesOf($"tk", w)).as(Seq("spos", "sh")))
+      .select($"doc_id", $"spos", hash60($"sh").as("g"))
+    val wg = Window.partitionBy($"g")
+    val wRank = wg.orderBy($"doc_id".asc, $"spos".asc)
+    val removedSpans = occ
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("c", count(lit(1)).over(wg))
+      .filter($"c" > 1 && $"rn" > 1)
+    val removedPos = removedSpans
+      .select($"doc_id", explode(sequence($"spos", $"spos" + lit(w - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .select($"doc_id", posexplode($"tk").as(Seq("pos", "tok")))
+      .join(removedPos, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x.getField("tok"))).as("clean_text"))
+    toks.select($"doc_id", size($"tk").cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+  }
 }

@@ -262,4 +262,28 @@ class CurationOpsSpec extends SparkSpec {
     // more matched terms can only help: every top doc here hits all terms
     assert(engine.forall(_._2 >= 1L))
   }
+
+  test("span dedup: canonical survives, dup spans excised, docs rebuilt") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y"), //  canonical owner of "a b c d e"
+      (2L, "q a b c d e r"), //  dup at pos 1 -> tokens 1..5 removed
+      (3L, "too short"), //      < w tokens: passes through verbatim
+      (4L, "m n o p q z m n o p q"), // within-doc dup at pos 6
+      (5L, "a b c d e x y")) //  all three spans dup vs doc 1 -> emptied
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.spanDedupFrom(docs, w = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((7L, 0L, "a b c d e x y")), "canonical doc untouched")
+    assert(got(2L) === ((7L, 5L, "q r")), "dup span excised mid-doc")
+    assert(got(3L) === ((2L, 0L, "too short")), "short doc passes through")
+    assert(got(4L) === ((11L, 5L, "m n o p q z")), "within-doc dup keeps first")
+    assert(got(5L) === ((7L, 7L, "")), "overlapping dup spans union to full removal")
+    // conservation: kept tokens + removed tokens == original tokens
+    got.values.foreach { case (n, rem, clean) =>
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept + rem === n)
+    }
+  }
 }

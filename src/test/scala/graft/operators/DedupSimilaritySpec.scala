@@ -770,4 +770,33 @@ class DedupSimilaritySpec extends SparkSpec {
         s"query $q: SQ8 recall $r under PQ-ADC ${pq(q)} — 8x grid lost to 128x codebook")
     }
   }
+
+  test("ivfpq rerank: exact-cosine rank of the ADC shortlist, order exact") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def round4(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        (x, y).zipped.map(_ * _).sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    // the reference: the shortlist's pairs re-scored exactly, ranked on
+    // the exact score — stage 1's ADC order must have NO effect on the
+    // returned order beyond membership
+    val sl = Similarity.ivfPqTopKFrom(e, nQueries = 5, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = sl.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+      cands.map { case (_, v, adc) => (q, v, round4(cos(vecs(q), vecs(v))), adc) }
+        .sortBy { case (_, v, c, _) => (-c, v) }
+        .take(10)
+    }.toSet
+    val got = Similarity.ivfPqRerank(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got === expect)
+    // membership: every returned pair came from the shortlist
+    val slPairs = sl.map(t => (t._1, t._2)).toSet
+    assert(got.forall(t => slPairs.contains((t._1, t._2))))
+  }
 }

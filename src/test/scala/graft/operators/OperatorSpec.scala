@@ -313,4 +313,54 @@ class OperatorSpec extends SparkSpec {
       assert(rs.forall(r => r._5 > 0.0 && r._5 <= 1.0 && r._4 >= 0.0 && r._4 <= 1.0))
     }
   }
+
+  test("scd2 snapshot-at: one row per key = the latest change at or before T") {
+    val at = java.time.LocalDateTime.parse("1995-06-17T00:00:00")
+    val snap = Relational.q47Scd2SnapshotAt(spark, Sf).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        ((r.getAs[Long]("o_orderkey"), r.getAs[java.time.LocalDateTime]("valid_from"))))
+    // interval disjointness => the snapshot is a consistent image: one row per key
+    assert(snap.map(_._1).distinct.length === snap.length)
+    // independent formulation: per key, the covering interval belongs to the
+    // change row with the LEXICOGRAPHICALLY LAST (valid_from, o_orderkey)
+    // among rows dated <= T (every earlier tied/preceding row's interval is
+    // closed by its successor's valid_from <= T)
+    val expect = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1),
+        r.getAs[java.time.LocalDateTime](2)))
+      .filter(!_._3.isAfter(at))
+      .groupBy(_._1)
+      .map { case (k, rs) =>
+        val (_, ok, d) = rs.maxBy { case (_, ok, d) =>
+          (d.toEpochSecond(java.time.ZoneOffset.UTC), ok)
+        }
+        k -> ((ok, d))
+      }
+    assert(snap.toMap === expect)
+  }
+
+  test("skew audit: head ranked (cnt desc, key asc), shares exact, cum monotone") {
+    val got = Relational.q48SkewAudit(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("l_suppkey"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("share_pct"),
+        r.getAs[Double]("cum_share_pct")))
+    assert(got.map(_._1).toSeq === (1L to got.length).toSeq)
+    val counts = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1)))
+    val total = counts.map(_._2).sum
+    val head = counts.sortBy { case (k, c) => (-c, k) }.take(20)
+    assert(got.map(t => (t._2, t._3)).toSeq === head.toSeq)
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    got.foreach { case (_, _, c, share, _) =>
+      assert(share === round6(c * 100.0 / total))
+    }
+    // cumulative share: strictly increasing down the head, ends <= 100
+    assert(got.map(_._5).toSeq === got.map(_._5).sorted.toSeq)
+    assert(got.last._5 <= 100.0)
+    assert(got.head._4 === got.head._5)
+  }
 }

@@ -319,4 +319,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"global single-partition sort crept into the segment window:\n$p")
   }
+
+  test("span dedup: equi joins only, removal explode bounded by dup spans") {
+    val p = plan(TextAnalysis.spanDedup(spark, Sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span dedup degenerated to a nested loop:\n$p")
+    // the canonical-occurrence choice is a window over the span-hash
+    // exchange, never a self-join of the shingle stream against itself
+    assert(p.contains("Window"), s"expected a window rank over span hashes:\n$p")
+  }
+
+  test("skew audit head rank is two-phase: no single-partition histogram sort") {
+    val p = plan(Relational.q48SkewAudit(spark, Sf))
+    // the global-rank window runs AFTER the per-bucket top-k filter; the
+    // full key histogram must never hit one partition unfiltered
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    val filters = "rn_local".r.findAllIn(p).size
+    assert(filters >= 1, s"local pre-rank missing — head rank is global:\n$p")
+    assert(single <= 2, s"unexpected single-partition exchanges:\n$p")
+  }
+
+  test("ivfpq rerank: shortlist and queries broadcast against the vector fetch") {
+    val p = plan(Similarity.ivfPqRerank(spark, Sf))
+    assert(!p.contains("CartesianProduct"),
+      s"rerank fetch degenerated to a cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shortlist should broadcast against the vector table:\n$p")
+  }
 }
