@@ -465,6 +465,22 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |FROM hist
         |WHERE valid_from <= DATE '1995-06-17'
         |  AND (valid_to IS NULL OR DATE '1995-06-17' < valid_to)""".stripMargin,
+    "rel_column_profile" -> {
+      // twin of Relational.q49ColumnProfile — the stack unpivot as a
+      // UNION ALL of per-column projections onto the shared DOUBLE axis;
+      // count(DISTINCT) skips nulls in both engines
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      val unpivot = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS val FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      s"""SELECT col_name, count(*) AS n_rows,
+         |  count(*) - count(val) AS n_nulls,
+         |  count(DISTINCT val) AS n_distinct,
+         |  min(val) AS min_v, max(val) AS max_v
+         |FROM ($unpivot)
+         |GROUP BY col_name""".stripMargin
+    },
     "rel_skew_audit" ->
       // twin of Relational.q48SkewAudit (k=20): per-key counts, global
       // head rank (the Spark side's two-phase bucket rank reduces to the
@@ -1136,6 +1152,25 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','n_chars':'BIGINT'})
         |WHERE source IN ('src3','src7','src11')
         |GROUP BY source, fp""".stripMargin,
+    "layout_compaction_plan" ->
+      // twin of Layout.compactionPlan (targetRows=100): file identity
+      // from read_json's filename column (rows-bearing files only, same
+      // blindness as input_file_name on the Spark side); integer ceil
+      // via // exactly as Spark's div
+      s"""SELECT source,
+         |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+         |  count(*) AS n_rows,
+         |  greatest((count(*) + 99) // 100, 1) AS target_files,
+         |  CASE
+         |    WHEN CAST(count(DISTINCT filename) AS BIGINT)
+         |      > greatest((count(*) + 99) // 100, 1) THEN 'coalesce'
+         |    WHEN CAST(count(DISTINCT filename) AS BIGINT)
+         |      < greatest((count(*) + 99) // 100, 1) THEN 'split'
+         |    ELSE 'keep' END AS action
+         |FROM read_json('$layoutBase/documents_jsonl/*/*.json',
+         |  format='newline_delimited', hive_partitioning=1, filename=true,
+         |  columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','n_chars':'BIGINT'})
+         |GROUP BY source""".stripMargin,
     "dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
          |  min(doc_id) AS keep_id, count(*) AS n_copies

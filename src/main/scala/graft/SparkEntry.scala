@@ -80,6 +80,7 @@ object SparkEntry {
     "rel_scd2_late_splice" -> ((s, d) => Relational.q46Scd2LateSplice(s, d)),
     "rel_scd2_snapshot_at" -> ((s, d) => Relational.q47Scd2SnapshotAt(s, d)),
     "rel_skew_audit" -> ((s, d) => Relational.q48SkewAudit(s, d)),
+    "rel_column_profile" -> ((s, d) => Relational.q49ColumnProfile(s, d)),
     "sim_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooks(s, d)),
     "sim_pq_recon_error" -> ((s, d) => Similarity.pqReconError(s, d)),
@@ -160,6 +161,7 @@ object SparkEntry {
     "dedup_cross_source_matrix" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
     "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
     "corpus_jsonl_dedup" -> ((s, d) => Dedup.jsonlCorpusDedup(s, d)),
+    "layout_compaction_plan" -> ((s, d) => graft.sources.Layout.compactionPlan(s, d)),
     "dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     // similarity search
     "sim_brute_force_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),

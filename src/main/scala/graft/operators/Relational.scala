@@ -863,4 +863,34 @@ object Relational {
       .select($"rank".cast("long").as("rank"), $"l_suppkey", $"cnt",
         $"share_pct", $"cum_share_pct")
   }
+
+  /** COLUMN PROFILER — ANALYZE-style exact table statistics as a query:
+    * per column, row count, null count, exact distinct count, min and
+    * max (numerics profiled on a shared DOUBLE axis so one schema fits
+    * every column). These are the inputs a cost-based optimizer (and a
+    * data-quality gate) reads: NDV drives join ordering and broadcast
+    * decisions, null rates flag ingestion breaks, min/max bound
+    * partition pruning. Shape: ONE scan — `stack` unpivots the profiled
+    * columns to narrow (col_name, val) rows, then a single
+    * partial-aggregated exchange on col_name computes every stat; the
+    * distinct count is Spark's standard two-phase distinct aggregation,
+    * never a driver-side set. At 100 TB the FIRST stop for min/max/nulls
+    * is parquet footer statistics (free) and for NDV an HLL sketch
+    * ([[q31ApproxDistinct]]); this operator is their exact ground truth
+    * — the audit you run on a sample, or when sketches disagree. */
+  def q49ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val stacked = Tables.lineitem(s, dir).select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', cast($c as double)").mkString(", ") +
+        ") as (col_name, val)"))
+    stacked.groupBy($"col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"val")).as("n_nulls"),
+        countDistinct($"val").as("n_distinct"),
+        min($"val").as("min_v"),
+        max($"val").as("max_v"))
+  }
 }

@@ -190,4 +190,36 @@ object Layout {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(dir)
   }
+
+  /** SMALL-FILES COMPACTION PLANNER — the maintenance query behind every
+    * OPTIMIZE/compaction job: per partition of the JSONL corpus layout,
+    * how many files hold how many rows, how many files the partition
+    * SHOULD have at the target rows-per-file, and the verdict
+    * (`coalesce` too many small files / `split` files too fat / `keep`).
+    * The small-files problem is the quiet killer of 100 TB table
+    * health — a partition fragmented into thousands of tiny files pays
+    * per-file open/footer/listing cost until scans are metadata-bound;
+    * this planner is the audit that drives the rewrite, and because it
+    * only aggregates (partition, file) counts it costs one scan of the
+    * layout's row metadata, never a rewrite. Shape: file identity comes
+    * from `input_file_name()` (per-row, codegen, no filesystem listing
+    * on the driver), one partial-aggregated exchange on the partition
+    * key; target_files is exact integer arithmetic — identical in the
+    * DuckDB twin via `//`. A file yields a count only if it has rows:
+    * empty files are invisible to BOTH engines, which is the right
+    * blindness for a row-budget planner. */
+  def compactionPlan(s: SparkSession, sfDir: String,
+                     targetRows: Long = 100L): DataFrame = {
+    require(targetRows >= 1, s"need targetRows >= 1, got $targetRows")
+    documentsJsonl(s, sfDir)
+      .select($"source", input_file_name().as("f"))
+      .groupBy($"source")
+      .agg(countDistinct($"f").as("n_files"), count(lit(1)).as("n_rows"))
+      .withColumn("target_files",
+        greatest(expr(s"(n_rows + ${targetRows - 1}) div $targetRows"), lit(1L)))
+      .withColumn("action",
+        when($"n_files" > $"target_files", "coalesce")
+          .when($"n_files" < $"target_files", "split")
+          .otherwise("keep"))
+  }
 }

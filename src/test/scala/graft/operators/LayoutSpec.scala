@@ -162,4 +162,22 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS imdb_test")
     }
   }
+
+  test("compaction plan: covers the corpus, exact ceil targets, verdict consistent") {
+    val plan = graft.sources.Layout.compactionPlan(spark, Sf, targetRows = 5L)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("target_files"),
+        r.getAs[String]("action")))
+    // every partition reported exactly once; row totals cover the corpus
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(plan.map(_._1).distinct.length === plan.length)
+    assert(plan.map(_._3).sum === nDocs)
+    plan.foreach { case (src, nf, nr, tf, act) =>
+      assert(nf >= 1 && nr >= 1, s"$src: empty partition reported")
+      assert(tf === math.max((nr + 4) / 5, 1L), s"$src: ceil target wrong")
+      val expect = if (nf > tf) "coalesce" else if (nf < tf) "split" else "keep"
+      assert(act === expect, s"$src: action $act for n_files=$nf target=$tf")
+    }
+  }
 }

@@ -363,4 +363,24 @@ class OperatorSpec extends SparkSpec {
     assert(got.last._5 <= 100.0)
     assert(got.head._4 === got.head._5)
   }
+
+  test("column profile equals independent per-column aggregates") {
+    val got = Relational.q49ColumnProfile(spark, Sf).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+          r.getAs[Long]("n_distinct"), r.getAs[Double]("min_v"),
+          r.getAs[Double]("max_v")))).toMap
+    val li = Tables.lineitem(spark, Sf)
+    val n = li.count()
+    Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount").foreach { c =>
+      val ref = li.select(
+        count(lit(1)), count(col(c)),
+        countDistinct(col(c).cast("double")),
+        min(col(c).cast("double")), max(col(c).cast("double"))).collect()(0)
+      assert(got(c) === ((n, n - ref.getLong(1), ref.getLong(2),
+        ref.getDouble(3), ref.getDouble(4))), s"column $c profile diverges")
+    }
+    assert(got.size === 6)
+  }
 }
