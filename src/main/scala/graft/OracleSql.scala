@@ -2077,6 +2077,30 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin of Graph.degreeDistribution
       s"""WITH $graphCtes
          |SELECT deg AS degree, count(*) AS n_nodes FROM nodes GROUP BY deg""".stripMargin,
+    "graph_kcore" -> {
+      // twin of Graph.kCore (k=3, rounds=8): the fixed peel-round unroll
+      // as a CTE chain — round i keeps nodes whose degree WITHIN round
+      // i-1's survivors is >= k; output = within-core degrees of the
+      // final survivor set, exactly as the Spark loop computes them
+      // MATERIALIZED is load-bearing: each round references its
+      // predecessor twice, so inlined CTEs would expand the LSH chain
+      // 2^rounds times (observed as fd exhaustion on the parquet scan)
+      val rounds = 8
+      val peel = (1 to rounds).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT adjm.src AS node FROM adjm
+           |  JOIN p${i - 1} a ON adjm.src = a.node
+           |  JOIN p${i - 1} b ON adjm.dst = b.node
+           |  GROUP BY adjm.src HAVING count(*) >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |p0 AS MATERIALIZED (SELECT node FROM nodes),
+         |$peel
+         |SELECT adjm.src AS doc_id, count(*) AS core_deg FROM adjm
+         |  JOIN p$rounds a ON adjm.src = a.node
+         |  JOIN p$rounds b ON adjm.dst = b.node
+         |GROUP BY adjm.src""".stripMargin
+    },
     "graph_triangle_census" ->
       // twin of Graph.triangleCensus: degree-ordered orientation, wedge
       // pairs canonicalized x < y probed against the undirected edge

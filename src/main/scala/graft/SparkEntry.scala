@@ -103,6 +103,7 @@ object SparkEntry {
     "graph_triangle_census" -> (Graph.triangleCensus _),
     "graph_triangle_sample" -> ((s, d) => Graph.triangleSample(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    "graph_kcore" -> ((s, d) => Graph.kCore(s, d)),
     "graph_pagerank_trajectory" -> ((s, d) => Graph.pageRankTrajectory(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),

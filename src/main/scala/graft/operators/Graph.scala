@@ -251,4 +251,39 @@ object Graph {
       lit(iter.toLong).as("n_iters"),
       round(lit(maxDelta), 8).as("final_max_delta"))
   }
+
+  /** K-CORE — the maximal subgraph where every node keeps degree >= k,
+    * by iterative peel: drop nodes under k, recompute degrees within the
+    * survivors, repeat. On the near-dup graph the k-core isolates the
+    * DENSE duplication families (template/boilerplate clusters that
+    * survive any single-edge noise) from chain-like drift that a
+    * connected-component view lumps together — the structure a curation
+    * run reads to decide "delete the whole family" vs "keep one of each
+    * pair". Registered at a FIXED peel-round count (the [[pageRank]]
+    * unroll discipline: a convergence loop is driver policy, not a plan
+    * shape — [[pageRankConverged]] shows the loop; GraphSpec asserts the
+    * fixture reaches its fixpoint within the registered rounds, and the
+    * spec's extra-round probe proves one more peel changes nothing).
+    * Shape: the adjacency is localCheckpoint'ed once; each round is two
+    * membership SEMI-shaped equi joins + one partial-agged degree count,
+    * each iterate checkpointed so round r's plan never re-derives rounds
+    * 1..r-1. Output: surviving nodes with their within-core degree. */
+  def kCore(s: SparkSession, dir: String, k: Int = 3, rounds: Int = 8): DataFrame =
+    kCoreFrom(edges(s, dir), k, rounds)
+
+  /** Core of [[kCore]] over any (a, b) a<b edge frame. */
+  def kCoreFrom(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1")
+    val adj = adjacency(e).localCheckpoint(true)
+    def coreDeg(members: DataFrame): DataFrame =
+      adj.join(members.select($"node".as("ms")), $"src" === $"ms")
+        .join(members.select($"node".as("md")), $"dst" === $"md")
+        .groupBy($"src").agg(count(lit(1)).as("d"))
+        .select($"src".as("node"), $"d")
+    var members = adj.select($"src".as("node")).distinct()
+    for (_ <- 1 to rounds)
+      members = coreDeg(members).filter($"d" >= k)
+        .select($"node").localCheckpoint(true)
+    coreDeg(members).select($"node".as("doc_id"), $"d".as("core_deg"))
+  }
 }

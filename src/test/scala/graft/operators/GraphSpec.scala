@@ -174,4 +174,28 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRankConverged(spark, Sf, eps = 1e-12, maxIters = 2)
       .collect().head.getAs[Long]("n_iters") === 2L)
   }
+
+  test("k-core: cascading peel reaches the clique; registered rounds converge") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}; node 7 starts at degree 3 but its neighbors
+    // 5, 6, 8 are leaves — the peel must CASCADE (round 1 drops the
+    // leaves, round 2 drops 7) before it stabilizes on the clique
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 7L), (6L, 7L), (7L, 8L))
+      .toDF("a", "b")
+    val got = Graph.kCoreFrom(e, k = 3, rounds = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg")).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // fixpoint within the registered rounds: one more peel changes nothing
+    val more = Graph.kCoreFrom(e, k = 3, rounds = 9).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg")).toMap
+    assert(more === got)
+    // k above the clique degree empties the core
+    assert(Graph.kCoreFrom(e, k = 4, rounds = 8).count() === 0L)
+    // the registered query also sits at its fixpoint on the harness graph
+    val reg = Graph.kCore(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg")).toMap
+    reg.values.foreach(d => assert(d >= 3L, "non-core node survived the peel"))
+  }
 }
