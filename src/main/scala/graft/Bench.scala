@@ -66,6 +66,9 @@ object Bench {
     "rel_scd2_asof", // added r10: interval point-in-time probe join
     "rel_scd2_late_splice", // added r11: affected-key interval rewrite
     "sim_pq_lloyd_chain", // added r11: 3 chained assignment+means exchanges
+    "text_span_dedup", // added r11: corpus-wide dup-span excision + doc rebuild
+    "graph_kcore", // added r11: 8 checkpointed peel rounds over the LSH graph
+    "sim_ivfpq_rerank", // added r11: ADC shortlist + exact-cosine re-rank
     "mm_meta_stats")
   // sim_knn_graph is deliberately NOT benched: the exact graph is
   // quadratic by contract (the scale path is ivf_topk per node), and a

@@ -1576,6 +1576,51 @@ private[graft] final class OracleSqlGen(sfDir: String) {
   }
 
   private val similarity: Map[String, String] = Map(
+    "sim_pq_balanced" -> {
+      // twin of Similarity.pqBalanced: per-dimension variance from
+      // DECIMAL sums (squares rounded to scale 10 on BOTH sides before
+      // summing), the 64-row rank -> round-robin (sub, spos) map, then
+      // the standard PQ codebook/recon chain over the permuted
+      // subvectors; the per-sub code is the CASE-dispatched pqSubCode
+      val codeCase = "CASE sub " + (0 until 8).map(j =>
+        s"WHEN $j THEN ${pqSubCode("sv", j * 4, 4)}").mkString(" ") + " END"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |comp AS (SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(v) AS comp FROM e),
+         |st AS (SELECT pos, count(*) AS n,
+         |  sum(CAST(comp AS DECIMAL(27,10))) AS s,
+         |  sum(CAST(comp * comp AS DECIMAL(27,10))) AS ss
+         |  FROM comp GROUP BY pos),
+         |vt AS (SELECT pos, round((CAST(ss AS DOUBLE)
+         |  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n, 6) AS v_pos FROM st),
+         |m AS (SELECT pos, v_pos,
+         |  CAST((rn - 1) % 8 AS BIGINT) AS sub,
+         |  CAST((rn - 1) // 8 AS BIGINT) AS spos
+         |  FROM (SELECT pos, v_pos,
+         |    row_number() OVER (ORDER BY v_pos DESC, pos ASC) AS rn FROM vt)),
+         |bsv AS (SELECT c.vec_id, m.sub, list(c.comp ORDER BY m.spos) AS sv
+         |  FROM comp c JOIN m ON c.pos = m.pos GROUP BY c.vec_id, m.sub),
+         |bcode AS (SELECT vec_id, sub, CAST($codeCase AS BIGINT) AS code, sv FROM bsv),
+         |bx AS (SELECT sub, code,
+         |  CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS spos,
+         |  unnest(sv) AS comp FROM bcode),
+         |bcb AS (SELECT sub, code, spos,
+         |  round(CAST(sum(CAST(comp AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+         |    AS mean_comp
+         |  FROM bx GROUP BY sub, code, spos),
+         |sse AS (SELECT bx.sub,
+         |  round(CAST(sum(CAST((bx.comp - bcb.mean_comp) * (bx.comp - bcb.mean_comp)
+         |    AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS mse,
+         |  count(*) AS n_comps
+         |  FROM bx JOIN bcb ON bx.sub = bcb.sub AND bx.code = bcb.code
+         |    AND bx.spos = bcb.spos
+         |  GROUP BY bx.sub),
+         |vs AS (SELECT sub,
+         |  round(CAST(sum(CAST(v_pos AS DECIMAL(27,10))) AS DOUBLE), 6) AS var_sum,
+         |  count(*) AS n_dims FROM m GROUP BY sub)
+         |SELECT vs.sub, n_dims, var_sum, mse, n_comps
+         |FROM vs JOIN sse ON vs.sub = sse.sub""".stripMargin
+    },
     "sim_brute_force_topk" ->
       // the Spark two-phase rank == a single global rank per query
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),

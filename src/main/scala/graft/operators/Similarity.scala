@@ -1186,4 +1186,79 @@ object Similarity {
         round(count($"sv_id").cast("double") / count(lit(1)), 6)
           .as("sq8_recall_at_k"))
   }
+
+  /** OPQ-LITE: VARIANCE-BALANCED SUBSPACE ASSIGNMENT — the cheap half of
+    * Optimized Product Quantization (Ge et al., CVPR'13: allocate
+    * dimensions to subspaces so variance is balanced; the full method
+    * learns a rotation, the structured variant just PERMUTES): rank the
+    * 64 dimensions by corpus variance, deal them round-robin into the 8
+    * subspaces, and quantize the PERMUTED subvectors through the same PQ
+    * kernel. Natural contiguous slicing can trap all the high-variance
+    * dimensions in one subspace, whose 4-bit alphabet then carries most
+    * of the corpus's energy while other codebooks encode noise; the
+    * balanced deal equalizes per-subspace energy so every codebook bit
+    * works. Output: one row per subspace — its assigned-dimension count,
+    * summed variance (the balance audit) and reconstruction MSE under
+    * the balanced layout, next to [[pqReconError]]'s natural-layout MSE.
+    *
+    * Shape at 100 TB: the variance pass is one partial-agged exchange on
+    * the 64 positions (sums + squares in DECIMAL — order-free); the
+    * 64-row dimension→(sub, spos) map is BROADCAST back against the
+    * component stream, so the permutation costs a map-side join, not a
+    * shuffle; the rest is the standard PQ codebook/recon shape. The
+    * permutation is derived IN-PLAN (rank window over 64 rows) — no
+    * driver collect, and the DuckDB twin derives the identical map from
+    * the identical rounded variances. */
+  def pqBalanced(s: SparkSession, dir: String): DataFrame =
+    pqBalancedFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+
+  /** Core of [[pqBalanced]] over any (vec_id, v) frame. */
+  def pqBalancedFrom(e: DataFrame): DataFrame = {
+    val comp = e.select($"vec_id", posexplode($"v").as(Seq("pos", "comp")))
+      .withColumn("pos", $"pos".cast("long"))
+    val st = comp.groupBy($"pos").agg(
+      count(lit(1)).as("n"),
+      sum($"comp".cast("decimal(27,10)")).as("s"),
+      sum(($"comp" * $"comp").cast("decimal(27,10)")).as("ss"))
+    val vt = st.select($"pos",
+      round(($"ss".cast("double") - $"s".cast("double") * $"s".cast("double")
+        / $"n") / $"n", 6).as("v_pos"))
+    // 64-row frame: the single-partition rank window is bounded by the
+    // DIMENSIONALITY, never the corpus
+    val w = Window.partitionBy(lit(0)).orderBy($"v_pos".desc, $"pos".asc)
+    val m = vt.withColumn("rn", row_number().over(w))
+      .select($"pos", $"v_pos",
+        expr("CAST((rn - 1) % 8 AS BIGINT)").as("sub"),
+        expr("CAST((rn - 1) div 8 AS BIGINT)").as("spos"))
+    val bsv = comp
+      .join(broadcast(m.select($"pos", $"sub", $"spos")), Seq("pos"))
+      .groupBy($"vec_id", $"sub")
+      .agg(transform(array_sort(collect_list(struct($"spos", $"comp"))),
+        x => x.getField("comp")).as("sv"))
+    val codeExpr = (0 until PqSubspaces).foldLeft(lit(null).cast("long")) {
+      (acc, j) =>
+        when($"sub" === j,
+          srpSignatureSlice($"sv", j * PqBitsPerCode, PqBitsPerCode)).otherwise(acc)
+    }
+    val bx = bsv.withColumn("code", codeExpr)
+      .select($"sub", $"code", posexplode($"sv").as(Seq("spos", "comp")))
+      .withColumn("spos", $"spos".cast("long"))
+    val bcb = bx.groupBy($"sub", $"code", $"spos")
+      .agg(sum($"comp".cast("decimal(27,10)")).as("cs"), count(lit(1)).as("cn"))
+      .select($"sub", $"code", $"spos",
+        round($"cs".cast("double") / $"cn", 6).as("mean_comp"))
+    val sse = bx.join(broadcast(bcb), Seq("sub", "code", "spos"))
+      .select($"sub",
+        (($"comp" - $"mean_comp") * ($"comp" - $"mean_comp"))
+          .cast("decimal(27,10)").as("sq"))
+      .groupBy($"sub")
+      .agg(round(sum($"sq").cast("double") / count(lit(1)), 6).as("mse"),
+        count(lit(1)).as("n_comps"))
+    m.groupBy($"sub")
+      .agg(round(sum($"v_pos".cast("decimal(27,10)")).cast("double"), 6)
+        .as("var_sum"), count(lit(1)).as("n_dims"))
+      .join(sse, Seq("sub"))
+      .select($"sub", $"n_dims", $"var_sum", $"mse", $"n_comps")
+  }
 }

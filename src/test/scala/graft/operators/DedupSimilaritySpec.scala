@@ -799,4 +799,41 @@ class DedupSimilaritySpec extends SparkSpec {
     val slPairs = sl.map(t => (t._1, t._2)).toSet
     assert(got.forall(t => slPairs.contains((t._1, t._2))))
   }
+
+  test("balanced PQ: the round-robin deal equalizes per-subspace variance") {
+    import spark.implicits._
+    // adversarial layout: ALL the energy lives in dims 0..7 — natural
+    // contiguous slicing traps it in subspace 0, the balanced deal must
+    // spread exactly one hot dimension into each subspace
+    val vecs = (0L until 20L).map { id =>
+      id -> Array.tabulate(64) { d =>
+        val noise = ((id * 31 + d * 7) % 11).toDouble / 1000.0
+        if (d < 8) ((id * (d + 3)) % 7).toDouble * 10.0 + noise else noise
+      }.toSeq
+    }
+    val e = vecs.toDF("vec_id", "v")
+    val rows = Similarity.pqBalancedFrom(e).collect()
+      .map(r => (r.getAs[Long]("sub"), r.getAs[Long]("n_dims"),
+        r.getAs[Double]("var_sum"), r.getAs[Double]("mse")))
+    // the map is a permutation: 8 subspaces x 8 dims
+    assert(rows.length === 8 && rows.forall(_._2 === 8L))
+    val spreads = rows.map(_._3)
+    val balancedSpread = spreads.max - spreads.min
+    // natural slicing's spread on this fixture: sub 0 holds all hot dims
+    val comps = vecs.flatMap { case (_, v) => v.zipWithIndex }
+    val natVar = comps.groupBy(_._2 / 8).map { case (sub, xs) =>
+      sub -> xs.groupBy(_._2).values.map { c =>
+        val d = c.map(_._1)
+        d.map(x => x * x).sum / d.size - math.pow(d.sum / d.size, 2)
+      }.sum
+    }
+    val natSpread = natVar.values.max - natVar.values.min
+    assert(balancedSpread < natSpread / 4.0,
+      s"balanced spread $balancedSpread vs natural $natSpread — deal failed")
+    // registered query well-formed on the harness embeddings
+    val reg = Similarity.pqBalanced(spark, Sf).collect()
+    assert(reg.length === 8 &&
+      reg.map(_.getAs[Long]("n_dims")).sum === 64L &&
+      reg.forall(_.getAs[Double]("mse") >= 0.0))
+  }
 }

@@ -54,7 +54,14 @@ object Plans {
       "rel_scd2_late_splice" -> "SCD2 late splice: one window over base history, anti join excludes rewritten keys, semi-joined affected keys re-windowed — rewrite cost bounded by the late batch's key set",
       "sim_pq_lloyd_chain" -> "PQ-Lloyd chain: three assignment+means rounds, each a broadcast <=128-row codebook join + one (vec,sub) exchange; corpus scan shared via AQE exchange reuse",
       "graph_triangle_sample" -> "DOULION census: hash60 edge coin filters the pair set BEFORE orientation — wedge fan-out shrinks ~p^2; same census body as the exact count",
-      "graph_pagerank" -> "PageRank: adjacency localCheckpoint'ed once, per-iteration rank checkpoint (lineage truncated — final plan reads ExistingRDD; the 100x rehearsal measured the un-materialized unroll at 88x its 10x cost)")
+      "graph_pagerank" -> "PageRank: adjacency localCheckpoint'ed once, per-iteration rank checkpoint (lineage truncated — final plan reads ExistingRDD; the 100x rehearsal measured the un-materialized unroll at 88x its 10x cost)",
+      "text_span_dedup" -> "span dedup: ONE span-hash exchange carries the shingle stream (window rank picks canonicals — never a self-join); removal explode bounded by dup-span volume; per-doc rebuild aggregate after a left-anti position join",
+      "graph_kcore" -> "k-core: checkpointed peel rounds — final plan reads ExistingRDD members, two membership equi joins + one partial-agged degree count; never re-derives earlier rounds or the LSH chain",
+      "sim_ivfpq_rerank" -> "two-stage retrieval: the ivfpq ADC chain ranks a 50-candidate shortlist, then shortlist AND query vectors broadcast against the raw vector fetch — exact cosine only on shortlisted ids, final window over <=50 rows/query",
+      "rel_skew_audit" -> "skew audit: one partial-agged count exchange on the key, per-bucket local top-k BEFORE the tiny global head rank, broadcast 1-row total",
+      "rel_column_profile" -> "column profile: stack-unpivot rides the ONE lineitem scan, two-phase distinct aggregation on (col_name, val), single exchange",
+      "layout_compaction_plan" -> "compaction plan: input_file_name is per-row codegen on the partitioned JSONL scan, one partial-agged exchange on source, integer-exact targets",
+      "rel_scd2_snapshot_at" -> "SCD2 snapshot-at: interval build's one window exchange, then a plain residual FILTER — no join; at a stored history this is a partition-pruned read")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
