@@ -1142,7 +1142,59 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |sig AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM t)""".stripMargin
   }
 
+  /** Shared KMV sketch CTE — twin of Dedup.kmvSketchFrom: per source,
+    * the k smallest DISTINCT content hashes (hash60 of the lowercased
+    * alphanumeric skeleton), ranked ascending. The Spark side's
+    * two-phase bucket window is a pure shuffle-bounding rewrite of this
+    * single window: min-k of min-k-per-bucket == min-k. */
+  private def kmvSketchCte(k: Int): String =
+    s"""d AS (SELECT DISTINCT source,
+       |  ${h60("regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")} AS h FROM $docs),
+       |sk AS (SELECT source, CAST(rk AS BIGINT) AS rk, h FROM (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |  FROM d) WHERE rk <= $k)""".stripMargin
+
+  /** KMV estimator over an aggregated sketch (aliases n / max_h) — twin
+    * of Dedup.kmvEst: exact when the sketch is not full, else
+    * (k-1)*2^60/h_(k); 63.0 * 2^60 and the division are exactly-rounded
+    * double ops in both engines. */
+  private def kmvEstSql(k: Int): String =
+    s"CASE WHEN n < $k THEN n::DOUBLE " +
+      s"ELSE ${(k - 1).toDouble} * 1152921504606846976.0 / max_h::DOUBLE END"
+
   private val dedup: Map[String, String] = Map(
+    "dedup_kmv_distinct" ->
+      // twin of Dedup.kmvDistinct (k=64): distinct-content estimate per
+      // source from the k-minimum-values sketch
+      s"""WITH ${kmvSketchCte(64)},
+         |agg AS (SELECT source, count(*) AS n, max(h) AS max_h FROM sk GROUP BY source)
+         |SELECT source, n AS n_sketch,
+         |  round(${kmvEstSql(64)}, 2) AS est_distinct
+         |FROM agg""".stripMargin,
+    "dedup_kmv_overlap" ->
+      // twin of Dedup.kmvOverlap (k=64): merged-sketch union/Jaccard/
+      // intersection estimates per source pair (Beyer et al. SIGMOD'07
+      // §4 — k smallest of a sketch union is a sketch of the set union)
+      s"""WITH ${kmvSketchCte(64)},
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |tagged AS (SELECT p.source_a, p.source_b, s.h,
+         |    max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN sk s ON s.source = p.source_a OR s.source = p.source_b
+         |  GROUP BY 1, 2, 3),
+         |l AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY source_a, source_b ORDER BY h) AS rk FROM tagged)
+         |  WHERE rk <= 64),
+         |agg AS (SELECT source_a, source_b, count(*) AS n, max(h) AS max_h,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+         |  FROM l GROUP BY 1, 2)
+         |SELECT source_a, source_b, n AS n_union_sketch,
+         |  round(n_both::DOUBLE / n::DOUBLE, 6) AS jaccard_est,
+         |  round(${kmvEstSql(64)}, 2) AS union_est,
+         |  round((n_both::DOUBLE / n::DOUBLE) * (${kmvEstSql(64)}), 2) AS inter_est
+         |FROM agg""".stripMargin,
     "corpus_jsonl_dedup" ->
       // the hive-partitioned JSONL layout written by graft.sources.Layout
       s"""SELECT source, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,

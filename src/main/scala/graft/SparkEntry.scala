@@ -161,6 +161,8 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizes(s, d)),
     "dedup_cross_source_matrix" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
+    "dedup_kmv_distinct" -> ((s, d) => Dedup.kmvDistinct(s, d)),
+    "dedup_kmv_overlap" -> ((s, d) => Dedup.kmvOverlap(s, d)),
     "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
     "corpus_jsonl_dedup" -> ((s, d) => Dedup.jsonlCorpusDedup(s, d)),
     "layout_compaction_plan" -> ((s, d) => graft.sources.Layout.compactionPlan(s, d)),

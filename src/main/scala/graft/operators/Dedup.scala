@@ -569,4 +569,115 @@ object Dedup {
       .filter($"cos_sim" >= threshold)
       .select($"vec_a", $"vec_b", $"cos_sim")
   }
+
+  // ---- KMV sketches: sketch-based distinct & cross-source overlap -----
+  //
+  // The k-minimum-values sketch (Bar-Yossef et al., RANDOM'02; Beyer et
+  // al., SIGMOD'07 "Distinct-Value Synopses") — keep the k smallest
+  // values of a uniform hash of each element; the k-th smallest value
+  // estimates the distinct count as (k-1)*M/h_(k), and merged sketches
+  // estimate union/intersection/Jaccard WITHOUT ever joining the raw
+  // corpora. This is the sketch-shaped alternative to
+  // [[crossSourceMatrix]]: that one counts verified near-dup PAIRS via
+  // the LSH join; this one estimates exact-content overlap from
+  // |sources| tiny (k-row) synopses — at 100 TB the overlap audit reads
+  // kB of sketch, not the corpus. Unlike HLL (engine-specific register
+  // layouts), KMV over the md5-derived hash60 is DETERMINISTIC and
+  // engine-neutral, so the estimates themselves hash-compare in the
+  // DuckDB gate.
+
+  /** 2^60 as an (exactly representable) double — the hash60 value range. */
+  private val TwoPow60: Double = 1152921504606846976.0
+
+  /** KMV union-estimate over an aggregated sketch: exact when the
+    * sketch is not full (it then holds every distinct hash), else the
+    * (k-1)*M/h_(k) estimator. Both branches are exactly-rounded double
+    * arithmetic mirrored textually in the oracle twin. */
+  private def kmvEst(n: Column, maxH: Column, k: Int): Column =
+    when(n < k, n.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(TwoPow60) / maxH.cast("double"))
+
+  /** Per-source KMV SKETCH rows: the k smallest distinct content hashes
+    * (hash60 of the lowercased alphanumeric skeleton — the same
+    * fingerprint [[exact]] dedups on), ranked ascending.
+    *
+    * Shape: one distinct-shuffle on (source, h), then the TWO-PHASE
+    * min-k rank (the [[Similarity.topKTwoPhase]] discipline): rank
+    * within (source, hash-bucket) first — each of the nBuckets
+    * partitions keeps at most k rows, so the final per-source window
+    * ranks ≤ nBuckets*k rows, never a whole source's distinct set. At
+    * 1000 executors the first window's exchange is the only full-data
+    * shuffle and it is map-side bounded. */
+  def kmvSketchFrom(docs: DataFrame, k: Int, nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val d = docs
+      .select($"source",
+        hash60(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("h"))
+      .distinct()
+    val w1 = Window.partitionBy($"source", pmod($"h", lit(nBuckets)))
+      .orderBy($"h".asc)
+    val w2 = Window.partitionBy($"source").orderBy($"h".asc)
+    d.withColumn("rk1", row_number().over(w1)).filter($"rk1" <= k)
+      .withColumn("rk", row_number().over(w2).cast("long")).filter($"rk" <= k)
+      .select($"source", $"rk", $"h")
+  }
+
+  /** Per-source distinct-content estimate from the KMV sketch.
+    * Output: (source, n_sketch, est_distinct) — est_distinct is EXACT
+    * when a source has fewer than k distinct contents (the sketch holds
+    * them all). */
+  def kmvDistinct(s: SparkSession, dir: String, k: Int = 64): DataFrame =
+    kmvSketchFrom(Tables.documents(s, dir), k)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sketch"), max($"h").as("max_h"))
+      .select($"source", $"n_sketch",
+        round(kmvEst($"n_sketch", $"max_h", k), 2).as("est_distinct"))
+
+  /** Pairwise cross-source overlap estimates from MERGED KMV sketches
+    * (Beyer et al., SIGMOD'07 §4: the k smallest of a sketch union is a
+    * valid sketch of the set union; the fraction of its values present
+    * in both input sketches estimates Jaccard). Output per source pair:
+    * (source_a, source_b, n_union_sketch, jaccard_est, union_est,
+    * inter_est).
+    *
+    * Everything after sketch construction touches ≤ |sources|·k rows:
+    * the pair frame is a broadcast nested-loop over the tiny distinct
+    * source list, the tagging joins are broadcast equi-joins, and the
+    * merge-rank window partitions ≤ 2k rows per pair. No cross-source
+    * join of raw documents anywhere — that is the entire point. */
+  def kmvOverlap(s: SparkSession, dir: String, k: Int = 64): DataFrame =
+    kmvOverlapFrom(kmvSketchFrom(Tables.documents(s, dir), k), k)
+
+  /** Core of [[kmvOverlap]] over any (source, rk, h) sketch frame. */
+  def kmvOverlapFrom(sketch: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcs = sketch.select($"source").distinct()
+    val pairs = srcs.select($"source".as("source_a"))
+      .join(broadcast(srcs.select($"source".as("source_b"))),
+        $"source_a" < $"source_b")
+    val tagged = pairs
+      .join(sketch.select($"source".as("source_a"), $"h"), Seq("source_a"))
+      .select($"source_a", $"source_b", $"h",
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs
+        .join(sketch.select($"source".as("source_b"), $"h"), Seq("source_b"))
+        .select($"source_a", $"source_b", $"h",
+          lit(0).as("in_a"), lit(1).as("in_b")))
+    val merged = tagged
+      .groupBy($"source_a", $"source_b", $"h")
+      .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
+    val wU = Window.partitionBy($"source_a", $"source_b").orderBy($"h".asc)
+    val agg = merged
+      .withColumn("rk", row_number().over(wU)).filter($"rk" <= k)
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_union_sketch"), max($"h").as("max_h"),
+        sum(($"in_a" * $"in_b").cast("long")).as("n_both"))
+    val rho = $"n_both".cast("double") / $"n_union_sketch".cast("double")
+    val uEst = kmvEst($"n_union_sketch", $"max_h", k)
+    agg.select($"source_a", $"source_b", $"n_union_sketch",
+      round(rho, 6).as("jaccard_est"),
+      round(uEst, 2).as("union_est"),
+      round(rho * uEst, 2).as("inter_est"))
+  }
 }

@@ -836,4 +836,49 @@ class DedupSimilaritySpec extends SparkSpec {
       reg.map(_.getAs[Long]("n_dims")).sum === 64L &&
       reg.forall(_.getAs[Double]("mse") >= 0.0))
   }
+
+  test("KMV sketch: exact below k; estimator bounded; overlap recovers planted Jaccard") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+    // ground truth: exact distinct content-hash count per source
+    val truth = docs
+      .select(col("source"),
+        hash60(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("h"))
+      .distinct().groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k above every source's cardinality -> the sketch holds everything
+    // and est_distinct IS the exact distinct count
+    val exactEst = Dedup.kmvDistinct(spark, Sf, k = 1 << 20).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(exactEst.keySet === truth.keySet)
+    exactEst.foreach { case (src, est) =>
+      assert(est === truth(src).toDouble, s"source $src: $est != ${truth(src)}")
+    }
+    // planted overlap: A = docs 0..999, B = 500..1499 -> Jaccard 1/3,
+    // |A ∩ B| = 500, |A ∪ B| = 1500; distinct skeletons by construction
+    val planted = spark.range(1500).select(
+      when($"id" < 1000, "A").otherwise("B").as("source"),
+      concat(lit("doc "), $"id").as("text"))
+      .unionByName(spark.range(500, 1000).select(
+        lit("B").as("source"), concat(lit("doc "), $"id").as("text")))
+    // full sketch (k > union size): estimates are exact
+    val full = Dedup.kmvOverlapFrom(Dedup.kmvSketchFrom(planted, 4096), 4096).collect()
+    assert(full.length === 1)
+    assert(full.head.getAs[Long]("n_union_sketch") === 1500L)
+    assert(full.head.getAs[Double]("jaccard_est") === 0.333333)
+    assert(full.head.getAs[Double]("union_est") === 1500.0)
+    assert(full.head.getAs[Double]("inter_est") === 500.0)
+    // k=64 sketch: estimator within generous bounds (std err ~ 1/sqrt(k-2))
+    val est = Dedup.kmvOverlapFrom(Dedup.kmvSketchFrom(planted, 64), 64).collect().head
+    assert(math.abs(est.getAs[Double]("jaccard_est") - 1.0 / 3) < 0.15,
+      s"jaccard_est ${est.getAs[Double]("jaccard_est")} far from 1/3")
+    assert(math.abs(est.getAs[Double]("union_est") - 1500.0) / 1500.0 < 0.5,
+      s"union_est ${est.getAs[Double]("union_est")} far from 1500")
+    val dEst = Dedup.kmvDistinct(spark, Sf, k = 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    dEst.foreach { case (src, e) =>
+      assert(math.abs(e - truth(src)) / truth(src).toDouble < 0.5,
+        s"source $src: est $e vs exact ${truth(src)}")
+    }
+  }
 }
