@@ -481,6 +481,33 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM ($unpivot)
          |GROUP BY col_name""".stripMargin
     },
+    "rel_agg_delta_apply" ->
+      // twin of Relational.q50AggDeltaApply — FULL RECOMPUTE over
+      // (base − deletes) ∪ inserts, while the Spark side applies the
+      // signed delta to the standing moment sketch: the hash compare
+      // itself proves delta-apply ≡ recompute. Derived mean/var are
+      // textually the same double expressions over the exact moments.
+      s"""WITH o AS (SELECT o_custkey, o_orderkey,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+         |eff AS (
+         |  SELECT o_custkey, p FROM o WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_custkey, p FROM o
+         |  WHERE o_orderkey % 10 <> 0 AND o_orderkey % 17 <> 0),
+         |agg AS (SELECT o_custkey, count(*) AS n_orders,
+         |    sum(p) AS s, sum(p * p) AS s2
+         |  FROM eff GROUP BY 1),
+         |m AS (SELECT o_custkey, n_orders, s,
+         |    CAST(s * 100 AS HUGEINT) AS sc,
+         |    CAST(s2 * 10000 AS HUGEINT) AS s2e4,
+         |    CAST(n_orders AS HUGEINT) AS n
+         |  FROM agg)
+         |SELECT o_custkey, n_orders,
+         |  round(CAST(s AS DOUBLE), 2) AS total_spent,
+         |  CAST((200 * sc + n) // (2 * n) AS DOUBLE) / 10000.0 AS mean_spent,
+         |  CAST((2 * (n * s2e4 - sc * sc) + n * n) // (2 * n * n) AS DOUBLE)
+         |    / 10000.0 AS var_spent
+         |FROM m""".stripMargin,
     "rel_skew_audit" ->
       // twin of Relational.q48SkewAudit (k=20): per-key counts, global
       // head rank (the Spark side's two-phase bucket rank reduces to the

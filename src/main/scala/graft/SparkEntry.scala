@@ -81,6 +81,7 @@ object SparkEntry {
     "rel_scd2_snapshot_at" -> ((s, d) => Relational.q47Scd2SnapshotAt(s, d)),
     "rel_skew_audit" -> ((s, d) => Relational.q48SkewAudit(s, d)),
     "rel_column_profile" -> ((s, d) => Relational.q49ColumnProfile(s, d)),
+    "rel_agg_delta_apply" -> ((s, d) => Relational.q50AggDeltaApply(s, d)),
     "sim_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooks(s, d)),
     "sim_pq_recon_error" -> ((s, d) => Similarity.pqReconError(s, d)),

@@ -893,4 +893,70 @@ object Relational {
         min($"val").as("min_v"),
         max($"val").as("max_v"))
   }
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE (delta-apply) — the view-refresh
+    * half of the CDC family: [[q45MergeUpsert]] applies a change batch
+    * to a keyed SNAPSHOT; this applies one to a materialized AGGREGATE
+    * without rescanning history. The maintained state is the moment
+    * sketch (n, Σp, Σp²) — the canonical SELF-MAINTAINABLE aggregate
+    * set (Gupta & Mumick, "Maintenance of Materialized Views", 1995):
+    * inserts increment, deletes decrement, and mean/variance derive
+    * from the moments at read time. min/max are deliberately absent —
+    * they are NOT delta-maintainable under deletes (a deleted extremum
+    * forces a rescan), which is exactly why the state is moments.
+    *
+    * Shape: one small-side aggregation over the delta batch (map-side
+    * combined, cost ∝ |delta|), then a full-outer sort-merge join with
+    * the standing aggregate on the group key — the [[q45MergeUpsert]]
+    * discipline. At 100 TB the refresh touches |delta| + |keys| rows,
+    * never the raw history; keys whose count reaches zero retire from
+    * the view (the arm a snapshot-MERGE cannot express).
+    *
+    * Determinism: moments are summed in DECIMAL (exact, order-free),
+    * and the derived mean/var are EXACT INTEGER RATIONALS rounded
+    * HALF_UP via integral division — round(s/n, 4) computed as
+    * (200·s_cents + n) div (2n), and var's numerator n·Σp² − (Σp)²
+    * (≥ 0 by Cauchy-Schwarz, exactly, so no clamp) over n². A double
+    * division here would land on genuine half-way ties (observed:
+    * mean 160954.70375) where Spark's shortest-decimal HALF_UP and
+    * DuckDB's exact-binary rounding disagree; integer rationals have
+    * no such seam. The twin recomputes the aggregate FROM SCRATCH over
+    * (base − deletes) ∪ inserts, so the correctness gate itself proves
+    * delta-apply ≡ full recompute. */
+  def q50AggDeltaApply(s: SparkSession, dir: String,
+                       insMod: Int = 10, delMod: Int = 17): DataFrame = {
+    val o = Tables.orders(s, dir).select($"o_custkey", $"o_orderkey",
+      $"o_totalprice".cast("decimal(18,2)").as("p"))
+    val isIns = $"o_orderkey" % insMod === 0
+    val isDel = $"o_orderkey" % delMod === 0 && $"o_orderkey" % insMod =!= 0
+    val base = o.filter(!isIns)
+    // the standing materialized view: per-key moment sketch
+    val baseAgg = base.groupBy($"o_custkey").agg(
+      count(lit(1)).as("n"), sum($"p").as("s"), sum($"p" * $"p").as("s2"))
+    // CDC delta batch: inserts (+) and deletes (−, rows drawn from base)
+    val delta = o.filter(isIns).withColumn("sgn", lit(1L))
+      .unionByName(base.filter(isDel).withColumn("sgn", lit(-1L)))
+    val deltaAgg = delta.groupBy($"o_custkey").agg(
+      sum($"sgn").as("dn"),
+      sum(when($"sgn" > 0, $"p").otherwise(-$"p")).as("ds"),
+      sum(when($"sgn" > 0, $"p" * $"p").otherwise(-($"p" * $"p"))).as("ds2"))
+    val zero = lit(java.math.BigDecimal.ZERO)
+    val applied = baseAgg.join(deltaAgg, Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+        (coalesce($"s", zero.cast("decimal(28,2)")) +
+          coalesce($"ds", zero.cast("decimal(28,2)"))).as("s"),
+        (coalesce($"s2", zero.cast("decimal(38,4)")) +
+          coalesce($"ds2", zero.cast("decimal(38,4)"))).as("s2"))
+      .filter($"n_orders" > 0)
+    applied
+      .withColumn("sc", ($"s" * 100).cast("decimal(38,0)"))
+      .withColumn("s2e4", ($"s2" * 10000).cast("decimal(38,0)"))
+      .withColumn("nN", $"n_orders".cast("decimal(38,0)"))
+      .selectExpr("o_custkey", "n_orders",
+        "round(cast(s as double), 2) as total_spent",
+        "cast((200 * sc + nN) div (2 * nN) as double) / 10000.0 as mean_spent",
+        "cast((2 * (nN * s2e4 - sc * sc) + nN * nN) div (2 * nN * nN) as double)" +
+          " / 10000.0 as var_spent")
+  }
 }

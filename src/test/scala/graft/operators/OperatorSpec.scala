@@ -214,6 +214,43 @@ class OperatorSpec extends SparkSpec {
       "deleted rows must report the base state being removed")
   }
 
+  test("agg delta-apply equals a BigDecimal-exact recompute over the effective rows") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    val out = Relational.q50AggDeltaApply(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    // independent reference: effective rows = (base − deletes) ∪ inserts,
+    // moments and HALF_UP rationals computed exactly on the driver
+    val eff = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .filter { r =>
+        val k = r.getLong(1)
+        k % 10 == 0 || (k % 10 != 0 && k % 17 != 0)
+      }
+      .map(r => r.getLong(0) -> BD.valueOf(r.getDouble(2)).setScale(2, RoundingMode.HALF_UP))
+      .groupBy(_._1)
+    assert(out.keySet === eff.keySet, "key set diverged (retirement or insert lost)")
+    eff.foreach { case (k, rows) =>
+      val n = rows.length
+      val s = rows.map(_._2).reduce(_ add _)
+      val s2 = rows.map(r => r._2.multiply(r._2)).reduce(_ add _)
+      val nB = BD.valueOf(n.toLong)
+      val mean = s.divide(nB, 4, RoundingMode.HALF_UP)
+      val varr = s2.multiply(nB).subtract(s.multiply(s))
+        .divide(nB.multiply(nB), 4, RoundingMode.HALF_UP)
+      val (on, ts, ms, vs) = out(k)
+      assert(on === n.toLong, s"key $k: n $on != $n")
+      assert(ts === s.setScale(2, RoundingMode.HALF_UP).doubleValue(), s"key $k spent")
+      assert(ms === mean.doubleValue(), s"key $k mean $ms != $mean")
+      assert(vs === varr.doubleValue(), s"key $k var $vs != $varr")
+    }
+    // the fixture must actually exercise both delta arms
+    val keys = Tables.orders(spark, Sf).select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(keys.exists(_ % 10 == 0), "no insert rows in fixture")
+    assert(keys.exists(k => k % 10 != 0 && k % 17 == 0), "no delete rows in fixture")
+  }
+
   test("scd2 late splice equals the full rebuild; fixture hits mid-interval") {
     val spliced = Relational.q46Scd2LateSplice(spark, Sf)
     // splice(base, late) == rebuild(base ∪ late): the corrected history
