@@ -789,6 +789,21 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |WHERE cum - n_tok < (CASE source
          |  WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2000
          |  WHEN 'src2' THEN 500 WHEN 'src3' THEN 0 ELSE 1000 END)""".stripMargin,
+    "text_shard_plan" ->
+      // twin of TextAnalysis.shardPlan (target=100000, nBuckets=32):
+      // ONE global window over the (bucket, hash, id) total order — the
+      // Spark side's two-phase prefix-sum decomposition must reduce to
+      // exactly this; integer // matches Spark's div on the
+      // non-negative exclusive start offset
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    ${h60("concat(CAST(doc_id AS VARCHAR), '#shard')")} AS hk
+         |  FROM $docs),
+         |b AS (SELECT doc_id, n_chars, hk, hk % 32 AS bkt FROM d),
+         |c AS (SELECT doc_id, n_chars,
+         |    CAST(sum(n_chars) OVER (ORDER BY bkt ASC, hk ASC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gcum
+         |  FROM b)
+         |SELECT doc_id, n_chars, (gcum - n_chars) // 100000 AS shard FROM c""".stripMargin,
     "text_pack_sequences" ->
       // twin of TextAnalysis.packSequences (budget 256): same salted-hash
       // layout order and first-token fixed-offset binning; the window

@@ -130,6 +130,7 @@ object SparkEntry {
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
     "text_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
+    "text_shard_plan" -> ((s, d) => TextAnalysis.shardPlan(s, d)),
     // events (batch time-series)
     "events_hourly_agg" -> (Events.hourlyAgg _),
     "events_sessionize" -> (Events.sessionize _),

@@ -369,6 +369,53 @@ object TextAnalysis {
       .select($"doc_id", $"source", $"n_tok", $"cum")
   }
 
+  /** TOKEN-BALANCED SHARD PLAN — the training-export step after
+    * curation: assign every document to a shard of ~`targetChars`
+    * content each, in a deterministic hash order (so the plan is
+    * reproducible and shard membership is stable under re-runs). The
+    * complement of [[graft.sources.Layout.writeShards]]: that sink
+    * fixes the shard COUNT by hashing doc ids (shard sizes then follow
+    * the data); this fixes the shard SIZE and derives the count — what
+    * a fixed-sequence-budget pretraining job wants.
+    *
+    * Scale shape: shard = floor(exclusive-prefix-sum / target) over the
+    * global hash order — but a single global sort+window is exactly the
+    * bottleneck a 1000-executor plan must not have. This is the
+    * classic TWO-PHASE DISTRIBUTED PREFIX SUM: order by (bucket, hash,
+    * id) where bucket = hash % nBuckets; phase 1 computes within-bucket
+    * running sums (nBuckets-way parallel window), phase 2 computes the
+    * nBuckets exclusive bucket offsets (one tiny single-partition window
+    * over nBuckets rows) and broadcasts them back. The DuckDB twin IS
+    * the single global window — the gate proves the decomposition exact.
+    * Shard boundaries may straddle one document (a doc is assigned
+    * wholly to the shard its START offset falls in), so every shard
+    * overshoots by < its last document — the packing-rule analogue. */
+  def shardPlan(s: SparkSession, dir: String,
+                targetChars: Long = 100000L, nBuckets: Int = 32): DataFrame =
+    shardPlanFrom(Tables.documents(s, dir), targetChars, nBuckets)
+
+  /** Core of [[shardPlan]] over any (doc_id, n_chars) frame. */
+  def shardPlanFrom(docs: DataFrame, targetChars: Long, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetChars >= 1L, s"targetChars must be positive, got $targetChars")
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val d = docs.select($"doc_id", $"n_chars",
+        hash60(concat($"doc_id".cast("string"), lit("#shard"))).as("hk"))
+      .withColumn("bkt", pmod($"hk", lit(nBuckets.toLong)))
+    val wIn = Window.partitionBy($"bkt").orderBy($"hk".asc, $"doc_id".asc)
+    val inBkt = d.withColumn("cum_in", sum($"n_chars").over(wIn))
+    // exclusive bucket offsets: nBuckets rows through one tiny window
+    val wOff = Window.orderBy($"bkt".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy($"bkt").agg(sum($"n_chars").as("tot"))
+      .withColumn("off", coalesce(sum($"tot").over(wOff), lit(0L)))
+      .select($"bkt", $"off")
+    inBkt.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("gcum", $"off" + $"cum_in")
+      .select($"doc_id", $"n_chars",
+        expr(s"(gcum - n_chars) div $targetChars").as("shard"))
+  }
+
   /** END-TO-END CURATION MANIFEST — the three curation stages a
     * pretraining data job actually chains, as ONE declarative plan
     * Catalyst optimizes whole: per-source median quality gate

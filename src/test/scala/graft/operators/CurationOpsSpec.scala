@@ -286,4 +286,39 @@ class CurationOpsSpec extends SparkSpec {
       assert(kept + rem === n)
     }
   }
+
+  test("shard plan: two-phase prefix sum equals one global window; shards balanced") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, Sf)
+    val target = 5000L
+    val got = TextAnalysis.shardPlanFrom(docs, target, nBuckets = 8)
+    // reference: the SINGLE global window the two-phase decomposition
+    // must reduce to, over the same (bucket, hash, id) total order
+    val d = docs.select(col("doc_id"), col("n_chars"),
+        graft.functions.EngineNeutral.hash60(
+          concat(col("doc_id").cast("string"), lit("#shard"))).as("hk"))
+      .withColumn("bkt", pmod(col("hk"), lit(8L)))
+    val ref = d
+      .withColumn("gcum", sum(col("n_chars"))
+        .over(Window.orderBy(col("bkt").asc, col("hk").asc, col("doc_id").asc)))
+      .selectExpr("doc_id", "n_chars", s"(gcum - n_chars) div $target as shard")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "two-phase prefix sum diverged from the global window")
+    // balance: every shard's char total is within one max-doc of target
+    // (a doc belongs to the shard its START offset falls in), totals
+    // conserve the corpus, and shard ids are contiguous from 0
+    val maxDoc = docs.agg(max(col("n_chars"))).head.getLong(0)
+    val sizes = got.groupBy("shard").agg(sum(col("n_chars")).as("tot")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nShards = sizes.keys.max + 1
+    assert(nShards >= 3, "fixture too small to exercise shard boundaries")
+    assert(sizes.keys.toSeq.sorted === (0L until nShards),
+      "shard ids must be contiguous from 0")
+    assert(sizes.values.sum === docs.agg(sum(col("n_chars"))).head.getLong(0))
+    sizes.foreach { case (sh, tot) =>
+      assert(tot < target + maxDoc, s"shard $sh overshoots: $tot")
+      if (sh < nShards - 1)
+        assert(tot > target - maxDoc, s"shard $sh undershoots: $tot")
+    }
+  }
 }
