@@ -1670,6 +1670,34 @@ private[graft] final class OracleSqlGen(sfDir: String) {
   }
 
   private val similarity: Map[String, String] = Map(
+    "sim_kcenter_seeds" -> {
+      // twin of Similarity.kcenterSeeds (k=8): the greedy farthest-point
+      // rounds unrolled as MATERIALIZED CTEs (each d-round is referenced
+      // by both the next selection and the next update — inlining would
+      // double the chain per round, the graph_kcore lesson). d² is the
+      // same sequential-fold the Spark HOF computes.
+      val k = 8
+      def d2s(a: String, b: String) =
+        s"list_sum(list_transform(range(64), i -> " +
+          s"(($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1])))"
+      val rounds = (2 to k).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT vec_id, v, dmin FROM d${i - 1}
+           |  ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+           |d$i AS MATERIALIZED (SELECT d.vec_id, d.v,
+           |    least(d.dmin, ${d2s("d.v", "c.v")}) AS dmin
+           |  FROM d${i - 1} d, c$i c)""".stripMargin
+      }.mkString(",\n")
+      val sels = (2 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rk, vec_id, round(dmin, 6) AS sel_d2 FROM c$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |s1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+         |d1 AS MATERIALIZED (SELECT e.vec_id, e.v, ${d2s("e.v", "s.v")} AS dmin
+         |  FROM e, s1 s),
+         |$rounds
+         |SELECT CAST(1 AS BIGINT) AS rk, vec_id, CAST(NULL AS DOUBLE) AS sel_d2 FROM s1
+         |UNION ALL $sels""".stripMargin
+    },
     "sim_pq_balanced" -> {
       // twin of Similarity.pqBalanced: per-dimension variance from
       // DECIMAL sums (squares rounded to scale 10 on BOTH sides before

@@ -89,6 +89,7 @@ object SparkEntry {
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerank(s, d)),
     "sim_pq_balanced" -> ((s, d) => Similarity.pqBalanced(s, d)),
+    "sim_kcenter_seeds" -> ((s, d) => Similarity.kcenterSeeds(s, d)),
     "sim_ivfadc_topk" -> ((s, d) => Similarity.ivfAdcTopK(s, d)),
     "sim_ivfadc_recall" -> ((s, d) => Similarity.ivfAdcRecall(s, d)),
     "sim_pq_lloyd" -> ((s, d) => Similarity.pqLloydCodebooks(s, d)),

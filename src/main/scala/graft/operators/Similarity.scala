@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -1260,5 +1260,64 @@ object Similarity {
         .as("var_sum"), count(lit(1)).as("n_dims"))
       .join(sse, Seq("sub"))
       .select($"sub", $"n_dims", $"var_sum", $"mse", $"n_comps")
+  }
+
+  /** K-CENTER GREEDY CORESET SEEDS — Gonzalez (1985) farthest-point
+    * traversal: start from the minimum vec_id, then repeatedly select
+    * the point FARTHEST from its nearest already-selected seed. The
+    * classic 2-approximation for the k-center objective, and the
+    * deterministic workhorse behind coreset / diversity selection in
+    * training-data curation (pick k maximally-spread exemplars) — the
+    * derandomized sibling of k-means++ seeding (argmax instead of a D²
+    * sample), usable directly as [[kmeansCentroidsFrom]] seeds.
+    *
+    * Shape (the [[graft.operators.Graph.pageRankConverged]] driver-loop
+    * discipline): k−1 rounds, each ENTIRELY map-side — the one new seed
+    * vector is baked into the plan as a LITERAL array (no join, no
+    * shuffle), each point's nearest-seed distance is maintained
+    * incrementally via least(dmin, d²(v, seed)), and the argmax is a
+    * TakeOrderedAndProject (one reduce of a single row to the driver —
+    * k driver rows total, never the corpus). State is localCheckpoint'ed
+    * per round so round r's plan never re-derives rounds 1..r−1. At
+    * 100 TB this is k bounded scans of the embedding table.
+    *
+    * Determinism: d² is the sequential-fold HOF (bit-identical to
+    * DuckDB's list_sum/list_transform kernels, the [[VectorOps]]
+    * contract); ties break on vec_id asc. The twin unrolls the k rounds
+    * as MATERIALIZED CTEs (the graph_kcore discipline — each round is
+    * referenced twice, so inlining would double the chain per round). */
+  def kcenterSeeds(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    kcenterSeedsFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")), k)
+
+  /** Core of [[kcenterSeeds]] over any (vec_id, v) frame. */
+  def kcenterSeedsFrom(e: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val sp = e.sparkSession
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val first = e.orderBy($"vec_id".asc).limit(1).collect().head
+    var selected = Vector[Row](Row(1L, first.getLong(0), null))
+    var seedVec: Seq[Double] = first.getSeq[Double](1)
+    var state = e.select($"vec_id", $"v", d2($"v", typedLit(seedVec)).as("dmin"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val sel = state.orderBy($"dmin".desc, $"vec_id".asc).limit(1).collect().head
+      selected :+= Row(i.toLong, sel.getLong(0), sel.getDouble(2))
+      seedVec = sel.getSeq[Double](1)
+      if (i < k)
+        state = state
+          .withColumn("dmin", least($"dmin", d2($"v", typedLit(seedVec))))
+          .localCheckpoint(true)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rk", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("sel_d2", DoubleType, nullable = true)))
+    sp.createDataFrame(sp.sparkContext.parallelize(selected, 1), schema)
+      .select($"rk", $"vec_id", round($"sel_d2", 6).as("sel_d2"))
   }
 }

@@ -881,4 +881,47 @@ class DedupSimilaritySpec extends SparkSpec {
         s"source $src: est $e vs exact ${truth(src)}")
     }
   }
+
+  test("k-center seeds: matches the sequential Gonzalez greedy; farthest distance non-increasing") {
+    import spark.implicits._
+    // fixture with unambiguous geometry: 30 points in 3 well-separated
+    // blobs plus 2 remote outliers — the greedy must pick the outliers
+    // and one point per blob before densifying anywhere
+    def vec(base: Double, id: Long): Seq[Double] =
+      Seq.tabulate(64)(d => base + ((id * 13 + d * 5) % 7).toDouble / 100.0)
+    val pts: Seq[(Long, Seq[Double])] =
+      (0L until 10L).map(i => i -> vec(0.0, i)) ++
+      (10L until 20L).map(i => i -> vec(50.0, i)) ++
+      (20L until 30L).map(i => i -> vec(-40.0, i)) ++
+      Seq(100L -> vec(200.0, 100L), 101L -> vec(-150.0, 101L))
+    val e = pts.toDF("vec_id", "v")
+    val got = Similarity.kcenterSeedsFrom(e, k = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    // sequential reference: same traversal in plain Scala
+    val byId = pts.toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var seeds = Vector(pts.map(_._1).min)
+    var dmin = pts.map { case (id, v) => id -> d2(v, byId(seeds.head)) }.toMap
+    var expect = Vector[(Long, Long, Option[Double])]((1L, seeds.head, None))
+    for (i <- 2 to 6) {
+      val (nid, nd) = dmin.toSeq.maxBy { case (id, d) => (d, -id) }
+      expect :+= ((i.toLong, nid, Some(math.rint(nd * 1e6) / 1e6)))
+      seeds :+= nid
+      dmin = dmin.map { case (id, d) => id -> math.min(d, d2(byId(id), byId(nid))) }
+    }
+    assert(got.toVector === expect)
+    // farthest-first invariant: selection distances never increase
+    val ds = got.flatMap(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+      s"selection distances must be non-increasing: ${ds.mkString(",")}")
+    // the two outliers and all three blobs are covered within the first 5 picks
+    val first5 = got.take(5).map(_._2).toSet
+    assert(first5.contains(100L) && first5.contains(101L))
+    // registered query: k=8 distinct ids, first rank has null distance
+    val reg = Similarity.kcenterSeeds(spark, Sf).collect()
+    assert(reg.length === 8 && reg.map(_.getLong(1)).distinct.length === 8)
+    assert(reg.count(_.isNullAt(2)) === 1)
+  }
 }
