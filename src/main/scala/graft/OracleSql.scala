@@ -2240,6 +2240,24 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |nodes AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY src)""".stripMargin
 
   private val graph: Map[String, String] = Map(
+    "graph_adamic_adar" ->
+      // twin of Graph.adamicAdar (maxDeg=64, topN=50): wedge self-join
+      // on non-hub centers, per-wedge weight 1/ln(deg) rounded to 12 and
+      // summed in DECIMAL (order-independent), existing edges anti'd
+      // away, top 50 under the total order (score desc, a, b)
+      s"""WITH $graphCtes,
+         |adjd AS (SELECT a.src, a.dst, n.deg FROM adj a
+         |  JOIN nodes n ON n.node = a.src WHERE n.deg <= 64),
+         |wedges AS (SELECT l.dst AS x, r.dst AS y,
+         |  CAST(round(1.0 / ln(l.deg), 12) AS DECIMAL(38,12)) AS w
+         |  FROM adjd l JOIN adjd r ON l.src = r.src AND l.dst < r.dst),
+         |scored AS (SELECT x, y, sum(w) AS aa_dec, count(*) AS n_common
+         |  FROM wedges GROUP BY x, y),
+         |nonedge AS (SELECT s.x, s.y, s.aa_dec, s.n_common FROM scored s
+         |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = s.x AND e.b = s.y))
+         |SELECT x AS doc_a, y AS doc_b,
+         |  round(CAST(aa_dec AS DOUBLE), 6) AS aa_score, n_common
+         |FROM nonedge ORDER BY aa_score DESC, doc_a, doc_b LIMIT 50""".stripMargin,
     "graph_degree_distribution" ->
       // twin of Graph.degreeDistribution
       s"""WITH $graphCtes

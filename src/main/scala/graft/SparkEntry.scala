@@ -108,6 +108,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "graph_kcore" -> ((s, d) => Graph.kCore(s, d)),
     "graph_pagerank_trajectory" -> ((s, d) => Graph.pageRankTrajectory(s, d)),
+    "graph_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

@@ -286,4 +286,50 @@ object Graph {
         .select($"node").localCheckpoint(true)
     coreDeg(members).select($"node".as("doc_id"), $"d".as("core_deg"))
   }
+
+  /** ADAMIC-ADAR LINK PREDICTION — top-N non-adjacent document pairs
+    * ranked by Σ_u 1/ln(deg(u)) over their common neighbors u (Adamic &
+    * Adar, Social Networks 25(3), 2003). On the near-dup graph this is
+    * the "missed duplicate" detector: two documents that share many
+    * low-degree neighbors but no direct LSH edge are near-certainly the
+    * same family — the pairs a curation run re-checks with an exact
+    * Jaccard pass before trusting the banded index's negative.
+    *
+    * Scale shape: one wedge self-join on the center node — the same
+    * Σ deg·(deg−1)/2 cost the triangle census pays — with hub centers
+    * (deg > maxDeg) EXCLUDED from wedge generation before the join.
+    * That cap is the standard link-prediction guard: a hub contributes
+    * the least evidence per wedge (weight 1/ln(deg) is smallest there)
+    * yet generates quadratically many wedge rows, so dropping hubs
+    * bounds the join's fan-out at maxDeg²/2 per center while barely
+    * moving the scores that matter. Per-wedge weights are rounded to 12
+    * and summed in DECIMAL(38,12) — partial-agg order never moves a
+    * score (the [[pageRank]] discipline) — then the existing edge set is
+    * anti-joined away and the top N pairs are taken under the total
+    * order (score desc, doc_a, doc_b): TakeOrderedAndProject, no global
+    * sort materialization. */
+  def adamicAdar(s: SparkSession, dir: String,
+                 maxDeg: Int = 64, topN: Int = 50): DataFrame = {
+    require(maxDeg >= 2 && topN >= 1, "need maxDeg >= 2 and topN >= 1")
+    val e = edges(s, dir).localCheckpoint(true)
+    val deg = degrees(e)
+    // adjacency rows whose CENTER (src) is not a hub, carrying its degree;
+    // deg >= 2 is implied by wedge formation, so ln(deg) > 0 always
+    val adj = adjacency(e)
+      .join(deg.filter($"deg" <= maxDeg), $"src" === $"node")
+      .select($"src", $"dst", $"deg")
+    val wedges = adj.as("l")
+      .join(adj.as("r"), $"l.src" === $"r.src" && $"l.dst" < $"r.dst")
+      .select($"l.dst".as("x"), $"r.dst".as("y"),
+        round(lit(1.0) / log($"l.deg"), 12)
+          .cast("decimal(38,12)").as("w"))
+    val scored = wedges.groupBy($"x", $"y")
+      .agg(sum($"w").as("aa_dec"), count(lit(1)).as("n_common"))
+    scored
+      .join(e, scored("x") === e("a") && scored("y") === e("b"), "left_anti")
+      .select($"x".as("doc_a"), $"y".as("doc_b"),
+        round($"aa_dec".cast("double"), 6).as("aa_score"), $"n_common")
+      .orderBy($"aa_score".desc, $"doc_a", $"doc_b")
+      .limit(topN)
+  }
 }

@@ -198,4 +198,43 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg")).toMap
     reg.values.foreach(d => assert(d >= 3L, "non-core node survived the peel"))
   }
+
+  test("adamic-adar: matches brute-force scores; no existing edge leaks; " +
+    "ranked by the total order") {
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size }
+    // brute-force AA with the engine's exact arithmetic: per-wedge weight
+    // round12(1/ln(deg(u))), BigDecimal sum, round6 — hub centers excluded
+    val maxDeg = 64
+    val adjOf = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    def r(d: Double, sc: Int) = java.math.BigDecimal.valueOf(d)
+      .setScale(sc, java.math.RoundingMode.HALF_UP)
+    val acc = collection.mutable.Map[(Long, Long), (java.math.BigDecimal, Long)]()
+    for ((u, nbrs) <- adjOf if deg(u) >= 2 && deg(u) <= maxDeg) {
+      val w = r(1.0 / math.log(deg(u).toDouble), 12)
+      val sorted = nbrs.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.size) {
+        val key = (sorted(i), sorted(j))
+        val (s0, c0) = acc.getOrElse(key, (java.math.BigDecimal.ZERO, 0L))
+        acc(key) = (s0 add w, c0 + 1L)
+      }
+    }
+    val brute = acc.toSeq
+      .filterNot { case ((x, y), _) => e.contains((x, y)) }
+      .map { case ((x, y), (s, c)) =>
+        (x, y, r(s.doubleValue(), 6).doubleValue(), c)
+      }
+      .sortBy { case (x, y, sc, _) => (-sc, x, y) }
+      .take(50)
+    val got = Graph.adamicAdar(spark, Sf).collect()
+      .map(row => (row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b"),
+        row.getAs[Double]("aa_score"), row.getAs[Long]("n_common")))
+    assert(got.length === brute.length)
+    got.zip(brute).foreach { case (g, b) =>
+      assert(g === b, s"engine $g vs brute-force $b")
+    }
+    // predicted pairs are genuinely non-adjacent
+    got.foreach { case (a, b, _, _) => assert(!e.contains((a, b))) }
+  }
 }
