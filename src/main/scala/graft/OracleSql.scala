@@ -614,6 +614,19 @@ private[graft] final class OracleSqlGen(sfDir: String) {
   }
 
   private val text: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      // twin of TextAnalysis.heavyHitters(phi=0.002): the plain
+      // GROUP-BY-everything formulation whose full-vocabulary shuffle
+      // the engine's Misra-Gries candidate pass avoids — final multiset
+      // identical because MG candidates are a proven superset of the
+      // >= ceil(phi*n) answer
+      s"""WITH tok AS (SELECT unnest(${toks("lower(text)")}) AS token FROM $docs),
+         |n AS (SELECT count(*) AS n_total FROM tok)
+         |SELECT token, count(*) AS freq, n.n_total,
+         |  round(count(*) / CAST(n.n_total AS DOUBLE), 6) AS rel_freq
+         |FROM tok CROSS JOIN n
+         |GROUP BY token, n.n_total
+         |HAVING count(*) >= ceil(0.002 * n.n_total)""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(${toks("lower(text)")}) AS BIGINT) AS n_tokens,

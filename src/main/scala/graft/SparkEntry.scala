@@ -111,6 +111,7 @@ object SparkEntry {
     "graph_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_ngram_counts" -> ((s, d) => TextAnalysis.ngramCounts(s, d)),

@@ -774,4 +774,50 @@ object TextAnalysis {
         ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
         coalesce($"clean_text", lit("")).as("clean_text"))
   }
+
+  /** HEAVY HITTERS — every token whose corpus frequency is at least
+    * phi·n (n = total token occurrences), with its exact count and
+    * relative frequency. The vocabulary-health report of a curation
+    * run: boilerplate markers, template tokens and over-represented
+    * stopwords surface here before they skew a tokenizer or a
+    * quality model.
+    *
+    * The answer is EXACT, but the plan never group-bys the full
+    * vocabulary: phase 1 is a [[graft.functions.MisraGriesAgg]] sketch
+    * pass — bounded state (`cap` counters) per partition, map-side
+    * combined, so the exchange carries O(cap) rows however many
+    * distinct tokens exist (a trillion-token corpus has billions of
+    * singletons; shuffling them to count heavy hitters is the
+    * anti-pattern this operator exists to avoid). Misra-Gries
+    * guarantees every token with frequency > n/(cap+1) survives ANY
+    * update/merge order, so with cap chosen as 2/phi the candidate set
+    * is a superset of the answer regardless of how Spark partitions
+    * the stream. Phase 2 confirms: a broadcast semi join prunes the
+    * token stream to candidates only, one exact count over that
+    * residue, and the phi·n threshold filter — deterministic and
+    * oracle-equal even though the intermediate sketch is not.
+    *
+    * The twin is the straight `GROUP BY token HAVING count >= ceil
+    * (phi*n)` — exactly the formulation whose shuffle the sketch path
+    * dodges; both produce the identical final multiset. */
+  def heavyHitters(s: SparkSession, dir: String,
+                   phi: Double = 0.002): DataFrame = {
+    require(phi > 0.0 && phi <= 0.5, s"phi must be in (0, 0.5], got $phi")
+    val cap = math.ceil(2.0 / phi).toInt
+    import org.apache.spark.sql.graftbridge.Bridge
+    val toks = Tables.documents(s, dir)
+      .select(explode(wsTokens(lower($"text"))).as("token"))
+    val mg = Bridge.column(
+      graft.functions.MisraGriesAgg(
+        Bridge.expression($"token"), cap).toAggregateExpression())
+    val cands = toks.agg(mg.as("cands"))
+      .select(explode($"cands").as("token")).distinct()
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(n))
+      .filter($"freq" >= ceil(lit(phi) * $"n_total"))
+      .select($"token", $"freq", $"n_total",
+        round($"freq" / $"n_total", 6).as("rel_freq"))
+  }
 }

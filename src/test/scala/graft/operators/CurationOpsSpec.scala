@@ -321,4 +321,52 @@ class CurationOpsSpec extends SparkSpec {
         assert(tot > target - maxDoc, s"shard $sh undershoots: $tot")
     }
   }
+
+  test("heavy hitters: exact counts equal a full group-by; threshold honored") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, Sf)
+      .select(explode(graft.functions.EngineNeutral.wsTokens(lower(col("text"))))
+        .as("token"))
+    val n = toks.count()
+    val theta = math.ceil(0.002 * n).toLong
+    val brute = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= theta).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextAnalysis.heavyHitters(spark, Sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("freq"),
+        r.getAs[Long]("n_total"), r.getAs[Double]("rel_freq")))
+    assert(got.nonEmpty, "fixture corpus should have heavy tokens at phi=0.002")
+    assert(got.map(g => g._1 -> g._2).toMap === brute,
+      "sketch-then-confirm must equal the exact full group-by")
+    got.foreach { case (_, f, nt, rf) =>
+      assert(nt === n)
+      assert(f >= theta)
+      assert(rf === BigDecimal(f.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("misra-gries summary: superset guarantee under adversarial order and merges") {
+    // stream: 3 heavy items drowned in 600 distinct singletons; cap=10
+    // => guarantee covers freq > n/(cap+1) = 690/11 ~ 62.7
+    val heavy = Seq("alpha" -> 70, "beta" -> 65, "gamma" -> 64)
+    val noise = (1 to 600).map(i => s"noise$i" -> 1)
+    val items = (heavy ++ noise).flatMap { case (t, c) => Seq.fill(c)(t) }
+    // adversarial: all noise FIRST (forces max decrements), heavy last;
+    // and split across 7 sub-summaries merged pairwise like partitions
+    val orders = Seq(items, items.reverse, scala.util.Random.shuffle(items))
+    orders.foreach { stream =>
+      val parts = stream.grouped(math.max(1, stream.size / 7)).map { chunk =>
+        val s = new graft.functions.MGSummary(10)
+        chunk.foreach(s.add)
+        s
+      }.toSeq
+      val merged = parts.reduce { (a, b) => a.mergeIn(b); a }
+      assert(merged.m.size <= 10, "cap violated after merges")
+      heavy.foreach { case (t, _) =>
+        assert(merged.m.contains(t),
+          s"heavy item $t lost (freq > n/(cap+1) must survive any order)")
+      }
+    }
+  }
 }
