@@ -1791,6 +1791,19 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin
     },
+    "sim_range_search" -> {
+      // twin of Similarity.ivfRangeSearch(tau=0.3): the sim_ivf_topk
+      // probe chain with the rank truncation replaced by the tau filter
+      val probeList = "[bucket" + (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |sig AS (SELECT vec_id, v, ${srpBand("v", 0, 8)} AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS q_v, unnest($probeList) AS q_bucket
+         |  FROM sig WHERE vec_id < 5),
+         |scored AS (SELECT q.q_id, s.vec_id,
+         |  round(${cosSql("q.q_v", "s.v")}, 4) AS cos_sim
+         |  FROM sig s JOIN q ON s.bucket = q.q_bucket AND s.vec_id <> q.q_id)
+         |SELECT q_id, vec_id, cos_sim FROM scored WHERE cos_sim >= 0.3""".stripMargin
+    },
     "sim_srp_neardup_pairs" -> {
       val bandSelects = (0 until 4).map { b =>
         s"SELECT vec_id, CAST($b AS BIGINT) AS band_id, ${srpBand("v", b * srpBits, srpBits)} AS band_val FROM e"

@@ -174,6 +174,44 @@ object Similarity {
     topKTwoPhase(scored, k, nBuckets = 8)
   }
 
+  /** IVF RANGE SEARCH — every corpus vector within cosine >= tau of each
+    * query, restricted to the query's probed coarse buckets: the radius
+    * companion of [[ivfTopK]] and the other first-class ANN query shape
+    * (FAISS `range_search` next to `search`). Top-k answers "the best
+    * k matches"; range answers "EVERYTHING this similar" — the recall
+    * primitive of near-dup audits ("all docs ≥ τ of this template") and
+    * threshold-calibrated retrieval, where k is unknowable in advance.
+    *
+    * Shape: identical to [[ivfTopK]] up to scoring — SRP coarse
+    * quantizer, multi-probe bucket explode on the broadcast query side,
+    * one corpus scan pruned to probed buckets by the equi-join — then a
+    * plain tau filter instead of rank truncation. No exchange after the
+    * scan at all (the top-k variant still pays its two-phase rank);
+    * output is radius-volume-bound, the inherent cost of the query.
+    * Same candidate semantics as [[ivfTopK]]: vectors outside probed
+    * buckets are by-design unseen, and the oracle reproduces the exact
+    * pruning. */
+  def ivfRangeSearch(s: SparkSession, dir: String,
+                     nQueries: Int = 5, tau: Double = 0.3, nBits: Int = 8,
+                     probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      s"probeHamming must be in [0, $nBits], got $probeHamming")
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("bucket", srpSignature($"v", nBits))
+    val probes = probeMasks(nBits, probeHamming).map {
+      case 0L => $"bucket"
+      case m => $"bucket".bitwiseXOR(lit(m))
+    }
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"),
+        explode(array(probes: _*)).as("q_bucket"))
+    e.join(broadcast(q), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+      .withColumn("cos_sim", round(cosine($"q_v", $"v"), 4))
+      .filter($"cos_sim" >= tau)
+      .select($"q_id", $"vec_id", $"cos_sim")
+  }
+
   /** BUCKET CENTROIDS — the mean vector of every coarse-quantizer
     * bucket: the IVF index-build / k-means-assignment-step primitive (a
     * Lloyd iteration is exactly this aggregate against the previous

@@ -195,6 +195,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(twoPhase === naive)
   }
 
+  test("range search: exactly the probed-bucket pairs at tau, consistent with top-k") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // independent formulation of the same contract: probed-bucket pair
+    // space built WITHOUT the operator (separate signature/probe joins),
+    // scored with the shared cosine kernel, tau-filtered
+    val sig = e.withColumn("bucket", VectorOps.srpSignature(col("v"), 8))
+    val probes = (Seq(col("bucket")) ++ (0 until 8).map(b =>
+      col("bucket").bitwiseXOR(lit(1L << b))))
+    val q = sig.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        explode(array(probes: _*)).as("q_bucket"))
+    val expect = sig.join(q, col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(VectorOps.cosine(col("q_v"), col("v")), 4))
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Similarity.ivfRangeSearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty, "range search returned nothing at tau=0.3")
+    assert(got === expect)
+    got.foreach { case (_, _, c) => assert(c >= 0.3) }
+    // consistency: every ivfTopK row at or above tau is in the range result
+    val tk = Similarity.ivfTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= 0.3).toSet
+    assert(tk.subsetOf(got),
+      "top-k rows above tau missing from the range result")
+  }
+
   test("IVF top-k recall vs brute force is measured and bounded") {
     val brute = Similarity.bruteForceTopK(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
