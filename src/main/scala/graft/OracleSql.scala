@@ -614,6 +614,29 @@ private[graft] final class OracleSqlGen(sfDir: String) {
   }
 
   private val text: Map[String, String] = Map(
+    "text_char_entropy" ->
+      // twin of TextAnalysis.charEntropy: per-char terms -p*log2(p)
+      // rounded to 12, summed in DECIMAL; empty-skeleton docs kept at 0
+      s"""WITH sk AS (SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s FROM $docs),
+         |ch AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(s) + 1), j -> substr(s, j, 1))) AS ch
+         |  FROM sk),
+         |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+         |t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd
+         |  FROM c GROUP BY doc_id),
+         |e AS (SELECT c.doc_id, CAST(round(
+         |    -((c.c::DOUBLE / t.n::DOUBLE) * log2(c.c::DOUBLE / t.n::DOUBLE)),
+         |    12) AS DECIMAL(38,12)) AS term
+         |  FROM c JOIN t ON c.doc_id = t.doc_id),
+         |agg AS (SELECT doc_id, round(CAST(sum(term) AS DOUBLE), 6) AS entropy
+         |  FROM e GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(t.n, 0) AS n_chars,
+         |  coalesce(t.nd, 0) AS n_distinct_chars,
+         |  coalesce(agg.entropy, 0.0) AS entropy
+         |FROM $docs d
+         |LEFT JOIN t ON d.doc_id = t.doc_id
+         |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "text_heavy_hitters" ->
       // twin of TextAnalysis.heavyHitters(phi=0.002): the plain
       // GROUP-BY-everything formulation whose full-vocabulary shuffle

@@ -775,6 +775,48 @@ object TextAnalysis {
         coalesce($"clean_text", lit("")).as("clean_text"))
   }
 
+  /** CHARACTER ENTROPY — per-document Shannon entropy (bits/char) of
+    * the character distribution over the lowercased alphanumeric
+    * skeleton, with the char totals it derives from. The
+    * quality-filter signal the length/punct/stopword trio misses:
+    * machine-generated filler, key-mashing and single-char floods sit
+    * at pathologically LOW entropy while natural language in any latin
+    * script sits near 4-4.7 bits — a threshold on this column is the
+    * cheapest "is this text-shaped at all" gate in a curation stack.
+    *
+    * Shape: one bounded explode (chars of the skeleton — the
+    * [[graft.functions.CharNgramsExpr]] codegen kernel at n=1), two
+    * partial-agged shuffles on doc_id (per-(doc,char) counts, then
+    * per-doc totals), a join back and the entropy aggregate. Per-char
+    * terms −p·log2(p) round to 12 and sum in DECIMAL(38,12) — the
+    * [[graft.operators.Graph.pageRank]] discipline, so partial-agg
+    * order never moves a score. Docs whose skeleton is empty keep a
+    * row (entropy 0, 0 chars) via the left join — a totality the
+    * filter consuming this column relies on. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropyFrom(Tables.documents(s, dir))
+
+  /** Core of [[charEntropy]] over any (doc_id, text) frame. */
+  def charEntropyFrom(docs: DataFrame): DataFrame = {
+    val cnts = docs
+      .select($"doc_id", explode(charNgramsOrdered($"text", 1)).as("ch"))
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    val tots = cnts.groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("nd"))
+    val p = $"c" / $"n"
+    val ent = cnts.join(tots, "doc_id")
+      .select($"doc_id",
+        round(-(p * log2(p)), 12).cast("decimal(38,12)").as("term"))
+      .groupBy($"doc_id")
+      .agg(round(sum($"term").cast("double"), 6).as("entropy"))
+    docs.select($"doc_id")
+      .join(tots.join(ent, "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n", lit(0L)).as("n_chars"),
+        coalesce($"nd", lit(0L)).as("n_distinct_chars"),
+        coalesce($"entropy", lit(0.0)).as("entropy"))
+  }
+
   /** HEAVY HITTERS — every token whose corpus frequency is at least
     * phi·n (n = total token occurrences), with its exact count and
     * relative frequency. The vocabulary-health report of a curation

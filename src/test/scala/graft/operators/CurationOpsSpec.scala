@@ -322,6 +322,34 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("char entropy: hand-computed fixtures incl. empty-skeleton totality") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"), //        uniform single char: H = 0
+      (2L, "ab"), //          two equiprobable chars: H = 1
+      (3L, "AaBb!?"), //      skeleton "aabb": case-folded, punct dropped: H = 1
+      (4L, "abcd"), //        four equiprobable: H = 2
+      (5L, "!!! ..."), //     empty skeleton: kept with 0 chars, H = 0
+      (6L, "aab")) //         p=(2/3,1/3): H = 0.918296
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropyFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 1L, 0.0)))
+    assert(got(2L) === ((2L, 2L, 1.0)))
+    assert(got(3L) === ((4L, 2L, 1.0)))
+    assert(got(4L) === ((4L, 4L, 2.0)))
+    assert(got(5L) === ((0L, 0L, 0.0)))
+    assert(got(6L) === ((3L, 2L, 0.918296)))
+    // corpus sanity: real documents land in the text-shaped band
+    val corpus = TextAnalysis.charEntropy(spark, Sf).collect()
+    assert(corpus.length === Tables.documents(spark, Sf).count())
+    val ents = corpus.map(_.getAs[Double]("entropy"))
+    assert(ents.forall(e => e >= 0.0 && e <= math.log(36.0) / math.log(2.0)))
+    assert(ents.count(_ > 3.5) > ents.length / 2,
+      "most natural-text docs should exceed 3.5 bits/char")
+  }
+
   test("heavy hitters: exact counts equal a full group-by; threshold honored") {
     import spark.implicits._
     val toks = Tables.documents(spark, Sf)
