@@ -2289,6 +2289,27 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |nodes AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY src)""".stripMargin
 
   private val graph: Map[String, String] = Map(
+    "graph_label_propagation" -> {
+      // twin of Graph.labelPropagation (rounds=4): synchronous LPA with
+      // the self-vote and min-label tie-break, unrolled; MATERIALIZED
+      // for the graph_kcore reason (each round reads its predecessor
+      // twice — inlining would double the LSH chain per round)
+      val rounds = 4
+      val steps = (1 to rounds).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+           |  FROM (SELECT node, label, count(*) AS cnt FROM (
+           |    SELECT a.dst AS node, p.label FROM adjm a JOIN l${i - 1} p ON a.src = p.node
+           |    UNION ALL SELECT node, label FROM l${i - 1}) GROUP BY node, label))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+         |$steps
+         |SELECT node AS doc_id, label AS community FROM l$rounds""".stripMargin
+    },
     "graph_adamic_adar" ->
       // twin of Graph.adamicAdar (maxDeg=64, topN=50): wedge self-join
       // on non-hub centers, per-wedge weight 1/ln(deg) rounded to 12 and

@@ -109,6 +109,7 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => Graph.kCore(s, d)),
     "graph_pagerank_trajectory" -> ((s, d) => Graph.pageRankTrajectory(s, d)),
     "graph_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
+    "graph_label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),

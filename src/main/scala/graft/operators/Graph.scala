@@ -287,6 +287,52 @@ object Graph {
     coreDeg(members).select($"node".as("doc_id"), $"d".as("core_deg"))
   }
 
+  /** LABEL PROPAGATION COMMUNITIES — synchronous LPA (Raghavan et al.,
+    * Phys. Rev. E 76, 2007) over the near-dup graph at a FIXED round
+    * count: each round, every node adopts the most frequent label among
+    * its neighbors AND itself, ties broken by the smallest label. The
+    * community view between the other two structural reports: connected
+    * components ([[Dedup.dupClusters]]) lump everything a chain of weak
+    * edges touches; k-core ([[kCore]]) keeps only the dense kernel; LPA
+    * splits a component into its dense families while still assigning
+    * EVERY node — the granularity at which "keep one per community"
+    * curation actually operates.
+    *
+    * Determinism: synchronous updates + the min-label tie-break make
+    * every round a pure function of the previous labeling, so a fixed
+    * unroll is engine-reproducible (the [[pageRank]] discipline; the
+    * twin unrolls the same rounds with MATERIALIZED CTEs). The
+    * self-vote keeps two-node structures from oscillating. Per round:
+    * one equi-join (neighbor labels) + one unionAll (self-vote) + one
+    * partial-agged count + one per-node window rank — all shuffles on
+    * node/label keys, each iterate checkpointed so round r never
+    * re-derives rounds 1..r-1. */
+  def labelPropagation(s: SparkSession, dir: String, rounds: Int = 4): DataFrame =
+    labelPropagationFrom(edges(s, dir), rounds)
+
+  /** Core of [[labelPropagation]] over any (a, b) a<b edge frame. */
+  def labelPropagationFrom(e: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val adj = adjacency(e).localCheckpoint(true)
+    var labels = adj.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.select($"node".as("ln"), $"label"), $"src" === $"ln")
+        .select($"dst".as("node"), $"label")
+        .unionAll(labels)
+      val w = Window.partitionBy($"node")
+        .orderBy($"cnt".desc, $"label".asc)
+      labels = votes.groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"node", $"label")
+        .localCheckpoint(true)
+    }
+    labels.select($"node".as("doc_id"), $"label".as("community"))
+  }
+
   /** ADAMIC-ADAR LINK PREDICTION — top-N non-adjacent document pairs
     * ranked by Σ_u 1/ln(deg(u)) over their common neighbors u (Adamic &
     * Adar, Social Networks 25(3), 2003). On the near-dup graph this is

@@ -199,6 +199,44 @@ class GraphSpec extends SparkSpec {
     reg.values.foreach(d => assert(d >= 3L, "non-core node survived the peel"))
   }
 
+  test("label propagation: bridge-joined cliques split where CC lumps; " +
+    "labels refine within components; brute-force round parity") {
+    import spark.implicits._
+    // two 4-cliques {1..4} and {11..14} joined by one bridge edge 4-11:
+    // CC sees one component; LPA separates the two dense families
+    val clique = (xs: Seq[Long]) =>
+      for (i <- xs.indices; j <- i + 1 until xs.size) yield (xs(i), xs(j))
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L))).toDF("a", "b")
+    val got = Graph.labelPropagationFrom(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L))
+    assert(Set(1L, 2L, 3L).map(got) === Set(got(1L)), "left clique split")
+    assert(Set(12L, 13L, 14L).map(got) === Set(got(12L)), "right clique split")
+    assert(got(1L) !== got(12L), "LPA failed to separate bridge-joined cliques")
+    // harness graph: synchronous-LPA brute force in Scala agrees exactly
+    val es = edgeSet()
+    val und = es ++ es.map { case (a, b) => (b, a) }
+    val nbrs = und.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSeq }
+    var lab: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4)
+      lab = nbrs.map { case (n, ns) =>
+        val votes = (ns.map(lab) :+ lab(n)).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    val engine = Graph.labelPropagation(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engine === lab, "engine labels diverge from synchronous reference")
+    // labels never cross connected components
+    val comp = Dedup.dupClusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    engine.groupBy { case (n, l) => l }.foreach { case (_, members) =>
+      val comps = members.keys.map(comp).toSet
+      assert(comps.size === 1, s"community spans components: $comps")
+    }
+  }
+
   test("adamic-adar: matches brute-force scores; no existing edge leaks; " +
     "ranked by the total order") {
     val e = edgeSet()
