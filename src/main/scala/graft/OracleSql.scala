@@ -614,6 +614,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
   }
 
   private val text: Map[String, String] = Map(
+    "text_bigram_logprob" ->
+      // twin of TextAnalysis.bigramLogprob: Jelinek-Mercer interpolated
+      // bigram LM, 0.7/0.3 as literals on both sides (1.0-0.7 is a
+      // different double than 0.3), terms rounded to 12 + DECIMAL sums
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
+         |occ AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg FROM t),
+         |o AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM occ),
+         |uni AS (SELECT unnest(tk) AS w FROM t),
+         |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM uni),
+         |b AS (SELECT w1, w2, count(*) AS c12 FROM o GROUP BY w1, w2),
+         |sc AS (SELECT o.doc_id, CAST(round(-ln(
+         |    0.7 * (b.c12::DOUBLE / u1.c::DOUBLE)
+         |      + 0.3 * (u2.c::DOUBLE / n.n_total::DOUBLE)), 12)
+         |  AS DECIMAL(38,12)) AS term
+         |  FROM o JOIN b ON o.w1 = b.w1 AND o.w2 = b.w2
+         |  JOIN u u1 ON o.w1 = u1.w
+         |  JOIN u u2 ON o.w2 = u2.w
+         |  CROSS JOIN n),
+         |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(pd.avg_neg_logprob, 0.0) AS avg_neg_logprob
+         |FROM $docs d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
     "text_char_entropy" ->
       // twin of TextAnalysis.charEntropy: per-char terms -p*log2(p)
       // rounded to 12, summed in DECIMAL; empty-skeleton docs kept at 0

@@ -114,6 +114,7 @@ object SparkEntry {
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_char_entropy" -> (TextAnalysis.charEntropy _),
+    "text_bigram_logprob" -> (TextAnalysis.bigramLogprob _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_ngram_counts" -> ((s, d) => TextAnalysis.ngramCounts(s, d)),

@@ -618,6 +618,57 @@ object TextAnalysis {
         round(avg(-log($"ctf" / $"total")), 6).as("avg_neg_logprob"))
   }
 
+  /** BIGRAM LM SCORING — [[unigramLogprob]] upgraded one Markov order:
+    * each document's average negative log-probability under the corpus
+    * BIGRAM model with fixed unigram interpolation,
+    * p̂(w2|w1) = 0.7·c(w1 w2)/c(w1) + 0.3·c(w2)/N (Jelinek-Mercer
+    * smoothing with a hardcoded λ — 0.7 and 0.3 are written as literals
+    * in BOTH engines because 1.0−0.7 is a DIFFERENT double than the
+    * literal 0.3). The order-1 term catches what unigrams cannot:
+    * shuffled/templated text with a natural token MIX but unnatural
+    * token ORDER scores high here and normal there — the
+    * contrast column of the CCNet-style quality stack.
+    *
+    * Shape: model trained and applied in one plan — bigram and unigram
+    * counts are partial-agged explodes, the corpus total a broadcast
+    * 1-row aggregate; each bigram occurrence joins its three counts by
+    * key (all equi-joins on token keys), terms round to 12 and sum in
+    * DECIMAL(38,12), the per-doc mean divides once in double. Docs
+    * with < 2 tokens keep a (0, 0.0) row via the left join. */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame =
+    bigramLogprobFrom(Tables.documents(s, dir))
+
+  /** Core of [[bigramLogprob]] over any (doc_id, text) frame. */
+  def bigramLogprobFrom(docs: DataFrame): DataFrame = {
+    val t = docs.select($"doc_id", wsTokens(lower($"text")).as("tk"))
+    val pairs = when(size($"tk") >= 2,
+      transform(sequence(lit(1), size($"tk") - 1),
+        i => struct(element_at($"tk", i).as("w1"),
+          element_at($"tk", i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val occ = t.select($"doc_id", explode(pairs).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val uni = t.select(explode($"tk").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum($"c").as("n_total"))
+    val big = occ.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val phat = lit(0.7) * ($"c12" / $"c1") + lit(0.3) * ($"c2" / $"n_total")
+    val perDoc = occ
+      .join(big, Seq("w1", "w2"))
+      .join(uni.select($"w".as("w1"), $"c".as("c1")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select($"doc_id", round(-log(phat), 12).cast("decimal(38,12)").as("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"term").cast("double") / count(lit(1)), 6)
+          .as("avg_neg_logprob"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"avg_neg_logprob", lit(0.0)).as("avg_neg_logprob"))
+  }
+
   /** Document fingerprint: md5 over the lowercased alphanumeric skeleton
     * (whitespace/punct-insensitive content identity — the key for exact
     * dedup after normalization). */

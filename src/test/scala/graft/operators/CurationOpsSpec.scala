@@ -322,6 +322,47 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram logprob: exact mirror parity; flags token ORDER unigrams cannot") {
+    import spark.implicits._
+    // docs 1-3 share natural phrasing; doc 4 has the SAME token multiset
+    // shuffled (3xa + 2xb each) — unigram scores tie, bigram must not;
+    // doc 5 has one token: totality row (0, 0.0)
+    val fix = Seq(
+      (1L, "a b a b a"), (2L, "a b a b a"), (3L, "a b a b a"),
+      (4L, "a a b b a"), (5L, "z"))
+      .toDF("doc_id", "text")
+    // exact mirror: same literals, round12 terms, BigDecimal sum, round6
+    val toksOf = Map(1L -> "a b a b a", 2L -> "a b a b a", 3L -> "a b a b a",
+      4L -> "a a b b a", 5L -> "z").view.mapValues(_.split(" ").toSeq).toMap
+    val allToks = toksOf.values.flatten.toSeq
+    val uni = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allToks.size.toLong
+    val bigs = toksOf.values.flatMap(t => t.zip(t.tail)).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r(d: Double, sc: Int) = java.math.BigDecimal.valueOf(d)
+      .setScale(sc, java.math.RoundingMode.HALF_UP)
+    val mirror = toksOf.map { case (id, t) =>
+      val terms = t.zip(t.tail).map { bg =>
+        val p = 0.7 * (bigs(bg).toDouble / uni(bg._1)) +
+          0.3 * (uni(bg._2).toDouble / n)
+        r(-math.log(p), 12)
+      }
+      if (terms.isEmpty) id -> ((0L, 0.0))
+      else id -> ((terms.size.toLong,
+        r(terms.reduce(_ add _).doubleValue() / terms.size, 6).doubleValue()))
+    }
+    val got = TextAnalysis.bigramLogprobFrom(fix).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getDouble(2)))).toMap
+    assert(got === mirror)
+    // discrimination: unigram scores tie across docs 1-4, bigram does not
+    val ug = TextAnalysis.unigramLogprobFrom(fix).collect()
+      .map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(ug).size === 1,
+      "unigram must be blind to token order")
+    assert(got(4L)._2 > got(1L)._2,
+      "shuffled doc must score worse under the bigram model")
+  }
+
   test("char entropy: hand-computed fixtures incl. empty-skeleton totality") {
     import spark.implicits._
     val docs = Seq(
