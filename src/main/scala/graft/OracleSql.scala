@@ -1446,6 +1446,41 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  FROM cand JOIN g a ON a.doc_id = doc_a JOIN g b ON b.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM p WHERE jacc >= 0.6""".stripMargin
     },
+    "dedup_containment_pairs" -> {
+      // twin of Dedup.containmentPairs (t=0.8, w=3): the
+      // dedup_ngram_jaccard_pairs prefix-filter shape with the
+      // asymmetric containment bound — only the probe (contained) side
+      // is prefix-cut, the container side indexes every shingle; exact
+      // list_intersect verify restores exactness after the 1e-9-loose
+      // pruning bounds
+      val sh =
+        s"CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), j -> concat_ws(' ', tk[j], tk[j+1], tk[j+2])) ELSE CAST([] AS VARCHAR[]) END"
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
+         |g AS (SELECT doc_id, list_sort(list_distinct(list_transform($sh,
+         |    x -> ${h60("x")}))) AS gh FROM t),
+         |gg AS (SELECT doc_id, gh FROM g WHERE len(gh) >= 1),
+         |tok AS (SELECT doc_id, unnest(gh) AS tok, len(gh) AS n_tok FROM gg),
+         |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+         |rk AS (SELECT t.doc_id, t.tok, t.n_tok,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY df.df ASC, t.tok ASC) AS rnk
+         |  FROM tok t JOIN df ON df.tok = t.tok),
+         |pre AS (SELECT doc_id, tok, n_tok, rnk FROM rk
+         |  WHERE rnk <= n_tok - ceil(0.8 * n_tok - 1e-9) + 1),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_in, r.doc_id AS doc_out
+         |  FROM pre l JOIN rk r ON l.tok = r.tok AND l.doc_id <> r.doc_id
+         |  WHERE r.n_tok >= ceil(0.8 * l.n_tok - 1e-9)
+         |    AND least(l.n_tok - l.rnk, r.n_tok - r.rnk) + 1
+         |      >= ceil(0.8 * l.n_tok - 1e-9)),
+         |p AS (SELECT doc_in, doc_out,
+         |    CAST(len(list_intersect(a.gh, b.gh)) AS BIGINT) AS n_shared,
+         |    len(list_intersect(a.gh, b.gh))::DOUBLE / len(a.gh)::DOUBLE AS c
+         |  FROM cand JOIN gg a ON a.doc_id = doc_in
+         |  JOIN gg b ON b.doc_id = doc_out)
+         |SELECT doc_in AS contained_doc, doc_out AS container_doc,
+         |  n_shared, round(c, 6) AS containment
+         |FROM p WHERE c >= 0.8""".stripMargin
+    },
     "dedup_clusters" ->
       // connected components of the banded-LSH pair graph via recursive
       // transitive closure; cluster_id = component minimum

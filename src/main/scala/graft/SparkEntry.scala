@@ -165,6 +165,7 @@ object SparkEntry {
     "dedup_simhash_signatures" -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, threshold = 0.6, n = 5)),
+    "dedup_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizes(s, d)),

@@ -528,6 +528,72 @@ object Dedup {
       .distinct()
   }
 
+  // ---- containment (directional sub-document dedup) -------------------
+
+  /** CONTAINMENT JOIN — directional near-dup detection: every ordered
+    * pair (contained, container) with C(A→B) = |A∩B| / |A| >= t over
+    * distinct hashed word w-shingle sets. Jaccard ([[ngramJaccardPairs]])
+    * is blind to exactly this case: a short document quoted whole inside
+    * a long one has tiny Jaccard but containment ~1 — the
+    * quote/wrapper/aggregator-page signature a curation pass must catch
+    * separately (the asymmetric complement of symmetric near-dup).
+    *
+    * Same prefix-filter machinery as [[ngramJaccardPairs]], adapted to
+    * the asymmetric bound: overlap >= ceil(t·|A|) constrains only A, so
+    * only the PROBE side is prefix-cut (first |A| − ceil(t·|A|) + 1
+    * shingles in rarest-first order) while the container side indexes
+    * every shingle; candidates also pass the size bound
+    * |B| >= ceil(t·|A|) and the positional bound
+    * min(|A|−pa, |B|−pb) + 1 >= ceil(t·|A|). All bounds carry the 1e-9
+    * loose-direction epsilon ([[ngramJaccardPairs]]'s float-boundary
+    * discipline) and the exact `array_intersect` verify restores
+    * exactness; candidate duplicates are deduped after the verify (same
+    * trade as the Jaccard path). Docs with no shingle (< w tokens) have
+    * undefined containment and emit no row, in both engines. */
+  def containmentPairs(s: SparkSession, dir: String, threshold: Double = 0.8,
+                       w: Int = 3): DataFrame =
+    containmentPairsFrom(Tables.documents(s, dir), threshold, w)
+
+  /** Core of [[containmentPairs]] over any (doc_id, text) frame. */
+  def containmentPairsFrom(docsIn: DataFrame, threshold: Double = 0.8,
+                           w: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    require(w >= 1, s"shingle size must be >= 1, got $w")
+    val docs = docsIn
+      .select($"doc_id", wsTokens(lower($"text")).as("tk"))
+      .select($"doc_id", sort_array(array_distinct(
+        transform(wordShinglesOf($"tk", w), g => hash60(g)))).as("gh"))
+      .filter(size($"gh") >= 1)
+    val freq = docs.select(explode($"gh").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+    val ranked = docs
+      .select($"doc_id", size($"gh").cast("double").as("sz"), explode($"gh").as("g"))
+      .join(freq, "g")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"df".asc, $"g".asc)))
+      .select($"g", $"doc_id", $"sz", $"pos")
+    val Eps = 1e-9
+    val need = ceil(col("a.sz") * threshold - Eps)
+    val probe = ranked.filter($"pos" <= ($"sz" - ceil($"sz" * threshold - Eps) + 1))
+    val cands = probe.as("a")
+      .join(ranked.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.sz") >= need &&
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1 >= need)
+      .select(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_out"))
+    cands
+      .join(docs.select($"doc_id".as("doc_in"), $"gh".as("g_a")), "doc_in")
+      .join(docs.select($"doc_id".as("doc_out"), $"gh".as("g_b")), "doc_out")
+      .withColumn("n_shared", size(array_intersect($"g_a", $"g_b")).cast("long"))
+      .withColumn("c", $"n_shared" / size($"g_a"))
+      .filter($"c" >= threshold)
+      .select($"doc_in".as("contained_doc"), $"doc_out".as("container_doc"),
+        $"n_shared", round($"c", 6).as("containment"))
+      .distinct()
+  }
+
   // ---- embedding near-dup ---------------------------------------------
 
   /** Cosine-threshold near-dup pairs over embeddings. Exact semantics:

@@ -322,6 +322,40 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("containment join: quoted-whole, partial, sub-threshold, short-doc cases") {
+    import spark.implicits._
+    // A has tokens x1..x10 (8 shingles); B quotes A whole plus a tail;
+    // D shares 6 of its own 7 shingles with A (6/7 ~ 0.857 >= 0.8);
+    // E shares 3 of 6 (0.5 < 0.8); F is too short for any shingle
+    val xs = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, xs),
+      (2L, xs + " y1 y2 y3 y4 y5"),
+      (3L, (1 to 8).map(i => s"x$i").mkString(" ") + " z"),
+      (4L, (1 to 5).map(i => s"x$i").mkString(" ") + " z1 z2 z3"),
+      (5L, "only two"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // A fully inside B (all 8 of A's shingles appear in B)
+    assert(got((1L, 2L)) === ((8L, 1.0)))
+    // D -> A: 6 of D's 7 shingles are A's
+    assert(got((3L, 1L)) === ((6L, 0.857143)))
+    // D -> B transitively (A's shingles are in B too)
+    assert(got((3L, 2L)) === ((6L, 0.857143)))
+    // no reverse containment (B is much bigger than A), no sub-threshold
+    // rows, no short-doc rows, nothing else
+    assert(!got.contains((2L, 1L)), "container reported as contained")
+    assert(!got.contains((4L, 1L)), "sub-threshold pair leaked")
+    assert(got.keySet.flatMap(p => Set(p._1, p._2)).intersect(Set(5L)).isEmpty)
+    assert(got.keySet === Set((1L, 2L), (3L, 1L), (3L, 2L)))
+    // asymmetry vs Jaccard: the quoted-whole pair is invisible at the
+    // symmetric near-dup threshold (|A|/|B| = 8/13 union ratio)
+    val jacc = 8.0 / 13.0
+    assert(jacc < 0.8, "fixture must sit below the symmetric threshold")
+  }
+
   test("bigram logprob: exact mirror parity; flags token ORDER unigrams cannot") {
     import spark.implicits._
     // docs 1-3 share natural phrasing; doc 4 has the SAME token multiset
