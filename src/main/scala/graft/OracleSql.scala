@@ -1875,6 +1875,47 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin
     },
+    "sim_mmr_rerank" -> {
+      // twin of Similarity.mmrRerank (nQ=5, m=20, k=5): the
+      // sim_brute_force_topk shortlist at rn<=20, the within-shortlist
+      // sim matrix, then the k greedy steps unrolled — each step picks
+      // rn=1 of round(0.7*rel - 0.3*max_sim_to_selected, 6) with the
+      // vec_id tiebreak; MATERIALIZED for the graph_kcore reason
+      val steps = (2 to 5).map { i =>
+        s"""pen$i AS (SELECT r.q_id, r.vec_id, r.rel, coalesce(max(ms.sim), 0.0) AS pen
+           |  FROM (SELECT sh.* FROM short sh WHERE NOT EXISTS (SELECT 1
+           |    FROM sel${i - 1} s WHERE s.q_id = sh.q_id AND s.vec_id = sh.vec_id)) r
+           |  LEFT JOIN (SELECT m.q_id, m.d, m.sim FROM sims m
+           |    JOIN sel${i - 1} s ON m.q_id = s.q_id AND m.s = s.vec_id) ms
+           |  ON ms.q_id = r.q_id AND ms.d = r.vec_id
+           |  GROUP BY r.q_id, r.vec_id, r.rel),
+           |s$i AS (SELECT q_id, vec_id, rel, mmr, CAST($i AS BIGINT) AS step FROM (
+           |  SELECT q_id, vec_id, rel, round(0.7 * rel - 0.3 * pen, 6) AS mmr,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY round(0.7 * rel - 0.3 * pen, 6) DESC, vec_id ASC) AS rn
+           |  FROM pen$i) WHERE rn = 1),
+           |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |scored AS (SELECT q.q_id, e.vec_id,
+         |  round(${cosSql("q.q_v", "e.v")}, 4) AS rel
+         |  FROM e JOIN q ON e.vec_id <> q.q_id),
+         |short AS MATERIALIZED (SELECT q_id, vec_id, rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rn
+         |  FROM scored) WHERE rn <= 20),
+         |sims AS MATERIALIZED (SELECT x.q_id, x.vec_id AS d, y.vec_id AS s,
+         |  round(${cosSql("ex.v", "ey.v")}, 4) AS sim
+         |  FROM short x JOIN short y ON x.q_id = y.q_id AND x.vec_id <> y.vec_id
+         |  JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id),
+         |sel1 AS MATERIALIZED (SELECT q_id, vec_id, rel, mmr, CAST(1 AS BIGINT) AS step FROM (
+         |  SELECT q_id, vec_id, rel, round(0.7 * rel - 0.3 * 0.0, 6) AS mmr,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY round(0.7 * rel - 0.3 * 0.0, 6) DESC, vec_id ASC) AS rn
+         |  FROM short) WHERE rn = 1),
+         |$steps
+         |SELECT q_id, step, vec_id, rel, mmr AS mmr_score FROM sel5""".stripMargin
+    },
     "sim_range_search" -> {
       // twin of Similarity.ivfRangeSearch(tau=0.3): the sim_ivf_topk
       // probe chain with the rank truncation replaced by the tau filter

@@ -181,6 +181,7 @@ object SparkEntry {
     "sim_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.ivfRangeSearch(s, d)),
+    "sim_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     "sim_srp_neardup_pairs" -> ((s, d) => Similarity.srpNearDupPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_bucket_centroids" -> ((s, d) => Similarity.bucketCentroids(s, d)),

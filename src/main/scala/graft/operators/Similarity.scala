@@ -212,6 +212,72 @@ object Similarity {
       .select($"q_id", $"vec_id", $"cos_sim")
   }
 
+  /** MMR DIVERSIFIED RE-RANK — greedy Maximal Marginal Relevance
+    * (Carbonell & Goldstein, SIGIR'98) over each query's exact top-m
+    * shortlist: pick k results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), λ = 0.7 — relevance
+    * traded against redundancy with what's already picked. THE
+    * diversified-sampling primitive of a training-data pipeline:
+    * "the k most relevant examples" out of a near-dup-riddled corpus is
+    * k copies of one document; this is "the k most relevant DISTINCT
+    * ones". λ and 1−λ are written as the literals 0.7 / 0.3 in both
+    * engines (1.0−0.7 is a different double than 0.3).
+    *
+    * Shape: the corpus-scale work is exactly the [[bruteForceTopKAgg]]
+    * shortlist pass (bounded-heap aggregate, map-side combined); MMR
+    * itself then runs on m rows per query — the m×m within-shortlist
+    * sim matrix and k greedy steps are deliberately shortlist-local
+    * (the CLASSIC MMR contract: diversity against the retrieved set,
+    * never the corpus), so every post-shortlist frame is O(nQ·m²)
+    * however large the corpus. Each step: anti-join away the selected,
+    * left-join the max-sim penalty from the pair matrix, one window
+    * rank under the total order (mmr desc, vec_id) — iterates
+    * checkpointed ([[graft.operators.Graph.kCore]] discipline). All
+    * scores derive from round-4 cosines with one multiply/subtract
+    * rounded to 6 — engine-identical; the twin unrolls the same k
+    * steps. */
+  def mmrRerank(s: SparkSession, dir: String,
+                nQueries: Int = 5, m: Int = 20, k: Int = 5): DataFrame = {
+    require(k >= 1 && m >= k, s"need 1 <= k <= m, got k=$k m=$m")
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val short = bruteForceTopKAggFrom(e, nQueries, m)
+      .select($"q_id", $"vec_id", $"cos_sim".as("rel"))
+      .localCheckpoint(true)
+    val sv = short.join(e, "vec_id").select($"q_id", $"vec_id", $"v")
+    val pairSims = sv.as("x")
+      .join(sv.as("y"), col("x.q_id") === col("y.q_id") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.q_id").as("q_id"), col("x.vec_id").as("d"),
+        col("y.vec_id").as("s"), round(cosine(col("x.v"), col("y.v")), 4).as("sim"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"mmr".desc, $"vec_id".asc)
+    var selected: DataFrame = null
+    for (step <- 1 to k) {
+      val scored =
+        if (selected == null) short.withColumn("pen", lit(0.0))
+        else {
+          val rem = short.join(selected.select($"q_id", $"vec_id"),
+            Seq("q_id", "vec_id"), "left_anti")
+          val pens = pairSims
+            .join(selected.select($"q_id", $"vec_id".as("s")), Seq("q_id", "s"))
+            .groupBy($"q_id", $"d").agg(max($"sim").as("pen"))
+          rem.join(pens, rem("q_id") === pens("q_id") && rem("vec_id") === pens("d"), "left")
+            .select(rem("q_id"), $"vec_id", $"rel", coalesce($"pen", lit(0.0)).as("pen"))
+        }
+      val pick = scored
+        .withColumn("mmr", round(lit(0.7) * $"rel" - lit(0.3) * $"pen", 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"q_id", $"vec_id", $"rel", $"mmr", lit(step.toLong).as("step"))
+      selected =
+        (if (selected == null) pick else selected.unionAll(pick))
+          .localCheckpoint(true)
+    }
+    selected.select($"q_id", $"step", $"vec_id", $"rel", $"mmr".as("mmr_score"))
+  }
+
   /** BUCKET CENTROIDS — the mean vector of every coarse-quantizer
     * bucket: the IVF index-build / k-means-assignment-step primitive (a
     * Lloyd iteration is exactly this aggregate against the previous

@@ -226,6 +226,59 @@ class DedupSimilaritySpec extends SparkSpec {
       "top-k rows above tau missing from the range result")
   }
 
+  test("mmr rerank: greedy reference parity; step1 = top-rel; diversity bites") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val short = Similarity.bruteForceTopKAggFrom(e, nQueries = 5, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // greedy MMR reference per query, same literals and rounding
+    val ref = short.groupBy(_._1).flatMap { case (q, rows) =>
+      var rem = rows.map { case (_, id, rel) => id -> rel }.toMap
+      var sel = Vector.empty[(Long, Long, Double, Double)] // (step, id, rel, mmr)
+      for (step <- 1 to 5) {
+        val scored = rem.map { case (id, rel) =>
+          val pen = if (sel.isEmpty) 0.0
+          else sel.map(s => r4(cos(vecs(id), vecs(s._2)))).max
+          (id, rel, r6(0.7 * rel - 0.3 * pen))
+        }
+        val (id, rel, mmr) = scored.minBy { case (i2, _, m2) => (-m2, i2) }
+        sel :+= ((step.toLong, id, rel, mmr))
+        rem -= id
+      }
+      sel.map { case (st, id, rel, mmr) => (q, st, id, rel, mmr) }
+    }.toSet
+    val got = Similarity.mmrRerank(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got === ref, "engine MMR diverges from the greedy reference")
+    // step 1 is the pure-relevance argmax
+    val byQ = short.groupBy(_._1)
+    got.filter(_._2 == 1L).foreach { case (q, _, id, _, _) =>
+      val best = byQ(q).minBy { case (_, i2, rel) => (-rel, i2) }
+      assert(id === best._2, s"q$q step1 is not the top-rel result")
+    }
+    // diversity bites somewhere: some query's picks differ from plain top-5
+    val plain = byQ.view.mapValues(_.sortBy { case (_, i2, rel) => (-rel, i2) }
+      .take(5).map(_._2).toSet).toMap
+    val mmrSel = got.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    assert(mmrSel.exists { case (q, s2) => s2 != plain(q) },
+      "MMR never diverged from plain top-k — fixture degenerate or penalty dead")
+  }
+
   test("IVF top-k recall vs brute force is measured and bounded") {
     val brute = Similarity.bruteForceTopK(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
