@@ -69,6 +69,13 @@ object Bench {
     "text_span_dedup", // added r11: corpus-wide dup-span excision + doc rebuild
     "graph_kcore", // added r11: 8 checkpointed peel rounds over the LSH graph
     "sim_ivfpq_rerank", // added r11: ADC shortlist + exact-cosine re-rank
+    "graph_label_propagation", // added r11: 4 sync LPA rounds over the LSH graph
+    "graph_adamic_adar", // added r11: hub-capped wedge join + decimal agg
+    "text_heavy_hitters", // added r11: Misra-Gries candidates + pruned confirm
+    "text_bigram_logprob", // added r11: bigram LM train+apply in one plan
+    "text_char_entropy", // added r11: char explode + decimal entropy terms
+    "dedup_containment_pairs", // added r11: asymmetric PPJoin + intersect verify
+    "sim_mmr_rerank", // added r11: heap-agg shortlist + 5 greedy MMR steps
     "mm_meta_stats")
   // sim_knn_graph is deliberately NOT benched: the exact graph is
   // quadratic by contract (the scale path is ivf_topk per node), and a

@@ -49,12 +49,15 @@ object ScaledCorpus {
     if (marker(target).exists()) return target
     new java.io.File(target).mkdirs()
 
-    // events.parquet stores TIMESTAMP(NANOS); the session builder sets
-    // nanosAsLong (asserted here like Tables.events — no conf mutation),
-    // so ts stays raw long nanos and the scaled file satisfies the same
-    // loader contract
+    // events.parquet has shipped as TIMESTAMP(NANOS) (older generations)
+    // or TIMESTAMP(MICROS) (current); the raw read below copies ts
+    // through untouched either way, so the scaled file keeps the base
+    // layout and Tables.events' schema dispatch handles both. The
+    // nanos-as-long conf is still required in the builder: harmless for
+    // the micros layout, mandatory to read the nanos one (asserted here
+    // like Tables.events — no conf mutation).
     require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "ScaledCorpus reads events.parquet (TIMESTAMP NANOS): set " +
+      "ScaledCorpus may read a TIMESTAMP(NANOS) events.parquet: set " +
         "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession builder")
     def raw(name: String): DataFrame = s.read.parquet(s"$base/$name.parquet")
     def write(df: DataFrame, name: String): Unit =

@@ -24,23 +24,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to a microsecond
-    * timestamp (integer `div` — a double division would lose precision at
-    * 2^60 ns magnitudes). DuckDB keeps ns; downstream operators only
-    * compare coarsened values (hour buckets / epoch millis).
+  /** The events parquet has shipped in two layouts across test-data
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts via nanosAsLong=true, surfacing the column as a raw long)
+    * and plain TIMESTAMP(MICROS) (surfacing as timestamp_ntz). This
+    * loader dispatches on the READ schema so both layouts yield the
+    * same downstream contract: a session-zoned (UTC) TimestampType `ts`
+    * at microsecond grain.
+    *   - long ts (nanos-as-long): integer `div 1000` truncation — a
+    *     double division would lose precision at 2^60 ns magnitudes.
+    *   - timestamp_ntz ts (micros): cast to TimestampType; under the
+    *     mandatory UTC session zone the instant is unchanged.
+    * DuckDB reads either layout natively; twins compare values at the
+    * grains the operators emit (hour buckets / epoch millis / dates).
     *
-    * The nanos-as-long flag must be set in the SESSION BUILDER (Bench,
-    * Verify and the spec session all do) — a loader that silently flips
-    * session conf is a side effect a shared session doesn't expect, so
-    * this asserts instead of mutating. */
+    * For the NANOS layout the nanos-as-long flag must be set in the
+    * SESSION BUILDER (Bench, Verify and the spec session all do) — a
+    * loader that silently flips session conf is a side effect a shared
+    * session doesn't expect. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
-        "builder before reading the events table")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.parquet ts column has unsupported type $other " +
+          "(expected long nanos, timestamp_ntz, or timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

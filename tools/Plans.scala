@@ -61,7 +61,15 @@ object Plans {
       "rel_skew_audit" -> "skew audit: one partial-agged count exchange on the key, per-bucket local top-k BEFORE the tiny global head rank, broadcast 1-row total",
       "rel_column_profile" -> "column profile: stack-unpivot rides the ONE lineitem scan, two-phase distinct aggregation on (col_name, val), single exchange",
       "layout_compaction_plan" -> "compaction plan: input_file_name is per-row codegen on the partitioned JSONL scan, one partial-agged exchange on source, integer-exact targets",
-      "rel_scd2_snapshot_at" -> "SCD2 snapshot-at: interval build's one window exchange, then a plain residual FILTER — no join; at a stored history this is a partition-pruned read")
+      "rel_scd2_snapshot_at" -> "SCD2 snapshot-at: interval build's one window exchange, then a plain residual FILTER — no join; at a stored history this is a partition-pruned read",
+      "graph_adamic_adar" -> "Adamic-Adar: hub-capped (deg<=64) wedge self-join, decimal weight partials, existing-edge anti join, TakeOrderedAndProject top-50 — no global sort",
+      "graph_label_propagation" -> "LPA: checkpointed rounds — final plan reads ExistingRDD labels; per round one label equi-join + self-vote union + partial-agged count + per-node window rank",
+      "text_heavy_hitters" -> "heavy hitters: Misra-Gries partial_graft_misra_gries map-side combine (O(cap) exchange), broadcast candidate semi join prunes the token stream, exact confirm count",
+      "text_bigram_logprob" -> "bigram LM: bigram+unigram count passes, three token-key equi joins back onto the occurrence stream, broadcast 1-row total, decimal per-doc aggregate",
+      "text_char_entropy" -> "char entropy: codegen char explode, two doc_id-partial-agged exchanges, decimal entropy terms, left join totality",
+      "dedup_containment_pairs" -> "containment: rarity-ranked prefix explode probes the FULL inverted index (asymmetric bound), size+positional pruning, exact array_intersect verify, post-verify dedup",
+      "sim_range_search" -> "range search: the ivf probe chain with a plain tau filter — NO post-scan exchange (top-k pays two-phase rank; radius pays only the scan)",
+      "sim_mmr_rerank" -> "MMR: bounded-heap shortlist pass at corpus scale; m-by-m sim matrix and greedy steps checkpointed and shortlist-local — post-shortlist cost independent of corpus size")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
