@@ -1875,6 +1875,50 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin
     },
+    "sim_pca_power" -> {
+      // twin of Similarity.pcaPower (iters=6): sampled covariance with
+      // round-10 decimal product sums, then 4 unrolled matvec+normalize
+      // rounds — every intermediate rounded exactly as the engine's
+      val steps = (1 to 6).map { k =>
+        s"""w$k AS (SELECT cov.i,
+           |    round(CAST(sum(CAST(round(cov.c * v.val, 12) AS DECIMAL(38,12))) AS DOUBLE), 10) AS w
+           |  FROM cov JOIN v${k - 1} v ON cov.j = v.p GROUP BY cov.i),
+           |n$k AS (SELECT sqrt(round(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE), 10)) AS nrm FROM w$k),
+           |v$k AS MATERIALIZED (SELECT i AS p, round(w / nrm, 8) AS val
+           |  FROM w$k CROSS JOIN n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs
+         |  WHERE vec_id % 4 = 0),
+         |x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM e),
+         |mu AS (SELECT pos, round(CAST(sum(CAST(comp AS DECIMAL(27,10))) AS DOUBLE)
+         |    / count(*), 6) AS mu FROM x GROUP BY pos),
+         |cx AS (SELECT x.vec_id, x.pos, x.comp - mu.mu AS d FROM x JOIN mu ON x.pos = mu.pos),
+         |cov AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+         |    round(CAST(sum(CAST(round(a.d * b.d, 10) AS DECIMAL(27,10))) AS DOUBLE)
+         |      / count(*), 8) AS c
+         |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY a.pos, b.pos),
+         |v0 AS (SELECT DISTINCT i AS p, CAST(0.125 AS DOUBLE) AS val FROM cov),
+         |$steps
+         |SELECT CAST(p AS BIGINT) AS pos, val AS loading, round(nrm, 6) AS eigenvalue
+         |FROM v6 CROSS JOIN n6""".stripMargin
+    },
+    "sim_dim_stats" ->
+      // twin of Similarity.dimStats: decimal-exact Σx and Σx² per
+      // dimension, double divisions and the variance expression written
+      // in the same op order as the engine
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |x AS (SELECT generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM e),
+         |a AS (SELECT pos, count(*) AS n_vecs,
+         |    sum(CAST(comp AS DECIMAL(27,10))) AS s1,
+         |    sum(CAST(comp * comp AS DECIMAL(27,10))) AS s2,
+         |    min(comp) AS mn, max(comp) AS mx
+         |  FROM x GROUP BY pos)
+         |SELECT CAST(pos AS BIGINT) AS pos, n_vecs,
+         |  round(CAST(s1 AS DOUBLE) / n_vecs, 6) AS mean,
+         |  round(CAST(s2 AS DOUBLE) / n_vecs
+         |    - (CAST(s1 AS DOUBLE) / n_vecs) * (CAST(s1 AS DOUBLE) / n_vecs), 6) AS variance,
+         |  round(mn, 6) AS min_comp, round(mx, 6) AS max_comp
+         |FROM a""".stripMargin,
     "sim_mmr_rerank" -> {
       // twin of Similarity.mmrRerank (nQ=5, m=20, k=5): the
       // sim_brute_force_topk shortlist at rn<=20, the within-shortlist

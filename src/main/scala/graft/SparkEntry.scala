@@ -182,6 +182,8 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.ivfRangeSearch(s, d)),
     "sim_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+    "sim_dim_stats" -> (Similarity.dimStats _),
+    "sim_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
     "sim_srp_neardup_pairs" -> ((s, d) => Similarity.srpNearDupPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_bucket_centroids" -> ((s, d) => Similarity.bucketCentroids(s, d)),

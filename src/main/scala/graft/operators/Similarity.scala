@@ -309,6 +309,102 @@ object Similarity {
       .select($"bucket", $"pos".cast("long").as("pos"),
         round($"s".cast("double") / $"n_vecs", 6).as("mean_comp"), $"n_vecs")
 
+  /** PER-DIMENSION EMBEDDING STATS — mean, population variance and range
+    * of every embedding dimension: the embedding-health audit a vector
+    * pipeline runs before trusting its geometry. Dead dimensions
+    * (variance ~0) waste index bits and silently break cosine
+    * discrimination; grossly unbalanced variances are the signal that
+    * PQ subspaces need the [[pqBalanced]] treatment or the corpus needs
+    * whitening — this report is where both decisions start.
+    *
+    * Shape: one bounded posexplode (dim is a constant) and ONE
+    * partial-agged shuffle on pos — 64 output rows whatever the corpus.
+    * Σx and Σx² run in DECIMAL(27,10) (the [[bucketCentroids]]
+    * discipline: decimal addition is exact and order-independent);
+    * mean and E[x²] divide once in double, variance = E[x²] − mean² is
+    * then the same IEEE expression on identical doubles in both
+    * engines. min/max are order-independent by nature. */
+  def dimStats(s: SparkSession, dir: String): DataFrame =
+    dimStatsFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+
+  /** Core of [[dimStats]] over any (vec_id, v) frame. */
+  def dimStatsFrom(e: DataFrame): DataFrame = {
+    val m = $"s1".cast("double") / $"n_vecs"
+    val me2 = $"s2".cast("double") / $"n_vecs"
+    e.select(posexplode($"v").as(Seq("pos", "comp")))
+      .groupBy($"pos")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum($"comp".cast("decimal(27,10)")).as("s1"),
+        sum(($"comp" * $"comp").cast("decimal(27,10)")).as("s2"),
+        min($"comp").as("min_comp"),
+        max($"comp").as("max_comp"))
+      .select($"pos".cast("long").as("pos"), $"n_vecs",
+        round(m, 6).as("mean"),
+        round(me2 - m * m, 6).as("variance"),
+        round($"min_comp", 6).as("min_comp"),
+        round($"max_comp", 6).as("max_comp"))
+  }
+
+  /** PCA TOP COMPONENT (power iteration) — the leading eigenvector and
+    * eigenvalue of the embedding covariance matrix, by 6 unrolled power
+    * iterations: the dimensionality-reduction / whitening primitive
+    * ([[dimStats]] reads the diagonal; this reads the geometry). The
+    * loading vector is what a pipeline projects onto before coarse
+    * clustering, and leading-eigenvalue drift between ingestion runs is
+    * an embedding-model-change alarm.
+    *
+    * Scale shape: covariance is trained on a DETERMINISTIC 1-in-4
+    * systematic sample (vec_id % 4 — the train-on-sample pattern every
+    * production PCA uses; the sample is the scan, the model is 64²
+    * rows). One sampled scan explodes d² = 4096 centered products per
+    * vector into a partial-agged (i, j) aggregate — DECIMAL sums of
+    * round-10 terms, so partial-agg order never moves a covariance.
+    * Each iteration is a 4096-row matvec join + 64-row normalize —
+    * driver-light, all relational. Iterates round to 8
+    * ([[graft.operators.Graph.pageRank]] discipline), so both engines
+    * iterate on identical doubles; the eigenvalue estimate is the final
+    * iteration's pre-normalization norm (the standard power-method
+    * Rayleigh proxy). Start vector is exactly 0.125·1 (1/√64 — exact in
+    * binary). Output: 64 rows (pos, loading, eigenvalue). */
+  def pcaPower(s: SparkSession, dir: String, iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" % 4 === 0)
+    val x = e.select($"vec_id", posexplode($"v").as(Seq("pos", "comp")))
+    val mu = x.groupBy($"pos")
+      .agg(round(sum($"comp".cast("decimal(27,10)")).cast("double") /
+        count(lit(1)), 6).as("mu"))
+    val cx = x.join(mu, "pos")
+      .select($"vec_id", $"pos", ($"comp" - $"mu").as("d"))
+    val cov = cx.as("a").join(cx.as("b"), "vec_id")
+      .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+      .agg(sum(round(col("a.d") * col("b.d"), 10).cast("decimal(27,10)")).as("sp"),
+        count(lit(1)).as("n"))
+      .select($"i", $"j", round($"sp".cast("double") / $"n", 8).as("c"))
+      .localCheckpoint(true)
+    var vec = cov.select($"i".as("p")).distinct()
+      .select($"p", lit(0.125).as("val"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = cov.join(vec, $"j" === $"p")
+        .groupBy($"i")
+        .agg(round(sum(round($"c" * $"val", 12).cast("decimal(38,12)"))
+          .cast("double"), 10).as("w"))
+      val nrm = w.agg(sqrt(round(sum(round($"w" * $"w", 12)
+        .cast("decimal(38,12)")).cast("double"), 10)).as("nrm"))
+      lastNorm = nrm.localCheckpoint(true)
+      vec = w.crossJoin(broadcast(lastNorm))
+        .select($"i".as("p"), round($"w" / $"nrm", 8).as("val"))
+        .localCheckpoint(true)
+    }
+    vec.crossJoin(broadcast(lastNorm))
+      .select($"p".cast("long").as("pos"), $"val".as("loading"),
+        round($"nrm", 6).as("eigenvalue"))
+  }
+
   /** CENTROID ASSIGNMENT — Lloyd's other half over [[bucketCentroids]]:
     * every vector is (re)assigned to its most-similar centroid by
     * cosine (spherical k-means, the natural metric for embeddings — and

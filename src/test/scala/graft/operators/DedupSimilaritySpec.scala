@@ -226,6 +226,54 @@ class DedupSimilaritySpec extends SparkSpec {
       "top-k rows above tau missing from the range result")
   }
 
+  test("dim stats: hand-computed fixture; corpus invariants") {
+    import spark.implicits._
+    val fix = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (2L, Seq(5.0, 6.0)))
+      .toDF("vec_id", "v")
+    val got = Similarity.dimStatsFrom(fix).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0L) === ((3L, 3.0, 2.666667, 1.0, 5.0)))
+    assert(got(1L) === ((3L, 4.0, 2.666667, 2.0, 6.0)))
+    val corpus = Similarity.dimStats(spark, Sf).collect()
+    assert(corpus.length === 64)
+    corpus.foreach { r =>
+      assert(r.getAs[Double]("variance") >= 0.0)
+      assert(r.getAs[Double]("min_comp") <= r.getAs[Double]("max_comp"))
+    }
+  }
+
+  test("pca power: unit loading, eigenvalue dominates every dim variance, " +
+    "projection variance matches the eigenvalue estimate") {
+    val rows = Similarity.pcaPower(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === 64)
+    val lam = rows.head._3
+    assert(rows.forall(_._3 === lam))
+    val norm2 = rows.map(x => x._2 * x._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-6, s"loading not unit: |v|^2 = $norm2")
+    // top eigenvalue >= every Rayleigh quotient at a basis vector =
+    // every per-dim variance OF THE SAME SAMPLE the model trained on
+    val sample = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") % 4 === 0)
+    val dimVar = Similarity.dimStatsFrom(sample).collect()
+      .map(_.getAs[Double]("variance")).max
+    assert(lam >= dimVar - 1e-4,
+      s"eigenvalue $lam below max dim variance $dimVar")
+    // independent check: variance of the sample projected on the loading
+    // approximates the eigenvalue (power iteration converged enough)
+    val v = rows.sortBy(_._1).map(_._2)
+    val projs = sample.collect().map { r =>
+      val x = r.getSeq[Double](1).toArray
+      x.indices.map(i => x(i) * v(i)).sum
+    }
+    val m = projs.sum / projs.length
+    val pv = projs.map(p => (p - m) * (p - m)).sum / projs.length
+    assert(math.abs(pv - lam) / lam < 0.05,
+      s"projection variance $pv vs eigenvalue $lam — iteration not converged")
+  }
+
   test("mmr rerank: greedy reference parity; step1 = top-rel; diversity bites") {
     val e = Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
