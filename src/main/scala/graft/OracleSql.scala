@@ -2573,16 +2573,21 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin of Graph.pageRankTrajectory: 5 unrolled iterations of the
       // graph_pagerank body; per iteration |pr_i − pr_{i-1}| rounded to
       // 8 (the iterates are identical rounded doubles on both engines,
-      // so the subtraction is the same IEEE op), max + DECIMAL L1
+      // so the subtraction is the same IEEE op), max + DECIMAL L1.
+      // MATERIALIZED is load-bearing (the graph_kcore lesson, bitten
+      // again when the corpus regeneration grew the pair graph): each
+      // d_i references TWO iterates and each c_i re-reads adj, so
+      // inlined CTEs re-expand the LSH chain exponentially with depth —
+      // observed as a >80 GB DuckDB temp spill before the fix
       val iters = (1 to 5).map { i =>
         val prev = if (i == 1) "r0" else s"r${i - 1}"
         s"""c$i AS (SELECT a.dst, CAST(r.pr / r.deg AS DECIMAL(27,10)) AS c
-           |  FROM adj a JOIN $prev r ON a.src = r.node),
+           |  FROM adjm a JOIN $prev r ON a.src = r.node),
            |s$i AS (SELECT dst, sum(c) AS sc FROM c$i GROUP BY dst),
-           |r$i AS (SELECT n.node, n.deg, nn.n,
+           |r$i AS MATERIALIZED (SELECT n.node, n.deg, nn.n,
            |  round(CAST(0.15 AS DOUBLE) / nn.n
            |    + CAST(0.85 AS DOUBLE) * CAST(s.sc AS DOUBLE), 8) AS pr
-           |  FROM nodes n CROSS JOIN nn JOIN s$i s ON s.dst = n.node),
+           |  FROM nodesm n CROSS JOIN nn JOIN s$i s ON s.dst = n.node),
            |d$i AS (SELECT round(abs(cur.pr - prv.pr), 8) AS d
            |  FROM r$i cur JOIN $prev prv ON cur.node = prv.node),
            |t$i AS (SELECT CAST($i AS BIGINT) AS iter, max(d) AS max_delta,
@@ -2590,9 +2595,11 @@ private[graft] final class OracleSqlGen(sfDir: String) {
            |  FROM d$i)""".stripMargin
       }.mkString(",\n")
       s"""WITH $graphCtes,
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |r0 AS (SELECT node, deg, n, round(CAST(1.0 AS DOUBLE) / n, 8) AS pr
-         |  FROM nodes CROSS JOIN nn),
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |nodesm AS MATERIALIZED (SELECT node, deg FROM nodes),
+         |nn AS (SELECT count(*) AS n FROM nodesm),
+         |r0 AS MATERIALIZED (SELECT node, deg, n, round(CAST(1.0 AS DOUBLE) / n, 8) AS pr
+         |  FROM nodesm CROSS JOIN nn),
          |$iters
          |${(1 to 5).map(i => s"SELECT * FROM t$i").mkString("\n UNION ALL ")}""".stripMargin
     })

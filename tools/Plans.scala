@@ -69,7 +69,9 @@ object Plans {
       "text_char_entropy" -> "char entropy: codegen char explode, two doc_id-partial-agged exchanges, decimal entropy terms, left join totality",
       "dedup_containment_pairs" -> "containment: rarity-ranked prefix explode probes the FULL inverted index (asymmetric bound), size+positional pruning, exact array_intersect verify, post-verify dedup",
       "sim_range_search" -> "range search: the ivf probe chain with a plain tau filter — NO post-scan exchange (top-k pays two-phase rank; radius pays only the scan)",
-      "sim_mmr_rerank" -> "MMR: bounded-heap shortlist pass at corpus scale; m-by-m sim matrix and greedy steps checkpointed and shortlist-local — post-shortlist cost independent of corpus size")
+      "sim_mmr_rerank" -> "MMR: bounded-heap shortlist pass at corpus scale; m-by-m sim matrix and greedy steps checkpointed and shortlist-local — post-shortlist cost independent of corpus size",
+      "sim_dim_stats" -> "dim stats: one bounded posexplode + ONE partial-agged exchange on pos, decimal sum/sum-of-squares partials, 64-row output",
+      "sim_pca_power" -> "PCA: sampled scan explodes d^2 centered products into a (i,j) partial agg; cov checkpointed once; each matvec a 4096-row join — final plan reads ExistingRDD iterates")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
