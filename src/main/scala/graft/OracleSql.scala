@@ -465,6 +465,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |FROM hist
         |WHERE valid_from <= DATE '1995-06-17'
         |  AND (valid_to IS NULL OR DATE '1995-06-17' < valid_to)""".stripMargin,
+    "rel_scd2_snapshot_diff" ->
+      // twin of Relational.q51SnapshotDiff — the two snapshot images as
+      // filters over one interval CTE, full-outer joined 1:1 on the key
+      // (interval disjointness), unchanged rows dropped
+      """WITH hist AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+        |  FROM orders),
+        |snap_a AS (SELECT o_custkey, o_orderkey, o_totalprice FROM hist
+        |  WHERE valid_from <= DATE '1996-06-17'
+        |    AND (valid_to IS NULL OR DATE '1996-06-17' < valid_to)),
+        |snap_b AS (SELECT o_custkey, o_orderkey, o_totalprice FROM hist
+        |  WHERE valid_from <= DATE '1999-06-17'
+        |    AND (valid_to IS NULL OR DATE '1999-06-17' < valid_to))
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  CASE WHEN a.o_custkey IS NULL THEN 'added'
+        |       WHEN b.o_custkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  a.o_orderkey AS orderkey_from, a.o_totalprice AS price_from,
+        |  b.o_orderkey AS orderkey_to, b.o_totalprice AS price_to
+        |FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_custkey = b.o_custkey
+        |WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+        |  OR a.o_orderkey <> b.o_orderkey
+        |  OR a.o_totalprice <> b.o_totalprice""".stripMargin,
     "rel_column_profile" -> {
       // twin of Relational.q49ColumnProfile — the stack unpivot as a
       // UNION ALL of per-column projections onto the shared DOUBLE axis;
@@ -676,6 +702,30 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM tok CROSS JOIN n
          |GROUP BY token, n.n_total
          |HAVING count(*) >= ceil(0.002 * n.n_total)""".stripMargin,
+    "text_cms_estimate" ->
+      // twin of TextAnalysis.cmsEstimate(depth=4, width=4096): the same
+      // d seeded md5 hashes build a bit-identical counter matrix, the
+      // same exact heavy-hitter set probes it — min over the d cells
+      s"""WITH tok AS (SELECT unnest(${toks("lower(text)")}) AS token FROM $docs),
+         |sk AS (
+         |  SELECT j, ${h60("concat(token, '#cms', CAST(j AS VARCHAR))")} % 4096 AS bucket,
+         |    count(*) AS cnt
+         |  FROM tok CROSS JOIN range(4) t(j)
+         |  GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS n_total FROM tok),
+         |hh AS (
+         |  SELECT token, count(*) AS freq
+         |  FROM tok CROSS JOIN n
+         |  GROUP BY token, n.n_total
+         |  HAVING count(*) >= ceil(0.002 * n.n_total)),
+         |probe AS (
+         |  SELECT hh.token, hh.freq, j,
+         |    ${h60("concat(hh.token, '#cms', CAST(j AS VARCHAR))")} % 4096 AS bucket
+         |  FROM hh CROSS JOIN range(4) t(j))
+         |SELECT p.token, p.freq, min(s.cnt) AS cms_est,
+         |  min(s.cnt) - p.freq AS overestimate
+         |FROM probe p JOIN sk s ON s.j = p.j AND s.bucket = p.bucket
+         |GROUP BY p.token, p.freq""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(${toks("lower(text)")}) AS BIGINT) AS n_tokens,
@@ -2478,6 +2528,29 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin of Graph.degreeDistribution
       s"""WITH $graphCtes
          |SELECT deg AS degree, count(*) AS n_nodes FROM nodes GROUP BY deg""".stripMargin,
+    "graph_random_walks" -> {
+      // twin of Graph.randomWalks (steps=3): per step the argmin-by-
+      // seeded-hash neighbor pick as row_number() = 1 under the same
+      // (hash, neighbor) total order; MATERIALIZED per step for the
+      // graph_kcore reason (each frontier feeds the next)
+      val steps = 3
+      val stepCtes = (1 to steps).map { t =>
+        s"""w$t AS MATERIALIZED (SELECT start, node FROM (
+           |  SELECT p.start, a.dst AS node, row_number() OVER (
+           |    PARTITION BY p.start ORDER BY
+           |      ${h60(s"concat(CAST(p.start AS VARCHAR), '#w$t#', CAST(a.dst AS VARCHAR))")} ASC,
+           |      a.dst ASC) AS rn
+           |  FROM w${t - 1} p JOIN adjm a ON a.src = p.node) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val sel = (0 to steps)
+        .map(t => s"SELECT start, $t AS step, node FROM w$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |w0 AS MATERIALIZED (SELECT node AS start, node FROM nodes),
+         |$stepCtes
+         |$sel""".stripMargin
+    },
     "graph_kcore" -> {
       // twin of Graph.kCore (k=3, rounds=8): the fixed peel-round unroll
       // as a CTE chain — round i keeps nodes whose degree WITHIN round

@@ -79,6 +79,7 @@ object SparkEntry {
     "rel_merge_upsert" -> ((s, d) => Relational.q45MergeUpsert(s, d)),
     "rel_scd2_late_splice" -> ((s, d) => Relational.q46Scd2LateSplice(s, d)),
     "rel_scd2_snapshot_at" -> ((s, d) => Relational.q47Scd2SnapshotAt(s, d)),
+    "rel_scd2_snapshot_diff" -> ((s, d) => Relational.q51SnapshotDiff(s, d)),
     "rel_skew_audit" -> ((s, d) => Relational.q48SkewAudit(s, d)),
     "rel_column_profile" -> ((s, d) => Relational.q49ColumnProfile(s, d)),
     "rel_agg_delta_apply" -> ((s, d) => Relational.q50AggDeltaApply(s, d)),
@@ -109,10 +110,12 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => Graph.kCore(s, d)),
     "graph_pagerank_trajectory" -> ((s, d) => Graph.pageRankTrajectory(s, d)),
     "graph_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
+    "graph_random_walks" -> ((s, d) => Graph.randomWalks(s, d)),
     "graph_label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "text_cms_estimate" -> ((s, d) => TextAnalysis.cmsEstimate(s, d)),
     "text_char_entropy" -> (TextAnalysis.charEntropy _),
     "text_bigram_logprob" -> (TextAnalysis.bigramLogprob _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

@@ -378,4 +378,52 @@ object Graph {
       .orderBy($"aa_score".desc, $"doc_a", $"doc_b")
       .limit(topN)
   }
+
+  /** DETERMINISTIC RANDOM WALKS — a DeepWalk-style walk corpus over the
+    * near-dup graph (Perozzi, Al-Rfou & Skiena, KDD'14: truncated walks
+    * as the "sentences" an embedding model trains on). One walk starts
+    * at every node; at step t the walk at `cur` moves to the neighbor
+    * minimizing hash60(start ⧺ "#wt#" ⧺ neighbor) — a per-(walk, step)
+    * seeded draw from the engine-neutral md5 kernel, so the walk is a
+    * pure function of the graph: both engines trace IDENTICAL paths
+    * (the twin is a hash match) and a re-run is reproducible, the
+    * property an embedding-training corpus needs for exact lineage.
+    * The seed varies by start AND step, so two walks meeting at a node
+    * diverge again and one walk revisiting a node need not cycle.
+    *
+    * Output: (start, step, node) long format, step 0..steps — one row
+    * per walk position, `steps`·|V| + |V| rows total.
+    *
+    * Shape: per step ONE equi-join of the ≤|V|-row frontier against the
+    * adjacency plus one bounded agg (min of a 2-field struct per walk —
+    * partial-aggregated, so the exchange carries one row per walk per
+    * partition). Fixed unroll, the [[pageRank]] discipline: iteration
+    * count is a plan shape, convergence loops are driver policy; the
+    * edge set is localCheckpoint'd once so the LSH derivation runs once,
+    * not once per step. At 100 TB: frontier and adjacency co-partition
+    * on the join key after the first step's exchange, and walk count
+    * scales with |V| — never edge-quadratic. Tie-break inside the
+    * struct min is (hash, neighbor) lexicographic, total order. */
+  def randomWalks(s: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps must be in [1, 8], got $steps")
+    val adj = adjacency(edges(s, dir).localCheckpoint(true))
+    val w0 = adj.select($"src".as("start")).distinct()
+      .select($"start", lit(0).as("step"), $"start".as("node"))
+    var cur = w0
+    var acc = w0
+    for (t <- 1 to steps) {
+      val nxt = cur.select($"start", $"node".as("cw"))
+        .join(adj, $"cw" === $"src")
+        .groupBy($"start")
+        .agg(min(struct(
+          graft.functions.EngineNeutral.hash60(
+            concat($"start".cast("string"), lit(s"#w$t#"),
+              $"dst".cast("string"))).as("h"),
+          $"dst".as("d"))).as("pick"))
+        .select($"start", lit(t).as("step"), $"pick.d".as("node"))
+      acc = acc.unionByName(nxt)
+      cur = nxt
+    }
+    acc
+  }
 }

@@ -959,4 +959,49 @@ object Relational {
         "cast((2 * (nN * s2e4 - sc * sc) + nN * nN) div (2 * nN * nN) as double)" +
           " / 10000.0 as var_spent")
   }
+
+  /** SCD2 SNAPSHOT DIFF — "what changed between T1 and T2": the audit
+    * report that closes the time-travel family. [[q47Scd2SnapshotAt]]
+    * reconstructs one consistent dimension image; this diffs TWO of
+    * them per key into added / removed / changed rows (with both sides'
+    * attribute values), dropping the unchanged bulk — the shape a
+    * downstream incremental consumer (or a data-freshness audit)
+    * actually reads.
+    *
+    * Shape: both snapshots derive from the SAME interval build
+    * ([[q42Scd2Intervals]] — one window exchange on the key; Spark
+    * plans the second snapshot over a reused exchange since only the
+    * literal filter differs), then one full-outer sort-merge join on
+    * the key. Interval disjointness guarantees ≤1 row per key per
+    * snapshot, so the join is 1:1 and output cardinality is bounded by
+    * the CHURN between the instants, never the dimension size. At
+    * 100 TB: with the history bucketed by key the diff is
+    * shuffle-free, and the unchanged-row drop means a quiet dimension
+    * emits almost nothing — the property that makes snapshot-diff the
+    * cheap alternative to shipping full snapshots downstream.
+    *
+    * Determinism: change classification is pure per-row CASE logic on
+    * equi-joined keys ('changed' compares both attribute columns —
+    * non-null on both sides by construction, so plain <> is null-safe
+    * here). */
+  def q51SnapshotDiff(s: SparkSession, dir: String,
+                      fromAt: String = "1996-06-17",
+                      toAt: String = "1999-06-17"): DataFrame = {
+    val a = q47Scd2SnapshotAt(s, dir, fromAt)
+      .select($"o_custkey", $"o_orderkey".as("orderkey_from"),
+        $"o_totalprice".as("price_from"))
+    val b = q47Scd2SnapshotAt(s, dir, toAt)
+      .select($"o_custkey", $"o_orderkey".as("orderkey_to"),
+        $"o_totalprice".as("price_to"))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .withColumn("change_type",
+        when($"orderkey_from".isNull, lit("added"))
+          .when($"orderkey_to".isNull, lit("removed"))
+          .when($"orderkey_from" =!= $"orderkey_to" ||
+            $"price_from" =!= $"price_to", lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter($"change_type" =!= "unchanged")
+      .select($"o_custkey", $"change_type",
+        $"orderkey_from", $"price_from", $"orderkey_to", $"price_to")
+  }
 }

@@ -913,4 +913,52 @@ object TextAnalysis {
       .select($"token", $"freq", $"n_total",
         round($"freq" / $"n_total", 6).as("rel_freq"))
   }
+
+  /** COUNT-MIN SKETCH ESTIMATE — the d×w counter-matrix frequency
+    * sketch (Cormode & Muthukrishnan, J. Algorithms 2005), audited
+    * against exact counts. [[heavyHitters]] answers "which tokens are
+    * heavy" with bounded state; CMS answers "how often is token X"
+    * for ANY token from a fixed d·w-cell summary — the point-query
+    * sketch a curation fleet ships between runs instead of a
+    * vocabulary-sized histogram. This operator builds the sketch over
+    * the corpus, probes it with the exact heavy-hitter set, and
+    * reports estimate vs truth — the calibration artifact that tells
+    * you whether d×w is sized right for the corpus before you trust
+    * the sketch on cold tokens.
+    *
+    * Mergeability IS the aggregation: cell counts sum, so Spark's
+    * partial aggregate (map-side combine per partition, one exchange
+    * of ≤ d·w rows per partition) is exactly the sketch-merge rule —
+    * at 100 TB the exchange carries O(d·w) rows per partition however
+    * many distinct tokens the corpus holds, and two corpora's sketches
+    * union by the same groupBy. The d probe hashes reuse the
+    * engine-neutral md5 kernel (seeded by suffix, the MinHash
+    * discipline), so both engines build bit-identical matrices and the
+    * twin is a hash match — the sketch is deterministic even though it
+    * is approximate. CMS guarantees estimate ≥ truth (counters only
+    * ever over-count on collisions); with w=4096 the expected
+    * overshoot is ≤ e·n/w with prob 1−e^−d. Probing with the heavy
+    * set keeps the report small and self-calibrating: heavy tokens
+    * have the largest absolute counts, so their relative error bounds
+    * the sketch's useful resolution. */
+  def cmsEstimate(s: SparkSession, dir: String,
+                  depth: Int = 4, width: Int = 4096): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape: $depth x $width")
+    val toks = Tables.documents(s, dir)
+      .select(explode(wsTokens(lower($"text"))).as("token"))
+    val js = array((0 until depth).map(lit): _*)
+    def bucketOf(tok: Column, j: Column): Column =
+      hash60(concat(tok, lit("#cms"), j.cast("string"))) % width
+    val sketch = toks.select($"token", explode(js).as("j"))
+      .select($"j", bucketOf($"token", $"j").as("bucket"))
+      .groupBy($"j", $"bucket").agg(count(lit(1)).as("cnt"))
+    val probes = heavyHitters(s, dir).select($"token", $"freq")
+      .select($"token", $"freq", explode(js).as("j"))
+      .withColumn("bucket", bucketOf($"token", $"j"))
+    probes.join(sketch, Seq("j", "bucket"))
+      .groupBy($"token", $"freq")
+      .agg(min($"cnt").as("cms_est"))
+      .select($"token", $"freq", $"cms_est",
+        ($"cms_est" - $"freq").as("overestimate"))
+  }
 }

@@ -472,4 +472,39 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("count-min sketch: estimate >= exact always; min over rows is tight " +
+    "when any probe row is collision-free") {
+    import spark.implicits._
+    val got = TextAnalysis.cmsEstimate(spark, Sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("freq"),
+        r.getAs[Long]("cms_est"), r.getAs[Long]("overestimate")))
+    assert(got.nonEmpty, "heavy-hitter probe set should be non-empty")
+    got.foreach { case (t, f, est, over) =>
+      assert(est >= f, s"CMS under-counted $t: est=$est < freq=$f")
+      assert(over === est - f)
+    }
+    // probe rows must equal the heavy-hitter report exactly (same tokens,
+    // same exact counts)
+    val hh = TextAnalysis.heavyHitters(spark, Sf).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("freq")).toMap
+    assert(got.map(g => g._1 -> g._2).toMap === hh)
+    // the sketch never has more than depth*width cells, and cell counts
+    // conserve total token mass per row
+    val toks = Tables.documents(spark, Sf)
+      .select(explode(graft.functions.EngineNeutral.wsTokens(lower(col("text"))))
+        .as("token"))
+    val n = toks.count()
+    val cells = toks
+      .select(col("token"), explode(array((0 until 4).map(lit): _*)).as("j"))
+      .select(col("j"), (graft.functions.EngineNeutral.hash60(
+        concat(col("token"), lit("#cms"), col("j").cast("string"))) % 4096)
+        .as("bucket"))
+      .groupBy("j", "bucket").count()
+    assert(cells.count() <= 4L * 4096L)
+    val perRow = cells.groupBy("j").agg(sum("count").as("mass"))
+      .collect().map(_.getLong(1))
+    assert(perRow.length === 4 && perRow.forall(_ === n),
+      "each sketch row must conserve total token mass")
+  }
 }

@@ -275,4 +275,39 @@ class GraphSpec extends SparkSpec {
     // predicted pairs are genuinely non-adjacent
     got.foreach { case (a, b, _, _) => assert(!e.contains((a, b))) }
   }
+
+  test("random walks replay a brute-force hash-argmin trace; shape bounds hold") {
+    def refHash60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val e = edgeSet()
+    val adj = (e ++ e.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSeq.sorted }
+    val steps = 3
+    // brute-force trace: argmin over neighbors of the seeded hash, tie by id
+    val expected = adj.keys.flatMap { start =>
+      var cur = start
+      (0 to steps).map { t =>
+        if (t > 0)
+          cur = adj(cur).minBy(d => (refHash60(s"$start#w$t#$d"), d))
+        (start, t, cur)
+      }
+    }.toSet
+    val got = Graph.randomWalks(spark, Sf, steps).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected, "engine walks diverge from the brute-force trace")
+    // shape: exactly steps+1 positions per start; every transition is an edge
+    assert(got.size === adj.size * (steps + 1))
+    val byStart = got.groupBy(_._1)
+    byStart.values.foreach(w => assert(w.size === steps + 1))
+    byStart.foreach { case (_, pos) =>
+      val path = pos.toSeq.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach {
+        case Seq(u, v) => assert(adj(u).contains(v), s"non-edge $u -> $v")
+        case _ => ()
+      }
+    }
+  }
 }

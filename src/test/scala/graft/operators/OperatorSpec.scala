@@ -420,4 +420,38 @@ class OperatorSpec extends SparkSpec {
     }
     assert(got.size === 6)
   }
+
+  test("scd2 snapshot diff: applying the diff to snapshot A reconstructs B") {
+    val fromAt = "1996-06-17"; val toAt = "1999-06-17"
+    val snapA = Relational.q47Scd2SnapshotAt(spark, Sf, fromAt)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val snapB = Relational.q47Scd2SnapshotAt(spark, Sf, toAt)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val diff = Relational.q51SnapshotDiff(spark, Sf, fromAt, toAt)
+    // the diff must be a faithful patch: B == (A \ removed-or-changed keys)
+    //   ∪ (to-side of added/changed rows)
+    val touched = diff.select(col("o_custkey"))
+    val patched = snapA.join(touched, Seq("o_custkey"), "left_anti")
+      .unionByName(diff.filter(col("change_type").isin("added", "changed"))
+        .select(col("o_custkey"), col("orderkey_to").as("o_orderkey"),
+          col("price_to").as("o_totalprice")))
+    assert(patched.exceptAll(snapB).isEmpty && snapB.exceptAll(patched).isEmpty,
+      "diff applied to snapshot A must reconstruct snapshot B")
+    // classification is exhaustive and sides are populated per type
+    assert(diff.filter(!col("change_type").isin("added", "removed", "changed"))
+      .isEmpty)
+    assert(diff.filter(col("change_type") === "added" &&
+      (col("orderkey_from").isNotNull || col("orderkey_to").isNull)).isEmpty)
+    assert(diff.filter(col("change_type") === "removed" &&
+      (col("orderkey_to").isNotNull || col("orderkey_from").isNull)).isEmpty)
+    assert(diff.filter(col("change_type") === "changed" &&
+      (col("orderkey_from").isNull || col("orderkey_to").isNull)).isEmpty)
+    // the two-year gap must exercise every arm on the fixture
+    val arms = diff.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("added", "changed").foreach(a =>
+      assert(arms.getOrElse(a, 0L) > 0, s"fixture never exercises '$a'"))
+    // no key appears twice: snapshots are ≤1 row per key, join is 1:1
+    assert(diff.groupBy("o_custkey").count().filter(col("count") > 1).isEmpty)
+  }
 }
