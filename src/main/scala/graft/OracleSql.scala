@@ -2528,6 +2528,35 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin of Graph.degreeDistribution
       s"""WITH $graphCtes
          |SELECT deg AS degree, count(*) AS n_nodes FROM nodes GROUP BY deg""".stripMargin,
+    "graph_ppr" -> {
+      // twin of Graph.personalizedPageRank (iters=3, seedMod=16): the
+      // graph_pagerank body with a seed-split restart term, LEFT sum
+      // join (out-of-orbit nodes receive no mass), pr > 0 output;
+      // MATERIALIZED iterates for the graph_kcore reason
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "p0" else s"p${i - 1}"
+        s"""c$i AS (SELECT a.dst, CAST(r.pr / r.deg AS DECIMAL(27,10)) AS c
+           |  FROM adjm a JOIN $prev r ON a.src = r.node),
+           |s$i AS (SELECT dst, sum(c) AS sc FROM c$i GROUP BY dst),
+           |p$i AS MATERIALIZED (SELECT n.node, n.deg, n.is_seed,
+           |  round(CASE WHEN n.is_seed THEN CAST(0.15 AS DOUBLE) / nn.ns
+           |      ELSE CAST(0 AS DOUBLE) END
+           |    + CAST(0.85 AS DOUBLE)
+           |      * coalesce(CAST(s.sc AS DOUBLE), CAST(0 AS DOUBLE)), 8) AS pr
+           |  FROM seeded n CROSS JOIN nn LEFT JOIN s$i s ON s.dst = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |seeded AS MATERIALIZED (SELECT node, deg,
+         |  ${h60("CAST(node AS VARCHAR)")} % 16 = 0 AS is_seed FROM nodes),
+         |nn AS (SELECT count(*) AS ns FROM seeded WHERE is_seed),
+         |p0 AS MATERIALIZED (SELECT node, deg, is_seed,
+         |  CASE WHEN is_seed THEN round(CAST(1.0 AS DOUBLE) / nn.ns, 8)
+         |    ELSE CAST(0 AS DOUBLE) END AS pr
+         |  FROM seeded CROSS JOIN nn),
+         |$iters
+         |SELECT node AS doc_id, is_seed, pr FROM p3 WHERE pr > 0""".stripMargin
+    },
     "graph_random_walks" -> {
       // twin of Graph.randomWalks (steps=3): per step the argmin-by-
       // seeded-hash neighbor pick as row_number() = 1 under the same

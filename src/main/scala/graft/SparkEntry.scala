@@ -111,6 +111,7 @@ object SparkEntry {
     "graph_pagerank_trajectory" -> ((s, d) => Graph.pageRankTrajectory(s, d)),
     "graph_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     "graph_random_walks" -> ((s, d) => Graph.randomWalks(s, d)),
+    "graph_ppr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "graph_label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),

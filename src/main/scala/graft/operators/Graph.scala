@@ -379,6 +379,65 @@ object Graph {
       .limit(topN)
   }
 
+  /** PERSONALIZED PAGERANK — random-walk-with-restart mass from a SEED
+    * SET, not the uniform prior: restart probability 0.15 is split over
+    * the seeds only, so rank mass stays concentrated in the seeds'
+    * duplication orbit. The curation question this answers is the dual
+    * of [[pageRank]]'s: not "which documents are central overall" but
+    * "which documents sit downstream of THESE known templates" — the
+    * contamination tracer you run when a boilerplate family is
+    * identified and you want every document it plausibly seeded,
+    * ranked by proximity.
+    *
+    * Seeds are a deterministic md5 coin (hash60(node) % seedMod == 0 —
+    * the [[triangleSample]] discipline), so both engines trace the same
+    * orbit; any caller-supplied seed frame slots into the same body.
+    * Arithmetic follows [[pageRank]] exactly — DECIMAL(27,10)
+    * contribution sums, every iterate rounded to 8 so the engines
+    * iterate on identical doubles — with two deltas: the restart term
+    * is `0.15/|S|` on seeds and 0 elsewhere, and the sum join is LEFT
+    * (a node outside the orbit receives no mass this iteration — in
+    * plain PageRank that cannot happen, here it is the common case).
+    * Output keeps only pr > 0 rows: nodes within `iters` hops of a
+    * seed — output is bounded by the orbit, not the graph.
+    *
+    * Shape per iteration: one equi-join + one DECIMAL agg + one left
+    * join, adjacency localCheckpoint'd once, iterates checkpointed
+    * (the [[pageRank]] lineage policy). At 100 TB the frontier stays
+    * orbit-sized while the plan stays fixed. */
+  def personalizedPageRank(s: SparkSession, dir: String,
+                           iters: Int = 3, seedMod: Int = 16): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    require(seedMod >= 2, s"seedMod must be >= 2, got $seedMod")
+    val (adj, nodes, _) = prSetup(s, dir)
+    val seeded = nodes.withColumn("is_seed",
+      graft.functions.EngineNeutral.hash60($"node".cast("string"))
+        % seedMod === 0)
+    val ns = seeded.filter($"is_seed").agg(count(lit(1)).as("ns"))
+    var ranks = seeded.crossJoin(broadcast(ns))
+      .select($"node", $"deg",
+        when($"is_seed", round(lit(1.0) / $"ns", 8))
+          .otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks.select($"node", ($"pr" / $"deg").as("c")),
+          $"src" === $"node")
+        .select($"dst", $"c".cast("decimal(27,10)").as("c"))
+      val sums = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+      ranks = seeded.crossJoin(broadcast(ns))
+        .join(sums, $"node" === $"dst", "left")
+        .select($"node", $"deg",
+          round(
+            when($"is_seed", lit(0.15) / $"ns").otherwise(lit(0.0)) +
+              lit(0.85) * coalesce($"sc".cast("double"), lit(0.0)), 8)
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.filter($"pr" > 0.0)
+      .join(seeded.select($"node", $"is_seed"), "node")
+      .select($"node".as("doc_id"), $"is_seed", $"pr")
+  }
+
   /** DETERMINISTIC RANDOM WALKS — a DeepWalk-style walk corpus over the
     * near-dup graph (Perozzi, Al-Rfou & Skiena, KDD'14: truncated walks
     * as the "sentences" an embedding model trains on). One walk starts

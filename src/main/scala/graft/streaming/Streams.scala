@@ -392,6 +392,43 @@ object Streams {
       .select(unix_timestamp($"window.start").as("window_ts"), $"gram", $"n")
   }
 
+  /** Streaming COUNT-MIN SKETCH maintenance — the bounded-state
+    * alternative to [[ngramCounts]]-style vocabulary aggregation: per
+    * ingestion window, maintain the d×w counter matrix of
+    * [[graft.operators.TextAnalysis.cmsEstimate]] instead of a
+    * per-token histogram. The state-cardinality contrast IS the point:
+    * a windowed token count holds (windows × distinct tokens) rows —
+    * unbounded in the vocabulary, and a trillion-token ingestion
+    * stream has billions of singletons — while the sketch holds
+    * (windows × d·w) rows whatever arrives. Downstream, point-queries
+    * read min-over-d-cells per window, and windows sum cell-wise into
+    * coarser sketches (CMS is linear), so the live matrix answers
+    * "how often was token X this hour" without the vocabulary ever
+    * existing as state.
+    *
+    * Same seeded md5 bucket hashes as batch, so a drained stream's
+    * per-window matrix equals the batch sketch of the same slice
+    * exactly (StreamingSpec asserts cell-level equality); update mode
+    * re-emits touched cells and the watermark finalizes closed
+    * windows. */
+  def cmsMaintenance(docs: Dataset[Doc], depth: Int = 4, width: Int = 1024,
+                     windowLen: String = "1 hour"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape: $depth x $width")
+    import graft.functions.EngineNeutral.{hash60, wsTokens}
+    docs
+      .withWatermark("ingest_ts", "2 hours")
+      .select($"ingest_ts", explode(wsTokens(lower($"text"))).as("token"))
+      .select($"ingest_ts", $"token",
+        explode(array((0 until depth).map(lit): _*)).as("j"))
+      .select($"ingest_ts", $"j",
+        (hash60(concat($"token", lit("#cms"), $"j".cast("string")))
+          % width).as("bucket"))
+      .groupBy(window($"ingest_ts", windowLen), $"j", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp($"window.start").as("window_ts"),
+        $"j", $"bucket", $"cnt")
+  }
+
   /** Streaming twin of Events.topTypePerUser: each user's CURRENT
     * most-frequent event type, re-emitted whenever it may have changed
     * (update mode — the latest emission per user is the answer, which is

@@ -276,6 +276,59 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (a, b, _, _) => assert(!e.contains((a, b))) }
   }
 
+  test("personalized pagerank matches brute-force restart iteration; " +
+    "orbit bounded by hop distance from seeds") {
+    def refHash60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def round8(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    val e = edgeSet()
+    val und = (e ++ e.map { case (a, b) => (b, a) }).toSeq
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size }
+    val seeds = deg.keySet.filter(n => refHash60(n.toString) % 16 == 0)
+    assert(seeds.nonEmpty, "fixture graph must contain seed nodes")
+    val ns = seeds.size
+    var pr: Map[Long, Double] = deg.map { case (k, _) =>
+      k -> (if (seeds(k)) round8(1.0 / ns) else 0.0)
+    }
+    for (_ <- 1 to 3) {
+      val in = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          java.math.BigDecimal.valueOf(pr(src) / deg(src))
+            .setScale(10, java.math.RoundingMode.HALF_UP)
+        }.reduce(_ add _)
+      }
+      pr = deg.map { case (k, _) =>
+        k -> round8((if (seeds(k)) 0.15 / ns else 0.0) +
+          0.85 * in.get(k).map(_.doubleValue()).getOrElse(0.0))
+      }
+    }
+    val expected = pr.filter(_._2 > 0.0)
+    val got = Graph.personalizedPageRank(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_seed"),
+        r.getAs[Double]("pr")))
+    assert(got.length === expected.size,
+      s"orbit size ${got.length} vs brute-force ${expected.size}")
+    got.foreach { case (id, isSeed, p) =>
+      assert(isSeed === seeds(id))
+      assert(math.abs(p - expected(id)) < 1e-9,
+        s"node $id: engine $p vs ref ${expected(id)}")
+    }
+    // every orbit member is within 3 hops of a seed (BFS bound)
+    val adjm = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var frontier = seeds; var reach = seeds
+    for (_ <- 1 to 3) {
+      frontier = frontier.flatMap(adjm(_)) -- reach
+      reach = reach ++ frontier
+    }
+    got.foreach { case (id, _, _) =>
+      assert(reach(id), s"node $id has mass but is > 3 hops from any seed")
+    }
+  }
+
   test("random walks replay a brute-force hash-argmin trace; shape bounds hold") {
     def refHash60(x: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

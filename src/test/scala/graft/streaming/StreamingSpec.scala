@@ -351,6 +351,60 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CMS maintenance: per-window matrix equals the batch " +
+    "sketch cell-for-cell; state bounded by windows x d*w") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    val nWin = 3
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getLong(0), r.getString(1),
+          new java.sql.Timestamp(t0 + (i % nWin) * 3600 * 1000L))
+      }.toSeq
+    val stream = MemoryStream[Doc]
+    val query = Streams.cmsMaintenance(stream.toDS())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt("cms"))
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      // final cell value = max over update-mode re-emissions
+      val streamed = spark.table("cms_stream")
+        .groupBy("window_ts", "j", "bucket").agg(max("cnt").as("cnt"))
+      // batch sketch of the same slices: same tokens, same seeded hashes
+      val winOf = docs.zipWithIndex
+        .map { case (d, _) =>
+          d.doc_id -> (d.ingest_ts.getTime / 1000 / 3600) * 3600 }.toMap
+      val batch = Tables.documents(spark, Sf)
+        .select($"doc_id",
+          explode(graft.functions.EngineNeutral.wsTokens(lower($"text")))
+            .as("token"))
+        .select($"doc_id", $"token",
+          explode(array((0 until 4).map(lit): _*)).as("j"))
+        .select($"doc_id", $"j",
+          (graft.functions.EngineNeutral.hash60(
+            concat($"token", lit("#cms"), $"j".cast("string"))) % 1024)
+            .as("bucket"))
+        .collect()
+        .map(r => (winOf(r.getLong(0)), r.getInt(1).toLong, r.getLong(2)))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val got = streamed.collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)) -> r.getLong(3))
+        .toMap
+      assert(got === batch, "streamed matrix diverges from the batch sketch")
+      // bounded state: never more cells than windows x d*w, and far fewer
+      // distinct cells than distinct (window, token) pairs would need
+      assert(got.size <= nWin * 4 * 1024)
+      val st = query.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal <= nWin.toLong * 4 * 1024,
+        s"state ${if (st.isEmpty) -1 else st.head.numRowsTotal} exceeds d*w bound")
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps one survivor per batch fingerprint group") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
