@@ -76,6 +76,10 @@ object Bench {
     "text_char_entropy", // added r11: char explode + decimal entropy terms
     "dedup_containment_pairs", // added r11: asymmetric PPJoin + intersect verify
     "sim_mmr_rerank", // added r11: heap-agg shortlist + 5 greedy MMR steps
+    "graph_random_walks", // added r11: 3 frontier join + struct-min steps
+    "graph_ppr", // added r11: seeded restart iteration, orbit-bounded output
+    "rel_scd2_snapshot_diff", // added r11: churn-bounded full-outer 1:1 diff
+    "text_cms_estimate", // added r11: d*w-bounded sketch + MG probe audit
     "mm_meta_stats")
   // sim_knn_graph is deliberately NOT benched: the exact graph is
   // quadratic by contract (the scale path is ivf_topk per node), and a

@@ -702,6 +702,35 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM tok CROSS JOIN n
          |GROUP BY token, n.n_total
          |HAVING count(*) >= ceil(0.002 * n.n_total)""".stripMargin,
+    "text_zipf_fit" ->
+      // twin of TextAnalysis.zipfFit(nTerms=200): same (freq desc,
+      // token asc) head, per-term ln/products rounded to 8 BEFORE the
+      // DECIMAL sums (libm ULP differences vanish at 8 dp), finals
+      // rounded to 6 from identical doubles
+      s"""WITH tok AS (SELECT unnest(${toks("lower(text)")}) AS token FROM $docs),
+         |freqs AS (SELECT token, count(*) AS freq FROM tok GROUP BY token
+         |  ORDER BY freq DESC, token ASC LIMIT 200),
+         |xy AS (SELECT round(ln(rnk), 8) AS x, round(ln(freq), 8) AS y FROM (
+         |  SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk
+         |  FROM freqs)),
+         |xy2 AS (SELECT x, y, round(x*x, 8) AS xx, round(y*y, 8) AS yy,
+         |  round(x*y, 8) AS xyp FROM xy),
+         |sums AS (SELECT count(*) AS n_terms,
+         |  CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(xx AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(yy AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         |  CAST(sum(CAST(xyp AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+         |  FROM xy2)
+         |SELECT n_terms,
+         |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+         |    AS slope,
+         |  round((sy - (n_terms * sxy - sx * sy)
+         |    / (n_terms * sxx - sx * sx) * sx) / n_terms, 6) AS intercept,
+         |  round(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy))
+         |    / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
+         |    AS r2
+         |FROM sums""".stripMargin,
     "text_cms_estimate" ->
       // twin of TextAnalysis.cmsEstimate(depth=4, width=4096): the same
       // d seeded md5 hashes build a bit-identical counter matrix, the

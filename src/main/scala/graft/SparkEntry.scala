@@ -117,6 +117,7 @@ object SparkEntry {
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_cms_estimate" -> ((s, d) => TextAnalysis.cmsEstimate(s, d)),
+    "text_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "text_char_entropy" -> (TextAnalysis.charEntropy _),
     "text_bigram_logprob" -> (TextAnalysis.bigramLogprob _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),

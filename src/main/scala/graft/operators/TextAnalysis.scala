@@ -961,4 +961,60 @@ object TextAnalysis {
       .select($"token", $"freq", $"cms_est",
         ($"cms_est" - $"freq").as("overestimate"))
   }
+
+  /** ZIPF FIT — the power-law exponent of the token rank-frequency
+    * curve: least-squares slope/intercept/R² of ln(freq) against
+    * ln(rank) over the top `nTerms` tokens. THE one-number corpus
+    * health statistic: natural language sits near slope −1 (Zipf's
+    * law); a corpus drifting toward 0 is template-flooded (flat head),
+    * one steepening far past −1 is dominated by a tiny vocabulary —
+    * either way the tokenizer and the quality model see it here first,
+    * and a per-source or per-ingestion-run fit is the drift monitor.
+    *
+    * Shape: one token count (partial-aggregated exchange), a
+    * TakeOrderedAndProject head under the (freq desc, token asc) total
+    * order — the full vocabulary never sorts globally — then closed-
+    * form least squares over ≤ nTerms rows: per-term ln values rounded
+    * to 8 (the [[Graph.pageRank]] double discipline — libm ULP
+    * differences between engines vanish at 8 dp), per-term products
+    * also rounded to 8, all five sums in DECIMAL(38,12) so partial-agg
+    * order never moves the fit, finals rounded to 6. At 100 TB the
+    * only data-sized step is the token count every text operator
+    * already pays; the regression itself is a ≤ nTerms-row reduction.
+    */
+  def zipfFit(s: SparkSession, dir: String, nTerms: Int = 200): DataFrame = {
+    require(nTerms >= 3, s"need >= 3 points to fit, got $nTerms")
+    val freqs = Tables.documents(s, dir)
+      .select(explode(wsTokens(lower($"text"))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token".asc)
+      .limit(nTerms)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"freq".desc, $"token".asc)
+    val xy = freqs
+      .withColumn("rnk", row_number().over(w))
+      .select(
+        round(log($"rnk"), 8).as("x"),
+        round(log($"freq"), 8).as("y"))
+      .select($"x", $"y",
+        round($"x" * $"x", 8).as("xx"),
+        round($"y" * $"y", 8).as("yy"),
+        round($"x" * $"y", 8).as("xyp"))
+    def dec(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    xy.agg(
+        count(lit(1)).as("n_terms"),
+        dec($"x").as("sx"), dec($"y").as("sy"),
+        dec($"xx").as("sxx"), dec($"yy").as("syy"), dec($"xyp").as("sxy"))
+      .select($"n_terms",
+        round(($"n_terms" * $"sxy" - $"sx" * $"sy") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+        round(($"sy" - ($"n_terms" * $"sxy" - $"sx" * $"sy") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n_terms", 6)
+          .as("intercept"),
+        round(
+          (($"n_terms" * $"sxy" - $"sx" * $"sy") *
+            ($"n_terms" * $"sxy" - $"sx" * $"sy")) /
+            (($"n_terms" * $"sxx" - $"sx" * $"sx") *
+              ($"n_terms" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+  }
 }

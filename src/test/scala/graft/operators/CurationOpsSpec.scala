@@ -507,4 +507,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(perRow.length === 4 && perRow.forall(_ === n),
       "each sketch row must conserve total token mass")
   }
+
+  test("zipf fit matches a BigDecimal least-squares reference; slope is " +
+    "negative and r2 sane on natural-ish text") {
+    import spark.implicits._
+    def round8(d: Double) = BigDecimal(d)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val freqs = Tables.documents(spark, Sf)
+      .select(explode(graft.functions.EngineNeutral.wsTokens(lower(col("text"))))
+        .as("token"))
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, f) => (-f, t) }.take(200)
+    val nVocab = freqs.length
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (round8(math.log(i + 1.0)), round8(math.log(f.toDouble)))
+    }
+    def dsum(vs: Seq[Double]): Double =
+      vs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val n = pts.length.toDouble
+    val sx = dsum(pts.map(_._1)); val sy = dsum(pts.map(_._2))
+    val sxx = dsum(pts.map(p => round8(p._1 * p._1)))
+    val syy = dsum(pts.map(p => round8(p._2 * p._2)))
+    val sxy = dsum(pts.map(p => round8(p._1 * p._2)))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = TextAnalysis.zipfFit(spark, Sf).collect()(0)
+    assert(got.getAs[Long]("n_terms") === nVocab.toLong)
+    assert(math.abs(got.getAs[Double]("slope") - round6(slope)) < 2e-6)
+    assert(math.abs(got.getAs[Double]("intercept") - round6(intercept)) < 2e-6)
+    assert(math.abs(got.getAs[Double]("r2") - round6(r2)) < 2e-6)
+    assert(got.getAs[Double]("slope") < 0.0, "rank-frequency must decline")
+    val r2v = got.getAs[Double]("r2")
+    assert(r2v > 0.0 && r2v <= 1.0, s"r2 out of range: $r2v")
+  }
 }
