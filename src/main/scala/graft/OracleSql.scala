@@ -2766,6 +2766,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round((hv % 256)::DOUBLE + ((hv >> 8) % 256)::DOUBLE + ((hv >> 16) % 256)::DOUBLE, 2) AS f_sig
          |FROM h""".stripMargin
     },
+    "mm_phash_pairs" -> {
+      // twin of MultiModal.mmPhashPairs (maxDist=5): same 48-bit SimHash
+      // over content 4-grams (payload = UTF-8 of text, ASCII corpus);
+      // the Spark side's per-mime 6-block pigeonhole banding is exact
+      // for hamming <= 5, so the oracle uses closed-form all-pairs
+      // WITHIN mime
+      val terms = (0 until 48).map { b =>
+        s"(CASE WHEN 2*len(list_filter(hs, v -> ((v >> $b) & 1) = 1)) >= len(hs) THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      val grams =
+        "list_distinct(CASE WHEN length(sk) >= 4 THEN " +
+          "list_transform(range(1, length(sk) - 4 + 2), j -> sk[j:j+3]) " +
+          "ELSE CAST([] AS VARCHAR[]) END)"
+      s"""WITH m AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |       ELSE 'video/mp4' END AS mime,
+         |  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
+         |g AS (SELECT doc_id, mime,
+         |  list_transform($grams, g -> ${h60("g")}) AS hs FROM m),
+         |sig AS (SELECT doc_id, mime, CAST($terms AS BIGINT) AS phash FROM g)
+         |SELECT a.mime, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.mime = b.mime AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 5""".stripMargin
+    },
     "mm_resize" ->
       // twin of MultiModal.mmResize(box=256): same integer fit-within
       // geometry and area-law byte budget; ASCII corpus so the byte

@@ -203,6 +203,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => MultiModal.mmFrameSample(s, d)),
     "mm_resize" -> ((s, d) => MultiModal.mmResize(s, d)),
     "mm_payload_dedup" -> (MultiModal.mmPayloadDedup _),
+    "mm_phash_pairs" -> ((s, d) => MultiModal.mmPhashPairs(s, d)),
     // IMDB parity (deterministic twins for the LIMIT/rank queries —
     // SURVEY.md §1.4(5); byte-faithful builders live in graft.imdb.Queries)
     "imdb_graf1" -> imdbQ(st => Imdb.graf1(st.dimMovies)),

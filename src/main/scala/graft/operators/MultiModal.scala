@@ -181,4 +181,59 @@ object MultiModal {
         // content probe of the sampled window (binary slice; md5 of the
         // bytes — the corpus is ASCII so the oracle can mirror on text)
         md5($"payload".substr($"frame_off" + 1, lit(32))).as("frame_probe"))
+
+  /** PERCEPTUAL-HASH NEAR-DUP PAIRS — near-duplicate assets WITHIN each
+    * modality by Hamming distance over a 48-bit content fingerprint:
+    * the multimodal completion of the dedup family ([[mmPayloadDedup]]
+    * catches bit-identical copies; this catches the re-encoded /
+    * slightly-edited copies a byte hash misses — the dominant duplicate
+    * class in crawled image/video corpora).
+    *
+    * The fingerprint here is a SimHash over the stub-decoded payload's
+    * content 4-grams ([[decodeStub]] discipline: a production build
+    * swaps in a DCT aHash / chromaprint per modality behind the same
+    * (asset → 48-bit code) contract; everything downstream — banding,
+    * verification, per-mime scoping — is the real plumbing and is what
+    * this operator tests). Candidate generation is the
+    * [[Dedup.simhashPairs]] 6-byte pigeonhole: any pair within distance
+    * ≤ 5 agrees on ≥ 1 whole byte, so bucket-join on (mime, byte_idx,
+    * byte_value) — the mime key scopes buckets per modality (a
+    * cross-modality "near-dup" is meaningless and would only widen
+    * buckets) — with leftmost-shared-block dedup making candidates
+    * unique by construction, then one exact bit_count verify. Never
+    * all-pairs; the exchange carries one row per (asset, byte-block).
+    */
+  def mmPhashPairs(s: SparkSession, dir: String, maxDist: Int = 5): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 5,
+      s"pigeonhole banding over 6 byte-blocks is exact only for maxDist <= 5, got $maxDist")
+    import graft.functions.EngineNeutral.{charNgrams, hash60}
+    val sig = asMultimodal(s, dir)
+      .select($"doc_id", $"meta.mime".as("mime"),
+        decode($"payload", "UTF-8").as("content"))
+      .select($"doc_id", $"mime",
+        Dedup.simhashFromHashes(
+          transform(charNgrams($"content", 4), g => hash60(g))).as("phash"))
+    val blockStructs = (0 until 6).map { i =>
+      struct(lit(i.toLong).as("blk"),
+        shiftright($"phash", i * 8).bitwiseAND(255L).as("blk_val"))
+    }
+    val blocks = sig
+      .select($"doc_id", $"mime", $"phash", explode(array(blockStructs: _*)).as("b"))
+      .select($"doc_id", $"mime", $"phash",
+        $"b.blk".as("blk"), $"b.blk_val".as("blk_val"))
+    val l = blocks.select($"mime", $"blk", $"blk_val",
+      $"doc_id".as("doc_a"), $"phash".as("ph_a"))
+    val r = blocks.select($"mime".as("mime_r"), $"blk".as("blk_r"),
+      $"blk_val".as("blk_val_r"), $"doc_id".as("doc_b"), $"phash".as("ph_b"))
+    val noEarlierBlock = (0 until 5).map { e =>
+      $"blk" <= e ||
+        shiftright($"ph_a", e * 8).bitwiseAND(255L) =!=
+          shiftright($"ph_b", e * 8).bitwiseAND(255L)
+    }.reduce(_ && _)
+    l.join(r, $"mime" === $"mime_r" && $"blk" === $"blk_r" &&
+        $"blk_val" === $"blk_val_r" && $"doc_a" < $"doc_b" && noEarlierBlock)
+      .withColumn("hamming", bit_count($"ph_a".bitwiseXOR($"ph_b")).cast("long"))
+      .filter($"hamming" <= maxDist)
+      .select($"mime", $"doc_a", $"doc_b", $"hamming")
+  }
 }

@@ -508,6 +508,43 @@ class CurationOpsSpec extends SparkSpec {
       "each sketch row must conserve total token mass")
   }
 
+  test("mm phash pairs match a brute-force per-mime simhash all-pairs") {
+    def refHash60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def phashOf(text: String): Long = {
+      val sk = text.toLowerCase.replaceAll("[^a-z0-9]", "")
+      val hs =
+        if (sk.length < 4) Seq.empty[Long]
+        else sk.sliding(4).toSeq.distinct.map(refHash60)
+      (0 until 48).foldLeft(0L) { (acc, b) =>
+        val ones = hs.count(h => ((h >> b) & 1L) == 1L)
+        if (2 * ones >= hs.size) acc | (1L << b) else acc
+      }
+    }
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), phashOf(r.getString(1))))
+    val byMime = docs.groupBy { case (id, _) => id % 3 }
+    val expected = byMime.values.flatMap { grp =>
+      val g = grp.toSeq
+      for {
+        (a, ha) <- g; (b, hb) <- g
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= 5
+      } yield (a, b, java.lang.Long.bitCount(ha ^ hb).toLong)
+    }.toSet
+    val got = MultiModal.mmPhashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected, "engine pairs diverge from the brute force")
+    assert(got.nonEmpty, "fixture corpus must contain near-dup assets")
+    // mime scoping: endpoints always share a modality
+    MultiModal.mmPhashPairs(spark, Sf).collect().foreach { r =>
+      assert(r.getLong(1) % 3 === r.getLong(2) % 3,
+        "a pair must never cross modalities")
+    }
+  }
+
   test("zipf fit matches a BigDecimal least-squares reference; slope is " +
     "negative and r2 sane on natural-ish text") {
     import spark.implicits._
