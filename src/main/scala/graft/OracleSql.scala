@@ -1233,6 +1233,22 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM x WHERE next_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "events_top_paths" ->
+      // twin of Events.topPaths (steps=3, topN=20): two leads over the
+      // same (ms, event_id) per-user order, full windows only, count +
+      // reach per path string, top-20 under the (n desc, path asc)
+      // total order
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events WHERE user_id IS NOT NULL),
+        |x AS (SELECT user_id, event_type,
+        |  lead(event_type, 1) OVER w AS t1,
+        |  lead(event_type, 2) OVER w AS t2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC))
+        |SELECT concat_ws(' > ', event_type, t1, t2) AS path,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM x WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
     "events_anomaly_zscore" ->
       // twin of Events.anomalyZscore (24h trailing baseline, minBaseline
       // 8): same hour grain, same strictly-preceding frame; integer

@@ -158,6 +158,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     "events_path_transitions" -> (Events.pathTransitions _),
+    "events_top_paths" -> ((s, d) => Events.topPaths(s, d)),
     "events_anomaly_zscore" -> ((s, d) => Events.anomalyZscore(s, d)),
     "events_sliding_agg" -> (Events.slidingAgg _),
     "events_rfm" -> ((s, d) => Events.rfm(s, d)),

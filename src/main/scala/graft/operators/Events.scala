@@ -346,6 +346,45 @@ object Events {
       .agg(count(lit(1)).as("n"), count_distinct($"user_id").as("n_users"))
   }
 
+  /** TOP PATHS — the most common k-step behavioural sequences
+    * ([[pathTransitions]] gives the 1-step Markov matrix; this mines
+    * the actual length-k paths whose frequency the matrix only
+    * approximates — a funnel DISCOVERED from data rather than declared
+    * up front). Each user's event chain (ordered by the same (ms,
+    * event_id) total order as every path operator here) slides a
+    * length-k window; identical consecutive windows count once each;
+    * the top `topN` paths by (count desc, path asc) are returned with
+    * their distinct-user reach.
+    *
+    * Shape: ONE exchange on user_id serves the sort and both lead()s
+    * (one window spec), then a partial-aggregated count on the path
+    * string — the path vocabulary is |types|^k bounded, tiny next to
+    * the event volume — and a TakeOrderedAndProject head. At 100 TB
+    * the only data-sized step is the per-user window sort every
+    * sessionization op already pays; no self-joins, no explode
+    * amplification beyond one row per event. */
+  def topPaths(s: SparkSession, dir: String, steps: Int = 3,
+               topN: Int = 20): DataFrame = {
+    require(steps >= 2 && steps <= 5, s"steps must be in [2, 5], got $steps")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+    val chains = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"event_id", $"event_type", unix_millis($"ts").as("ms"))
+    val withNexts = (1 until steps).foldLeft(chains) { (df, i) =>
+      df.withColumn(s"t$i", lead($"event_type", i).over(w))
+    }
+    val full = (1 until steps).map(i => $"t$i".isNotNull).reduce(_ && _)
+    withNexts.filter(full)
+      .select($"user_id",
+        concat_ws(" > ", ($"event_type" +: (1 until steps).map(i => $"t$i")): _*)
+          .as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"), count_distinct($"user_id").as("n_users"))
+      .orderBy($"n".desc, $"path".asc)
+      .limit(topN)
+  }
+
   /** SLIDING (hopping) WINDOW aggregate — the 3-hour window advancing
     * hourly: each event contributes to windowHours/hopHours overlapping
     * windows, the shape trend dashboards and rate alerts read. Uses

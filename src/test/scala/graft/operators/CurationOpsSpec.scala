@@ -72,6 +72,32 @@ class CurationOpsSpec extends SparkSpec {
       "each user contributes (chain length - 1) transitions")
   }
 
+  test("top paths: equals a brute-force sliding-window mine of user chains") {
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      rows.sortBy(r => (r._4, r._2)).map(_._3).sliding(3)
+        .filter(_.size == 3).map(p => (uid, p.mkString(" > ")))
+    }
+    val expected = paths.groupBy(_._2).map { case (p, hits) =>
+      (p, hits.size.toLong, hits.map(_._1).distinct.size.toLong)
+    }.toSeq.sortBy { case (p, n, _) => (-n, p) }.take(20)
+    val got = Events.topPaths(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected, "engine top paths diverge from brute force")
+    assert(got.nonEmpty && got.size <= 20)
+    // ranking is the declared total order
+    got.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 > b._2 || (a._2 === b._2 && a._1 < b._1))
+      case _ => ()
+    }
+  }
+
   test("payload dedup groups mirror text fingerprint groups") {
     val mm = MultiModal.mmPayloadDedup(spark, Sf)
     val nDocs = Tables.documents(spark, Sf).count()
