@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -968,40 +968,50 @@ object Relational {
     * downstream incremental consumer (or a data-freshness audit)
     * actually reads.
     *
-    * Shape: both snapshots derive from the SAME interval build
-    * ([[q42Scd2Intervals]] — one window exchange on the key; Spark
-    * plans the second snapshot over a reused exchange since only the
-    * literal filter differs), then one full-outer sort-merge join on
-    * the key. Interval disjointness guarantees ≤1 row per key per
-    * snapshot, so the join is 1:1 and output cardinality is bounded by
-    * the CHURN between the instants, never the dimension size. At
-    * 100 TB: with the history bucketed by key the diff is
-    * shuffle-free, and the unchanged-row drop means a quiet dimension
-    * emits almost nothing — the property that makes snapshot-diff the
-    * cheap alternative to shipping full snapshots downstream.
+    * Shape: ONE pass — the interval build's single window exchange on
+    * the key, both coverage flags evaluated per interval row, rows
+    * covering neither instant dropped at scan speed, then a per-key
+    * aggregate that RIDES the window's hashpartitioning (grouping key
+    * == window partition key, so no second exchange — the naive
+    * two-snapshot full-outer join plans the interval build twice; the
+    * runtime exchange-reuse rule does not fire across the differing
+    * literal filters, measured, so the one-pass shape halves the scan
+    * and shuffle). Interval disjointness guarantees ≤1 covering row
+    * per key per instant, so max-of-struct per flag IS the snapshot
+    * row, and output cardinality is bounded by the CHURN between the
+    * instants, never the dimension size. At 100 TB: with the history
+    * bucketed by key the whole diff is shuffle-free, and the
+    * unchanged-row drop means a quiet dimension emits almost nothing —
+    * what makes snapshot-diff the cheap alternative to shipping full
+    * snapshots downstream.
     *
-    * Determinism: change classification is pure per-row CASE logic on
-    * equi-joined keys ('changed' compares both attribute columns —
-    * non-null on both sides by construction, so plain <> is null-safe
-    * here). */
+    * Determinism: change classification is pure per-row CASE logic
+    * ('changed' compares both attribute columns — non-null on both
+    * sides by construction, so plain <> is null-safe here). */
   def q51SnapshotDiff(s: SparkSession, dir: String,
                       fromAt: String = "1996-06-17",
                       toAt: String = "1999-06-17"): DataFrame = {
-    val a = q47Scd2SnapshotAt(s, dir, fromAt)
-      .select($"o_custkey", $"o_orderkey".as("orderkey_from"),
-        $"o_totalprice".as("price_from"))
-    val b = q47Scd2SnapshotAt(s, dir, toAt)
-      .select($"o_custkey", $"o_orderkey".as("orderkey_to"),
-        $"o_totalprice".as("price_to"))
-    a.join(b, Seq("o_custkey"), "full_outer")
+    def covers(at: Column): Column =
+      $"valid_from" <= at && ($"valid_to".isNull || at < $"valid_to")
+    val flagged = q42Scd2Intervals(s, dir)
+      .withColumn("in_a", covers(to_date(lit(fromAt))))
+      .withColumn("in_b", covers(to_date(lit(toAt))))
+      .filter($"in_a" || $"in_b")
+    flagged.groupBy($"o_custkey")
+      .agg(
+        max(when($"in_a", struct($"o_orderkey", $"o_totalprice"))).as("a"),
+        max(when($"in_b", struct($"o_orderkey", $"o_totalprice"))).as("b"))
       .withColumn("change_type",
-        when($"orderkey_from".isNull, lit("added"))
-          .when($"orderkey_to".isNull, lit("removed"))
-          .when($"orderkey_from" =!= $"orderkey_to" ||
-            $"price_from" =!= $"price_to", lit("changed"))
+        when($"a".isNull, lit("added"))
+          .when($"b".isNull, lit("removed"))
+          .when($"a.o_orderkey" =!= $"b.o_orderkey" ||
+            $"a.o_totalprice" =!= $"b.o_totalprice", lit("changed"))
           .otherwise(lit("unchanged")))
       .filter($"change_type" =!= "unchanged")
       .select($"o_custkey", $"change_type",
-        $"orderkey_from", $"price_from", $"orderkey_to", $"price_to")
+        $"a.o_orderkey".as("orderkey_from"),
+        $"a.o_totalprice".as("price_from"),
+        $"b.o_orderkey".as("orderkey_to"),
+        $"b.o_totalprice".as("price_to"))
   }
 }

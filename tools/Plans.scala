@@ -71,7 +71,14 @@ object Plans {
       "sim_range_search" -> "range search: the ivf probe chain with a plain tau filter — NO post-scan exchange (top-k pays two-phase rank; radius pays only the scan)",
       "sim_mmr_rerank" -> "MMR: bounded-heap shortlist pass at corpus scale; m-by-m sim matrix and greedy steps checkpointed and shortlist-local — post-shortlist cost independent of corpus size",
       "sim_dim_stats" -> "dim stats: one bounded posexplode + ONE partial-agged exchange on pos, decimal sum/sum-of-squares partials, 64-row output",
-      "sim_pca_power" -> "PCA: sampled scan explodes d^2 centered products into a (i,j) partial agg; cov checkpointed once; each matvec a 4096-row join — final plan reads ExistingRDD iterates")
+      "sim_pca_power" -> "PCA: sampled scan explodes d^2 centered products into a (i,j) partial agg; cov checkpointed once; each matvec a 4096-row join — final plan reads ExistingRDD iterates",
+      "rel_scd2_snapshot_diff" -> "snapshot diff: ONE pass — single interval-build window exchange, coverage-flag filter at scan speed, per-key max-of-struct agg rides the window partitioning (no second exchange, no join), churn-bounded output",
+      "text_cms_estimate" -> "CMS: d-way explode into a (j,bucket) partial agg — exchange bounded at d*w rows/partition; heavy-hitter probes join the tiny sketch (broadcast), min-over-rows rollup",
+      "graph_random_walks" -> "random walks: adjacency localCheckpoint'd once; per step one frontier equi-join + partial-agged struct-min per walk — fixed unroll, no re-derived LSH chain",
+      "graph_ppr" -> "PPR: pagerank's checkpointed-iterate shape with a LEFT sum join (orbit nodes only receive mass) and broadcast 1-row seed count; final plan reads ExistingRDD ranks",
+      "text_zipf_fit" -> "zipf fit: one partial-agged token count, TakeOrderedAndProject 200-row head (vocabulary never sorts globally), single-partition window+agg over <=200 rows",
+      "mm_phash_pairs" -> "phash pairs: codegen char-ngram simhash scan, (mime,block,value) bucket join with leftmost-block dedup — candidates unique by construction, exact bit_count verify",
+      "events_top_paths" -> "top paths: ONE user_id exchange serves the sort and both lead()s (single window spec), partial-agged path count, TakeOrderedAndProject top-20")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
