@@ -777,6 +777,51 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round($qualitySql, 6) AS quality
          |FROM $docs""".stripMargin
     },
+    "text_gopher_rules" -> {
+      // twin of TextAnalysis.gopherRules: every ratio rounded to 6
+      // BEFORE its threshold compare — the flags compare identical
+      // doubles on both engines; replace() mirrors the literal-'#'
+      // regexp_replace, string_split(chr(10)) the '\n' split
+      val tk = toks("lower(text)")
+      val nW = s"CAST(len($tk) AS BIGINT)"
+      val meanLen = s"round(CASE WHEN $nW > 0 THEN " +
+        s"list_sum(list_transform($tk, t -> length(t)))::DOUBLE / $nW::DOUBLE " +
+        "ELSE CAST(0 AS DOUBLE) END, 6)"
+      val nHash = "(length(text) - length(replace(text, '#', '')))::DOUBLE"
+      val nEll = s"len(regexp_extract_all(text, '\\.\\.\\.|…'))::DOUBLE"
+      val symR = s"round(CASE WHEN $nW > 0 THEN greatest($nHash, $nEll) / $nW::DOUBLE " +
+        "ELSE CAST(0 AS DOUBLE) END, 6)"
+      val lines = "string_split(text, chr(10))"
+      val nLines = s"len($lines)::DOUBLE"
+      val bullet = s"round(len(list_filter($lines, " +
+        s"l -> regexp_matches(l, '^\\s*[-•*]')))::DOUBLE / $nLines, 6)"
+      val ellLine = s"round(len(list_filter($lines, " +
+        s"l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))::DOUBLE / $nLines, 6)"
+      val alpha = s"round(CASE WHEN $nW > 0 THEN len(list_filter($tk, " +
+        s"t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / $nW::DOUBLE " +
+        "ELSE CAST(0 AS DOUBLE) END, 6)"
+      val stopKinds = s"CAST(len(list_distinct(list_filter($tk, t -> t IN " +
+        "('the','be','to','of','and','that','have','with')))) AS BIGINT)"
+      s"""WITH g AS (SELECT doc_id, source, $nW AS n_words,
+         |  $meanLen AS mean_word_len, $symR AS symbol_ratio,
+         |  $bullet AS bullet_frac, $ellLine AS ellipsis_line_frac,
+         |  $alpha AS alpha_word_frac, $stopKinds AS n_stop_kinds
+         |FROM $docs)
+         |SELECT *,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+         |  (symbol_ratio <= 0.1) AS r_symbol,
+         |  (bullet_frac <= 0.9) AS r_bullet,
+         |  (ellipsis_line_frac <= 0.3) AS r_ellipsis,
+         |  (alpha_word_frac >= 0.8) AS r_alpha,
+         |  (n_stop_kinds >= 2) AS r_stop,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         |    AND n_stop_kinds >= 2) AS gopher_pass
+         |FROM g""".stripMargin
+    },
     "text_ngram_counts" ->
       // twin of TextAnalysis.ngramCounts(n=2, k=20): DuckDB 1-based list
       // indexing, range(1, len) = positions of every bigram start; the
@@ -2181,6 +2226,35 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT vec_id, bucket, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
          |  FROM scored) WHERE rn <= 1""".stripMargin,
+    "sim_silhouette" ->
+      // twin of Similarity.silhouette(nBits=8): centroid lists from the
+      // shared decimal-exact CTEs, every vector scored against every
+      // centroid, conditional-MIN a/b per vector (round 6 before the
+      // silhouette expression), DECIMAL(38,12) per-bucket means
+      s"""WITH $centroidCtes,
+         |cv AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
+         |  FROM a GROUP BY bucket),
+         |pv AS MATERIALIZED (SELECT vec_id, v,
+         |  CAST(${srpBand("v", 0, 8)} AS BIGINT) AS own FROM e),
+         |scored AS (SELECT pv.vec_id, pv.own, cv.bucket,
+         |  CAST(1.0 AS DOUBLE) - round(${cosSql("pv.v", "cv.cv")}, 4) AS dist
+         |  FROM pv, cv),
+         |per AS (SELECT vec_id, own,
+         |  round(min(CASE WHEN bucket = own THEN dist END), 6) AS a,
+         |  round(min(CASE WHEN bucket <> own THEN dist END), 6) AS b
+         |  FROM scored GROUP BY vec_id, own),
+         |sil AS (SELECT vec_id, own, a, b,
+         |  round(CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+         |    ELSE CAST(0 AS DOUBLE) END, 6) AS sil
+         |  FROM per)
+         |SELECT own AS bucket, count(*) AS n_vecs,
+         |  round(CAST(sum(CAST(sil AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         |    AS mean_silhouette,
+         |  round(CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         |    AS mean_cohesion_dist,
+         |  round(CAST(sum(CAST(b AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         |    AS mean_separation_dist
+         |FROM sil GROUP BY own""".stripMargin,
     "sim_lloyd_iteration" ->
       // twin of Similarity.lloydIteration(nBits=8): the assignment twin
       // as a CTE, then the decimal-exact mean recompute over the
@@ -2695,6 +2769,56 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  CAST(2 AS BIGINT) AS keep_mod,
          |  t.n_triangles * CAST(8 AS BIGINT) AS est_triangles
          |FROM stats s CROSS JOIN tri t""".stripMargin,
+    "graph_local_clustering" ->
+      // twin of Graph.localClustering: the census's degree-ordered
+      // triangle list (each triangle once as (u, x, y)), each row
+      // charged to its three corners, degrees LEFT-joined so
+      // triangle-free nodes keep local_cc = 0
+      s"""WITH $graphCtes,
+         |em AS MATERIALIZED (SELECT a, b FROM edges),
+         |nm AS MATERIALIZED (SELECT node, deg FROM nodes),
+         |oriented AS MATERIALIZED (SELECT
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+         |  FROM (SELECT e.a, e.b, na.deg AS da, nb.deg AS db FROM em e
+         |    JOIN nm na ON na.node = e.a JOIN nm nb ON nb.node = e.b)),
+         |tris AS MATERIALIZED (SELECT w.u, w.x, w.y FROM (
+         |  SELECT o1.u AS u, o1.v AS x, o2.v AS y FROM oriented o1
+         |  JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v) w
+         |  JOIN em e ON e.a = w.x AND e.b = w.y),
+         |pernode AS (SELECT node, count(*) AS t FROM (
+         |  SELECT u AS node FROM tris
+         |  UNION ALL SELECT x AS node FROM tris
+         |  UNION ALL SELECT y AS node FROM tris) GROUP BY node)
+         |SELECT n.node AS doc_id, n.deg AS degree,
+         |  coalesce(p.t, 0) AS n_triangles,
+         |  round(CASE WHEN n.deg >= 2
+         |    THEN CAST(2.0 AS DOUBLE) * coalesce(p.t, 0) / (n.deg * (n.deg - 1))
+         |    ELSE CAST(0 AS DOUBLE) END, 6) AS local_cc
+         |FROM nm n LEFT JOIN pernode p ON p.node = n.node""".stripMargin,
+    "graph_eigencentrality" -> {
+      // twin of Graph.eigenCentrality (iters=3): power iteration with
+      // DECIMAL neighbor sums, a DECIMAL L1 normalizer over those sums,
+      // each iterate rounded to 8; MATERIALIZED for the graph_kcore
+      // reason (each iterate reads its predecessor through the sums)
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (SELECT a.dst, CAST(r.pr AS DECIMAL(27,10)) AS c
+           |  FROM adjm a JOIN x${i - 1} r ON a.src = r.node),
+           |s$i AS MATERIALIZED (SELECT dst, sum(c) AS sc FROM c$i GROUP BY dst),
+           |t$i AS (SELECT sum(sc) AS tot FROM s$i),
+           |x$i AS MATERIALIZED (SELECT n.node, n.deg,
+           |  round(CAST(s.sc AS DOUBLE) / CAST(t.tot AS DOUBLE), 8) AS pr
+           |  FROM nodes n JOIN s$i s ON s.dst = n.node CROSS JOIN t$i t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |x0 AS MATERIALIZED (SELECT node, deg,
+         |  round(CAST(1.0 AS DOUBLE) / nn.n, 8) AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT node AS doc_id, deg AS degree, pr AS centrality FROM x3""".stripMargin
+    },
     "graph_pagerank" -> {
       // twin of Graph.pageRank: 3 unrolled power iterations, DECIMAL
       // contribution sums, rank rounded to 8 per iteration so both

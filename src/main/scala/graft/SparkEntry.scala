@@ -113,6 +113,8 @@ object SparkEntry {
     "graph_random_walks" -> ((s, d) => Graph.randomWalks(s, d)),
     "graph_ppr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "graph_label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
+    "graph_local_clustering" -> (Graph.localClustering _),
+    "graph_eigencentrality" -> ((s, d) => Graph.eigenCentrality(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -122,6 +124,7 @@ object SparkEntry {
     "text_bigram_logprob" -> (TextAnalysis.bigramLogprob _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
+    "text_gopher_rules" -> (TextAnalysis.gopherRules _),
     "text_ngram_counts" -> ((s, d) => TextAnalysis.ngramCounts(s, d)),
     "text_token_budget_mix" -> (TextAnalysis.tokenBudgetMix _),
     "text_lang_id" -> (TextAnalysis.langId _),
@@ -198,6 +201,7 @@ object SparkEntry {
     "sim_threshold_histogram" -> ((s, d) => Similarity.thresholdHistogram(s, d)),
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d)),
+    "sim_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),

@@ -71,6 +71,20 @@ object Graph {
       count(lit(1)).as("n_nodes"),
       (sum($"deg") / 2).cast("long").as("n_edges"),
       sum($"deg" * ($"deg" - 1) / 2).cast("long").as("n_wedges"))
+    val tri = triangleList(e, deg).agg(count(lit(1)).as("n_triangles"))
+    stats.crossJoin(tri)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        round(lit(3.0) * $"n_triangles" / $"n_wedges", 6)
+          .as("global_clustering"))
+  }
+
+  /** Each triangle of the (a, b) a<b edge frame exactly once, as one
+    * (u, x, y) row: the degree-ordered orientation guarantees every
+    * triangle has exactly one node (u) whose two edges both point
+    * outward, and x < y canonicalizes the closing pair. Shared by the
+    * census (which only counts the rows) and [[localClustering]]
+    * (which charges each row to all three corners). */
+  private def triangleList(e: DataFrame, deg: DataFrame): DataFrame = {
     val ed = e
       .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
       .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
@@ -81,14 +95,41 @@ object Graph {
     val wedges = oriented.select($"u", $"v".as("x"))
       .join(oriented.select($"u".as("u2"), $"v".as("y")),
         $"u" === $"u2" && $"x" < $"y")
-      .select($"x", $"y")
-    val tri = wedges
-      .join(e, $"x" === $"a" && $"y" === $"b")
-      .agg(count(lit(1)).as("n_triangles"))
-    stats.crossJoin(tri)
-      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
-        round(lit(3.0) * $"n_triangles" / $"n_wedges", 6)
-          .as("global_clustering"))
+      .select($"u", $"x", $"y")
+    wedges.join(e, $"x" === $"a" && $"y" === $"b").select($"u", $"x", $"y")
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT — per node, triangles(v) divided by
+    * the wedges at v, deg(v)·(deg(v)−1)/2 (Watts & Strogatz, Nature
+    * 393, 1998). The census ([[triangleCensus]]) answers "how
+    * clique-like is the duplication globally"; this is the per-document
+    * version a curation run ranks on: local_cc ≈ 1 marks a document
+    * embedded in a closed template family (every two of its near-dups
+    * are also near-dups of each other — delete the family), local_cc ≈ 0
+    * at high degree marks a hub stitching UNRELATED documents together
+    * (boilerplate contamination — fix the shingling, not the corpus).
+    *
+    * Shape: the SAME degree-ordered triangle derivation as the census
+    * ([[triangleList]] — each triangle materializes once), then each
+    * (u, x, y) row is charged to its three corners by a 3-way unionAll
+    * and one partial-agged count; degrees LEFT-join the per-node counts
+    * so triangle-free nodes keep local_cc = 0. All equi-joins and
+    * bounded aggs — the wedge fan-out stays arboricity-bounded, and the
+    * output is one row per node. */
+  def localClustering(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).localCheckpoint(true)
+    val deg = degrees(e)
+    val tris = triangleList(e, deg)
+    val perNode = tris.select($"u".as("node"))
+      .unionAll(tris.select($"x".as("node")))
+      .unionAll(tris.select($"y".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("node"), "left")
+      .select($"node".as("doc_id"), $"deg".as("degree"),
+        coalesce($"t", lit(0L)).as("n_triangles"),
+        round(when($"deg" >= 2,
+          lit(2.0) * coalesce($"t", lit(0L)) / ($"deg" * ($"deg" - 1)))
+          .otherwise(lit(0.0)), 6).as("local_cc"))
   }
 
   /** SAMPLED TRIANGLE CENSUS — the DOULION estimator (Tsourakakis,
@@ -484,5 +525,44 @@ object Graph {
       cur = nxt
     }
     acc
+  }
+
+  /** EIGENVECTOR CENTRALITY — power iteration x ← A·x / ‖A·x‖₁ on the
+    * symmetrized near-dup adjacency (Bonacich, J. Math. Sociol. 2,
+    * 1972), uniform start. Where [[pageRank]]'s damping teleport gives
+    * every node a floor, eigenvector centrality gives mass ONLY through
+    * structure: a document scores high iff its neighbors score high —
+    * the sharpest "center of the densest duplication family" signal,
+    * and the one that collapses fastest onto the dominant clique (the
+    * family to audit first).
+    *
+    * Determinism (the [[pageRank]] discipline): neighbor sums in
+    * DECIMAL(27,10) — exact under any partial-agg order — the L1
+    * normalizer is one more DECIMAL sum over those sums (every term
+    * positive, so ‖·‖₁ is the plain total), and each normalized iterate
+    * rounds to 8 so both engines iterate on identical doubles. Every
+    * node has deg ≥ 1 and the start vector is strictly positive, so
+    * every node receives mass each iteration — the sum join stays
+    * inner. Shape per iteration: one equi-join + one DECIMAL agg + one
+    * single-row broadcast normalizer; adjacency localCheckpoint'd once,
+    * iterates checkpointed (bounded plans at any iteration count). */
+  def eigenCentrality(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    val (adj, nodes, n) = prSetup(s, dir)
+    var x = prStart(nodes, n).select($"node", $"deg", $"pr")
+    for (_ <- 1 to iters) {
+      val sums = adj
+        .join(x.select($"node", $"pr".cast("decimal(27,10)").as("c")),
+          $"src" === $"node")
+        .groupBy($"dst").agg(sum($"c").as("sc"))
+      val norm = sums.agg(sum($"sc").as("tot"))
+      x = nodes.join(sums, $"node" === $"dst")
+        .crossJoin(broadcast(norm))
+        .select($"node", $"deg",
+          round($"sc".cast("double") / $"tot".cast("double"), 8).as("pr"))
+        .localCheckpoint(true)
+    }
+    x.select($"node".as("doc_id"), $"deg".as("degree"),
+      $"pr".as("centrality"))
   }
 }

@@ -1520,4 +1520,59 @@ object Similarity {
     sp.createDataFrame(sp.sparkContext.parallelize(selected, 1), schema)
       .select($"rk", $"vec_id", round($"sel_d2", 6).as("sel_d2"))
   }
+
+  /** SILHOUETTE REPORT — per-cluster simplified silhouette (Rousseeuw,
+    * J. Comput. Appl. Math. 20, 1987; centroid-based variant) over the
+    * SRP coarse clustering the IVF/k-means family is built on: for each
+    * vector, cohesion a = cosine distance to its OWN bucket's centroid,
+    * separation b = min cosine distance to any OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1]. The clustering-quality gate a
+    * pipeline reads before trusting bucket-local operations (IVF probe
+    * widths, SemDeDup within-bucket dedup, per-bucket sampling): a
+    * bucket with mean silhouette ≤ 0 is slicing through a natural
+    * cluster — its members sit closer to a neighbor than to their own
+    * center, so bucket-local dedup misses exactly the near-dups that
+    * matter. The classic silhouette's all-pairs a/b is quadratic in
+    * cluster size; the centroid variant is the scale form — one
+    * broadcast centroid table, one corpus scan.
+    *
+    * Shape: centroids assembled from the decimal-exact
+    * [[bucketCentroidsFrom]] means ([[centroidAssignFrom]]'s exact
+    * frame), broadcast (O(2^nBits) rows); each vector scores against
+    * all centroids in one codegen pass — the per-vector a/b reduce to
+    * conditional MINs in ONE partial-agged aggregate. Distances derive
+    * from round-4 cosines, a/b round to 6 before the silhouette
+    * expression (engine-identical doubles), per-bucket means sum in
+    * DECIMAL(38,12). Output: one row per bucket. */
+  def silhouette(s: SparkSession, dir: String, nBits: Int = 8): DataFrame =
+    silhouetteFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nBits)
+
+  /** Core of [[silhouette]] over any (vec_id, v) frame. */
+  def silhouetteFrom(e: DataFrame, nBits: Int): DataFrame = {
+    val cents = bucketCentroidsFrom(e, nBits)
+      .groupBy($"bucket")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"))
+    val scored = e
+      .withColumn("own", srpSignature($"v", nBits).cast("long"))
+      .join(broadcast(cents))
+      .withColumn("dist", lit(1.0) - round(cosine($"v", $"cv"), 4))
+    val per = scored.groupBy($"vec_id", $"own")
+      .agg(round(min(when($"bucket" === $"own", $"dist")), 6).as("a"),
+        round(min(when($"bucket" =!= $"own", $"dist")), 6).as("b"))
+      .select($"vec_id", $"own", $"a", $"b",
+        round(when(greatest($"a", $"b") > 0,
+          ($"b" - $"a") / greatest($"a", $"b")).otherwise(lit(0.0)), 6)
+          .as("sil"))
+    def meanDec(c: Column): Column =
+      round(sum(c.cast("decimal(38,12)")).cast("double") / count(lit(1)), 6)
+    per.groupBy($"own".as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        meanDec($"sil").as("mean_silhouette"),
+        meanDec($"a").as("mean_cohesion_dist"),
+        meanDec($"b").as("mean_separation_dist"))
+  }
 }

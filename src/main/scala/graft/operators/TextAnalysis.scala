@@ -1017,4 +1017,65 @@ object TextAnalysis {
             (($"n_terms" * $"sxx" - $"sx" * $"sx") *
               ($"n_terms" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
   }
+
+  /** GOPHER QUALITY RULES — the published MassiveWeb rule set (Rae et
+    * al., "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", 2021, App. A1.1) as per-document flags: word
+    * count in [50, 100k], mean word length in [3, 10], hash/ellipsis
+    * symbol-to-word ratio ≤ 0.1, < 90% of lines bullet-started, ≤ 30%
+    * of lines ellipsis-ended, ≥ 80% of words containing an alphabetic
+    * character, and ≥ 2 distinct stop words from the paper's 8-word
+    * list. Where [[qualityScore]] ranks (a continuous composite for
+    * threshold sweeps), this GATES — the reproducible fixed rule set a
+    * curation run applies before any learned scoring, and the per-rule
+    * flags are the audit trail ("which rule killed this document").
+    *
+    * All signals are codegen expressions over one scan — no shuffle at
+    * all; at 100 TB this runs at parquet-read speed and the output
+    * partitions like the input. Every ratio is rounded to 6 BEFORE its
+    * threshold compare, so the flag is a comparison of engine-identical
+    * doubles (the [[qualityFilter]] discipline). */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesFrom(Tables.documents(s, dir))
+
+  def gopherRulesFrom(docs: DataFrame): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = wsTokens(lower($"text"))
+    val nW = size(toks).cast("long")
+    val nWd = nW.cast("double")
+    val meanLen = round(when(nW > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nWd)
+      .otherwise(lit(0.0)), 6)
+    val nHash = (length($"text") - length(regexp_replace($"text", "#", ""))).cast("double")
+    val nEll = size(regexp_extract_all($"text", lit("\\.\\.\\.|…"), lit(0))).cast("double")
+    val symRatio = round(when(nW > 0, greatest(nHash, nEll) / nWd)
+      .otherwise(lit(0.0)), 6)
+    val lines = split($"text", "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = round(
+      size(filter(lines, l => l.rlike("^\\s*[-•*]"))).cast("double") / nLines, 6)
+    val ellLineFrac = round(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLines, 6)
+    val alphaFrac = round(when(nW > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nWd)
+      .otherwise(lit(0.0)), 6)
+    val nStopKinds = size(array_distinct(
+      filter(toks, t => t.isInCollection(gopherStops)))).cast("long")
+    docs
+      .select($"doc_id", $"source", nW.as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"), ellLineFrac.as("ellipsis_line_frac"),
+        alphaFrac.as("alpha_word_frac"), nStopKinds.as("n_stop_kinds"))
+      .select($"*",
+        ($"n_words" >= 50L && $"n_words" <= 100000L).as("r_word_count"),
+        ($"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0).as("r_mean_word_len"),
+        ($"symbol_ratio" <= 0.1).as("r_symbol"),
+        ($"bullet_frac" <= 0.9).as("r_bullet"),
+        ($"ellipsis_line_frac" <= 0.3).as("r_ellipsis"),
+        ($"alpha_word_frac" >= 0.8).as("r_alpha"),
+        ($"n_stop_kinds" >= 2L).as("r_stop"))
+      .withColumn("gopher_pass",
+        $"r_word_count" && $"r_mean_word_len" && $"r_symbol" && $"r_bullet"
+          && $"r_ellipsis" && $"r_alpha" && $"r_stop")
+  }
 }

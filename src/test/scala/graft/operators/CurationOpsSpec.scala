@@ -609,4 +609,43 @@ class CurationOpsSpec extends SparkSpec {
     val r2v = got.getAs[Double]("r2")
     assert(r2v > 0.0 && r2v <= 1.0, s"r2 out of range: $r2v")
   }
+  test("gopher rules: each rule trips on its designed violator; clean doc passes") {
+    import spark.implicits._
+    val fifty = (1 to 25).flatMap(i => Seq("the", s"word$i")).mkString(" ")
+    val docs = Seq(
+      // 0: clean — 50 words, the+of stop kinds, all-alpha, sane lengths
+      (0L, fifty + " of be and that"), // 54 words
+      (1L, "the of short doc"), //            r_word_count: 4 words
+      (2L, fifty.replace("word", "w")), //    r_mean_word_len: mean < 3
+      (3L, fifty + " " + "### ## # ## ### ## #"), // r_symbol: 7 hash tokens / 57 words... each token multiple #
+      (4L, (1 to 50).map(i => s"- the item$i of").mkString("\n")), // r_bullet: every line bullet-led
+      (5L, (1 to 50).map(i => s"the line$i of trails ...").mkString("\n")), // r_ellipsis
+      (6L, ((1 to 25).map(_.toString) ++ (1 to 25).map(i => s"${i}000")).mkString(" ")
+        + " the of " + (1 to 8).map(_ => "42").mkString(" ")), // r_alpha: 58 words, 2 alpha
+      (7L, (1 to 50).map(i => s"word$i only").mkString(" "))) // r_stop: zero stop words
+      .map { case (id, tx) => (id, tx, "en", "fx", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.gopherRulesFrom(docs).collect().map { r =>
+      r.getAs[Long]("doc_id") -> r
+    }.toMap
+    assert(got(0L).getAs[Boolean]("gopher_pass"), "clean doc must pass all rules")
+    val failCol = Map(1L -> "r_word_count", 2L -> "r_mean_word_len",
+      3L -> "r_symbol", 4L -> "r_bullet", 5L -> "r_ellipsis",
+      6L -> "r_alpha", 7L -> "r_stop")
+    failCol.foreach { case (id, col) =>
+      assert(!got(id).getAs[Boolean](col), s"doc $id must fail $col")
+      assert(!got(id).getAs[Boolean]("gopher_pass"), s"doc $id must fail overall")
+    }
+    // measured signals spot-checks
+    assert(got(0L).getAs[Long]("n_words") === 54L)
+    assert(got(0L).getAs[Long]("n_stop_kinds") === 5L) // the, of, be, and, that
+    assert(got(4L).getAs[Double]("bullet_frac") === 1.0)
+    assert(got(5L).getAs[Double]("ellipsis_line_frac") === 1.0)
+    assert(got(7L).getAs[Long]("n_stop_kinds") === 0L)
+    // registered entry matches the From body on the real corpus
+    val reg = TextAnalysis.gopherRules(spark, Sf)
+    assert(reg.columns.toSeq === got(0L).schema.fieldNames.toSeq)
+    assert(reg.count() === Tables.documents(spark, Sf).count(),
+      "one row per document, pass or fail")
+  }
 }

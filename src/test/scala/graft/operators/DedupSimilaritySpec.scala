@@ -1056,4 +1056,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(reg.length === 8 && reg.map(_.getLong(1)).distinct.length === 8)
     assert(reg.count(_.isNullAt(2)) === 1)
   }
+  test("silhouette: matches a brute-force centroid-silhouette mirror; " +
+    "bounded in [-1,1]; buckets partition the corpus") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // brute-force mirror: SRP bucket via the engine's own signature
+    // (collected once), centroids as round-6 means, round-4 cosines
+    val sig = e.select(col("vec_id"),
+        VectorOps.srpSignature(col("v"), 8).cast("long").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = sig.groupBy(_._2).map { case (b, m) =>
+      val vs = m.keys.toSeq.map(vecs)
+      b -> (0 until 64).map(i =>
+        r((vs.map(v => BigDecimal(v(i)).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum / vs.size).toDouble, 6)).toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val per = vecs.map { case (id, v) =>
+      val own = sig(id)
+      val a = r(1.0 - r(cos(v, cents(own)), 4), 6)
+      val b = r(cents.filter(_._1 != own).values
+        .map(c => 1.0 - r(cos(v, c), 4)).min, 6)
+      val s = if (math.max(a, b) > 0) r((b - a) / math.max(a, b), 6) else 0.0
+      (id, own, a, b, s)
+    }
+    val expByBucket = per.groupBy(_._2).map { case (b, xs) =>
+      def m(f: ((Long, Long, Double, Double, Double)) => Double): Double =
+        r((xs.map(x => BigDecimal(f(x)).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum / xs.size).toDouble, 6)
+      b -> ((xs.size.toLong, m(_._5), m(_._3), m(_._4)))
+    }
+    val got = Similarity.silhouette(spark, Sf).collect().map { row =>
+      row.getAs[Long]("bucket") ->
+        ((row.getAs[Long]("n_vecs"), row.getAs[Double]("mean_silhouette"),
+          row.getAs[Double]("mean_cohesion_dist"),
+          row.getAs[Double]("mean_separation_dist")))
+    }.toMap
+    assert(got.keySet === expByBucket.keySet)
+    got.foreach { case (b, (n, ms, ma, mb)) =>
+      val (en, ems, ema, emb) = expByBucket(b)
+      assert(n === en, s"bucket $b size")
+      assert(math.abs(ms - ems) < 1e-9, s"bucket $b mean sil $ms vs $ems")
+      assert(math.abs(ma - ema) < 1e-9, s"bucket $b cohesion")
+      assert(math.abs(mb - emb) < 1e-9, s"bucket $b separation")
+      assert(ms >= -1.0 && ms <= 1.0)
+    }
+    // buckets partition the corpus
+    assert(got.values.map(_._1).sum === vecs.size.toLong)
+  }
 }

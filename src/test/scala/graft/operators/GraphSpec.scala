@@ -363,4 +363,69 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+  test("local clustering: matches brute-force per-node triangle counts " +
+    "and coefficients; triangle-free nodes present with cc 0") {
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val adjOf = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val deg = adjOf.map { case (n, ns) => n -> ns.size.toLong }
+    // brute-force per-node triangle count: closed neighbor pairs
+    val triOf = adjOf.map { case (n, ns) =>
+      val s = ns.toSeq.sorted
+      n -> s.combinations(2).count {
+        case Seq(x, y) => adjOf(x).contains(y)
+        case _ => false
+      }.toLong
+    }
+    val got = Graph.localClustering(spark, Sf).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("local_cc")))
+    }.toMap
+    assert(got.keySet === deg.keySet, "every graph node must appear")
+    got.foreach { case (n, (d, t, cc)) =>
+      assert(d === deg(n))
+      assert(t === triOf(n), s"node $n triangle count")
+      val expCc = if (d >= 2) BigDecimal(2.0 * t / (d * (d - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      assert(math.abs(cc - expCc) < 1e-9, s"node $n cc $cc vs $expCc")
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+    // consistency with the census: per-node counts triple-count triangles
+    val census = Graph.triangleCensus(spark, Sf).collect().head
+    assert(got.values.map(_._2).sum === 3L * census.getAs[Long]("n_triangles"))
+  }
+
+  test("eigenvector centrality: matches brute-force power iteration; " +
+    "mass normalized; concentrates above uniform on the densest family") {
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val adjOf = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSeq }
+    val nodes = adjOf.keySet.toSeq.sorted
+    def r8(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var x = nodes.map(_ -> r8(1.0 / nodes.size)).toMap
+    for (_ <- 1 to 3) {
+      val sums = nodes.map { n =>
+        // DECIMAL(27,10) partial sums: exact on 8-dp inputs at this scale
+        n -> adjOf(n).map(u => BigDecimal(x(u)).setScale(10)).sum
+      }.toMap
+      val tot = sums.values.sum
+      x = nodes.map(n => n -> r8((sums(n) / tot).toDouble)).toMap
+    }
+    val got = Graph.eigenCentrality(spark, Sf).collect().map { r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("centrality")
+    }.toMap
+    assert(got.keySet === adjOf.keySet)
+    got.foreach { case (n, c) =>
+      assert(math.abs(c - x(n)) < 1e-9, s"node $n centrality $c vs ${x(n)}")
+    }
+    // normalized: totals 1 up to per-node rounding
+    val tot = got.values.sum
+    assert(math.abs(tot - 1.0) < 1e-4, s"mass $tot")
+    // structure signal: non-uniform — the top node strictly beats the
+    // uniform start (only a regular graph would stay flat)
+    assert(got.values.max > 1.0 / nodes.size)
+    assert(got.values.max > got.values.min)
+  }
 }
