@@ -534,6 +534,28 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  CAST((2 * (n * s2e4 - sc * sc) + n * n) // (2 * n * n) AS DOUBLE)
          |    / 10000.0 AS var_spent
          |FROM m""".stripMargin,
+    "rel_join_delta_view" ->
+      // twin of Relational.q52JoinDeltaView — FULL RECOMPUTE of the
+      // per-nation join view over the post-change tables (orders with
+      // inserts applied and deletes removed; customers with the %13
+      // nation move applied), while the Spark side applies the signed
+      // delta expansion to the standing view: the hash compare itself
+      // proves delta-apply ≡ recompute
+      s"""WITH o AS (SELECT o_custkey, o_orderkey,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+         |rnew AS (
+         |  SELECT o_custkey, p FROM o WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_custkey, p FROM o
+         |  WHERE o_orderkey % 10 <> 0 AND o_orderkey % 17 <> 0),
+         |snew AS (SELECT c_custkey,
+         |  CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25
+         |    ELSE c_nationkey END AS c_nationkey
+         |  FROM customer)
+         |SELECT s.c_nationkey, count(*) AS n_orders,
+         |  round(CAST(sum(p) AS DOUBLE), 2) AS total_revenue
+         |FROM rnew r JOIN snew s ON r.o_custkey = s.c_custkey
+         |GROUP BY s.c_nationkey""".stripMargin,
     "rel_skew_audit" ->
       // twin of Relational.q48SkewAudit (k=20): per-key counts, global
       // head rank (the Spark side's two-phase bucket rank reduces to the
@@ -1467,6 +1489,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  format='newline_delimited', hive_partitioning=1, filename=true,
          |  columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','n_chars':'BIGINT'})
          |GROUP BY source""".stripMargin,
+    "layout_skipping_stats" ->
+      // twin of Layout.skippingStats (nHashFiles=64, offsets 5/10/15):
+      // same map-side file assignments (day index vs md5 coin), same
+      // zone-map min/max per (layout, file), same single-day predicate
+      // pricing; day = cohort-discipline floor(epoch-ms / 86400000.0)
+      s"""WITH ev AS (SELECT event_id,
+         |  CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day FROM events),
+         |asg AS (
+         |  SELECT 'day_partitioned' AS layout, day AS file_id, day FROM ev
+         |  UNION ALL
+         |  SELECT 'hash_partitioned' AS layout,
+         |    ${h60("CAST(event_id AS VARCHAR)")} % 64 AS file_id, day FROM ev),
+         |zones AS (SELECT layout, file_id, min(day) AS min_day,
+         |  max(day) AS max_day, count(*) AS n_rows FROM asg GROUP BY 1, 2),
+         |preds AS (SELECT d0 + o AS pred_day
+         |  FROM (SELECT min(day) AS d0 FROM ev)
+         |  CROSS JOIN (SELECT unnest([5, 10, 15]) AS o))
+         |SELECT layout, pred_day, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN max_day < pred_day OR min_day > pred_day
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+         |  CAST(sum(CASE WHEN max_day < pred_day OR min_day > pred_day
+         |    THEN 0 ELSE n_rows END) AS BIGINT) AS n_rows_scanned,
+         |  round(CAST(sum(CASE WHEN max_day < pred_day OR min_day > pred_day
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS skip_frac
+         |FROM zones CROSS JOIN preds
+         |GROUP BY layout, pred_day""".stripMargin,
     "dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
          |  min(doc_id) AS keep_id, count(*) AS n_copies
@@ -2960,6 +3008,26 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |         ELSE 'video/mp4' END AS mime
          |  FROM $docs)
          |GROUP BY mime, payload_md5""".stripMargin,
+    "mm_shot_boundaries" ->
+      // twin of MultiModal.mmShotBoundaries (stride=64, threshold=85):
+      // same frame offsets, same md5-head feature mod 256, same lag-1
+      // delta per asset; single-frame assets report null mean/max on
+      // both engines (no consecutive pair)
+      s"""WITH v AS (SELECT doc_id, text FROM $docs WHERE doc_id % 3 = 2),
+         |fr AS (SELECT doc_id, text,
+         |  unnest(range(0, strlen(text), 64)) AS frame_off FROM v),
+         |f AS (SELECT doc_id, frame_off,
+         |  CAST(concat('0x', substr(md5(substr(text,
+         |    CAST(frame_off + 1 AS INTEGER), 32)), 1, 15)) AS BIGINT) % 256
+         |    AS f FROM fr),
+         |d AS (SELECT doc_id,
+         |  abs(f - lag(f) OVER (PARTITION BY doc_id ORDER BY frame_off ASC))
+         |    AS delta FROM f)
+         |SELECT doc_id, count(*) AS n_frames,
+         |  CAST(sum(CASE WHEN delta >= 85 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  round(CAST(sum(delta) AS DOUBLE) / count(delta), 6) AS mean_delta,
+         |  max(delta) AS max_delta
+         |FROM d GROUP BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, mime, frame_off, md5(substr(text, CAST(frame_off + 1 AS INTEGER), 32)) AS frame_probe
          |FROM (SELECT doc_id, text,

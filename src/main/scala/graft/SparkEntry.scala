@@ -77,6 +77,7 @@ object SparkEntry {
     "rel_scd2_asof" -> ((s, d) => Relational.q43Scd2Asof(s, d)),
     "rel_ntile_cume" -> (Relational.q44NtileCume _),
     "rel_merge_upsert" -> ((s, d) => Relational.q45MergeUpsert(s, d)),
+    "rel_join_delta_view" -> ((s, d) => Relational.q52JoinDeltaView(s, d)),
     "rel_scd2_late_splice" -> ((s, d) => Relational.q46Scd2LateSplice(s, d)),
     "rel_scd2_snapshot_at" -> ((s, d) => Relational.q47Scd2SnapshotAt(s, d)),
     "rel_scd2_snapshot_diff" -> ((s, d) => Relational.q51SnapshotDiff(s, d)),
@@ -184,6 +185,7 @@ object SparkEntry {
     "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
     "corpus_jsonl_dedup" -> ((s, d) => Dedup.jsonlCorpusDedup(s, d)),
     "layout_compaction_plan" -> ((s, d) => graft.sources.Layout.compactionPlan(s, d)),
+    "layout_skipping_stats" -> ((s, d) => graft.sources.Layout.skippingStats(s, d)),
     "dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     // similarity search
     "sim_brute_force_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -209,6 +211,7 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => MultiModal.mmResize(s, d)),
     "mm_payload_dedup" -> (MultiModal.mmPayloadDedup _),
     "mm_phash_pairs" -> ((s, d) => MultiModal.mmPhashPairs(s, d)),
+    "mm_shot_boundaries" -> ((s, d) => MultiModal.mmShotBoundaries(s, d)),
     // IMDB parity (deterministic twins for the LIMIT/rank queries —
     // SURVEY.md §1.4(5); byte-faithful builders live in graft.imdb.Queries)
     "imdb_graf1" -> imdbQ(st => Imdb.graf1(st.dimMovies)),

@@ -203,6 +203,48 @@ object MultiModal {
     * unique by construction, then one exact bit_count verify. Never
     * all-pairs; the exchange carries one row per (asset, byte-block).
     */
+  /** SHOT-BOUNDARY DETECTION — per video asset, cut candidates by
+    * consecutive-frame feature difference (the histogram-difference
+    * method of Zhang, Kankanhalli & Smoliar, Multimedia Systems 1(1),
+    * 1993): sample frames at the [[mmFrameSample]] stride, derive a
+    * per-frame scalar feature, flag a cut wherever |f_t − f_{t−1}|
+    * clears the threshold, and report per-asset cut statistics — the
+    * scene-granularity signal a video curation pipeline reads to split
+    * assets into clips before captioning/embedding.
+    *
+    * The per-frame feature is the [[decodeStub]] discipline (md5 of the
+    * sampled window reduced mod 256 — a fake luminance histogram; a
+    * production build swaps a real histogram/embedding behind the same
+    * (window → scalar) contract). What this operator pins is the REAL
+    * plumbing: per-asset ordered frame windows (ONE exchange on doc_id
+    * — the window partition key IS the group key, so the aggregate
+    * rides the same exchange), a lag-1 difference, a threshold knob,
+    * and bounded per-asset output. A single-frame asset reports null
+    * mean/max delta (no consecutive pair exists) — both engines agree.
+    * At 100 TB: frames fan out stride-bounded per asset, nothing ever
+    * leaves the asset's partition. */
+  def mmShotBoundaries(s: SparkSession, dir: String, stride: Int = 64,
+                       threshold: Long = 85L): DataFrame = {
+    require(stride >= 1 && threshold >= 0, "need stride >= 1, threshold >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val frames = asMultimodal(s, dir)
+      .filter($"meta.mime" === "video/mp4")
+      .select($"doc_id", $"payload", $"meta.n_bytes".as("n_bytes"))
+      .withColumn("frame_off", explode(
+        when($"n_bytes" > 0, sequence(lit(0L), $"n_bytes" - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<long>"))))
+      .select($"doc_id", $"frame_off",
+        (conv(substring(md5($"payload".substr($"frame_off" + 1, lit(32))), 1, 15),
+          16, 10).cast("long") % 256L).as("f"))
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_off".asc)
+    frames.withColumn("delta", abs($"f" - lag($"f", 1).over(w)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when($"delta" >= threshold, 1L).otherwise(0L)).as("n_cuts"),
+        round(sum($"delta").cast("double") / count($"delta"), 6).as("mean_delta"),
+        max($"delta").as("max_delta"))
+  }
+
   def mmPhashPairs(s: SparkSession, dir: String, maxDist: Int = 5): DataFrame = {
     require(maxDist >= 0 && maxDist <= 5,
       s"pigeonhole banding over 6 byte-blocks is exact only for maxDist <= 5, got $maxDist")

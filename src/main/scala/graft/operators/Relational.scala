@@ -1014,4 +1014,74 @@ object Relational {
         $"b.o_orderkey".as("orderkey_to"),
         $"b.o_totalprice".as("price_to"))
   }
+
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE — the JOIN half of the
+    * Gupta-Mumick view-maintenance family ([[q50AggDeltaApply]] is the
+    * aggregate half): the standing view is the per-nation order rollup
+    * over orders ⋈ customer, and BOTH sides change — a fact delta ΔR
+    * (order inserts + deletes) and a dimension delta ΔS (customers
+    * moving nation, expressed as the canonical −old/+new signed pair).
+    * The refreshed view is computed WITHOUT rejoining history, by the
+    * signed expansion (R+ΔR)⋈(S+ΔS) = R⋈S + ΔR⋈S + R⋈ΔS + ΔR⋈ΔS:
+    * three delta joins whose signs multiply, folded into one signed
+    * aggregate and full-outer-applied to the standing view — keys whose
+    * count reaches zero retire.
+    *
+    * Scale shape: every delta term joins a SMALL side — ΔR⋈S broadcasts
+    * the delta batch against the dim, R⋈ΔS broadcasts the changed-dim
+    * keys against the fact (the inner join IS the semi restriction, so
+    * only the affected facts are touched — predicate-pushdown-shaped,
+    * no full-history rejoin), ΔR⋈ΔS broadcasts both. The only shuffle
+    * is the signed aggregate on the view key plus the full-outer apply
+    * — cost ∝ |delta| + |view keys|, never |history|. The dim-update
+    * term is the one a snapshot MERGE cannot express: one changed
+    * customer row re-attributes ALL its facts across group keys, which
+    * is exactly what the −old/+new pair does.
+    *
+    * Determinism: revenue sums in DECIMAL (exact, order-free), counts
+    * as signed longs; the twin recomputes the view FROM SCRATCH over
+    * the post-change tables, so the hash compare itself proves
+    * delta-apply ≡ full recompute — the IVM correctness statement. */
+  def q52JoinDeltaView(s: SparkSession, dir: String,
+                       insMod: Int = 10, delMod: Int = 17,
+                       updMod: Int = 13): DataFrame = {
+    val o = Tables.orders(s, dir).select($"o_custkey", $"o_orderkey",
+      $"o_totalprice".cast("decimal(18,2)").as("p"))
+    val isIns = $"o_orderkey" % insMod === 0
+    val isDel = $"o_orderkey" % delMod === 0 && $"o_orderkey" % insMod =!= 0
+    val rOld = o.filter(!isIns)
+    val dR = o.filter(isIns).withColumn("sgn_r", lit(1L))
+      .unionByName(rOld.filter(isDel).withColumn("sgn_r", lit(-1L)))
+    val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+    val isUpd = $"c_custkey" % updMod === 0
+    val dS = cust.filter(isUpd)
+      .select($"c_custkey", $"c_nationkey", lit(-1L).as("sgn_s"))
+      .unionByName(cust.filter(isUpd)
+        .select($"c_custkey", (($"c_nationkey" + 1) % 25).as("c_nationkey"),
+          lit(1L).as("sgn_s")))
+    // the standing materialized view (in deployment: read, not rebuilt)
+    val vOld = rOld.join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), sum($"p").as("rev"))
+    // ΔR⋈S + R⋈ΔS + ΔR⋈ΔS, signs multiplied through
+    val t1 = cust.join(broadcast(dR), $"c_custkey" === $"o_custkey")
+      .select($"c_nationkey", $"sgn_r".as("sgn"), $"p")
+    val t2 = rOld.join(broadcast(dS), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey", $"sgn_s".as("sgn"), $"p")
+    val t3 = dR.join(broadcast(dS), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey", ($"sgn_r" * $"sgn_s").as("sgn"), $"p")
+    val dAgg = t1.unionByName(t2).unionByName(t3)
+      .groupBy($"c_nationkey")
+      .agg(sum($"sgn").as("dn"),
+        sum(when($"sgn" > 0, $"p").otherwise(-$"p")).as("drev"))
+    val zero = lit(java.math.BigDecimal.ZERO)
+    vOld.join(dAgg, Seq("c_nationkey"), "full_outer")
+      .select($"c_nationkey",
+        (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+        (coalesce($"rev", zero.cast("decimal(28,2)")) +
+          coalesce($"drev", zero.cast("decimal(28,2)"))).as("rev"))
+      .filter($"n_orders" > 0)
+      .select($"c_nationkey", $"n_orders",
+        round($"rev".cast("double"), 2).as("total_revenue"))
+  }
 }

@@ -222,4 +222,50 @@ object Layout {
           .when($"n_files" < $"target_files", "split")
           .otherwise("keep"))
   }
+
+  /** ZONE-MAP SKIPPING AUDIT — prices a layout decision in skipped
+    * files BEFORE rewriting anything: events are assigned to
+    * hypothetical files under two layouts (day-clustered — the
+    * [[ensureEventsByDate]] shape — vs md5-hash-scattered, the
+    * "whatever the upstream writer emitted" default), per-file min/max
+    * day zone maps are computed, and each of a set of single-day
+    * predicates is priced as (files skipped, rows a zone-map scan must
+    * still read). The report every 100 TB layout migration starts
+    * from: "this rewrite turns a full scan into touching 1 file of N"
+    * — measured on the real data, not asserted. Predicate days are
+    * offsets from the corpus min day, so the audit is deterministic on
+    * any dataset.
+    *
+    * Shape: one scan, a 2-way unionAll of map-side file assignments
+    * (day index, and the engine-neutral md5 coin — no sort, no window:
+    * a global ntile would serialize on one task at scale), ONE
+    * partial-agged (layout, file) zone-map aggregate — O(files) rows —
+    * then a broadcast cross join against the O(|preds|) predicate frame
+    * and a final bounded aggregate. Day arithmetic follows the cohort
+    * discipline: floor(epoch-ms / 86400000.0), exact in double far past
+    * any realistic date. */
+  def skippingStats(s: SparkSession, sfDir: String, nHashFiles: Int = 64,
+                    predOffsets: Seq[Int] = Seq(5, 10, 15)): DataFrame = {
+    require(nHashFiles >= 1 && predOffsets.nonEmpty, "need files and predicates")
+    val ev = Tables.events(s, sfDir).select($"event_id",
+      floor(unix_millis($"ts") / lit(86400000.0)).cast("long").as("day"))
+    val assigned = ev
+      .select(lit("day_partitioned").as("layout"), $"day".as("file_id"), $"day")
+      .unionByName(ev.select(lit("hash_partitioned").as("layout"),
+        (graft.functions.EngineNeutral.hash60($"event_id".cast("string"))
+          % nHashFiles).as("file_id"), $"day"))
+    val zones = assigned.groupBy($"layout", $"file_id")
+      .agg(min($"day").as("min_day"), max($"day").as("max_day"),
+        count(lit(1)).as("n_rows"))
+    val preds = ev.agg(min($"day").as("d0"))
+      .select(explode(array(predOffsets.map(o => $"d0" + o): _*)).as("pred_day"))
+    val skip = $"max_day" < $"pred_day" || $"min_day" > $"pred_day"
+    zones.crossJoin(broadcast(preds))
+      .groupBy($"layout", $"pred_day")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(skip, 1L).otherwise(0L)).as("n_skipped"),
+        sum(when(skip, lit(0L)).otherwise($"n_rows")).as("n_rows_scanned"))
+      .withColumn("skip_frac",
+        round($"n_skipped".cast("double") / $"n_files", 6))
+  }
 }

@@ -648,4 +648,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(reg.count() === Tables.documents(spark, Sf).count(),
       "one row per document, pass or fail")
   }
+  test("shot boundaries: equals a brute-force frame-delta mirror; " +
+    "single-frame assets report null deltas") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vids = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 2)
+    val expected = vids.map { case (id, text) =>
+      val offs = 0L.until(text.length.toLong, 64L)
+      val fs = offs.map { o =>
+        val win = text.substring(o.toInt, math.min(o.toInt + 32, text.length))
+        java.lang.Long.parseLong(md5hex(win).take(15), 16) % 256L
+      }
+      val deltas = fs.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.toSeq
+      val mean =
+        if (deltas.isEmpty) None
+        else Some(BigDecimal(deltas.sum.toDouble / deltas.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      id -> ((fs.size.toLong, deltas.count(_ >= 85L).toLong, mean,
+        if (deltas.isEmpty) None else Some(deltas.max)))
+    }.toMap
+    val got = MultiModal.mmShotBoundaries(spark, Sf).collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_cuts"),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    }.toMap
+    assert(got.keySet === expected.keySet, "one row per non-empty video asset")
+    got.foreach { case (id, v) =>
+      assert(v === expected(id), s"asset $id: $v vs ${expected(id)}")
+    }
+    // corpus exercises both arms: some cuts fire, and deltas are bounded
+    assert(got.values.map(_._2).sum > 0, "threshold 85 must fire somewhere")
+    got.values.flatMap(_._4).foreach(d => assert(d >= 0L && d <= 255L))
+  }
 }

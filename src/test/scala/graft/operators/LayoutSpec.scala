@@ -180,4 +180,52 @@ class LayoutSpec extends SparkSpec {
       assert(act === expect, s"$src: action $act for n_files=$nf target=$tf")
     }
   }
+  test("zone-map skipping audit equals a brute-force mirror; day layout " +
+    "skips all files but the predicate's") {
+    import graft.sources.Layout
+    def refHash60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), math.floor(r.getLong(1) / 86400000.0).toLong))
+    val d0 = ev.map(_._2).min
+    val preds = Seq(5, 10, 15).map(d0 + _)
+    val layouts = Map(
+      "day_partitioned" -> ev.groupBy(_._2).map { case (d, xs) =>
+        d -> ((d, d, xs.length.toLong)) },
+      "hash_partitioned" -> ev.groupBy { case (id, _) => refHash60(id.toString) % 64 }
+        .map { case (f, xs) =>
+          f -> ((xs.map(_._2).min, xs.map(_._2).max, xs.length.toLong)) })
+    val expected = (for {
+      (lname, zones) <- layouts
+      pd <- preds
+    } yield {
+      val skipped = zones.values.count { case (mn, mx, _) => mx < pd || mn > pd }
+      val scanned = zones.values.collect {
+        case (mn, mx, n) if !(mx < pd || mn > pd) => n
+      }.sum
+      (lname, pd) -> ((zones.size.toLong, skipped.toLong, scanned,
+        BigDecimal(skipped.toDouble / zones.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }).toMap
+    val got = Layout.skippingStats(spark, Sf).collect().map { r =>
+      (r.getAs[String]("layout"), r.getAs[Long]("pred_day")) ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("n_skipped"),
+          r.getAs[Long]("n_rows_scanned"), r.getAs[Double]("skip_frac")))
+    }.toMap
+    assert(got === expected)
+    // the layout story: day clustering answers a day predicate from ONE
+    // file; the hash scatter cannot skip like that
+    preds.foreach { pd =>
+      val (nf, sk, scanned, _) = got(("day_partitioned", pd))
+      assert(sk === nf - 1, s"day layout must skip all but day $pd's file")
+      assert(scanned === ev.count(_._2 == pd).toLong)
+      val (_, hsk, hscan, _) = got(("hash_partitioned", pd))
+      assert(hsk <= sk && hscan >= scanned,
+        "hash scatter can never skip more than the clustered layout")
+    }
+  }
 }

@@ -454,4 +454,37 @@ class OperatorSpec extends SparkSpec {
     // no key appears twice: snapshots are ≤1 row per key, join is 1:1
     assert(diff.groupBy("o_custkey").count().filter(col("count") > 1).isEmpty)
   }
+  test("join-view delta-apply equals a full recompute over post-change tables") {
+    // Spark-side scratch recompute: effective orders joined to updated
+    // customers — the IVM correctness statement, independently of the
+    // DuckDB twin (which states the same thing cross-engine)
+    val o = Tables.orders(spark, Sf).select(col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val rnew = o.filter(col("o_orderkey") % 10 === 0)
+      .unionByName(o.filter(col("o_orderkey") % 10 =!= 0 &&
+        col("o_orderkey") % 17 =!= 0))
+    val snew = Tables.customer(spark, Sf).select(col("c_custkey"),
+      when(col("c_custkey") % 13 === 0, (col("c_nationkey") + 1) % 25)
+        .otherwise(col("c_nationkey")).as("c_nationkey"))
+    val full = rnew.join(snew, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("p")).cast("double"), 2).as("total_revenue"))
+    val inc = Relational.q52JoinDeltaView(spark, Sf)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "delta expansion must equal the scratch recompute exactly")
+    // the dim delta matters: dropping the R⋈ΔS and ΔR⋈ΔS terms (i.e.
+    // recomputing against the OLD dim) must NOT equal the applied view
+    val stale = rnew.join(Tables.customer(spark, Sf)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("p")).cast("double"), 2).as("total_revenue"))
+    assert(!inc.exceptAll(stale).isEmpty,
+      "fixture must actually move orders across nations")
+    // order conservation: total order count equals the effective multiset
+    val totInc = inc.agg(sum(col("n_orders"))).head.getLong(0)
+    assert(totInc === rnew.join(snew, col("o_custkey") === col("c_custkey")).count())
+  }
 }
