@@ -80,6 +80,11 @@ object Bench {
     "graph_ppr", // added r11: seeded restart iteration, orbit-bounded output
     "rel_scd2_snapshot_diff", // added r11: churn-bounded full-outer 1:1 diff
     "text_cms_estimate", // added r11: d*w-bounded sketch + MG probe audit
+    "graph_local_clustering", // added r11: triangle list charged to 3 corners
+    "graph_eigencentrality", // added r11: 3 normalized power iterations
+    "sim_silhouette", // added r11: corpus x broadcast-centroid scan + a/b mins
+    "rel_join_delta_view", // added r11: signed IVM delta expansion + apply
+    "mm_shot_boundaries", // added r11: per-asset frame windows + lag-1 delta
     "mm_meta_stats")
   // sim_knn_graph is deliberately NOT benched: the exact graph is
   // quadratic by contract (the scale path is ivf_topk per node), and a
