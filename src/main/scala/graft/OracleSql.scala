@@ -799,6 +799,24 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round($qualitySql, 6) AS quality
          |FROM $docs""".stripMargin
     },
+    "text_lexical_diversity" ->
+      // twin of TextAnalysis.lexicalDiversity: same two-stage count
+      // (within-doc type counts, per-doc rollup); integer moments exact,
+      // each ratio divides once in double and rounds to 6
+      s"""WITH tok AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS token
+         |  FROM $docs),
+         |tc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(sum(cnt * cnt) AS BIGINT) AS sum_cnt_sq
+         |  FROM tc GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types,
+         |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+         |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+         |  round(CAST(10000.0 AS DOUBLE) * CAST(sum_cnt_sq - n_tokens AS DOUBLE)
+         |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k
+         |FROM d""".stripMargin,
     "text_gopher_rules" -> {
       // twin of TextAnalysis.gopherRules: every ratio rounded to 6
       // BEFORE its threshold compare — the flags compare identical
@@ -1300,6 +1318,47 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM x WHERE next_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "events_markov_stationary" -> {
+      // twin of Events.markovStationary (iters=6): the transition CTE,
+      // row-normalized P (round 8), π ← πP with round-12 DECIMAL
+      // products and an L1 renormalizer per step; MATERIALIZED iterates
+      // for the graph_kcore reason
+      val iters = (1 to 6).map { i =>
+        s"""c$i AS (SELECT p.to_type, CAST(round(r.pi * p.p, 12) AS DECIMAL(38,12)) AS c
+           |  FROM p JOIN pi${i - 1} r ON p.from_type = r.state),
+           |s$i AS (SELECT to_type, sum(c) AS sc FROM c$i GROUP BY 1),
+           |t$i AS (SELECT sum(sc) AS tot FROM s$i),
+           |pi$i AS MATERIALIZED (SELECT st.state,
+           |  round(coalesce(CAST(s.sc AS DOUBLE), CAST(0 AS DOUBLE))
+           |    / CAST(t.tot AS DOUBLE), 8) AS pi
+           |  FROM st LEFT JOIN s$i s ON s.to_type = st.state CROSS JOIN t$i t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+         |  FROM events WHERE user_id IS NOT NULL),
+         |x AS (SELECT user_id, event_type,
+         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS next_type
+         |  FROM e),
+         |tr AS MATERIALIZED (SELECT event_type AS from_type, next_type AS to_type,
+         |  count(*) AS n FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1),
+         |p AS MATERIALIZED (SELECT tr.from_type, tr.to_type,
+         |  round(CAST(tr.n AS DOUBLE) / rt.tot, 8) AS p
+         |  FROM tr JOIN rt USING (from_type)),
+         |st AS MATERIALIZED (SELECT DISTINCT state FROM (
+         |  SELECT from_type AS state FROM p
+         |  UNION ALL SELECT to_type AS state FROM p)),
+         |k AS (SELECT count(*) AS k FROM st),
+         |pi0 AS MATERIALIZED (SELECT state,
+         |  round(CAST(1.0 AS DOUBLE) / k.k, 8) AS pi FROM st CROSS JOIN k),
+         |$iters,
+         |g AS (SELECT sum(n) AS g FROM tr)
+         |SELECT st.state AS event_type, pi6.pi AS stationary_p,
+         |  CAST(coalesce(rt.tot, 0) AS BIGINT) AS n_out_transitions,
+         |  round(coalesce(CAST(rt.tot AS DOUBLE), CAST(0 AS DOUBLE))
+         |    / CAST(g.g AS DOUBLE), 8) AS empirical_from_share
+         |FROM st JOIN pi6 ON pi6.state = st.state
+         |LEFT JOIN rt ON rt.from_type = st.state CROSS JOIN g""".stripMargin
+    },
     "events_top_paths" ->
       // twin of Events.topPaths (steps=3, topN=20): two leads over the
       // same (ms, event_id) per-user order, full windows only, count +

@@ -126,6 +126,7 @@ object SparkEntry {
     "text_quality_score" -> (TextAnalysis.qualityScore _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_gopher_rules" -> (TextAnalysis.gopherRules _),
+    "text_lexical_diversity" -> (TextAnalysis.lexicalDiversity _),
     "text_ngram_counts" -> ((s, d) => TextAnalysis.ngramCounts(s, d)),
     "text_token_budget_mix" -> (TextAnalysis.tokenBudgetMix _),
     "text_lang_id" -> (TextAnalysis.langId _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     "events_path_transitions" -> (Events.pathTransitions _),
+    "events_markov_stationary" -> ((s, d) => Events.markovStationary(s, d)),
     "events_top_paths" -> ((s, d) => Events.topPaths(s, d)),
     "events_anomaly_zscore" -> ((s, d) => Events.anomalyZscore(s, d)),
     "events_sliding_agg" -> (Events.slidingAgg _),

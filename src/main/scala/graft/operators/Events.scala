@@ -486,4 +486,64 @@ object Events {
       .agg(
         count($"k").as("n_with_k"),
         round(avg($"k"), 4).as("avg_k"))
+
+  /** MARKOV STATIONARY DISTRIBUTION — the long-run occupancy of the
+    * user-behaviour Markov chain whose one-step matrix
+    * [[pathTransitions]] counts: π ← πP power iterations with L1
+    * renormalization (the [[graft.operators.Graph.eigenCentrality]]
+    * discipline, applied to a row-stochastic matrix), uniform start
+    * over the observed states. Where the transition report says "what
+    * follows what", the stationary vector says WHERE USERS END UP
+    * SPENDING THEIR TIME — the equilibrium the product's event flow
+    * drives toward, and the baseline an anomaly monitor compares a
+    * day's empirical mix against. The output sets stationary_p next to
+    * the empirical from-share precisely so that comparison is one
+    * report.
+    *
+    * Scale shape: the ONLY data-sized step is the per-user window the
+    * transition count already pays (one exchange); everything after
+    * runs on the |types|² matrix — driver-light, broadcast
+    * normalizers, iterates checkpointed. Renormalization makes
+    * observed-but-terminal states (rows with no outgoing mass)
+    * harmless: their leak is divided back out each step.
+    * Determinism: P entries and iterates round to 8; πp products round
+    * to 12 and sum in DECIMAL(38,12) — partial-agg order never moves a
+    * probability. */
+  def markovStationary(s: SparkSession, dir: String, iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 12, s"iters must be in [1, 12], got $iters")
+    val trans = pathTransitions(s, dir)
+      .select($"from_type", $"to_type", $"n")
+      .localCheckpoint(true)
+    val rowTot = trans.groupBy($"from_type").agg(sum($"n").as("tot"))
+    val p = trans.join(rowTot, "from_type")
+      .select($"from_type", $"to_type",
+        round($"n".cast("double") / $"tot", 8).as("p"))
+      .localCheckpoint(true)
+    val states = p.select($"from_type".as("state"))
+      .unionByName(p.select($"to_type".as("state"))).distinct()
+      .localCheckpoint(true)
+    val nStates = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(nStates))
+      .select($"state", round(lit(1.0) / $"k", 8).as("pi"))
+    for (_ <- 1 to iters) {
+      val contrib = p.join(pi, $"from_type" === $"state")
+        .select($"to_type", round($"pi" * $"p", 12).cast("decimal(38,12)").as("c"))
+      val sums = contrib.groupBy($"to_type").agg(sum($"c").as("sc"))
+      val tot = sums.agg(sum($"sc").as("tot"))
+      pi = states.join(sums, $"state" === $"to_type", "left")
+        .crossJoin(broadcast(tot))
+        .select($"state",
+          round(coalesce($"sc".cast("double"), lit(0.0)) /
+            $"tot".cast("double"), 8).as("pi"))
+        .localCheckpoint(true)
+    }
+    val grand = trans.agg(sum($"n").as("g"))
+    states.join(pi, "state")
+      .join(rowTot, $"state" === $"from_type", "left")
+      .crossJoin(broadcast(grand))
+      .select($"state".as("event_type"), $"pi".as("stationary_p"),
+        coalesce($"tot", lit(0L)).as("n_out_transitions"),
+        round(coalesce($"tot".cast("double"), lit(0.0)) /
+          $"g".cast("double"), 8).as("empirical_from_share"))
+  }
 }

@@ -1018,6 +1018,40 @@ object TextAnalysis {
               ($"n_terms" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
   }
 
+  /** LEXICAL DIVERSITY — per-document vocabulary-richness signals:
+    * type-token ratio, hapax fraction (types occurring once), and
+    * Yule's K = 10⁴·(Σ_t cnt_t² − N)/N² (Yule, "The Statistical Study
+    * of Literary Vocabulary", 1944) — the repetition characteristic
+    * that, unlike TTR, is robust to document length. The curation
+    * reading: machine-generated / template text shows low TTR and HIGH
+    * K (few types doing all the work); keyword-stuffed spam shows the
+    * opposite skew; both tails are filter candidates that the
+    * n-gram-repetition score ([[repetitionScore]]) only partially
+    * overlaps (K sees BAG repetition at any distance, n-grams only see
+    * adjacency).
+    *
+    * Shape: explode to (doc, token) → two partial-agged doc-keyed
+    * aggregates (within-doc type counts, then the per-doc rollup — the
+    * second group rides the first's hashpartitioning on the shared
+    * doc_id prefix). Integer moments (Σcnt, Σcnt²) are exact longs;
+    * each ratio divides once in double and rounds to 6. */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    lexicalDiversityFrom(Tables.documents(s, dir))
+
+  def lexicalDiversityFrom(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", explode(wsTokens(lower($"text"))).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when($"cnt" === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum($"cnt" * $"cnt").as("sum_cnt_sq"))
+      .select($"doc_id", $"n_tokens", $"n_types",
+        round($"n_types".cast("double") / $"n_tokens", 6).as("ttr"),
+        round($"n_hapax".cast("double") / $"n_types", 6).as("hapax_frac"),
+        round(lit(10000.0) * ($"sum_cnt_sq" - $"n_tokens").cast("double") /
+          ($"n_tokens".cast("double") * $"n_tokens".cast("double")), 6)
+          .as("yule_k"))
+
   /** GOPHER QUALITY RULES — the published MassiveWeb rule set (Rae et
     * al., "Scaling Language Models: Methods, Analysis & Insights from
     * Training Gopher", 2021, App. A1.1) as per-document flags: word
@@ -1038,7 +1072,20 @@ object TextAnalysis {
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesFrom(Tables.documents(s, dir))
 
-  def gopherRulesFrom(docs: DataFrame): DataFrame = {
+  def gopherRulesFrom(docs: DataFrame): DataFrame =
+    gopherFlagCols(docs)
+      .select($"doc_id", $"source", $"n_words", $"mean_word_len",
+        $"symbol_ratio", $"bullet_frac", $"ellipsis_line_frac",
+        $"alpha_word_frac", $"n_stop_kinds", $"r_word_count",
+        $"r_mean_word_len", $"r_symbol", $"r_bullet", $"r_ellipsis",
+        $"r_alpha", $"r_stop", $"gopher_pass")
+
+  /** APPEND the Gopher signal + flag columns to any frame with `text` —
+    * the stateless codegen core shared by the batch report and the
+    * streaming quality-gate monitor ([[graft.streaming.Streams
+    * .qualityGateMonitor]]): the flags a live ingestion window
+    * aggregates are definitionally the flags the batch gate applies. */
+  private[graft] def gopherFlagCols(docs: DataFrame): DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val toks = wsTokens(lower($"text"))
     val nW = size(toks).cast("long")
@@ -1062,18 +1109,21 @@ object TextAnalysis {
     val nStopKinds = size(array_distinct(
       filter(toks, t => t.isInCollection(gopherStops)))).cast("long")
     docs
-      .select($"doc_id", $"source", nW.as("n_words"),
-        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
-        bulletFrac.as("bullet_frac"), ellLineFrac.as("ellipsis_line_frac"),
-        alphaFrac.as("alpha_word_frac"), nStopKinds.as("n_stop_kinds"))
-      .select($"*",
-        ($"n_words" >= 50L && $"n_words" <= 100000L).as("r_word_count"),
-        ($"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0).as("r_mean_word_len"),
-        ($"symbol_ratio" <= 0.1).as("r_symbol"),
-        ($"bullet_frac" <= 0.9).as("r_bullet"),
-        ($"ellipsis_line_frac" <= 0.3).as("r_ellipsis"),
-        ($"alpha_word_frac" >= 0.8).as("r_alpha"),
-        ($"n_stop_kinds" >= 2L).as("r_stop"))
+      .withColumn("n_words", nW)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("bullet_frac", bulletFrac)
+      .withColumn("ellipsis_line_frac", ellLineFrac)
+      .withColumn("alpha_word_frac", alphaFrac)
+      .withColumn("n_stop_kinds", nStopKinds)
+      .withColumn("r_word_count", $"n_words" >= 50L && $"n_words" <= 100000L)
+      .withColumn("r_mean_word_len",
+        $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0)
+      .withColumn("r_symbol", $"symbol_ratio" <= 0.1)
+      .withColumn("r_bullet", $"bullet_frac" <= 0.9)
+      .withColumn("r_ellipsis", $"ellipsis_line_frac" <= 0.3)
+      .withColumn("r_alpha", $"alpha_word_frac" >= 0.8)
+      .withColumn("r_stop", $"n_stop_kinds" >= 2L)
       .withColumn("gopher_pass",
         $"r_word_count" && $"r_mean_word_len" && $"r_symbol" && $"r_bullet"
           && $"r_ellipsis" && $"r_alpha" && $"r_stop")

@@ -785,4 +785,41 @@ object Streams {
           }
       }
   }
+  /** STREAMING QUALITY-GATE MONITOR — per ingestion window, the Gopher
+    * rule pass rate and per-rule failure counts over arriving
+    * documents: the quality-drift alarm a live ingestion pipeline
+    * watches (a falling pass_rate says the crawl went bad; WHICH
+    * failure counter spiked says how — a bullet_frac spike is a nav-page
+    * loop, an alpha spike is binary junk, a stop-word spike is
+    * non-English drift). The per-document flags are the EXACT batch
+    * gate ([[graft.operators.TextAnalysis.gopherRulesFrom]] — shared
+    * stateless codegen core, so the monitor can never drift from the
+    * gate it monitors; StreamingSpec asserts per-window equality with a
+    * batch recomputation of the same slice).
+    *
+    * State at 100 TB: one row of 9 longs per open window — the flag
+    * computation itself is stateless scan-speed codegen; the watermark
+    * finalizes and drops closed windows. Update mode re-emits a window
+    * whenever it absorbs new documents. */
+  def qualityGateMonitor(docs: Dataset[Doc],
+                         windowLen: String = "1 hour"): DataFrame = {
+    val flagged = graft.operators.TextAnalysis.gopherFlagCols(
+      docs.withWatermark("ingest_ts", "2 hours").toDF())
+    def fails(c: Column): Column = sum(when(!c, 1L).otherwise(0L))
+    flagged.groupBy(window($"ingest_ts", windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"gopher_pass", 1L).otherwise(0L)).as("n_pass"),
+        fails($"r_word_count").as("f_word_count"),
+        fails($"r_mean_word_len").as("f_mean_word_len"),
+        fails($"r_symbol").as("f_symbol"),
+        fails($"r_bullet").as("f_bullet"),
+        fails($"r_ellipsis").as("f_ellipsis"),
+        fails($"r_alpha").as("f_alpha"),
+        fails($"r_stop").as("f_stop"))
+      .select(unix_timestamp($"window.start").as("window_ts"),
+        $"n_docs", $"n_pass",
+        round($"n_pass".cast("double") / $"n_docs", 6).as("pass_rate"),
+        $"f_word_count", $"f_mean_word_len", $"f_symbol", $"f_bullet",
+        $"f_ellipsis", $"f_alpha", $"f_stop")
+  }
 }

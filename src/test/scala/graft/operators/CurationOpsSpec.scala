@@ -685,4 +685,61 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0, "threshold 85 must fire somewhere")
     got.values.flatMap(_._4).foreach(d => assert(d >= 0L && d <= 255L))
   }
+  test("markov stationary: matches a BigDecimal power-iteration mirror; " +
+    "probabilities normalized; empirical shares partition") {
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val trans = Events.pathTransitions(spark, Sf).collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
+    val rowTot = trans.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val p = trans.map { case ((f, t), n) => (f, t) -> r(n.toDouble / rowTot(f), 8) }
+    val states = (trans.keys.map(_._1) ++ trans.keys.map(_._2)).toSeq.distinct.sorted
+    var pi = states.map(_ -> r(1.0 / states.size, 8)).toMap
+    for (_ <- 1 to 6) {
+      val sums = states.map { t =>
+        t -> p.collect { case ((f, t2), pv) if t2 == t =>
+          BigDecimal(r(pi(f) * pv, 12)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+      }.toMap
+      val tot = sums.values.sum
+      pi = states.map(t => t -> r((sums(t) / tot).toDouble, 8)).toMap
+    }
+    val grand = trans.values.sum
+    val got = Events.markovStationary(spark, Sf).collect().map { row =>
+      row.getAs[String]("event_type") ->
+        ((row.getAs[Double]("stationary_p"), row.getAs[Long]("n_out_transitions"),
+          row.getAs[Double]("empirical_from_share")))
+    }.toMap
+    assert(got.keySet === states.toSet)
+    got.foreach { case (t, (sp, nOut, emp)) =>
+      assert(math.abs(sp - pi(t)) < 1e-9, s"state $t: $sp vs ${pi(t)}")
+      assert(nOut === rowTot.getOrElse(t, 0L))
+      assert(math.abs(emp - r(rowTot.getOrElse(t, 0L).toDouble / grand, 8)) < 1e-9)
+    }
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-4, "mass normalized")
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-4, "shares partition")
+  }
+
+  test("lexical diversity: hand-computed fixture; yule k separates " +
+    "repetitive from diverse text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b"), //        5 tokens, 2 types, cnt 4+1
+      (2L, "v w x y z"), //        all hapax
+      (3L, "a b a b")) //          2+2
+      .map { case (id, tx) => (id, tx, "en", "fx", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.lexicalDiversityFrom(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    // doc 1: N=5, V=2, hapax=1; K = 1e4*(16+1-5)/25 = 4800
+    assert(got(1L) === ((5L, 2L, 0.4, 0.5, 4800.0)))
+    // doc 2: N=5, V=5, all hapax; K = 1e4*(5-5)/25 = 0
+    assert(got(2L) === ((5L, 5L, 1.0, 1.0, 0.0)))
+    // doc 3: N=4, V=2, no hapax; K = 1e4*(4+4-4)/16 = 2500
+    assert(got(3L) === ((4L, 2L, 0.5, 0.0, 2500.0)))
+    // repetitive text scores strictly higher K than diverse text
+    assert(got(1L)._5 > got(2L)._5)
+  }
 }

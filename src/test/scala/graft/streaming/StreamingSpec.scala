@@ -819,4 +819,55 @@ class StreamingSpec extends SparkSpec {
       assert(evicted <= 2L, s"retirement left $evicted state rows")
     } finally query.stop()
   }
+  test("streaming quality-gate monitor: per-window pass rates equal a " +
+    "batch gopher recomputation of the same slice; state is one row per window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    val nWin = 3
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getLong(0), r.getString(1),
+          new java.sql.Timestamp(t0 + (i % nWin) * 3600 * 1000L))
+      }.toSeq
+    val stream = MemoryStream[Doc]
+    val query = Streams.qualityGateMonitor(stream.toDS())
+      .writeStream.format("memory").queryName("qgate_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt("qg"))
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      // latest update-mode emission per window is the final answer
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"window_ts").orderBy($"n_docs".desc)
+      val streamed = spark.table("qgate_stream")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      // batch recomputation: the same flags over the same window slices
+      val batch = graft.operators.TextAnalysis.gopherFlagCols(
+          docs.toDF().withColumn("window_ts",
+            (unix_millis($"ingest_ts") / 1000L - pmod(unix_millis($"ingest_ts") / 1000L, lit(3600L)))))
+        .groupBy($"window_ts")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"gopher_pass", 1L).otherwise(0L)).as("n_pass"),
+          sum(when(!$"r_word_count", 1L).otherwise(0L)).as("f_word_count"),
+          sum(when(!$"r_mean_word_len", 1L).otherwise(0L)).as("f_mean_word_len"),
+          sum(when(!$"r_symbol", 1L).otherwise(0L)).as("f_symbol"),
+          sum(when(!$"r_bullet", 1L).otherwise(0L)).as("f_bullet"),
+          sum(when(!$"r_ellipsis", 1L).otherwise(0L)).as("f_ellipsis"),
+          sum(when(!$"r_alpha", 1L).otherwise(0L)).as("f_alpha"),
+          sum(when(!$"r_stop", 1L).otherwise(0L)).as("f_stop"))
+        .select($"window_ts", $"n_docs", $"n_pass",
+          round($"n_pass".cast("double") / $"n_docs", 6).as("pass_rate"),
+          $"f_word_count", $"f_mean_word_len", $"f_symbol", $"f_bullet",
+          $"f_ellipsis", $"f_alpha", $"f_stop")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream-drained windows must equal the batch gate on the same slice")
+      // exactly nWin windows, together covering the whole corpus
+      assert(streamed.count() === nWin.toLong)
+      assert(streamed.agg(sum($"n_docs")).head.getLong(0) === docs.size.toLong)
+    } finally query.stop()
+  }
 }
