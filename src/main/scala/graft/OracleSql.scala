@@ -2333,6 +2333,51 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT vec_id, bucket, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
          |  FROM scored) WHERE rn <= 1""".stripMargin,
+    "sim_graph_ann_topk" -> {
+      // twin of Similarity.graphAnnTopK (nQ=5, k=10, beam=16, hops=4,
+      // entryMod=16, knnK=8): the knn-graph CTE is the plain all-pairs
+      // rank (the block grid covers the pair space exactly); each hop
+      // re-derives the same DISTINCT candidate set, round-4 scores and
+      // (cos desc, id asc) beam; MATERIALIZED beams for the graph_kcore
+      // reason
+      val hopCtes = (1 to 4).map { i =>
+        s"""c$i AS (SELECT DISTINCT q_id, vec_id FROM (
+           |  SELECT b.q_id, g.nbr_id AS vec_id FROM b${i - 1} b
+           |  JOIN g ON g.src_id = b.vec_id
+           |  UNION ALL SELECT q_id, vec_id FROM b${i - 1})),
+           |s$i AS (SELECT c.q_id, c.vec_id,
+           |  round(${cosSql("q.q_v", "e.v")}, 4) AS cos_sim
+           |  FROM c$i c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id
+           |  WHERE c.vec_id <> c.q_id),
+           |b$i AS MATERIALIZED (SELECT q_id, vec_id, cos_sim FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos_sim DESC, vec_id ASC) AS rn
+           |  FROM s$i) WHERE rn <= 16)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |gs AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |  round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |g AS MATERIALIZED (SELECT src_id, nbr_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+         |  FROM gs) WHERE rn <= 8),
+         |q AS MATERIALIZED (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |ent AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0),
+         |s0 AS (SELECT q.q_id, ent.vec_id,
+         |  round(${cosSql("q.q_v", "e.v")}, 4) AS cos_sim
+         |  FROM q CROSS JOIN ent JOIN e ON e.vec_id = ent.vec_id
+         |  WHERE ent.vec_id <> q.q_id),
+         |b0 AS MATERIALIZED (SELECT q_id, vec_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM s0) WHERE rn <= 16),
+         |$hopCtes
+         |SELECT q_id, vec_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM b4) WHERE rn <= 10""".stripMargin
+    },
     "sim_silhouette" ->
       // twin of Similarity.silhouette(nBits=8): centroid lists from the
       // shared decimal-exact CTEs, every vector scored against every

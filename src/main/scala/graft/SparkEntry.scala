@@ -206,6 +206,7 @@ object SparkEntry {
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d)),
     "sim_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
+    "sim_graph_ann_topk" -> ((s, d) => Similarity.graphAnnTopK(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),

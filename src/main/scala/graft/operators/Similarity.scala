@@ -1521,6 +1521,69 @@ object Similarity {
       .select($"rk", $"vec_id", round($"sel_d2", 6).as("sel_d2"))
   }
 
+  /** GRAPH-BASED ANN — beam search over the exact kNN graph: the fourth
+    * retrieval paradigm of this family, next to LSH banding
+    * ([[srpNearDupPairs]]), IVF ([[ivfTopK]]) and PQ ([[pqAdcTopK]]) —
+    * the NSW/HNSW idea (Malkov & Yashunin, TPAMI 42(4), 2020) reduced
+    * to its layer-0 semantics: greedy best-first expansion of a beam
+    * through the neighborhood graph, where each hop scores the current
+    * beam's out-neighbors against the query and keeps the top `beam`.
+    * Graph ANN is what wins when vectors resist coarse partitioning
+    * (IVF) and quantization (PQ) — connectivity adapts to the data's
+    * local geometry instead of imposing a grid on it.
+    *
+    * Determinism: every candidate set is a pure function of the graph
+    * (beam ∪ out-neighbors, DISTINCT), scores are round-4 cosines
+    * ranked under the (cos desc, vec_id asc) total order — both
+    * engines walk identical beams, so the twin is a hash match, not a
+    * recall bound (recall itself is priced in DedupSimilaritySpec
+    * against brute force). Entry set is the deterministic `vec_id %
+    * entryMod` coin; hops are a FIXED unroll with checkpointed beams
+    * (the [[graft.operators.Graph.pageRank]] discipline).
+    *
+    * Scale shape: the index build is [[knnGraphFrom]] (quadratic by
+    * contract here — at deployment scale the graph comes from
+    * NN-descent or is the persisted artifact); each hop is one
+    * equi-join of the (nQ·beam)-row frontier against the k-out-degree
+    * graph plus one broadcast-query scoring pass — candidate volume is
+    * nQ·beam·(k+1) per hop whatever the corpus. The entry scoring is
+    * the one O(N/entryMod) term; the 100 TB form replaces it with a
+    * constant coarse-centroid probe (the [[ivfTopK]] quantizer) or an
+    * HNSW layer ladder — the beam machinery is unchanged. */
+  def graphAnnTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+                   k: Int = 10, beam: Int = 16, hops: Int = 4,
+                   entryMod: Int = 16, knnK: Int = 8): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 1 && hops <= 6 && entryMod >= 2,
+      s"need 1 <= k <= beam, hops in [1,6], entryMod >= 2")
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val g = knnGraphFrom(e, knnK, 8)
+      .select($"src_id", $"nbr_id").localCheckpoint(true)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e, "vec_id").join(broadcast(q), "q_id")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", round(cosine($"q_v", $"v"), 4).as("cos_sim"))
+    def rank(scored: DataFrame, n: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= n)
+        .select($"q_id", $"vec_id", $"cos_sim")
+    }
+    val entries = e.filter($"vec_id" % entryMod === 0).select($"vec_id")
+    var beamDf = rank(score(q.select($"q_id").crossJoin(entries)), beam)
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val cand = beamDf.select($"q_id", $"vec_id".as("src_id"))
+        .join(g, "src_id").select($"q_id", $"nbr_id".as("vec_id"))
+        .unionByName(beamDf.select($"q_id", $"vec_id"))
+        .distinct()
+      beamDf = rank(score(cand), beam).localCheckpoint(true)
+    }
+    rank(beamDf, k)
+  }
+
   /** SILHOUETTE REPORT — per-cluster simplified silhouette (Rousseeuw,
     * J. Comput. Appl. Math. 20, 1987; centroid-based variant) over the
     * SRP coarse clustering the IVF/k-means family is built on: for each
