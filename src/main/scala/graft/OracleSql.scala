@@ -1728,6 +1728,68 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  n_shared, round(c, 6) AS containment
          |FROM p WHERE c >= 0.8""".stripMargin
     },
+    "dedup_funnel" -> {
+      // twin of Dedup.dedupFunnel: each layer's existing twin chain
+      // reduced to a distinct flagged-doc set (containment CTEs renamed
+      // c* to avoid colliding with the LSH chain's cand), then the
+      // first-flagging-layer rollup and 3-row cumulative window
+      val sh =
+        s"CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), j -> concat_ws(' ', tk[j], tk[j+1], tk[j+2])) ELSE CAST([] AS VARCHAR[]) END"
+      s"""WITH $minhashSigCte,
+         |lcand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |lj AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
+         |  FROM lcand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b),
+         |nd AS (SELECT DISTINCT doc_b AS doc_id FROM lj WHERE jacc >= 0.9),
+         |fp AS (SELECT doc_id,
+         |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM $docs),
+         |ex AS (SELECT f.doc_id FROM fp f
+         |  JOIN (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY 1) k ON f.fp = k.fp
+         |  WHERE f.doc_id <> k.keep),
+         |ct0 AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
+         |cg AS (SELECT doc_id, list_sort(list_distinct(list_transform($sh,
+         |    x -> ${h60("x")}))) AS gh FROM ct0),
+         |cgg AS (SELECT doc_id, gh FROM cg WHERE len(gh) >= 1),
+         |ctok AS (SELECT doc_id, unnest(gh) AS tok, len(gh) AS n_tok FROM cgg),
+         |cdf AS (SELECT tok, count(*) AS df FROM ctok GROUP BY tok),
+         |crk AS (SELECT t.doc_id, t.tok, t.n_tok,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY cdf.df ASC, t.tok ASC) AS rnk
+         |  FROM ctok t JOIN cdf ON cdf.tok = t.tok),
+         |cpre AS (SELECT doc_id, tok, n_tok, rnk FROM crk
+         |  WHERE rnk <= n_tok - ceil(0.8 * n_tok - 1e-9) + 1),
+         |ccand AS (SELECT DISTINCT l.doc_id AS doc_in, r.doc_id AS doc_out
+         |  FROM cpre l JOIN crk r ON l.tok = r.tok AND l.doc_id <> r.doc_id
+         |  WHERE r.n_tok >= ceil(0.8 * l.n_tok - 1e-9)
+         |    AND least(l.n_tok - l.rnk, r.n_tok - r.rnk) + 1
+         |      >= ceil(0.8 * l.n_tok - 1e-9)),
+         |ctc AS (SELECT DISTINCT doc_in AS doc_id FROM (
+         |  SELECT doc_in,
+         |    len(list_intersect(a.gh, b.gh))::DOUBLE / len(a.gh)::DOUBLE AS c
+         |  FROM ccand JOIN cgg a ON a.doc_id = doc_in
+         |  JOIN cgg b ON b.doc_id = doc_out) WHERE c >= 0.8),
+         |flags AS (SELECT doc_id, CAST(1 AS BIGINT) AS layer_order, 'exact' AS layer FROM ex
+         |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), 'neardup' FROM nd
+         |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT), 'containment' FROM ctc),
+         |lay AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'exact'),
+         |  (CAST(2 AS BIGINT), 'neardup'), (CAST(3 AS BIGINT), 'containment'))
+         |  AS t(layer_order, layer)),
+         |plc AS (SELECT layer_order, count(*) AS nf FROM flags GROUP BY 1),
+         |pl AS (SELECT lay.layer_order, lay.layer,
+         |  CAST(coalesce(plc.nf, 0) AS BIGINT) AS n_flagged
+         |  FROM lay LEFT JOIN plc ON plc.layer_order = lay.layer_order),
+         |ff AS (SELECT fl, count(*) AS n_new FROM (
+         |  SELECT doc_id, min(layer_order) AS fl FROM flags GROUP BY 1) GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM $docs)
+         |SELECT pl.layer_order, pl.layer, pl.n_flagged,
+         |  CAST(coalesce(ff.n_new, 0) AS BIGINT) AS n_new_flagged,
+         |  tot.n_total - CAST(sum(coalesce(ff.n_new, 0)) OVER (
+         |    ORDER BY pl.layer_order
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_surviving_after
+         |FROM pl LEFT JOIN ff ON ff.fl = pl.layer_order CROSS JOIN tot""".stripMargin
+    },
     "dedup_clusters" ->
       // connected components of the banded-LSH pair graph via recursive
       // transitive closure; cluster_id = component minimum
@@ -2333,6 +2395,22 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT vec_id, bucket, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
          |  FROM scored) WHERE rn <= 1""".stripMargin,
+    "sim_hubness" ->
+      // twin of Similarity.hubnessAudit (k=5): all-pairs knn rank (the
+      // block grid covers the pair space exactly), in-degree count,
+      // LEFT join for the explicit antihub zero bucket, histogram
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |gs AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |  round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |g AS (SELECT src_id, nbr_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+         |  FROM gs) WHERE rn <= 5),
+         |indeg AS (SELECT nbr_id, count(*) AS k_occ FROM g GROUP BY nbr_id)
+         |SELECT coalesce(i.k_occ, 0) AS k_occurrence, count(*) AS n_vecs
+         |FROM e LEFT JOIN indeg i ON i.nbr_id = e.vec_id
+         |GROUP BY 1""".stripMargin,
     "sim_graph_ann_topk" -> {
       // twin of Similarity.graphAnnTopK (nQ=5, k=10, beam=16, hops=4,
       // entryMod=16, knnK=8): the knn-graph CTE is the plain all-pairs

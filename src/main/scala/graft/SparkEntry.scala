@@ -182,6 +182,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizes(s, d)),
     "dedup_cross_source_matrix" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
+    "dedup_funnel" -> (Dedup.dedupFunnel _),
     "dedup_kmv_distinct" -> ((s, d) => Dedup.kmvDistinct(s, d)),
     "dedup_kmv_overlap" -> ((s, d) => Dedup.kmvOverlap(s, d)),
     "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
@@ -207,6 +208,7 @@ object SparkEntry {
     "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d)),
     "sim_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     "sim_graph_ann_topk" -> ((s, d) => Similarity.graphAnnTopK(s, d)),
+    "sim_hubness" -> ((s, d) => Similarity.hubnessAudit(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),

@@ -156,11 +156,15 @@ object Dedup {
       sort_array(array_distinct($"hb0")).as("hb"))
   }
 
-  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
+    minhashLshPairsFrom(Tables.documents(s, dir).select($"doc_id", $"text"), threshold)
+
+  /** Core of [[minhashLshPairs]] over any (doc_id, text) frame. */
+  def minhashLshPairsFrom(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     import graft.functions.SortedJaccardExpr
     import org.apache.spark.sql.graftbridge.Bridge
-    val feats = minhashDocFeatures(Tables.documents(s, dir).select($"doc_id", $"text"))
+    val feats = minhashDocFeatures(docs.select($"doc_id", $"text"))
     val withKeys = feats.select($"doc_id", $"bks")
     val bandRows = withKeys.select(
       $"doc_id", $"bks",
@@ -745,5 +749,71 @@ object Dedup {
       round(rho, 6).as("jaccard_est"),
       round(uEst, 2).as("union_est"),
       round(rho * uEst, 2).as("inter_est"))
+  }
+  /** DEDUP FUNNEL — the layered "onion" audit of the whole dedup
+    * family (the report RefinedWeb-style curation pipelines publish:
+    * how much each successive dedup layer removes, Penedo et al.,
+    * NeurIPS 2023): per layer, the documents it flags, the documents
+    * it flags that NO earlier layer caught (its marginal contribution
+    * — the number that justifies running it), and the corpus surviving
+    * after the cumulative union. Layers in pipeline order:
+    *  1. `exact`       — not the min doc_id of its content-fingerprint
+    *     group ([[exact]]'s keeper rule);
+    *  2. `neardup`     — dominated in ≥ 1 verified LSH pair (appears as
+    *     doc_b of [[minhashLshPairs]], i.e. has a near-dup with a
+    *     smaller id) — the PAIR-level greedy flag; the cluster-level
+    *     survivor view is registered separately ([[dedupSurvivors]]);
+    *  3. `containment` — the contained side of a [[containmentPairs]]
+    *     sub-document hit.
+    *
+    * Shape: each layer is its existing operator's derivation reduced
+    * to a distinct doc_id set; one unionAll + a first-flagging-layer
+    * aggregate + a 3-row cumulative window. No new heavy machinery —
+    * the funnel is exactly as scalable as its layers, and its output
+    * is 3 rows whatever the corpus. */
+  def dedupFunnel(s: SparkSession, dir: String): DataFrame =
+    dedupFunnelFrom(s, Tables.documents(s, dir).select($"doc_id", $"text"))
+
+  /** Core of [[dedupFunnel]] over any (doc_id, text) frame. */
+  def dedupFunnelFrom(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn.select($"doc_id", $"text")
+    val withFp = docs.select($"doc_id",
+      md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("fp"))
+    val exactFlag = withFp
+      .join(withFp.groupBy($"fp").agg(min($"doc_id").as("keep")), "fp")
+      .filter($"doc_id" =!= $"keep").select($"doc_id")
+    val nearFlag = minhashLshPairsFrom(docs)
+      .select($"doc_b".as("doc_id")).distinct()
+    val contFlag = containmentPairsFrom(docs)
+      .select($"contained_doc".as("doc_id")).distinct()
+    val flags = exactFlag
+      .select($"doc_id", lit(1L).as("layer_order"), lit("exact").as("layer"))
+      .unionByName(nearFlag.select($"doc_id", lit(2L).as("layer_order"),
+        lit("neardup").as("layer")))
+      .unionByName(contFlag.select($"doc_id", lit(3L).as("layer_order"),
+        lit("containment").as("layer")))
+    // static layer anchor: a layer that flags NOTHING must still report
+    // its zero row — an empty layer is a finding, not a missing row
+    import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val layers = Seq((1L, "exact"), (2L, "neardup"), (3L, "containment"))
+      .toDF("layer_order", "layer")
+    val perLayer = layers.join(
+      flags.groupBy($"layer_order").agg(count(lit(1)).as("nf")),
+      Seq("layer_order"), "left")
+    val firstFlag = flags.groupBy($"doc_id").agg(min($"layer_order").as("fl"))
+      .groupBy($"fl").agg(count(lit(1)).as("n_new"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val cum = Window.orderBy($"layer_order")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perLayer.join(firstFlag, $"layer_order" === $"fl", "left")
+      .crossJoin(broadcast(total))
+      .select($"layer_order", $"layer",
+        coalesce($"nf", lit(0L)).as("n_flagged"),
+        coalesce($"n_new", lit(0L)).as("n_new_flagged"), $"n_total")
+      .withColumn("n_surviving_after",
+        $"n_total" - sum($"n_new_flagged").over(cum))
+      .select($"layer_order", $"layer", $"n_flagged", $"n_new_flagged",
+        $"n_surviving_after")
   }
 }

@@ -1584,6 +1584,36 @@ object Similarity {
     rank(beamDf, k)
   }
 
+  /** HUBNESS AUDIT — the k-occurrence distribution of the kNN graph:
+    * for each vector, how many OTHER vectors list it among their k
+    * nearest (in-degree of [[knnGraphFrom]]), histogrammed. Hubness is
+    * THE high-dimensional ANN pathology (Radovanović, Nanopoulos &
+    * Ivanović, JMLR 11, 2010): as dimension grows, a few points become
+    * hubs appearing in a large fraction of kNN lists while antihubs
+    * (k-occurrence 0) are never retrieved at all — which silently
+    * biases every kNN-derived artifact this family builds (near-dup
+    * graphs over-connect through hubs, graph-ANN beams collapse onto
+    * them, SemDeDup survivor picks skew toward them). A fat right tail
+    * plus a big zero bucket in this histogram is the signal to
+    * re-normalize, whiten ([[pcaPower]]) or switch to a
+    * hubness-corrected similarity before trusting downstream results.
+    *
+    * Shape: the kNN build (quadratic by contract here, NN-descent at
+    * deployment scale) then ONE partial-agged in-degree count and ONE
+    * histogram aggregate — O(max k-occurrence) output rows. The zero
+    * bucket is made explicit by LEFT-joining the corpus onto the
+    * in-degree table: antihub mass is the finding, not a dropped row. */
+  def hubnessAudit(s: SparkSession, dir: String, k: Int = 5,
+                   nBlocks: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val indeg = knnGraphFrom(e, k, nBlocks)
+      .groupBy($"nbr_id").agg(count(lit(1)).as("k_occ"))
+    e.select($"vec_id").join(indeg, $"vec_id" === $"nbr_id", "left")
+      .select(coalesce($"k_occ", lit(0L)).as("k_occurrence"))
+      .groupBy($"k_occurrence").agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** SILHOUETTE REPORT — per-cluster simplified silhouette (Rousseeuw,
     * J. Comput. Appl. Math. 20, 1987; centroid-based variant) over the
     * SRP coarse clustering the IVF/k-means family is built on: for each

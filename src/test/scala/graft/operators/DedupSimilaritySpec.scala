@@ -1151,4 +1151,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= queries.size * 10 * 6 / 10,
       s"recall too low: $hits of ${queries.size * 10}")
   }
+  test("hubness audit: histogram equals the knn graph's in-degrees, " +
+    "covers the corpus, conserves k*N edge endpoints") {
+    val g = Similarity.knnGraph(spark, Sf).collect().map(_.getLong(1))
+    val n = Tables.embeddings(spark, Sf).count()
+    val indeg = g.groupBy(identity).map { case (id, xs) => id -> xs.length.toLong }
+    val expected = (indeg.values.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong } +
+      (0L -> (n - indeg.size))).filter(_._2 > 0)
+    val got = Similarity.hubnessAudit(spark, Sf).collect()
+      .map(r => r.getAs[Long]("k_occurrence") -> r.getAs[Long]("n_vecs")).toMap
+    assert(got === expected)
+    assert(got.values.sum === n, "histogram partitions the corpus")
+    assert(got.map { case (k, c) => k * c }.sum === g.length.toLong,
+      "sum k*count equals total kNN edges")
+  }
+
+  test("dedup funnel: designed fixture exercises every layer and the " +
+    "marginal attribution; empty layers report zero") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val base = (1 to 40).map(i => s"w$i").mkString(" ") // 40 distinct words
+    val docs = Seq(
+      (1L, base),                 // canonical
+      (2L, base),                 // exact dup of 1 (also near-dup: first-flag=exact)
+      (3L, base + " extra"),      // near-dup of 1 (41 words, jacc 40/41)
+      (4L, (1 to 10).map(i => s"w$i").mkString(" ")), // contained in 1
+      (5L, (1 to 40).map(i => s"q$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupFunnelFrom(spark, docs).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // exact: doc 2 flagged (dup of 1); new=1; surviving 4
+    assert(got("exact") === ((1L, 1L, 4L)))
+    // neardup: docs 2 and 3 dominated; doc 2 already taken by exact
+    assert(got("neardup") === ((2L, 1L, 3L)))
+    // containment at threshold 0.8 is not exact-subset: 1/2/3 mutually
+    // contain each other (38 of 39 shingles shared) and 4 is contained
+    // in all of them -> flagged {1,2,3,4}; only {1,4} are NEW (2 was
+    // taken by exact, 3 by neardup) -> survivors = just the clean doc 5
+    assert(got("containment") === ((4L, 2L, 1L)))
+    // empty-layer zero row: a corpus with no exact dups still reports the layer
+    val noExact = Seq((1L, base), (2L, base + " tail"), (3L, "z y x w v")).toDF("doc_id", "text")
+    val g2 = Dedup.dedupFunnelFrom(spark, noExact).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(g2.keySet === Set("exact", "neardup", "containment"))
+    assert(g2("exact") === 0L)
+  }
 }
