@@ -85,7 +85,12 @@ object Bench {
     "sim_silhouette", // added r11: corpus x broadcast-centroid scan + a/b mins
     "rel_join_delta_view", // added r11: signed IVM delta expansion + apply
     "mm_shot_boundaries", // added r11: per-asset frame windows + lag-1 delta
+    "dedup_funnel", // added r11: exact+LSH+containment layers in one audit
+    "text_lexical_diversity", // added r11: two doc-keyed count exchanges
+    "events_markov_stationary", // added r11: transition window + tiny matrix loop
     "mm_meta_stats")
+  // sim_graph_ann_topk / sim_hubness are NOT benched for the knn_graph
+  // reason: their index build is the quadratic exact graph by contract.
   // sim_knn_graph is deliberately NOT benched: the exact graph is
   // quadratic by contract (the scale path is ivf_topk per node), and a
   // 2.5B-pair entry would drown the signal of every linear query here.

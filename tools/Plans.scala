@@ -83,7 +83,11 @@ object Plans {
       "graph_eigencentrality" -> "eigencentrality: per iteration one adjacency equi-join + decimal agg + broadcast 1-row L1 normalizer; iterates checkpointed — final plan reads ExistingRDD",
       "sim_silhouette" -> "silhouette: O(2^nBits)-row centroid table broadcast against ONE corpus scan; conditional-MIN a/b collapse in a single partial agg; decimal per-bucket means",
       "rel_join_delta_view" -> "IVM join view: all three delta terms join a BROADCAST small side (delta batch / changed dim keys); only shuffles are the signed delta agg + the full-outer apply on the view key — cost ∝ delta + view keys",
-      "mm_shot_boundaries" -> "shot boundaries: ONE doc_id exchange serves the frame sort, lag window AND the per-asset aggregate (window partition key == group key); frame fan-out stride-bounded per asset")
+      "mm_shot_boundaries" -> "shot boundaries: ONE doc_id exchange serves the frame sort, lag window AND the per-asset aggregate (window partition key == group key); frame fan-out stride-bounded per asset",
+      "dedup_funnel" -> "dedup funnel: three layer derivations (fp group-join, LSH band join, containment prefix-filter) reduced to flag sets, one unionAll + first-layer agg + 3-row cumulative window — as scalable as its layers",
+      "text_lexical_diversity" -> "lexical diversity: explode -> (doc,token) partial count -> per-doc rollup riding the shared doc_id prefix partitioning; integer moments, one double division per ratio",
+      "events_markov_stationary" -> "markov stationary: the ONE user_id window exchange of the transition count; everything after runs on the |types|^2 matrix — broadcast normalizers, checkpointed iterates",
+      "sim_graph_ann_topk" -> "graph ANN: per hop one frontier equi-join vs the k-out-degree graph + broadcast-query scoring + per-query window rank; beams checkpointed; candidate volume nQ*beam*(k+1) however big the corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
