@@ -1632,6 +1632,41 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM p JOIN $docs da ON da.doc_id = p.doc_a
          |       JOIN $docs db ON db.doc_id = p.doc_b
          |GROUP BY 1, 2""".stripMargin,
+    "dedup_weighted_jaccard" ->
+      // twin of Dedup.weightedJaccardPairs (setThreshold=0.7): the LSH
+      // pair chain verified at 0.7, re-scored with weighted (multiset)
+      // Jaccard via the occurrence-indexed expansion — hash60(tok#o<i>)
+      // per occurrence, then plain set Jaccard of the expanded sets
+      // (min/max of integer counts decompose per occurrence)
+      s"""WITH $minhashSigCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
+         |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.7),
+         |tf AS (SELECT doc_id, tok, count(*) AS c FROM (
+         |  SELECT doc_id, unnest(${toks("text")}) AS tok FROM $docs) GROUP BY 1, 2),
+         |ex AS (SELECT doc_id, ${h60("concat(tok, '#o', CAST(i AS VARCHAR))")} AS eh
+         |  FROM (SELECT doc_id, tok, unnest(range(c)) AS i FROM tf)),
+         |whb AS (SELECT doc_id, list_sort(list(DISTINCT eh)) AS wh FROM ex GROUP BY doc_id)
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  round(${jac("wa.wh", "wb.wh")}, 6) AS w_jaccard
+         |FROM p JOIN whb wa ON wa.doc_id = p.doc_a
+         |       JOIN whb wb ON wb.doc_id = p.doc_b""".stripMargin,
+    "dedup_editdist_pairs" ->
+      // twin of Dedup.editDistancePairs (maxDist=3): distinct-collapse
+      // then length-banded levenshtein verify. The Spark side's
+      // 3-bucket expansion is an exact-complete rewrite of the plain
+      // |len diff| <= maxDist predicate, so the twin states the
+      // predicate directly
+      s"""WITH n AS (SELECT p_name AS name, count(*) AS n_rows,
+         |  CAST(length(p_name) AS BIGINT) AS len FROM part GROUP BY 1)
+         |SELECT a.name AS name_a, b.name AS name_b,
+         |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+         |  a.n_rows AS n_a, b.n_rows AS n_b
+         |FROM n a JOIN n b ON a.name < b.name AND abs(a.len - b.len) <= 3
+         |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
     "dedup_simhash_signatures" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sig""".stripMargin,
@@ -2877,6 +2912,30 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin of Graph.degreeDistribution
       s"""WITH $graphCtes
          |SELECT deg AS degree, count(*) AS n_nodes FROM nodes GROUP BY deg""".stripMargin,
+    "graph_bfs_distance" ->
+      // twin of Graph.bfsDistance (nSeeds=8, maxHops=3): seeds = the 8
+      // smallest doc_ids, then 3 unrolled frontier expansions, each
+      // MATERIALIZED (the graph_kcore reason: every level reads its
+      // predecessor twice — the anti-join and the union)
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |v0 AS MATERIALIZED (SELECT doc_id AS node, CAST(0 AS BIGINT) AS hops
+         |  FROM $docs ORDER BY doc_id LIMIT 8),
+         |f1 AS MATERIALIZED (SELECT DISTINCT a.dst AS node FROM adjm a
+         |  JOIN v0 p ON a.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v0 v WHERE v.node = a.dst)),
+         |v1 AS MATERIALIZED (SELECT node, hops FROM v0
+         |  UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1),
+         |f2 AS MATERIALIZED (SELECT DISTINCT a.dst AS node FROM adjm a
+         |  JOIN f1 p ON a.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v1 v WHERE v.node = a.dst)),
+         |v2 AS MATERIALIZED (SELECT node, hops FROM v1
+         |  UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2),
+         |f3 AS MATERIALIZED (SELECT DISTINCT a.dst AS node FROM adjm a
+         |  JOIN f2 p ON a.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v2 v WHERE v.node = a.dst))
+         |SELECT node AS doc_id, hops FROM v2
+         |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3""".stripMargin,
     "graph_ppr" -> {
       // twin of Graph.personalizedPageRank (iters=3, seedMod=16): the
       // graph_pagerank body with a seed-split restart term, LEFT sum

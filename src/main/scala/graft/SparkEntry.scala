@@ -116,6 +116,7 @@ object SparkEntry {
     "graph_label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
     "graph_local_clustering" -> (Graph.localClustering _),
     "graph_eigencentrality" -> ((s, d) => Graph.eigenCentrality(s, d)),
+    "graph_bfs_distance" -> ((s, d) => Graph.bfsDistance(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -183,6 +184,8 @@ object SparkEntry {
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizes(s, d)),
     "dedup_cross_source_matrix" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
     "dedup_funnel" -> (Dedup.dedupFunnel _),
+    "dedup_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(s, d)),
+    "dedup_editdist_pairs" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "dedup_kmv_distinct" -> ((s, d) => Dedup.kmvDistinct(s, d)),
     "dedup_kmv_overlap" -> ((s, d) => Dedup.kmvOverlap(s, d)),
     "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),

@@ -816,4 +816,119 @@ object Dedup {
       .select($"layer_order", $"layer", $"n_flagged", $"n_new_flagged",
         $"n_surviving_after")
   }
+
+  // ---- weighted (multiset) Jaccard re-scoring -------------------------
+
+  /** WEIGHTED-JACCARD PAIRS — frequency-weighted (multiset) similarity
+    * next to the set-based near-dup join: for every LSH-verified pair
+    * at `setThreshold`, the weighted Jaccard
+    * J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) over whitespace
+    * token frequencies, alongside the set Jaccard that admitted it.
+    * Set similarity is blind to REPETITION: a document and its
+    * boilerplate-padded copy (same vocabulary, different token counts)
+    * score 1.0 on sets while J_w drops with the padding — the
+    * divergence between the two columns is the pair-level repetition
+    * signal next to [[graft.operators.TextAnalysis]]'s per-doc
+    * repetition score.
+    *
+    * Engine-neutral reduction: J_w with INTEGER weights equals the
+    * plain SET Jaccard of the occurrence-indexed expansion
+    * {(t, i) : 0 <= i < tf(t)} — min/max of counts decompose per
+    * occurrence (the same reduction that makes unweighted MinHash
+    * estimate integer-weighted similarity). So the verify reuses the
+    * [[graft.functions.SortedJaccardExpr]] codegen merge kernel over
+    * per-doc sorted `hash60(token#o<i>)` arrays — no new kernel, no
+    * per-pair allocation — and the oracle mirrors the same expansion
+    * textually. Expanded features are Σ tf = doc length elements (vs
+    * distinct-count for sets): one narrow projection + two bounded
+    * exchanges (tf count, per-doc collect), linear in corpus size.
+    * Candidates stay the banded LSH join's — never all-pairs. */
+  def weightedJaccardPairs(s: SparkSession, dir: String,
+                           setThreshold: Double = 0.7): DataFrame =
+    weightedJaccardPairsFrom(
+      Tables.documents(s, dir).select($"doc_id", $"text"), setThreshold)
+
+  /** Core of [[weightedJaccardPairs]] over any (doc_id, text) frame. */
+  def weightedJaccardPairsFrom(docsIn: DataFrame,
+                               setThreshold: Double): DataFrame = {
+    import graft.functions.SortedJaccardExpr
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = docsIn.select($"doc_id", $"text")
+    val pairs = minhashLshPairsFrom(docs, setThreshold)
+    val tf = docs
+      .select($"doc_id", explode(wsTokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val expanded = tf.select($"doc_id",
+      explode(transform(sequence(lit(0L), $"c" - lit(1L)),
+        i => hash60(concat($"tok", lit("#o"), i.cast("string"))))).as("eh"))
+    val whb = expanded.groupBy($"doc_id")
+      .agg(sort_array(collect_set($"eh")).as("wh"))
+    def sortedJaccard(a: Column, b: Column): Column =
+      Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
+    pairs
+      .join(whb.select($"doc_id".as("doc_a"), $"wh".as("wh_a")), "doc_a")
+      .join(whb.select($"doc_id".as("doc_b"), $"wh".as("wh_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"jaccard",
+        round(sortedJaccard($"wh_a", $"wh_b"), 6).as("w_jaccard"))
+  }
+
+  // ---- edit-distance entity resolution (dimension strings) ------------
+
+  /** EDIT-DISTANCE NAME PAIRS — character-level fuzzy matching over a
+    * dimension's string attribute (part names): every unordered pair of
+    * DISTINCT names within Levenshtein distance `maxDist`, each name's
+    * row count carried for survivorship weighting. The dedup
+    * granularity the token/shingle family cannot see — "smal ring" vs
+    * "small ring" shares no whitespace token at all — i.e. typo-level
+    * entity resolution.
+    *
+    * Scale shape, stage by stage:
+    *  1. DISTINCT-COLLAPSE: names dedup + count in one partial-agged
+    *     exchange — the cardinality reducer. At 100 TB a dimension's
+    *     distinct-name space sits orders below its row count; the
+    *     verify cost is a function of the former only.
+    *  2. LENGTH-BANDED equi-join: ||a|−|b|| <= maxDist is a TRUE lower
+    *     bound on edit distance, so length blocking is EXACT-COMPLETE
+    *     (first-char / prefix blocking would trade recall silently).
+    *     Banding is an equi-join on width-(maxDist+1) length buckets —
+    *     the probe side expands to its 3 adjacent buckets (lengths
+    *     within maxDist always land within one bucket of each other,
+    *     and the build side's bucket is unique, so every qualifying
+    *     pair is emitted exactly once) — never a nested-loop join.
+    *  3. Within-band the candidate space is quadratic BY CONTRACT —
+    *     guarded by an in-plan `raise_error` when the distinct-name
+    *     count exceeds `maxNames` (the [[embeddingNearDupFrom]]
+    *     fail-fast discipline), naming PassJoin pigeonhole segment
+    *     blocking (Li, Deng, Feng, VLDB'11) as the scale path for
+    *     10^6+ name spaces.
+    *  4. `levenshtein` verify — standard unit-cost edit distance,
+    *     identical semantics in Spark and DuckDB. */
+  def editDistancePairs(s: SparkSession, dir: String, maxDist: Int = 3,
+                        maxNames: Long = 100000L): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val bucketW = maxDist + 1
+    val names = Tables.part(s, dir)
+      .groupBy($"p_name".as("name")).agg(count(lit(1)).as("n_rows"))
+    val total = names.agg(count(lit(1)).as("n_names"))
+    val guardMsg = concat(
+      lit(s"editDistancePairs: distinct-name space exceeds maxNames=$maxNames (names="),
+      $"n_names",
+      lit(") - length-banded quadratic join refused; " +
+        "use PassJoin segment blocking for large name spaces"))
+    val guarded = names.crossJoin(broadcast(total))
+      .withColumn("_guard", when($"n_names" > maxNames, raise_error(guardMsg)))
+      .filter($"_guard".isNull)
+      .select($"name", $"n_rows", length($"name").cast("long").as("len"))
+      .withColumn("blk", floor($"len" / bucketW).cast("long"))
+    val probe = guarded.select($"name".as("name_a"), $"n_rows".as("n_a"),
+        $"len".as("len_a"),
+        explode(array($"blk" - 1, $"blk", $"blk" + 1)).as("cand_blk"))
+    val build = guarded.select($"name".as("name_b"), $"n_rows".as("n_b"),
+      $"len".as("len_b"), $"blk".as("blk_b"))
+    probe.join(build, $"cand_blk" === $"blk_b" && $"name_a" < $"name_b" &&
+        abs($"len_a" - $"len_b") <= maxDist)
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"dist" <= maxDist)
+      .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
+  }
 }

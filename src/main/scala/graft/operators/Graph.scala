@@ -565,4 +565,47 @@ object Graph {
     x.select($"node".as("doc_id"), $"deg".as("degree"),
       $"pr".as("centrality"))
   }
+
+  /** MULTI-SOURCE BFS HOP DISTANCE — minimum hop count from a seed set
+    * to every node within `maxHops` of it in the near-dup graph: the
+    * contamination-radius audit (how far a flagged template family
+    * propagates through near-dup links before full-connectivity
+    * labeling — [[Dedup.dupClusters]] — would merge everything it
+    * touches), and the hop-bounded reachability primitive under it.
+    * Seeds are the `nSeeds` smallest doc_ids in the corpus —
+    * deterministic and engine-neutral; seed rows report hops = 0
+    * whether or not they appear in any near-dup pair.
+    *
+    * Shape: adjacency localCheckpoint'd once (the [[pageRank]] lineage
+    * discipline); each level is frontier ⋈ adjacency → distinct new
+    * nodes → anti-join the visited set, then the level checkpoints.
+    * The anti-join is what keeps BFS linear on clique-heavy dedup
+    * graphs: without it the frontier re-expands clique interiors every
+    * level (path counts, not node counts). Per-level cost is the
+    * frontier's out-edge volume; `maxHops` levels total — the
+    * [[Dedup.dupClusters]] min-propagation cost model restricted to a
+    * fixed round count. Output: one row per reached node with its
+    * exact hop distance. */
+  def bfsDistance(s: SparkSession, dir: String, nSeeds: Int = 8,
+                  maxHops: Int = 3): DataFrame = {
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    require(maxHops >= 1 && maxHops <= 8, s"maxHops must be in [1, 8], got $maxHops")
+    val adj = adjacency(edges(s, dir)).localCheckpoint(true)
+    val seeds = graft.sources.Tables.documents(s, dir)
+      .select($"doc_id").orderBy($"doc_id").limit(nSeeds)
+      .select($"doc_id".as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var visited = seeds
+    var frontier = seeds
+    for (h <- 1 to maxHops) {
+      val nxt = frontier.join(adj, $"node" === $"src")
+        .select($"dst".as("node")).distinct()
+        .join(visited.select($"node".as("vn")), $"node" === $"vn", "left_anti")
+        .select($"node", lit(h.toLong).as("hops"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(nxt)
+      frontier = nxt
+    }
+    visited.select($"node".as("doc_id"), $"hops")
+  }
 }

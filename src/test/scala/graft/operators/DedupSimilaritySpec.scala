@@ -1197,4 +1197,70 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(g2.keySet === Set("exact", "neardup", "containment"))
     assert(g2("exact") === 0L)
   }
+
+  test("weighted jaccard equals brute multiset jaccard; repetition splits it from set jaccard") {
+    import spark.implicits._
+    def tf(t: String): Map[String, Int] = {
+      val tr = t.trim
+      if (tr.isEmpty) Map.empty
+      else tr.split("\\s+").toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    }
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.weightedJaccardPairs(spark, Sf).collect()
+    assert(rows.nonEmpty, "sf0.001 corpus must yield candidate pairs at 0.7")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ta, tb) = (tf(docs(a)), tf(docs(b)))
+      val keys = ta.keySet ++ tb.keySet
+      val minS = keys.toSeq.map(k => math.min(ta.getOrElse(k, 0), tb.getOrElse(k, 0))).sum
+      val maxS = keys.toSeq.map(k => math.max(ta.getOrElse(k, 0), tb.getOrElse(k, 0))).sum
+      val expect = if (maxS == 0) 0.0 else minS.toDouble / maxS
+      assert(math.abs(r.getAs[Double]("w_jaccard") - expect) < 1e-6,
+        s"pair ($a,$b): got ${r.getAs[Double]("w_jaccard")}, brute $expect")
+    }
+    // the pair set is EXACTLY the LSH join's at the same set threshold
+    val lsh = Dedup.minhashLshPairs(spark, Sf, 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === lsh)
+    // repetition fixture: identical vocabulary (set jaccard 1.0) but
+    // tripled token -> multiset jaccard 2/4
+    val fix = Seq((1L, "a a a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.weightedJaccardPairsFrom(fix, 0.7).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Double]("jaccard") === 1.0)
+    assert(out(0).getAs[Double]("w_jaccard") === 0.5)
+  }
+
+  test("edit-distance pairs equal UNBLOCKED brute force (length banding is exact-complete)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, Sf).groupBy(col("p_name")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val brute = (for {
+      (na, ca) <- names; (nb, cb) <- names
+      if na < nb
+      d = lev(na, nb) if d <= 3
+    } yield (na, nb, d.toLong, ca, cb)).toSet
+    val got = Dedup.editDistancePairs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty, "part names at sf0.001 must contain d<=3 pairs")
+    assert(got === brute)
+    // cardinality guard refuses oversized name spaces in-plan
+    val err = intercept[Exception] {
+      Dedup.editDistancePairs(spark, Sf, maxNames = 1L).collect()
+    }
+    assert(err.getMessage.contains("editDistancePairs") ||
+      Option(err.getCause).exists(_.getMessage.contains("editDistancePairs")))
+  }
 }

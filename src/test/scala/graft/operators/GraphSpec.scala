@@ -428,4 +428,25 @@ class GraphSpec extends SparkSpec {
     assert(got.values.max > 1.0 / nodes.size)
     assert(got.values.max > got.values.min)
   }
+
+  test("bfs distance equals brute-force BFS from the 8 smallest doc ids") {
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val adjOf = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val seeds = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.take(8).toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(n => adjOf.getOrElse(n, Set.empty[Long])) -- dist.keySet
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val got = Graph.bfsDistance(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hops")).toMap
+    assert(got === dist)
+    // seeds always present at hops 0; at least one node beyond the seed set
+    seeds.foreach(sd => assert(got(sd) === 0L))
+    assert(got.size > seeds.size, "no near-dup reachability found at all")
+  }
 }
