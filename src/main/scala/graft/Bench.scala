@@ -139,7 +139,16 @@ object Bench {
       try {
         val best = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          // toRdd.count(), NOT Dataset.count(): a bare count() lets the
+          // optimizer PRUNE work that cannot change the row count — e.g.
+          // graph_local_clustering's final left join has unique right
+          // keys, so count() dropped the whole triangle pipeline and
+          // recorded 3.5 s for a computation whose true cost was 68 s
+          // (discovered round 12). toRdd executes the plan exactly as a
+          // consumer of the ROWS would pay for it; for non-prunable
+          // queries (everything ending in an aggregate/join that shapes
+          // the count) the timing is unchanged.
+          fn(spark, sfDir).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
         }.min
         times += name -> best
@@ -157,6 +166,19 @@ object Bench {
     * well under that; full-precision values go to the JSON file. */
   private def ms(v: Double): String = BigDecimal(v)
     .setScale(3, scala.math.BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Centisecond rendering with trailing zeros stripped ("0.30" → "0.3",
+    * "5.00" → "5") — the stdout line's format. BENCH_r11 measured the
+    * 3-decimal 63-query line at ~2.1 KB: longer than the driver's
+    * 2,000-char stdout tail once sbt's trailing "[success] …" line is
+    * appended, so the head of the JSON got cut and "parsed" stayed null.
+    * At 2dp-stripped the same map is ~1.65 KB — the whole line fits the
+    * tail with ~100 chars of headroom. */
+  private def cs(v: Double): String = {
+    val s = BigDecimal(v).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    if (s.isEmpty || s == "-0") "0" else s
+  }
 
   private def section(times: Seq[(String, Double)], errors: Seq[(String, String)],
       rounded: Boolean = false): String = {
@@ -224,7 +246,7 @@ object Bench {
         val (st, se) = run(spark, target, reps)
         val head = s""""factor":$scaleK,"base":${jstr(sfDir)},"prep_sec":${ms(prepSec)}"""
         (s"""{$head,${section(st, se)}}""",
-          s"""{$head,"value":${ms(st.map(_._2).sum)},"n_queries":${st.size},"n_failed":${se.size}}""")
+          s"""{"factor":$scaleK,"value":${cs(st.map(_._2).sum)},"n_queries":${st.size},"n_failed":${se.size}}""")
       } catch {
         case e: Throwable =>
           val err = s"""{"factor":$scaleK,"error":${jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
@@ -239,10 +261,30 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench_last.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileLine + "\n")
-    // compact stdout line: full base query map (rounded), scale totals,
-    // and a pointer to the complete record
-    val stdoutLine =
-      s"""{"metric":"total","reps":$reps,${section(times, errors, rounded = true)},"unit":"sec","sf":${jstr(sfDir)},"scale":$stdoutScale,"detail":${jstr(outPath)}}"""
+    // Compact stdout line: full base query map at 2dp-stripped, scale
+    // TOTALS only, errors only when present, sf as basename, no detail
+    // pointer — everything verbose lives in the file record above. The
+    // driver keeps a 2,000-char stdout tail and sbt appends ~80 chars of
+    // "[success] …" after us, so the budget is ~1,900 chars; the guard
+    // below degrades (drops scale, then the error map) rather than ever
+    // emitting a line that decapitates.
+    def stdoutLineOf(withScale: Boolean, withErrors: Boolean): String = {
+      val qsC = times.map { case (k, v) => jstr(k) + ":" + cs(v) }
+        .mkString("{", ",", "}")
+      val esC =
+        if (errors.isEmpty || !withErrors) ""
+        else errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+          .mkString(""","errors":{""", ",", "}")
+      val scC = if (withScale) s""","scale":$stdoutScale""" else ""
+      s"""{"metric":"total","reps":$reps,"value":${cs(times.map(_._2).sum)},"n_queries":${times.size},"queries":$qsC$esC,"n_failed":${errors.size},"unit":"sec","sf":${jstr(new java.io.File(sfDir).getName)}$scC}"""
+    }
+    val stdoutLine = Seq(
+      stdoutLineOf(withScale = true, withErrors = true),
+      stdoutLineOf(withScale = true, withErrors = false),
+      stdoutLineOf(withScale = false, withErrors = false))
+      .find(_.length <= 1900)
+      .getOrElse(stdoutLineOf(withScale = false, withErrors = false))
+    System.err.println(s"[bench] stdout line ${stdoutLine.length} chars; full record: $outPath")
     realOut.println(stdoutLine)
     realOut.flush()
     spark.stop()

@@ -2342,6 +2342,48 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT src_id, nbr_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
          |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "sim_knn_descent" -> {
+      // twin of Similarity.knnDescent(k=5, iters=2, nInitBuckets=16,
+      // revCap=5): hash-bucket init, then two unrolled NN-descent
+      // rounds (reverse cap 5, sym ∪ sym∘sym candidates, round-4
+      // cosine, top-5 under (cos DESC, id ASC)) — every step is a pure
+      // function of the deterministic init, so this is a hash match,
+      // not a recall bound (recall vs the exact graph is priced in
+      // DedupSimilaritySpec)
+      def topk(src: String) =
+        s"""SELECT src_id, nbr_id, cos_sim FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY src_id
+           |    ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM $src)
+           |WHERE rn <= 5""".stripMargin
+      def iterCtes(gIn: String, i: Int) =
+        s"""rev$i AS (SELECT nbr_id AS va, src_id AS ua FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY nbr_id
+           |    ORDER BY cos_sim DESC, src_id ASC) AS rn FROM $gIn)
+           |  WHERE rn <= 5),
+           |sym$i AS (SELECT DISTINCT va, ua FROM (
+           |  SELECT src_id AS va, nbr_id AS ua FROM $gIn
+           |  UNION ALL SELECT va, ua FROM rev$i)),
+           |cand$i AS (SELECT DISTINCT va AS src_id, ua AS nbr_id FROM (
+           |  SELECT va, ua FROM sym$i
+           |  UNION ALL
+           |  SELECT a.va, b.ua FROM sym$i a JOIN sym$i b ON a.ua = b.va
+           |  WHERE a.va <> b.ua)),
+           |s$i AS (SELECT c.src_id, c.nbr_id,
+           |  round(${cosSql("ev.v", "ew.v")}, 4) AS cos_sim
+           |  FROM cand$i c JOIN e ev ON ev.vec_id = c.src_id
+           |  JOIN e ew ON ew.vec_id = c.nbr_id),
+           |g$i AS (${topk(s"s$i")})""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |b AS (SELECT vec_id, v,
+         |  ${h60("CAST(vec_id AS VARCHAR)")} % 16 AS bkt FROM e),
+         |s0 AS (SELECT a.vec_id AS src_id, b2.vec_id AS nbr_id,
+         |  round(${cosSql("a.v", "b2.v")}, 4) AS cos_sim
+         |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id <> b2.vec_id),
+         |g0 AS (${topk("s0")}),
+         |${iterCtes("g0", 1)},
+         |${iterCtes("g1", 2)}
+         |SELECT src_id, nbr_id, cos_sim FROM g2""".stripMargin
+    },
     "sim_centroid_shift" ->
       // twin of Similarity.centroidShift: the seed-centroid and
       // lloyd-iteration twins composed; cosine over the same rounded
@@ -3253,7 +3295,12 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin of MultiModal.mmShotBoundaries (stride=64, threshold=85):
       // same frame offsets, same md5-head feature mod 256, same lag-1
       // delta per asset; single-frame assets report null mean/max on
-      // both engines (no consecutive pair)
+      // both engines (no consecutive pair).
+      // ASCII-corpus assumption (inherited from the mm_frame_sample
+      // convention): substr/strlen here are CHARACTER-based while the
+      // Spark side slices the UTF-8 payload by BYTES — equivalent only
+      // because the synthetic documents corpus is pure ASCII (pinned by
+      // the "payload corpus is ASCII" assertion in MultiModalSpec).
       s"""WITH v AS (SELECT doc_id, text FROM $docs WHERE doc_id % 3 = 2),
          |fr AS (SELECT doc_id, text,
          |  unnest(range(0, strlen(text), 64)) AS frame_off FROM v),

@@ -203,6 +203,7 @@ object SparkEntry {
     "sim_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
     "sim_srp_neardup_pairs" -> ((s, d) => Similarity.srpNearDupPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "sim_knn_descent" -> ((s, d) => Similarity.knnDescent(s, d)),
     "sim_bucket_centroids" -> ((s, d) => Similarity.bucketCentroids(s, d)),
     "sim_centroid_assign" -> ((s, d) => Similarity.centroidAssign(s, d)),
     "sim_lloyd_iteration" -> ((s, d) => Similarity.lloydIteration(s, d)),

@@ -8,6 +8,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   *   graft_dot(a, b)            — codegen dot product over array<double>
   *   graft_sorted_jaccard(a, b) — set Jaccard over sorted array<bigint>
+  *   graft_sorted_intersect(a, b) — common elements of sorted array<bigint>
   *   graft_simhash(hs)          — 48-bit SimHash of an array<bigint>
   *   graft_hash60(s)            — engine-neutral 60-bit md5 hash
   *   graft_cosine(a, b)         — fused one-pass cosine similarity
@@ -23,6 +24,8 @@ object Functions {
       args => DotProductExpr(args(0), args(1)))
     Bridge.registerFunction(s, "graft_sorted_jaccard",
       args => SortedJaccardExpr(args(0), args(1)))
+    Bridge.registerFunction(s, "graft_sorted_intersect",
+      args => SortedIntersectExpr(args(0), args(1)))
     Bridge.registerFunction(s, "graft_simhash",
       args => SimhashExpr(args(0), 48))
     Bridge.registerFunction(s, "graft_hash60",

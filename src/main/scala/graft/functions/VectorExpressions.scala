@@ -470,3 +470,75 @@ case class CharNgramsExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): CharNgramsExpr =
     copy(child = newChild)
 }
+
+/** Codegen sorted-set intersection over two ascending `array<bigint>`
+  * columns — the merge walk of [[SortedJaccardExpr]] emitting the common
+  * ELEMENTS instead of a ratio. Built for the forward triangle algorithm
+  * (Schank & Wagner, SEA 2005): the triangles through oriented edge
+  * (s, t) are exactly the common out-neighbors of s and t, so the
+  * census/clustering chain replaces a Θ(Σ outdeg²)-row wedge join
+  * stream (308M hash probes at sf0.1) with one ~µs merge per EDGE over
+  * a broadcast adjacency table. Inputs must be sorted ascending
+  * (sort_array upstream); on duplicate elements the walk follows
+  * multiset-merge semantics (the graph path passes sets, so this never
+  * fires there).
+  */
+case class SortedIntersectExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    val tmp = new Array[Long](math.min(nx, ny))
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { tmp(c) = xv; c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(tmp, c))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c"); val tmp = ctx.freshName("tmp")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |long[] $tmp = new long[$nx < $ny ? $nx : $ny];
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $tmp[$c++] = $xv; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($tmp, $c));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -61,42 +61,90 @@ object Graph {
     * off the degree table (terms are exact integers in double well past
     * any realistic degree — the sum is order-independent). */
   def triangleCensus(s: SparkSession, dir: String): DataFrame =
-    censusOf(edges(s, dir))
+    censusOf(edges(s, dir).localCheckpoint(true))
+
+  /** Edge-count threshold under which the per-edge adjacency joins of
+    * the forward triangle algorithm BROADCAST the adjacency-list table
+    * instead of shuffling on it — a driver-side AQE-style policy (one
+    * count() over an already-materialized edge frame, ~free). Under the
+    * bar the whole triangle computation is one fused codegen stage over
+    * the edge list; above it the two adjacency joins fall back to SMJ —
+    * two |E|-row shuffles carrying one bounded adjacency array each,
+    * still never a Θ(Σ outdeg²) wedge exchange. The adjacency table
+    * holds Σ outdeg = |E| longs ≈ 8 B/edge, so 8M edges ≈ 64 MB —
+    * inside a production executor's broadcast budget. */
+  private val BcastMaxEdges = 8000000L
 
   /** Census body over any (a, b) edge frame — shared by the exact census
-    * and the DOULION-sampled estimator so the two cannot drift. */
+    * and the DOULION-sampled estimator so the two cannot drift. Callers
+    * MUST pass a materialized (localCheckpoint'd) frame: the body
+    * references `e` several times (degrees, the orientation join) and
+    * runs the [[BcastMaxEdges]] policy count — an unmaterialized LSH
+    * pair derivation would re-run at every reference (the round-11
+    * PageRank lineage pathology). The census never materializes a
+    * triangle row at all: n_triangles = Σ per-edge common-out-neighbor
+    * counts from [[triangleEdges]]. */
   private def censusOf(e: DataFrame): DataFrame = {
     val deg = degrees(e)
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       (sum($"deg") / 2).cast("long").as("n_edges"),
       sum($"deg" * ($"deg" - 1) / 2).cast("long").as("n_wedges"))
-    val tri = triangleList(e, deg).agg(count(lit(1)).as("n_triangles"))
+    val tri = triangleEdges(e, deg)
+      .agg(coalesce(sum(size($"ws")).cast("long"), lit(0L))
+        .as("n_triangles"))
     stats.crossJoin(tri)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
         round(lit(3.0) * $"n_triangles" / $"n_wedges", 6)
           .as("global_clustering"))
   }
 
-  /** Each triangle of the (a, b) a<b edge frame exactly once, as one
-    * (u, x, y) row: the degree-ordered orientation guarantees every
-    * triangle has exactly one node (u) whose two edges both point
-    * outward, and x < y canonicalizes the closing pair. Shared by the
-    * census (which only counts the rows) and [[localClustering]]
-    * (which charges each row to all three corners). */
-  private def triangleList(e: DataFrame, deg: DataFrame): DataFrame = {
+  /** FORWARD triangle algorithm (Schank & Wagner, SEA 2005) over the
+    * (a, b) a<b edge frame: orient every edge from its lower-(deg, id)
+    * endpoint to the higher, build the sorted out-adjacency table, and
+    * for each oriented edge (s, t) emit ws = N⁺(s) ∩ N⁺(t) — exactly
+    * the third corners of the triangles in which s is the source and t
+    * the middle, so every triangle (s→t, s→w, t→w) appears EXACTLY once
+    * as one element of one row's `ws`. Output: (s, t, ws) — the census
+    * sums sizes, [[localClustering]] charges s, t and each w.
+    *
+    * Why this shape: the wedge-join formulation materializes the
+    * Θ(Σ outdeg²) wedge stream through a hash join (measured 308M
+    * probe rows and 876 s of CPU at sf0.1 — the graph is 74% globally
+    * clustered, a quasi-clique); here the same arithmetic is one
+    * SortedIntersectExpr merge per EDGE (~µs each over out-degrees the
+    * orientation bounds by O(√E)) against an adjacency table of one row
+    * per node. Under [[BcastMaxEdges]] the two adjacency joins
+    * broadcast — the whole computation is one fused codegen stage over
+    * the edge list, no shuffle touching anything wedge-sized; above the
+    * bar they fall back to SMJ on node id, shuffling |E| bounded
+    * arrays, which is the honest distributed form (still never a wedge
+    * exchange). */
+  private def triangleEdges(e: DataFrame, deg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bcast = e.count() <= BcastMaxEdges
     val ed = e
       .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
       .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
     val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
     val oriented = ed.select(
-      when(lowFirst, $"a").otherwise($"b").as("u"),
-      when(lowFirst, $"b").otherwise($"a").as("v"))
-    val wedges = oriented.select($"u", $"v".as("x"))
-      .join(oriented.select($"u".as("u2"), $"v".as("y")),
-        $"u" === $"u2" && $"x" < $"y")
-      .select($"u", $"x", $"y")
-    wedges.join(e, $"x" === $"a" && $"y" === $"b").select($"u", $"x", $"y")
+      when(lowFirst, $"a").otherwise($"b").as("s"),
+      when(lowFirst, $"b").otherwise($"a").as("t"))
+      .localCheckpoint(true)
+    val adj = oriented.groupBy($"s".as("node"))
+      .agg(sort_array(collect_list($"t")).as("nbrs"))
+      .localCheckpoint(true)
+    def side(asCol: String, asNbrs: String) =
+      adj.select($"node".as(asCol), $"nbrs".as(asNbrs))
+    val withS =
+      if (bcast) oriented.join(broadcast(side("s", "ns")), Seq("s"))
+      else oriented.join(side("s", "ns"), Seq("s"))
+    val joined =
+      if (bcast) withS.join(broadcast(side("t", "nt")), Seq("t"))
+      else withS.join(side("t", "nt"), Seq("t"))
+    val ws = Bridge.column(graft.functions.SortedIntersectExpr(
+      Bridge.expression($"ns"), Bridge.expression($"nt")))
+    joined.select($"s", $"t", ws.as("ws"))
   }
 
   /** LOCAL CLUSTERING COEFFICIENT — per node, triangles(v) divided by
@@ -109,21 +157,30 @@ object Graph {
     * at high degree marks a hub stitching UNRELATED documents together
     * (boilerplate contamination — fix the shingling, not the corpus).
     *
-    * Shape: the SAME degree-ordered triangle derivation as the census
-    * ([[triangleList]] — each triangle materializes once), then each
-    * (u, x, y) row is charged to its three corners by a 3-way unionAll
-    * and one partial-agged count; degrees LEFT-join the per-node counts
-    * so triangle-free nodes keep local_cc = 0. All equi-joins and
-    * bounded aggs — the wedge fan-out stays arboricity-bounded, and the
-    * output is one row per node. */
+    * Shape: the SAME forward-algorithm derivation as the census
+    * ([[triangleEdges]] — each triangle appears exactly once, as one
+    * element of one edge's common-neighbor array), then each triangle
+    * is charged to its three corners: the source and middle get
+    * size(ws) in one 2-per-edge explode, each third corner gets 1 in
+    * one explode(ws) pass, and a single partial-agged sum combines
+    * them; degrees LEFT-join the per-node counts so triangle-free
+    * nodes keep local_cc = 0. (The original 3-way unionAll over a
+    * wedge-join triangle list planned as THREE full copies of the
+    * chain — exchange reuse does not fire across union arms under AQE —
+    * and its 3.5 s bench record was a count() artifact: Spark prunes
+    * the final left join under a bare count(), so the 68 s of real
+    * triangle work never ran. See Bench's toRdd note.) */
   def localClustering(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir).localCheckpoint(true)
     val deg = degrees(e)
-    val tris = triangleList(e, deg)
-    val perNode = tris.select($"u".as("node"))
-      .unionAll(tris.select($"x".as("node")))
-      .unionAll(tris.select($"y".as("node")))
-      .groupBy($"node").agg(count(lit(1)).as("t"))
+    val tris = triangleEdges(e, deg)
+    val stCharges = tris.select(explode(array(
+        struct($"s".as("node"), size($"ws").cast("long").as("c")),
+        struct($"t".as("node"), size($"ws").cast("long").as("c")))).as("x"))
+      .select($"x.node".as("node"), $"x.c".as("c"))
+    val wCharges = tris.select(explode($"ws").as("node"), lit(1L).as("c"))
+    val perNode = stCharges.unionAll(wCharges)
+      .groupBy($"node").agg(sum($"c").as("t"))
     deg.join(perNode, Seq("node"), "left")
       .select($"node".as("doc_id"), $"deg".as("degree"),
         coalesce($"t", lit(0L)).as("n_triangles"),
@@ -153,10 +210,17 @@ object Graph {
     * `est_triangles` = n_triangles · keepMod³ (integer-exact). */
   def triangleSample(s: SparkSession, dir: String, keepMod: Int = 2): DataFrame = {
     require(keepMod >= 2, s"keepMod must be >= 2, got $keepMod")
-    val kept = edges(s, dir).filter(
-      graft.functions.EngineNeutral.hash60(
-        concat($"a".cast("string"), lit("|"), $"b".cast("string")))
-        % keepMod === 0)
+    // Materialize the LSH derivation FIRST, then filter the stored rows
+    // and materialize the kept set: inlining the md5 coin into the
+    // derivation measured 11.3 s vs 6.9 + 0.9 s split at sf0.1 (the
+    // filter pushed into the pair join perturbs its plan), and censusOf
+    // references the kept frame repeatedly.
+    val kept = edges(s, dir).localCheckpoint(true)
+      .filter(
+        graft.functions.EngineNeutral.hash60(
+          concat($"a".cast("string"), lit("|"), $"b".cast("string")))
+          % keepMod === 0)
+      .localCheckpoint(true)
     censusOf(kept)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
         $"global_clustering",
@@ -203,7 +267,12 @@ object Graph {
     (adj, nodes, nodes.agg(count(lit(1)).as("n")))
   }
 
-  /** Uniform 1/N start vector, rounded to 8 like every iterate. */
+  /** Uniform 1/N start vector, rounded to 8 like every iterate.
+    * Documented bound: round(1/N, 8) underflows to 0.0 once N exceeds
+    * ~2e8 nodes, so the fixed 8-dp iteration convention caps the node
+    * count at that order; past it, raise the rounding scale (both
+    * engines in lockstep) — the near-dup graphs this engine builds are
+    * per-corpus-shard, far under the bound. */
   private def prStart(nodes: DataFrame, n: DataFrame): DataFrame =
     nodes.crossJoin(broadcast(n))
       .select($"node", $"deg", $"n", round(lit(1.0) / $"n", 8).as("pr"))
@@ -549,7 +618,15 @@ object Graph {
   def eigenCentrality(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
     val (adj, nodes, n) = prSetup(s, dir)
-    var x = prStart(nodes, n).select($"node", $"deg", $"pr")
+    // Start from the CONSTANT vector 1.0, not prStart's round(1/N, 8):
+    // the first L1 normalization cancels any uniform positive constant
+    // (sc_v = c*deg(v), sc_v/Σsc is c-free), so the output is byte-
+    // identical to the 1/N start — but round(1/N, 8) underflows to 0.0
+    // past N ≈ 2e8 nodes, which would zero the normalizer and null
+    // every centrality. pageRank keeps 1/N because its damped update
+    // genuinely depends on the start scale; it shares the same N bound,
+    // documented there.
+    var x = nodes.select($"node", $"deg", lit(1.0).as("pr"))
     for (_ <- 1 to iters) {
       val sums = adj
         .join(x.select($"node", $"pr".cast("decimal(27,10)").as("c")),

@@ -1070,11 +1070,19 @@ object TextAnalysis {
     * threshold compare, so the flag is a comparison of engine-identical
     * doubles (the [[qualityFilter]] discipline). */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
-    gopherRulesFrom(Tables.documents(s, dir))
+    gopherFlagCols(Tables.documents(s, dir))
+      .select($"doc_id", $"source", $"n_words", $"mean_word_len",
+        $"symbol_ratio", $"bullet_frac", $"ellipsis_line_frac",
+        $"alpha_word_frac", $"n_stop_kinds", $"r_word_count",
+        $"r_mean_word_len", $"r_symbol", $"r_bullet", $"r_ellipsis",
+        $"r_alpha", $"r_stop", $"gopher_pass")
 
+  /** Gopher flags over ANY frame with (doc_id, text) — no other columns
+    * required (the registered entry keeps `source`; this variant keeps
+    * the minimal-schema contract the scaladoc promises). */
   def gopherRulesFrom(docs: DataFrame): DataFrame =
     gopherFlagCols(docs)
-      .select($"doc_id", $"source", $"n_words", $"mean_word_len",
+      .select($"doc_id", $"n_words", $"mean_word_len",
         $"symbol_ratio", $"bullet_frac", $"ellipsis_line_frac",
         $"alpha_word_frac", $"n_stop_kinds", $"r_word_count",
         $"r_mean_word_len", $"r_symbol", $"r_bullet", $"r_ellipsis",

@@ -1142,7 +1142,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === expected, "engine beam must replay the brute-force trace")
     // recall@10 vs exact top-10 (graph search is approximate by design;
-    // on the 256-vector fixture with 3 hops it should find most of them)
+    // on the 256-vector fixture with 4 hops (the operator default, and
+    // what the brute-force mirror runs) it should find most of them)
     val hits = queries.map { q =>
       val exact = rank(vecs.keySet, q, 10).map(_._1).toSet
       val found = got.collect { case (qq, id, _) if qq == q => id }
