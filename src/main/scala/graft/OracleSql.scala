@@ -2343,13 +2343,14 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
          |  FROM scored) WHERE rn <= 5""".stripMargin,
     "sim_knn_descent" -> {
-      // twin of Similarity.knnDescent(k=5, iters=2, nInitBuckets=16,
-      // revCap=5): hash-bucket init, then two unrolled NN-descent
-      // rounds (reverse cap 5, sym ∪ sym∘sym candidates, round-4
-      // cosine, top-5 under (cos DESC, id ASC)) — every step is a pure
-      // function of the deterministic init, so this is a hash match,
-      // not a recall bound (recall vs the exact graph is priced in
-      // DedupSimilaritySpec)
+      // twin of Similarity.knnDescent(k=5, iters=3, nInitBuckets=16,
+      // revCap=5): two-seeded hash-bucket init (a single partition is
+      // closed under neighbor-of-neighbor; the union of two mixes),
+      // then three unrolled NN-descent rounds (reverse cap 5, sym ∪
+      // sym∘sym candidates, round-4 cosine, top-5 under (cos DESC,
+      // id ASC)) — every step is a pure function of the deterministic
+      // init, so this is a hash match, not a recall bound (recall vs
+      // the exact graph is priced in DedupSimilaritySpec)
       def topk(src: String) =
         s"""SELECT src_id, nbr_id, cos_sim FROM (
            |  SELECT *, row_number() OVER (PARTITION BY src_id
@@ -2374,15 +2375,21 @@ private[graft] final class OracleSqlGen(sfDir: String) {
            |  JOIN e ew ON ew.vec_id = c.nbr_id),
            |g$i AS (${topk(s"s$i")})""".stripMargin
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
-         |b AS (SELECT vec_id, v,
-         |  ${h60("CAST(vec_id AS VARCHAR)")} % 16 AS bkt FROM e),
-         |s0 AS (SELECT a.vec_id AS src_id, b2.vec_id AS nbr_id,
-         |  round(${cosSql("a.v", "b2.v")}, 4) AS cos_sim
+         |b AS (SELECT vec_id, unnest([
+         |  ${h60("concat(CAST(vec_id AS VARCHAR), '#0')")} % 16,
+         |  ${h60("concat(CAST(vec_id AS VARCHAR), '#1')")} % 16 + 16]) AS bkt
+         |  FROM e),
+         |c0 AS (SELECT DISTINCT a.vec_id AS src_id, b2.vec_id AS nbr_id
          |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id <> b2.vec_id),
+         |s0 AS (SELECT c0.src_id, c0.nbr_id,
+         |  round(${cosSql("ev.v", "ew.v")}, 4) AS cos_sim
+         |  FROM c0 JOIN e ev ON ev.vec_id = c0.src_id
+         |  JOIN e ew ON ew.vec_id = c0.nbr_id),
          |g0 AS (${topk("s0")}),
          |${iterCtes("g0", 1)},
-         |${iterCtes("g1", 2)}
-         |SELECT src_id, nbr_id, cos_sim FROM g2""".stripMargin
+         |${iterCtes("g1", 2)},
+         |${iterCtes("g2", 3)}
+         |SELECT src_id, nbr_id, cos_sim FROM g3""".stripMargin
     },
     "sim_centroid_shift" ->
       // twin of Similarity.centroidShift: the seed-centroid and

@@ -1685,9 +1685,16 @@ object Similarity {
     *
     * Determinism (the twin is a hash match, not a recall bound):
     *  - init is NN-descent's "random" graph under the engine-neutral
-    *    coin — vectors bucketed by hash60(vec_id) % nInitBuckets, each
-    *    scored only against bucket mates (≈ N/nInitBuckets candidates),
-    *    top-k under the (cos desc, id asc) total order;
+    *    coin — vectors bucketed by TWO independently seeded
+    *    hash60(vec_id # seed) % nInitBuckets partitions, each vector
+    *    scored against its mates under both seeds, top-k under the
+    *    (cos desc, id asc) total order. Two partitions, not one: a
+    *    single hash partition is CLOSED under neighbor-of-neighbor
+    *    (every neighbor's neighbors are the same bucket), so descent
+    *    could never leave its init component — measured recall froze
+    *    at 0.06. The union of two independent partitions is an
+    *    expander, so the two-hop candidate set mixes across the whole
+    *    corpus and recall climbs round over round;
     *  - each round, reverse edges are capped at `revCap` per node
     *    (NN-descent's ρ·k reverse sample, made deterministic: best
     *    `revCap` in-edges by (cos desc, src asc)) so a hub's in-degree
@@ -1707,7 +1714,7 @@ object Similarity {
     * rounds on million-scale sets); `iters` is a fixed unroll — a
     * convergence-driven round count is a driver policy, like
     * [[graft.operators.Graph.pageRankConverged]]. */
-  def knnDescent(s: SparkSession, dir: String, k: Int = 5, iters: Int = 2,
+  def knnDescent(s: SparkSession, dir: String, k: Int = 5, iters: Int = 3,
                  nInitBuckets: Int = 16, revCap: Int = 5): DataFrame =
     knnDescentFrom(
       Tables.embeddings(s, dir)
@@ -1737,15 +1744,17 @@ object Similarity {
         .join(e.select($"vec_id".as("nbr_id"), $"v".as("nbr_v")), "nbr_id")
         .select($"src_id", $"nbr_id",
           round(cosine($"src_v", $"nbr_v"), 4).as("cos_sim"))
-    val b = e.select($"vec_id", $"v",
-      (graft.functions.EngineNeutral.hash60($"vec_id".cast("string"))
-        % nInitBuckets).as("bkt"))
-    val init = b.select($"bkt", $"vec_id".as("src_id"), $"v".as("src_v"))
-      .join(b.select($"bkt", $"vec_id".as("nbr_id"), $"v".as("nbr_v")), Seq("bkt"))
+    def seededBkt(seed: Int) =
+      (graft.functions.EngineNeutral.hash60Seeded(
+        $"vec_id".cast("string"), lit(seed)) % nInitBuckets) +
+        lit(seed.toLong * nInitBuckets)
+    val b = e.select($"vec_id",
+      explode(array(seededBkt(0), seededBkt(1))).as("bkt"))
+    val initCand = b.select($"bkt", $"vec_id".as("src_id"))
+      .join(b.select($"bkt", $"vec_id".as("nbr_id")), Seq("bkt"))
       .filter($"src_id" =!= $"nbr_id")
-      .select($"src_id", $"nbr_id",
-        round(cosine($"src_v", $"nbr_v"), 4).as("cos_sim"))
-    var g = topkOf(init).localCheckpoint(true)
+      .select($"src_id", $"nbr_id").distinct()
+    var g = topkOf(score(initCand)).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val wRev = Window.partitionBy($"nbr_id")
         .orderBy($"cos_sim".desc, $"src_id".asc)

@@ -34,6 +34,82 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(one.filter(_._1 < 5) === bf)
   }
 
+  test("nn-descent: k rows per node, no self-edges, monotone improvement " +
+    "over its init, recall climbing round over round on the corpus") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val k = 5
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = edgeSet(Similarity.knnGraphFrom(e, k, nBlocks = 4))
+    val n = e.count()
+    def checkShape(g: Array[(Long, Long, Double)], tag: String): Unit = {
+      val bySrc = g.groupBy(_._1)
+      assert(bySrc.size.toLong === n, s"$tag: one group per node")
+      bySrc.foreach { case (src, ns) =>
+        assert(ns.length === k, s"$tag: node $src has ${ns.length} neighbors")
+        assert(!ns.exists(_._2 == src), s"$tag: node $src self-edge")
+        assert(ns.map(_._2).distinct.length === k, s"$tag: dup neighbor at $src")
+      }
+    }
+    val r0 = edgeSet(Similarity.knnDescentFrom(e, k, iters = 1,
+      nInitBuckets = 16, revCap = 5))
+    val r2 = edgeSet(Similarity.knnDescentFrom(e, k, iters = 2,
+      nInitBuckets = 16, revCap = 5))
+    checkShape(r0, "iter1"); checkShape(r2, "iter2")
+    // NN-descent is monotone per node: candidates always include the
+    // current neighbors, so the mean kept similarity never decreases
+    def meanSim(g: Array[(Long, Long, Double)]) = g.map(_._3).sum / g.length
+    assert(meanSim(r2) >= meanSim(r0) - 1e-12,
+      s"mean sim decreased: ${meanSim(r0)} -> ${meanSim(r2)}")
+    // recall@k vs the exact graph improves round over round even on
+    // THIS corpus — near-random 64-dim vectors, NN-descent's worst
+    // case (no local structure to exploit; the clustered-data test
+    // below is where the convergence claim is priced)
+    val exactBySrc = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    def recall(g: Array[(Long, Long, Double)]) =
+      g.count { case (s, nb, _) => exactBySrc(s).contains(nb) }
+        .toDouble / exact.length
+    assert(recall(r2) > recall(r0),
+      f"round 2 did not improve recall: ${recall(r0)}%.3f -> ${recall(r2)}%.3f")
+    // descent similarities can never exceed the exact per-node best —
+    // approximate results must stay within the exact hull
+    val exactBest = exact.groupBy(_._1).view.mapValues(_.map(_._3).max)
+    r2.groupBy(_._1).foreach { case (s, ns) =>
+      assert(ns.map(_._3).max <= exactBest(s) + 1e-9,
+        s"node $s descent best exceeds exact best")
+    }
+  }
+
+  test("nn-descent converges on clustered data: recall >= 0.9 in 3 rounds") {
+    import spark.implicits._
+    // 24 clusters x 21 members in 16 dims: tight jitter around well-
+    // separated deterministic centers, so each vector's exact top-5 are
+    // cluster mates. This is the data regime NN-descent is FOR — the
+    // "neighbor of my neighbor" premise holds, and three rounds from
+    // the two-seed hash init must recover almost the whole exact graph
+    // (measured ladder on this fixture: 0.31 -> 0.67 -> 0.93 -> 0.99).
+    val nClusters = 24; val perC = 21; val dim = 16
+    val rows = (0 until nClusters * perC).map { i =>
+      val c = i % nClusters
+      val v = (0 until dim).map { d =>
+        math.sin(c * 37.0 + d * 101.0) + 0.05 * math.sin(i * 13.0 + d * 7.0)
+      }
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    def edgeSet(g: org.apache.spark.sql.DataFrame) = g.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = edgeSet(Similarity.knnGraphFrom(df, 5, nBlocks = 4))
+    val desc = edgeSet(Similarity.knnDescentFrom(df, 5, iters = 3,
+      nInitBuckets = 16, revCap = 5))
+    val exactBySrc = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hits = desc.count { case (s, nb, _) => exactBySrc(s).contains(nb) }
+    val recall = hits.toDouble / exact.length
+    assert(recall >= 0.9, f"clustered-data recall@5 too low: $recall%.3f")
+  }
+
   test("bucket centroids equal an independent BigDecimal reference, per component") {
     import spark.implicits._
     val e = Tables.embeddings(spark, Sf)
