@@ -88,7 +88,16 @@ object Bench {
     "dedup_funnel", // added r11: exact+LSH+containment layers in one audit
     "text_lexical_diversity", // added r11: two doc-keyed count exchanges
     "events_markov_stationary", // added r11: transition window + tiny matrix loop
+    "sim_knn_descent", // added r12: 3 NN-descent rounds — the sub-quadratic kNN build
+    "dedup_lsh_append", // added r12: batch-incremental LSH maintenance (new-vs-all only)
+    "dedup_editdist_passjoin", // added r12: PassJoin segment-blocked entity resolution
     "mm_meta_stats")
+  // NOTE on cross-round comparability: r12 switched the timing action to
+  // toRdd.count() (see run()), so graph_local_clustering now measures
+  // its REAL cost — r11's 3.5 s record for it was the count()-pruned
+  // plan (the triangle pipeline never executed). The triangle operators
+  // were also rewritten to the forward algorithm this round; their
+  // r12-vs-r11 deltas reflect both changes.
   // sim_graph_ann_topk / sim_hubness are NOT benched for the knn_graph
   // reason: their index build is the quadratic exact graph by contract.
   // sim_knn_graph is deliberately NOT benched: the exact graph is

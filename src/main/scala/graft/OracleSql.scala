@@ -1598,6 +1598,21 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
          |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.9""".stripMargin,
+    "dedup_lsh_append" ->
+      // twin of Dedup.lshIndexAppend(batchMod=8): the full LSH pair
+      // twin restricted to pairs with at least one NEW endpoint
+      // (hash60(doc_id) % 8 == 0) — incrementality is a cost contract,
+      // not a result change, so the oracle is the filtered full join
+      s"""WITH $minhashSigCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
+         |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM j
+         |WHERE jacc >= 0.9
+         |  AND (${h60("CAST(doc_a AS VARCHAR)")} % 8 = 0
+         |    OR ${h60("CAST(doc_b AS VARCHAR)")} % 8 = 0)""".stripMargin,
     "dedup_minhash_calibration" -> {
       // twin of Dedup.minhashCalibration: the LSH pair twin joined back
       // to the 16-column signature CTE on both endpoints; est_sim = the
@@ -1660,6 +1675,21 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // 3-bucket expansion is an exact-complete rewrite of the plain
       // |len diff| <= maxDist predicate, so the twin states the
       // predicate directly
+      s"""WITH n AS (SELECT p_name AS name, count(*) AS n_rows,
+         |  CAST(length(p_name) AS BIGINT) AS len FROM part GROUP BY 1)
+         |SELECT a.name AS name_a, b.name AS name_b,
+         |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+         |  a.n_rows AS n_a, b.n_rows AS n_b
+         |FROM n a JOIN n b ON a.name < b.name AND abs(a.len - b.len) <= 3
+         |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
+    "dedup_editdist_passjoin" ->
+      // twin of Dedup.editDistancePassJoin (maxDist=3): PassJoin's
+      // pigeonhole segment blocking is an exactness-preserving
+      // candidate generator (every within-distance pair shares a
+      // displaced verbatim segment; short names go through the exact
+      // band arm), so the twin is the SAME brute-force predicate as
+      // dedup_editdist_pairs — identical output by design, also pinned
+      // engine-side by the equality property in DedupSimilaritySpec
       s"""WITH n AS (SELECT p_name AS name, count(*) AS n_rows,
          |  CAST(length(p_name) AS BIGINT) AS len FROM part GROUP BY 1)
          |SELECT a.name AS name_a, b.name AS name_b,

@@ -174,6 +174,7 @@ object SparkEntry {
     "dedup_rate_by_source" -> (Dedup.rateBySource _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
     "dedup_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_lsh_append" -> ((s, d) => Dedup.lshIndexAppend(s, d)),
     "dedup_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
     "dedup_simhash_signatures" -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -186,6 +187,7 @@ object SparkEntry {
     "dedup_funnel" -> (Dedup.dedupFunnel _),
     "dedup_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(s, d)),
     "dedup_editdist_pairs" -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    "dedup_editdist_passjoin" -> ((s, d) => Dedup.editDistancePassJoin(s, d)),
     "dedup_kmv_distinct" -> ((s, d) => Dedup.kmvDistinct(s, d)),
     "dedup_kmv_overlap" -> ((s, d) => Dedup.kmvOverlap(s, d)),
     "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),

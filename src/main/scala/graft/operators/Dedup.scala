@@ -898,9 +898,9 @@ object Dedup {
     *  3. Within-band the candidate space is quadratic BY CONTRACT —
     *     guarded by an in-plan `raise_error` when the distinct-name
     *     count exceeds `maxNames` (the [[embeddingNearDupFrom]]
-    *     fail-fast discipline), naming PassJoin pigeonhole segment
-    *     blocking (Li, Deng, Feng, VLDB'11) as the scale path for
-    *     10^6+ name spaces.
+    *     fail-fast discipline) — the 10^6+ scale path is
+    *     [[editDistancePassJoin]], the implemented PassJoin pigeonhole
+    *     segment blocking (Li, Deng, Feng, VLDB'11).
     *  4. `levenshtein` verify — standard unit-cost edit distance,
     *     identical semantics in Spark and DuckDB. */
   def editDistancePairs(s: SparkSession, dir: String, maxDist: Int = 3,
@@ -914,7 +914,7 @@ object Dedup {
       lit(s"editDistancePairs: distinct-name space exceeds maxNames=$maxNames (names="),
       $"n_names",
       lit(") - length-banded quadratic join refused; " +
-        "use PassJoin segment blocking for large name spaces"))
+        "use editDistancePassJoin (PassJoin segment blocking) for large name spaces"))
     val guarded = names.crossJoin(broadcast(total))
       .withColumn("_guard", when($"n_names" > maxNames, raise_error(guardMsg)))
       .filter($"_guard".isNull)
@@ -930,5 +930,167 @@ object Dedup {
       .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
       .filter($"dist" <= maxDist)
       .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
+  }
+
+  /** EDIT-DISTANCE NAME PAIRS VIA PASSJOIN — the 10⁶+-name scale path
+    * that [[editDistancePairs]]'s fail-fast guard names: pigeonhole
+    * SEGMENT blocking (Li, Deng & Feng, "PASS-JOIN: a partition-based
+    * method for similarity joins", PVLDB 5(3), 2011). Same output as
+    * the length-banded operator — every unordered pair of distinct
+    * names within Levenshtein `maxDist` — but the candidate space is
+    * an EQUI-JOIN on segment content instead of a within-band
+    * quadratic, so no maxNames guard is needed.
+    *
+    * The pigeonhole: split every indexed name into k = maxDist+1
+    * contiguous segments (even-partition convention: with base =
+    * ⌊len/k⌋ and rem = len mod k, the FIRST k−rem segments have length
+    * base, the rest base+1). If ed(r, s) <= maxDist and |s| <= |r|,
+    * the <= maxDist edits can touch at most maxDist of s's k segments,
+    * so at least one segment of s appears in r VERBATIM, displaced by
+    * at most maxDist positions. So:
+    *  - INDEX side: every name of length >= k emits its k (segment
+    *    value, segment index, length) keys — k rows per name.
+    *  - PROBE side: every name r emits, for each target length
+    *    l ∈ [|r|−maxDist, |r|] with l >= k, each segment index i, and
+    *    each shift ∈ [−maxDist, maxDist], the substring of r at the
+    *    segment-i position of length-l strings — ≤ (maxDist+1)·k·
+    *    (2·maxDist+1) bounded rows per name (112 at maxDist=3), a
+    *    complete superset of PassJoin's multi-match-aware set.
+    *  - The (seg, i, l) equi-join yields candidates; canonicalize to
+    *    name_a < name_b, DISTINCT, then one levenshtein verify per
+    *    candidate. Short names (len < k, where segments degenerate to
+    *    empty) go through a separate exact arm against the bounded
+    *    length band [1, k−1+maxDist] — completeness never leans on a
+    *    degenerate empty-segment match.
+    * Every stage is distinct-collapse → explode → equi-join →
+    * partial-agged distinct → verify: shuffles keyed on segment
+    * content, no quadratic term, no driver involvement — the shape
+    * holds at any dimension cardinality. Exactness (same rows as the
+    * quadratic verify) is pinned by the PassJoin == length-banded
+    * equality property in DedupSimilaritySpec and by the shared
+    * brute-force oracle twin. */
+  def editDistancePassJoin(s: SparkSession, dir: String,
+                           maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val k = maxDist + 1
+    val names = Tables.part(s, dir)
+      .groupBy($"p_name".as("name")).agg(count(lit(1)).as("n_rows"))
+      .select($"name", $"n_rows", length($"name").cast("long").as("len"))
+      .localCheckpoint(true)
+    // segment geometry of a length-l string, segment i (0-based):
+    // len_i = base + (i >= k - rem ? 1 : 0), 1-based start position
+    // start_i = i*base + max(0, i - (k - rem)) + 1
+    def segLen(l: Column, i: Column): Column =
+      floor(l / k) + when(i >= lit(k) - l % k, 1L).otherwise(0L)
+    def segPos(l: Column, i: Column): Column =
+      i * floor(l / k) + greatest(lit(0L), i - (lit(k) - l % k)) + 1
+    val idx = names.filter($"len" >= k)
+      .select($"name".as("name_b"), $"n_rows".as("n_b"), $"len".as("len_b"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("i"))
+      .select($"name_b", $"n_b", $"len_b", $"i",
+        $"name_b".substr(segPos($"len_b", $"i").cast("int"),
+          segLen($"len_b", $"i").cast("int")).as("seg"))
+    val combos = for {
+      dl <- 0 to maxDist; i <- 0 until k; sh <- -maxDist to maxDist
+    } yield (dl.toLong, i.toLong, sh.toLong)
+    val probe = names
+      .select($"name".as("name_a"), $"n_rows".as("n_a"), $"len".as("len_a"),
+        explode(typedLit(combos)).as("c"))
+      .withColumn("l", $"len_a" - $"c._1").filter($"l" >= k)
+      .withColumn("i", $"c._2")
+      .withColumn("p", segPos($"l", $"i") + $"c._3")
+      .withColumn("sl", segLen($"l", $"i"))
+      .filter($"p" >= 1 && $"sl" >= 1 && $"p" + $"sl" - 1 <= $"len_a")
+      .select($"name_a", $"n_a", $"i", $"l",
+        $"name_a".substr($"p".cast("int"), $"sl".cast("int")).as("seg"))
+    val segCands = probe.join(idx,
+      probe("seg") === idx("seg") && probe("i") === idx("i") &&
+        probe("l") === idx("len_b") && $"name_a" =!= $"name_b")
+      .select($"name_a", $"n_a", $"name_b", $"n_b")
+    // short arm: names whose segments would degenerate (len < k) pair
+    // against the bounded band [1, k-1+maxDist] — tiny by construction
+    val shortCands = names.filter($"len" <= (k - 1) + maxDist)
+      .select($"name".as("name_a"), $"n_rows".as("n_a"), $"len".as("len_a"))
+      .join(broadcast(names.filter($"len" < k)
+          .select($"name".as("name_b"), $"n_rows".as("n_b"), $"len".as("len_b"))),
+        abs($"len_a" - $"len_b") <= maxDist && $"name_a" =!= $"name_b")
+      .select($"name_a", $"n_a", $"name_b", $"n_b")
+    val canon = segCands.unionByName(shortCands)
+      .select(
+        when($"name_a" < $"name_b", $"name_a").otherwise($"name_b").as("name_a"),
+        when($"name_a" < $"name_b", $"name_b").otherwise($"name_a").as("name_b"),
+        when($"name_a" < $"name_b", $"n_a").otherwise($"n_b").as("n_a"),
+        when($"name_a" < $"name_b", $"n_b").otherwise($"n_a").as("n_b"))
+      .distinct()
+    canon
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"dist" <= maxDist)
+      .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
+  }
+
+  // ---- incremental batch LSH index maintenance ------------------------
+
+  /** BATCH INCREMENTAL LSH MAINTENANCE — the batch complement of the
+    * streaming near-dup monitor ([[graft.streaming.Streams
+    * .nearDupMaintenance]]), closing the incremental-curation loop: an
+    * ingestion batch arrives into a standing corpus whose LSH index
+    * (banded signatures) is already built, and the job must emit ONLY
+    * the pairs the batch introduces — new×standing and new×new — at
+    * the full verify quality, WITHOUT re-running the standing×standing
+    * join the nightly full dedup already paid for. At 100 TB this is
+    * the difference between an O(batch) nightly increment and an
+    * O(corpus) rebuild: the standing banded index is the persisted
+    * artifact (bucketed by band key), the batch's bands probe it.
+    *
+    * The batch split here is the engine-neutral coin
+    * hash60(doc_id) % batchMod == 0 (a deterministic stand-in for the
+    * ingestion-date predicate a production run would use). Shape:
+    *  - new×standing: the arriving docs' band rows equi-join the
+    *    standing band rows on (band_id, band_key) with the SAME
+    *    first-shared-band dedup as the full pair join — the
+    *    stream-static shape, executed as a batch;
+    *  - new×new: [[minhashLshPairsFrom]] restricted to the batch;
+    *  - standing×standing: NEVER JOINED — no plan node touches it.
+    * Both arms verify with the exact sorted-Jaccard kernel and the
+    * union canonicalizes doc_a < doc_b. CONTRACT (spec-pinned): output
+    * == [[minhashLshPairs]] restricted to pairs with at least one new
+    * endpoint — incrementality changes cost, never results. */
+  def lshIndexAppend(s: SparkSession, dir: String, batchMod: Int = 8,
+                     threshold: Double = 0.9): DataFrame = {
+    require(batchMod >= 2, s"batchMod must be >= 2, got $batchMod")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    import graft.functions.SortedJaccardExpr
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val isNew = hash60($"doc_id".cast("string")) % batchMod === 0
+    val feats = minhashDocFeatures(docs).localCheckpoint(true)
+    def explodeBands(f: DataFrame): DataFrame = f.select(
+      $"doc_id", $"bks", $"hb",
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band_id"), element_at($"bks", b + 1).as("bk"))): _*)).as("b"))
+      .select($"doc_id", $"bks", $"hb", $"b.band_id".as("band_id"), $"b.bk".as("bk"))
+    val newFeats = feats.filter(isNew)
+    val arriving = explodeBands(newFeats)
+    val standing = explodeBands(feats.filter(!isNew)).select(
+      $"doc_id".as("dup_doc_id"), $"bks".as("bks_s"), $"hb".as("hb_s"),
+      $"band_id".as("band_id_s"), $"bk".as("bk_s"))
+    val noEarlierMatch = (0 until Bands - 1).map { e =>
+      $"band_id" <= e || element_at($"bks", e + 1) =!= element_at($"bks_s", e + 1)
+    }.reduce(_ && _)
+    def sortedJaccard(a: Column, b: Column): Column =
+      Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
+    val newVsStanding = arriving.join(standing,
+        $"band_id" === $"band_id_s" && $"bk" === $"bk_s" &&
+          noEarlierMatch)
+      .withColumn("jaccard", sortedJaccard($"hb", $"hb_s"))
+      .filter($"jaccard" >= threshold)
+      .select(
+        least($"doc_id", $"dup_doc_id").as("doc_a"),
+        greatest($"doc_id", $"dup_doc_id").as("doc_b"),
+        round($"jaccard", 6).as("jaccard"))
+    val newVsNew = minhashLshPairsFrom(
+      docs.filter(isNew), threshold)
+    newVsStanding.unionByName(newVsNew)
   }
 }

@@ -1340,4 +1340,65 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("editDistancePairs") ||
       Option(err.getCause).exists(_.getMessage.contains("editDistancePairs")))
   }
+
+  test("lsh append: incremental output equals the full pair join " +
+    "restricted to pairs touching a new doc; batch arms partition it") {
+    val full = Dedup.minhashLshPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def isNew(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      h % 8 == 0
+    }
+    val expected = full.filter { case (a, b, _) => isNew(a) || isNew(b) }
+    val got = Dedup.lshIndexAppend(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected,
+      s"incremental != filtered full: extra=${got -- expected} missing=${expected -- got}")
+    assert(got.nonEmpty, "batch split must touch some near-dup pairs")
+    assert(got.size < full.size,
+      "standing-only pairs must be excluded (incrementality)")
+  }
+
+  test("passjoin edit-distance pairs equal the length-banded operator " +
+    "(segment blocking is exact-complete), incl. synthetic short names") {
+    // corpus equality: PassJoin must produce the SAME pair set as the
+    // quadratic-verify operator — pigeonhole candidates lose nothing
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val banded = pairs(Dedup.editDistancePairs(spark, Sf))
+    val pj = pairs(Dedup.editDistancePassJoin(spark, Sf))
+    assert(pj === banded)
+    assert(pj.nonEmpty)
+    // maxDist=1, k=2: exercises the odd/even segment-length split and
+    // the short-name arm (len < k) on a hand-built corpus
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pjtest").toString
+    val parts = Seq("a", "b", "ab", "abc", "abd", "xbd", "abcd", "zzzz",
+      "abcde", "", "a").toDF("p_name")
+    parts.write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Seq("a", "b", "ab", "abc", "abd", "xbd", "abcd", "zzzz",
+      "abcde", "").groupBy(identity).map { case (n, xs) =>
+      n -> (if (n == "a") 2L else 1L)
+    }
+    val brute = (for {
+      (na, ca) <- names.toSeq; (nb, cb) <- names.toSeq
+      if na < nb
+      d = lev(na, nb) if d <= 1
+    } yield (na, nb, d.toLong, ca, cb)).toSet
+    val got = pairs(Dedup.editDistancePassJoin(spark, tmp, maxDist = 1))
+    assert(got === brute, s"short-name fixture mismatch:\n got=$got\n exp=$brute")
+  }
 }
