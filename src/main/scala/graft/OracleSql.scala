@@ -78,6 +78,84 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       s"(CASE WHEN ${srpProj(v, offset + lb)} >= 0 THEN ${1L << lb} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** NN-descent CTE chain — twin of Similarity.knnDescentFrom(k, 3, 16,
+    * 5); assumes an `e(vec_id, v)` CTE in scope, the final graph CTE is
+    * g3. Shared by the sim_knn_descent twin (k=5) and the descent-graph
+    * ANN twin (k=8) so the two cannot drift. */
+  private def knnDescentChain(k: Int): String = {
+    def topk(src: String) =
+      s"""SELECT src_id, nbr_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM $src)
+         |WHERE rn <= $k""".stripMargin
+    def iterCtes(gIn: String, i: Int) =
+      s"""rev$i AS (SELECT nbr_id AS va, src_id AS ua FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY nbr_id
+         |    ORDER BY cos_sim DESC, src_id ASC) AS rn FROM $gIn)
+         |  WHERE rn <= 5),
+         |sym$i AS (SELECT DISTINCT va, ua FROM (
+         |  SELECT src_id AS va, nbr_id AS ua FROM $gIn
+         |  UNION ALL SELECT va, ua FROM rev$i)),
+         |cand$i AS (SELECT DISTINCT va AS src_id, ua AS nbr_id FROM (
+         |  SELECT va, ua FROM sym$i
+         |  UNION ALL
+         |  SELECT a.va, b.ua FROM sym$i a JOIN sym$i b ON a.ua = b.va
+         |  WHERE a.va <> b.ua)),
+         |s$i AS (SELECT c.src_id, c.nbr_id,
+         |  round(${cosSql("ev.v", "ew.v")}, 4) AS cos_sim
+         |  FROM cand$i c JOIN e ev ON ev.vec_id = c.src_id
+         |  JOIN e ew ON ew.vec_id = c.nbr_id),
+         |g$i AS (${topk(s"s$i")})""".stripMargin
+    s"""b AS (SELECT vec_id, unnest([
+       |  ${h60("concat(CAST(vec_id AS VARCHAR), '#0')")} % 16,
+       |  ${h60("concat(CAST(vec_id AS VARCHAR), '#1')")} % 16 + 16]) AS bkt
+       |  FROM e),
+       |c0 AS (SELECT DISTINCT a.vec_id AS src_id, b2.vec_id AS nbr_id
+       |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id <> b2.vec_id),
+       |s0 AS (SELECT c0.src_id, c0.nbr_id,
+       |  round(${cosSql("ev.v", "ew.v")}, 4) AS cos_sim
+       |  FROM c0 JOIN e ev ON ev.vec_id = c0.src_id
+       |  JOIN e ew ON ew.vec_id = c0.nbr_id),
+       |g0 AS (${topk("s0")}),
+       |${iterCtes("g0", 1)},
+       |${iterCtes("g1", 2)},
+       |${iterCtes("g2", 3)}""".stripMargin
+  }
+
+  /** Beam-search CTE chain — twin of Similarity.beamSearchTopK (nQ=5,
+    * beam=16, hops=4, entry coin %16 capped at 64): assumes `e` and a
+    * graph CTE `g(src_id, nbr_id)` in scope; the final beam CTE is bb4.
+    * MATERIALIZED beams for the graph_kcore reason. Shared by both
+    * graph-ANN twins. */
+  private lazy val beamSearchCtes: String = {
+    val hopCtes = (1 to 4).map { i =>
+      s"""bc$i AS (SELECT DISTINCT q_id, vec_id FROM (
+         |  SELECT b.q_id, g.nbr_id AS vec_id FROM bb${i - 1} b
+         |  JOIN g ON g.src_id = b.vec_id
+         |  UNION ALL SELECT q_id, vec_id FROM bb${i - 1})),
+         |bs$i AS (SELECT c.q_id, c.vec_id,
+         |  round(${cosSql("q.q_v", "e.v")}, 4) AS cos_sim
+         |  FROM bc$i c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id
+         |  WHERE c.vec_id <> c.q_id),
+         |bb$i AS MATERIALIZED (SELECT q_id, vec_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM bs$i) WHERE rn <= 16)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS MATERIALIZED (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+       |ent AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0
+       |  ORDER BY vec_id LIMIT 64),
+       |bs0 AS (SELECT q.q_id, ent.vec_id,
+       |  round(${cosSql("q.q_v", "e.v")}, 4) AS cos_sim
+       |  FROM q CROSS JOIN ent JOIN e ON e.vec_id = ent.vec_id
+       |  WHERE ent.vec_id <> q.q_id),
+       |bb0 AS MATERIALIZED (SELECT q_id, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id ASC) AS rn
+       |  FROM bs0) WHERE rn <= 16),
+       |$hopCtes""".stripMargin
+  }
+
   private val docs = s"read_parquet('$sfDir/documents.parquet')"
   private val embs = s"read_parquet('$sfDir/embeddings.parquet')"
 
@@ -2372,55 +2450,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT src_id, nbr_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
          |  FROM scored) WHERE rn <= 5""".stripMargin,
-    "sim_knn_descent" -> {
+    "sim_knn_descent" ->
       // twin of Similarity.knnDescent(k=5, iters=3, nInitBuckets=16,
       // revCap=5): two-seeded hash-bucket init (a single partition is
       // closed under neighbor-of-neighbor; the union of two mixes),
       // then three unrolled NN-descent rounds (reverse cap 5, sym ∪
-      // sym∘sym candidates, round-4 cosine, top-5 under (cos DESC,
+      // sym∘sym candidates, round-4 cosine, top-k under (cos DESC,
       // id ASC)) — every step is a pure function of the deterministic
       // init, so this is a hash match, not a recall bound (recall vs
       // the exact graph is priced in DedupSimilaritySpec)
-      def topk(src: String) =
-        s"""SELECT src_id, nbr_id, cos_sim FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY src_id
-           |    ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM $src)
-           |WHERE rn <= 5""".stripMargin
-      def iterCtes(gIn: String, i: Int) =
-        s"""rev$i AS (SELECT nbr_id AS va, src_id AS ua FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY nbr_id
-           |    ORDER BY cos_sim DESC, src_id ASC) AS rn FROM $gIn)
-           |  WHERE rn <= 5),
-           |sym$i AS (SELECT DISTINCT va, ua FROM (
-           |  SELECT src_id AS va, nbr_id AS ua FROM $gIn
-           |  UNION ALL SELECT va, ua FROM rev$i)),
-           |cand$i AS (SELECT DISTINCT va AS src_id, ua AS nbr_id FROM (
-           |  SELECT va, ua FROM sym$i
-           |  UNION ALL
-           |  SELECT a.va, b.ua FROM sym$i a JOIN sym$i b ON a.ua = b.va
-           |  WHERE a.va <> b.ua)),
-           |s$i AS (SELECT c.src_id, c.nbr_id,
-           |  round(${cosSql("ev.v", "ew.v")}, 4) AS cos_sim
-           |  FROM cand$i c JOIN e ev ON ev.vec_id = c.src_id
-           |  JOIN e ew ON ew.vec_id = c.nbr_id),
-           |g$i AS (${topk(s"s$i")})""".stripMargin
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
-         |b AS (SELECT vec_id, unnest([
-         |  ${h60("concat(CAST(vec_id AS VARCHAR), '#0')")} % 16,
-         |  ${h60("concat(CAST(vec_id AS VARCHAR), '#1')")} % 16 + 16]) AS bkt
-         |  FROM e),
-         |c0 AS (SELECT DISTINCT a.vec_id AS src_id, b2.vec_id AS nbr_id
-         |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id <> b2.vec_id),
-         |s0 AS (SELECT c0.src_id, c0.nbr_id,
-         |  round(${cosSql("ev.v", "ew.v")}, 4) AS cos_sim
-         |  FROM c0 JOIN e ev ON ev.vec_id = c0.src_id
-         |  JOIN e ew ON ew.vec_id = c0.nbr_id),
-         |g0 AS (${topk("s0")}),
-         |${iterCtes("g0", 1)},
-         |${iterCtes("g1", 2)},
-         |${iterCtes("g2", 3)}
-         |SELECT src_id, nbr_id, cos_sim FROM g3""".stripMargin
-    },
+         |${knnDescentChain(5)}
+         |SELECT src_id, nbr_id, cos_sim FROM g3""".stripMargin,
+    "sim_graph_ann_descent" ->
+      // twin of Similarity.graphAnnDescentTopK (nQ=5, k=10, beam=16,
+      // hops=4, entryMod=16, knnK=8, maxEntries=64): the NN-descent
+      // chain at k=8 builds the graph; the beam CTEs walk it — the
+      // end-to-end sub-quadratic ANN twin (hash match, recall priced
+      // in DedupSimilaritySpec)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |${knnDescentChain(8)},
+         |g AS MATERIALIZED (SELECT src_id, nbr_id FROM g3),
+         |${beamSearchCtes}
+         |SELECT q_id, vec_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM bb4) WHERE rn <= 10""".stripMargin,
     "sim_centroid_shift" ->
       // twin of Similarity.centroidShift: the seed-centroid and
       // lloyd-iteration twins composed; cosine over the same rounded
@@ -2525,27 +2580,11 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT coalesce(i.k_occ, 0) AS k_occurrence, count(*) AS n_vecs
          |FROM e LEFT JOIN indeg i ON i.nbr_id = e.vec_id
          |GROUP BY 1""".stripMargin,
-    "sim_graph_ann_topk" -> {
+    "sim_graph_ann_topk" ->
       // twin of Similarity.graphAnnTopK (nQ=5, k=10, beam=16, hops=4,
-      // entryMod=16, knnK=8): the knn-graph CTE is the plain all-pairs
-      // rank (the block grid covers the pair space exactly); each hop
-      // re-derives the same DISTINCT candidate set, round-4 scores and
-      // (cos desc, id asc) beam; MATERIALIZED beams for the graph_kcore
-      // reason
-      val hopCtes = (1 to 4).map { i =>
-        s"""c$i AS (SELECT DISTINCT q_id, vec_id FROM (
-           |  SELECT b.q_id, g.nbr_id AS vec_id FROM b${i - 1} b
-           |  JOIN g ON g.src_id = b.vec_id
-           |  UNION ALL SELECT q_id, vec_id FROM b${i - 1})),
-           |s$i AS (SELECT c.q_id, c.vec_id,
-           |  round(${cosSql("q.q_v", "e.v")}, 4) AS cos_sim
-           |  FROM c$i c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id
-           |  WHERE c.vec_id <> c.q_id),
-           |b$i AS MATERIALIZED (SELECT q_id, vec_id, cos_sim FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY cos_sim DESC, vec_id ASC) AS rn
-           |  FROM s$i) WHERE rn <= 16)""".stripMargin
-      }.mkString(",\n")
+      // entryMod=16, knnK=8, maxEntries=64): the knn-graph CTE is the
+      // plain all-pairs rank (the block grid covers the pair space
+      // exactly); the shared beamSearchCtes walk it
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
          |gs AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
          |  round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
@@ -2554,22 +2593,11 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY src_id
          |    ORDER BY cos_sim DESC, nbr_id ASC) AS rn
          |  FROM gs) WHERE rn <= 8),
-         |q AS MATERIALIZED (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
-         |ent AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0),
-         |s0 AS (SELECT q.q_id, ent.vec_id,
-         |  round(${cosSql("q.q_v", "e.v")}, 4) AS cos_sim
-         |  FROM q CROSS JOIN ent JOIN e ON e.vec_id = ent.vec_id
-         |  WHERE ent.vec_id <> q.q_id),
-         |b0 AS MATERIALIZED (SELECT q_id, vec_id, cos_sim FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY cos_sim DESC, vec_id ASC) AS rn
-         |  FROM s0) WHERE rn <= 16),
-         |$hopCtes
+         |${beamSearchCtes}
          |SELECT q_id, vec_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos_sim DESC, vec_id ASC) AS rn
-         |  FROM b4) WHERE rn <= 10""".stripMargin
-    },
+         |  FROM bb4) WHERE rn <= 10""".stripMargin,
     "sim_silhouette" ->
       // twin of Similarity.silhouette(nBits=8): centroid lists from the
       // shared decimal-exact CTEs, every vector scored against every

@@ -214,6 +214,7 @@ object SparkEntry {
     "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d)),
     "sim_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     "sim_graph_ann_topk" -> ((s, d) => Similarity.graphAnnTopK(s, d)),
+    "sim_graph_ann_descent" -> ((s, d) => Similarity.graphAnnDescentTopK(s, d)),
     "sim_hubness" -> ((s, d) => Similarity.hubnessAudit(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),

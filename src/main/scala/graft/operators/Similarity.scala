@@ -1542,23 +1542,60 @@ object Similarity {
     * (the [[graft.operators.Graph.pageRank]] discipline).
     *
     * Scale shape: the index build is [[knnGraphFrom]] (quadratic by
-    * contract here — at deployment scale the graph comes from
-    * NN-descent or is the persisted artifact); each hop is one
-    * equi-join of the (nQ·beam)-row frontier against the k-out-degree
-    * graph plus one broadcast-query scoring pass — candidate volume is
-    * nQ·beam·(k+1) per hop whatever the corpus. The entry scoring is
-    * the one O(N/entryMod) term; the 100 TB form replaces it with a
-    * constant coarse-centroid probe (the [[ivfTopK]] quantizer) or an
-    * HNSW layer ladder — the beam machinery is unchanged. */
+    * contract here — at deployment scale the graph is
+    * [[graphAnnDescentTopK]]'s NN-descent build or the persisted
+    * artifact); each hop is one equi-join of the (nQ·beam)-row frontier
+    * against the k-out-degree graph plus one broadcast-query scoring
+    * pass — candidate volume is nQ·beam·(k+1) per hop whatever the
+    * corpus. Entry seeding is CAPPED at `maxEntries` (smallest ids of
+    * the deterministic vec_id % entryMod coin — a TakeOrdered over the
+    * coin's survivors), so the entry scoring is O(nQ·maxEntries)
+    * whatever the corpus — at 10⁹ vectors the cap, not |V|/entryMod,
+    * is the term; the 100 TB form can also swap in a coarse-centroid
+    * probe (the [[ivfTopK]] quantizer) or an HNSW layer ladder — the
+    * beam machinery is unchanged. */
   def graphAnnTopK(s: SparkSession, dir: String, nQueries: Int = 5,
                    k: Int = 10, beam: Int = 16, hops: Int = 4,
-                   entryMod: Int = 16, knnK: Int = 8): DataFrame = {
-    require(k >= 1 && beam >= k && hops >= 1 && hops <= 6 && entryMod >= 2,
-      s"need 1 <= k <= beam, hops in [1,6], entryMod >= 2")
+                   entryMod: Int = 16, knnK: Int = 8,
+                   maxEntries: Int = 64): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val g = knnGraphFrom(e, knnK, 8)
       .select($"src_id", $"nbr_id").localCheckpoint(true)
+    beamSearchTopK(e, g, nQueries, k, beam, hops, entryMod, maxEntries)
+  }
+
+  /** GRAPH-ANN OVER THE NN-DESCENT GRAPH — [[graphAnnTopK]]'s beam
+    * search composed with [[knnDescentFrom]]'s sub-quadratic index
+    * build: the END-TO-END deployment-scale ANN story, nothing
+    * quadratic anywhere — O(N·(k+r)²)-per-round build, O(nQ·beam·k)
+    * per-hop search. The descent graph is approximate, so beams walk a
+    * slightly different neighborhood structure than the exact-graph
+    * variant; recall against brute force is priced in
+    * DedupSimilaritySpec for BOTH variants. Deterministic end to end —
+    * the DuckDB twin chains the descent rounds and the beam hops and
+    * hash-matches. */
+  def graphAnnDescentTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+                          k: Int = 10, beam: Int = 16, hops: Int = 4,
+                          entryMod: Int = 16, knnK: Int = 8,
+                          maxEntries: Int = 64): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val g = knnDescentFrom(e, knnK, iters = 3, nInitBuckets = 16, revCap = 5)
+      .select($"src_id", $"nbr_id").localCheckpoint(true)
+    beamSearchTopK(e, g, nQueries, k, beam, hops, entryMod, maxEntries)
+  }
+
+  /** Shared beam-search core of the two graph-ANN variants: greedy
+    * best-first expansion of a `beam`-wide frontier through the given
+    * (src_id, nbr_id) neighborhood graph, `hops` fixed unrolled rounds
+    * with checkpointed beams. */
+  private def beamSearchTopK(e: DataFrame, g: DataFrame, nQueries: Int,
+                             k: Int, beam: Int, hops: Int, entryMod: Int,
+                             maxEntries: Int): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 1 && hops <= 6 && entryMod >= 2
+      && maxEntries >= 1,
+      s"need 1 <= k <= beam, hops in [1,6], entryMod >= 2, maxEntries >= 1")
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("q_v"))
     def score(cand: DataFrame): DataFrame =
@@ -1572,6 +1609,7 @@ object Similarity {
         .select($"q_id", $"vec_id", $"cos_sim")
     }
     val entries = e.filter($"vec_id" % entryMod === 0).select($"vec_id")
+      .orderBy($"vec_id").limit(maxEntries)
     var beamDf = rank(score(q.select($"q_id").crossJoin(entries)), beam)
       .localCheckpoint(true)
     for (_ <- 1 to hops) {

@@ -1228,6 +1228,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= queries.size * 10 * 6 / 10,
       s"recall too low: $hits of ${queries.size * 10}")
   }
+  test("graph ANN over the NN-descent graph: replays the brute-force " +
+    "beam trace on the engine's own descent graph; recall substantial") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      r4(d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    // the engine's own DESCENT graph at the op's knnK=8 (descent itself
+    // is spec-verified above) — the mirror walks the same structure
+    val g = Similarity.knnDescent(spark, Sf, k = 8, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val queries = vecs.keys.filter(_ < 5).toSeq.sorted
+    val entries = vecs.keys.filter(_ % 16 == 0).toSeq.sorted.take(64).toSet
+    def rank(cand: Set[Long], q: Long, n: Int): Seq[(Long, Double)] =
+      cand.filter(_ != q).toSeq.map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (id, sc) => (-sc, id) }.take(n)
+    val expected = queries.flatMap { q =>
+      var beam = rank(entries, q, 16).map(_._1)
+      for (_ <- 1 to 4) {
+        val cand = beam.toSet ++ beam.flatMap(b => g.getOrElse(b, Set.empty))
+        beam = rank(cand, q, 16).map(_._1)
+      }
+      rank(beam.toSet, q, 10).map { case (id, sc) => (q, id, sc) }
+    }.toSet
+    val got = Similarity.graphAnnDescentTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected, "engine beam must replay the brute-force trace")
+    val hits = queries.map { q =>
+      val exact = rank(vecs.keySet, q, 10).map(_._1).toSet
+      val found = got.collect { case (qq, id, _) if qq == q => id }
+      (exact intersect found).size
+    }.sum
+    assert(hits >= queries.size * 10 * 5 / 10,
+      s"descent-graph recall too low: $hits of ${queries.size * 10}")
+  }
   test("hubness audit: histogram equals the knn graph's in-degrees, " +
     "covers the corpus, conserves k*N edge endpoints") {
     val g = Similarity.knnGraph(spark, Sf).collect().map(_.getLong(1))

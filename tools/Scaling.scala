@@ -14,7 +14,7 @@ object Scaling {
       q -> sfs.map { case (sf, dir) =>
         val fn = graft.SparkEntry.queries(q)
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        fn(spark, dir).queryExecution.toRdd.count()  // toRdd: no count-pruning (see Bench)
         sf -> (System.nanoTime() - t0) / 1e9
       }
     }
