@@ -585,6 +585,33 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM ($unpivot)
          |GROUP BY col_name""".stripMargin
     },
+    "rel_histogram_quantiles" ->
+      // twin of Relational.q53HistogramQuantiles (nBins=1024, p in
+      // {0.5,0.9,0.99,0.999}): bin/threshold/estimate expressions are
+      // the SAME left-to-right double chains as the Spark side, so
+      // floor/compare land on identical bits; the degenerate mx=mn
+      // guard mirrors Spark's (floor(0/0) is NaN, not 0)
+      s"""WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+         |mm AS (SELECT min(x) AS mn, max(x) AS mx FROM x),
+         |hist AS (SELECT CASE WHEN mx = mn THEN 0
+         |    ELSE least(CAST(floor((x - mn) / (mx - mn) * 1024) AS BIGINT), 1023)
+         |    END AS bin, count(*) AS n
+         |  FROM x CROSS JOIN mm GROUP BY 1),
+         |tot AS (SELECT sum(n) AS n_total FROM hist),
+         |cum AS (SELECT bin,
+         |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cum FROM hist),
+         |p AS (SELECT unnest([0.5, 0.9, 0.99, 0.999]) AS p),
+         |q AS (SELECT p.p, min(c.bin) AS bin
+         |  FROM cum c CROSS JOIN tot CROSS JOIN p
+         |  WHERE CAST(c.cum AS DOUBLE) >= p.p * CAST(tot.n_total AS DOUBLE)
+         |  GROUP BY p.p)
+         |SELECT q.p AS percentile, q.bin,
+         |  round(CASE WHEN mx = mn THEN mn
+         |    ELSE mn + CAST(q.bin AS DOUBLE) * ((mx - mn) / 1024) END, 6)
+         |    AS est_value,
+         |  CAST(tot.n_total AS BIGINT) AS n_total
+         |FROM q CROSS JOIN mm CROSS JOIN tot""".stripMargin,
     "rel_agg_delta_apply" ->
       // twin of Relational.q50AggDeltaApply — FULL RECOMPUTE over
       // (base − deletes) ∪ inserts, while the Spark side applies the
@@ -1189,6 +1216,70 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round(avg(-ln(ctf / total)), 6) AS avg_neg_logprob
          |FROM t JOIN c USING (term) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+    "text_dsir_weights" ->
+      // twin of TextAnalysis.dsirWeights (nBuckets=1024, target lang
+      // 'en'): hashed-unigram bucket counts for target and raw, add-one
+      // smoothing with the SAME (count+1)::DOUBLE / (N+1024)::DOUBLE
+      // op order as Spark, per-bucket ratio rounded to 12, per-doc
+      // DECIMAL(38,12) sum (order-free) rounded to 6
+      s"""WITH o AS (SELECT doc_id, lang, ${h60("term")} % 1024 AS b
+         |  FROM (SELECT doc_id, lang, unnest(${toks("lower(text)")}) AS term
+         |        FROM $docs)),
+         |rc AS (SELECT b, count(*) AS cr FROM o GROUP BY b),
+         |tc AS (SELECT b, count(*) AS ct FROM o WHERE lang = 'en' GROUP BY b),
+         |nr AS (SELECT count(*) AS nr FROM o),
+         |nt AS (SELECT count(*) AS nt FROM o WHERE lang = 'en'),
+         |lr AS (SELECT rc.b,
+         |    round(ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
+         |        / CAST(nt.nt + 1024 AS DOUBLE))
+         |      - ln(CAST(rc.cr + 1 AS DOUBLE)
+         |        / CAST(nr.nr + 1024 AS DOUBLE)), 12) AS lr
+         |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN nr CROSS JOIN nt)
+         |SELECT o.doc_id, count(*) AS n_tokens,
+         |  round(CAST(sum(CAST(lr AS DECIMAL(38,12))) AS DOUBLE), 6)
+         |    AS dsir_logratio,
+         |  round(CAST(sum(CAST(lr AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         |    AS avg_logratio
+         |FROM o JOIN lr ON o.b = lr.b
+         |GROUP BY o.doc_id""".stripMargin,
+    "text_ccnet_buckets" ->
+      // twin of TextAnalysis.ccnetBuckets (nBins=256): the
+      // text_unigram_logprob chain, per-lang equi-width score bins (the
+      // rel_histogram_quantiles bin/guard convention), cumulative over
+      // the aggregated histogram, tertile cut bins by double-threshold
+      // compare, then INTEGER bin-vs-cut labeling
+      s"""WITH t AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM $docs),
+         |c AS (SELECT term, count(*)::DOUBLE AS ctf FROM t GROUP BY term),
+         |tot AS (SELECT count(*)::DOUBLE AS total FROM t),
+         |u AS (SELECT doc_id, count(*) AS n_tokens,
+         |    round(avg(-ln(ctf / total)), 6) AS avg_neg_logprob
+         |  FROM t JOIN c USING (term) CROSS JOIN tot GROUP BY doc_id),
+         |scored AS (SELECT u.doc_id, d.lang, u.n_tokens, u.avg_neg_logprob
+         |  FROM u JOIN $docs d ON u.doc_id = d.doc_id),
+         |mm AS (SELECT lang, min(avg_neg_logprob) AS mn,
+         |    max(avg_neg_logprob) AS mx FROM scored GROUP BY lang),
+         |binned AS (SELECT s.doc_id, s.lang, s.n_tokens, s.avg_neg_logprob,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE least(CAST(floor((s.avg_neg_logprob - mn) / (mx - mn) * 256)
+         |        AS BIGINT), 255) END AS bin
+         |  FROM scored s JOIN mm ON s.lang = mm.lang),
+         |hist AS (SELECT lang, bin, count(*) AS n FROM binned GROUP BY lang, bin),
+         |nl AS (SELECT lang, sum(n) AS n_lang FROM hist GROUP BY lang),
+         |cum AS (SELECT h.lang, h.bin, nl.n_lang,
+         |    sum(h.n) OVER (PARTITION BY h.lang ORDER BY h.bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hist h JOIN nl ON h.lang = nl.lang),
+         |cuts AS (SELECT lang,
+         |    min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n_lang AS DOUBLE) / 3.0
+         |      THEN bin END) AS b1,
+         |    min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n_lang AS DOUBLE) * 2.0 / 3.0
+         |      THEN bin END) AS b2
+         |  FROM cum GROUP BY lang)
+         |SELECT b.doc_id, b.lang, b.n_tokens, b.avg_neg_logprob, b.bin,
+         |  CASE WHEN b.bin < c.b1 THEN 'head'
+         |       WHEN b.bin < c.b2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM binned b JOIN cuts c ON b.lang = c.lang""".stripMargin,
     "text_winnow_sketch" ->
       s"""WITH s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
          |g AS (SELECT doc_id, CASE WHEN length(sk) >= 5
@@ -2577,6 +2668,16 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |    ORDER BY cos_sim DESC, nbr_id ASC) AS rn
          |  FROM gs) WHERE rn <= 5),
          |indeg AS (SELECT nbr_id, count(*) AS k_occ FROM g GROUP BY nbr_id)
+         |SELECT coalesce(i.k_occ, 0) AS k_occurrence, count(*) AS n_vecs
+         |FROM e LEFT JOIN indeg i ON i.nbr_id = e.vec_id
+         |GROUP BY 1""".stripMargin,
+    "sim_hubness_descent" ->
+      // twin of Similarity.hubnessDescent (k=5): the sim_knn_descent
+      // chain verbatim, then the sim_hubness in-degree histogram with
+      // the explicit antihub zero bucket
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |${knnDescentChain(5)},
+         |indeg AS (SELECT nbr_id, count(*) AS k_occ FROM g3 GROUP BY nbr_id)
          |SELECT coalesce(i.k_occ, 0) AS k_occurrence, count(*) AS n_vecs
          |FROM e LEFT JOIN indeg i ON i.nbr_id = e.vec_id
          |GROUP BY 1""".stripMargin,

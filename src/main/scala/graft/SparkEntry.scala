@@ -84,6 +84,7 @@ object SparkEntry {
     "rel_skew_audit" -> ((s, d) => Relational.q48SkewAudit(s, d)),
     "rel_column_profile" -> ((s, d) => Relational.q49ColumnProfile(s, d)),
     "rel_agg_delta_apply" -> ((s, d) => Relational.q50AggDeltaApply(s, d)),
+    "rel_histogram_quantiles" -> ((s, d) => Relational.q53HistogramQuantiles(s, d)),
     "sim_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_codebooks" -> ((s, d) => Similarity.pqCodebooks(s, d)),
     "sim_pq_recon_error" -> ((s, d) => Similarity.pqReconError(s, d)),
@@ -143,6 +144,8 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_common_spans" -> ((s, d) => TextAnalysis.commonSpans(s, d)),
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
+    "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "text_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),
     "rel_approx_distinct" -> (Relational.q23ApproxDistinct _),
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),
     "text_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
@@ -216,6 +219,7 @@ object SparkEntry {
     "sim_graph_ann_topk" -> ((s, d) => Similarity.graphAnnTopK(s, d)),
     "sim_graph_ann_descent" -> ((s, d) => Similarity.graphAnnDescentTopK(s, d)),
     "sim_hubness" -> ((s, d) => Similarity.hubnessAudit(s, d)),
+    "sim_hubness_descent" -> ((s, d) => Similarity.hubnessDescent(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),

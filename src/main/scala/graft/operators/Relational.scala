@@ -894,6 +894,63 @@ object Relational {
         max($"val").as("max_v"))
   }
 
+  /** HISTOGRAM QUANTILES — distributed percentile estimation for a
+    * numeric column (l_extendedprice) via a fixed-bin equi-width
+    * histogram: pass 1 computes (min, max) in one partial-agged
+    * aggregate, pass 2 bins every value into `nBins` equal-width
+    * buckets and counts per bin, then p50/p90/p99/p999 read off the
+    * cumulative histogram as the left edge of the first bin whose
+    * cumulative count reaches p·N. This is the scale form of the
+    * percentile audit: exact percentiles need a global sort
+    * (O(N log N) shuffle of the DATA), approx_percentile's GK sketch is
+    * merge-order dependent (non-deterministic across runs — untwinable);
+    * the histogram is two partial-agged scans whose exchange carries at
+    * most `nBins` rows, deterministic under any partition order, and
+    * the bin-edge estimate is within (max−min)/nBins of the true value
+    * by construction. The cumulative window runs over the AGGREGATED
+    * ≤`nBins`-row frame — a single-partition window over a bounded
+    * input, never over the data.
+    *
+    * Determinism: bin = least(floor((x−mn)/(mx−mn)·nBins), nBins−1) —
+    * the same left-to-right double ops in both engines; threshold
+    * compares are cum ≥ p·N with N cast to double once; the estimate
+    * re-derives from (mn, mx, bin) with one rounded expression. The
+    * degenerate mx = mn column collapses every value to bin 0 (guarded
+    * explicitly — floor(0/0) is NaN, not 0). */
+  def q53HistogramQuantiles(s: SparkSession, dir: String,
+                            nBins: Int = 1024): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val x = Tables.lineitem(s, dir).select($"l_extendedprice".as("x"))
+    val mm = x.agg(min($"x").as("mn"), max($"x").as("mx"))
+    val hist = x.crossJoin(broadcast(mm))
+      .select(
+        when($"mx" === $"mn", lit(0L))
+          .otherwise(least(
+            floor(($"x" - $"mn") / ($"mx" - $"mn") * nBins).cast("long"),
+            lit(nBins - 1L))).as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"n").over(w))
+      .crossJoin(broadcast(hist.agg(sum($"n").as("n_total"))))
+      .crossJoin(broadcast(mm))
+    val ps = Seq(0.5, 0.9, 0.99, 0.999)
+    // percentile literals exploded off the 1-row min/max frame (no
+    // session-bound implicits needed for a literal-only frame)
+    val qf = cum.crossJoin(
+        broadcast(mm.select(explode(lit(ps.toArray)).as("p"))))
+      .filter($"cum".cast("double") >= $"p" * $"n_total".cast("double"))
+      .groupBy($"p")
+      .agg(min($"bin").as("bin"))
+    qf.crossJoin(broadcast(mm))
+      .crossJoin(broadcast(hist.agg(sum($"n").as("n_total"))))
+      .select($"p".as("percentile"), $"bin",
+        round(when($"mx" === $"mn", $"mn")
+          .otherwise($"mn" + $"bin".cast("double") * (($"mx" - $"mn") / nBins)), 6)
+          .as("est_value"),
+        $"n_total")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE (delta-apply) — the view-refresh
     * half of the CDC family: [[q45MergeUpsert]] applies a change batch
     * to a keyed SNAPSHOT; this applies one to a materialized AGGREGATE

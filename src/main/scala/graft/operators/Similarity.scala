@@ -1652,6 +1652,33 @@ object Similarity {
       .groupBy($"k_occurrence").agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** HUBNESS AUDIT ON THE NN-DESCENT GRAPH — [[hubnessAudit]]'s
+    * k-occurrence histogram rebased on [[knnDescentFrom]]'s
+    * sub-quadratic index: the deployment-scale form of the audit, where
+    * the exact block-join build ([[knnGraphFrom]]) is not runnable. The
+    * two histograms answer slightly different questions — the exact one
+    * audits the TRUE neighborhood structure, this one audits the graph
+    * the deployment actually serves from ([[graphAnnDescentTopK]]'s
+    * beam walks THIS graph, so hubs here are the hubs the beam
+    * collapses onto) — which is why both are registered rather than
+    * one replacing the other.
+    *
+    * Shape: the NN-descent rounds (O(N·(k+revCap)²) candidate pairs per
+    * round, every step key-partitioned) then the same ONE in-degree
+    * count + ONE histogram aggregate as [[hubnessAudit]]; the zero
+    * bucket stays explicit via the corpus LEFT join. This composition
+    * IS benchable at scale — it rides the bench headline set precisely
+    * because nothing in it is quadratic. */
+  def hubnessDescent(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val indeg = knnDescentFrom(e, k, iters = 3, nInitBuckets = 16, revCap = 5)
+      .groupBy($"nbr_id").agg(count(lit(1)).as("k_occ"))
+    e.select($"vec_id").join(indeg, $"vec_id" === $"nbr_id", "left")
+      .select(coalesce($"k_occ", lit(0L)).as("k_occurrence"))
+      .groupBy($"k_occurrence").agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** SILHOUETTE REPORT — per-cluster simplified silhouette (Rousseeuw,
     * J. Comput. Appl. Math. 20, 1987; centroid-based variant) over the
     * SRP coarse clustering the IVF/k-means family is built on: for each

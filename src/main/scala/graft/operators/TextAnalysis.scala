@@ -618,6 +618,123 @@ object TextAnalysis {
         round(avg(-log($"ctf" / $"total")), 6).as("avg_neg_logprob"))
   }
 
+  /** DSIR IMPORTANCE WEIGHTS — per-document log importance ratio under
+    * hashed unigram bag-of-words models (Xie, Santurkar, Ma & Liang,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): tokens hash into `nBuckets` feature buckets, a
+    * TARGET distribution is estimated from the in-domain slice (here
+    * lang = 'en' — "select raw data that reads like the target
+    * domain"), a RAW distribution from the whole corpus, both with
+    * add-one smoothing, and each document scores
+    * Σ_tokens log p̂_target(b)/p̂_raw(b). Resampling the corpus with
+    * probability ∝ exp(weight) is the DSIR recipe; the weight column is
+    * the part a SQL engine owns, and `avg_logratio` is the
+    * length-normalized variant a thresholding gate uses directly.
+    *
+    * Shape at 100 TB: the bucket log-ratio table is at most `nBuckets`
+    * rows — built from two partial-agged token scans, broadcast to the
+    * per-doc scoring join, so the only exchange carrying data volume is
+    * the per-doc aggregate (key-partitioned on doc_id). Determinism:
+    * the bucket ratio rounds to 12 and is summed in DECIMAL(38,12)
+    * (order-free), the doc total rounds to 6; empty documents have no
+    * tokens and emit no row — in both engines identically. */
+  def dsirWeights(s: SparkSession, dir: String, nBuckets: Int = 1024,
+                  targetLang: String = "en"): DataFrame =
+    dsirWeightsFrom(Tables.documents(s, dir), nBuckets, targetLang)
+
+  /** Core of [[dsirWeights]] over any (doc_id, lang, text) frame. */
+  def dsirWeightsFrom(docs: DataFrame, nBuckets: Int,
+                      targetLang: String): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    val occ = docs
+      .select($"doc_id", $"lang", explode(wsTokens(lower($"text"))).as("term"))
+      .select($"doc_id", $"lang", (hash60($"term") % nBuckets).as("b"))
+    val raw = occ.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = occ.filter($"lang" === targetLang)
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val nr = occ.agg(count(lit(1)).as("nr"))
+    val nt = occ.filter($"lang" === targetLang).agg(count(lit(1)).as("nt"))
+    // smoothed log-ratio per OBSERVED bucket (unobserved buckets have no
+    // occurrences to score, so only raw-observed buckets matter), built
+    // once and broadcast: lr(b) = ln p̂_t(b) − ln p̂_r(b), each p̂ the
+    // add-one estimate (c+1)/(N + nBuckets)
+    val lr = raw
+      .join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select($"b",
+        round(
+          log((coalesce($"ct", lit(0L)) + lit(1L)).cast("double") /
+            ($"nt" + lit(nBuckets.toLong)).cast("double")) -
+            log(($"cr" + lit(1L)).cast("double") /
+              ($"nr" + lit(nBuckets.toLong)).cast("double")), 12).as("lr"))
+    occ.join(broadcast(lr), "b")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum($"lr".cast("decimal(38,12)")).cast("double"), 6)
+          .as("dsir_logratio"),
+        round(sum($"lr".cast("decimal(38,12)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logratio"))
+  }
+
+  /** CCNET PERPLEXITY BUCKETS — the head/middle/tail corpus partition
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020): documents score under
+    * the corpus unigram LM ([[unigramLogprobFrom]]), then each
+    * LANGUAGE's score distribution is cut at its tertiles — head (most
+    * natural third) / middle / tail (most divergent third) — the
+    * partition CCNet publishes its crawls in and the standard first
+    * axis of an LLM data-mix policy.
+    *
+    * The tertile cut is the scale-honest histogram form, not a per-lang
+    * global sort: scores bin into `nBins` equal-width buckets per
+    * language (two broadcast-joined 1-row-per-lang aggregates), the
+    * cumulative histogram (a window over the ≤ lang×nBins AGGREGATED
+    * rows, never the data) yields the first bin reaching N/3 and 2N/3,
+    * and each document labels by INTEGER bin comparison — head strictly
+    * below the ⅓ bin, tail at/above the ⅔ bin. Bin-edge granularity
+    * (max−min)/nBins is the documented estimate error vs exact ntile —
+    * the trade that removes the per-lang sort a 100 TB corpus cannot
+    * afford. Determinism: the bin expression is the same left-to-right
+    * double chain in both engines ([[graft.operators.Relational
+    * .q53HistogramQuantiles]] discipline); threshold compares are
+    * integer-vs-integer. */
+  def ccnetBuckets(s: SparkSession, dir: String, nBins: Int = 256): DataFrame =
+    ccnetBucketsFrom(Tables.documents(s, dir), nBins)
+
+  /** Core of [[ccnetBuckets]] over any (doc_id, lang, text) frame. */
+  def ccnetBucketsFrom(docs: DataFrame, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 3, s"need nBins >= 3, got $nBins")
+    val scored = unigramLogprobFrom(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val mm = scored.groupBy($"lang")
+      .agg(min($"avg_neg_logprob").as("mn"), max($"avg_neg_logprob").as("mx"))
+    val binned = scored.join(broadcast(mm), "lang")
+      .select($"doc_id", $"lang", $"n_tokens", $"avg_neg_logprob",
+        when($"mx" === $"mn", lit(0L))
+          .otherwise(least(
+            floor(($"avg_neg_logprob" - $"mn") / ($"mx" - $"mn") * nBins)
+              .cast("long"),
+            lit(nBins - 1L))).as("bin"))
+    val hist = binned.groupBy($"lang", $"bin").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"n").over(w))
+      .join(broadcast(hist.groupBy($"lang").agg(sum($"n").as("n_lang"))), "lang")
+    def cutBin(frac: Column): Column = min(when(
+      $"cum".cast("double") >= frac, $"bin"))
+    val cuts = cum.groupBy($"lang")
+      .agg(
+        cutBin($"n_lang".cast("double") / lit(3.0)).as("b1"),
+        cutBin($"n_lang".cast("double") * lit(2.0) / lit(3.0)).as("b2"))
+    binned.join(broadcast(cuts), "lang")
+      .select($"doc_id", $"lang", $"n_tokens", $"avg_neg_logprob", $"bin",
+        when($"bin" < $"b1", lit("head"))
+          .when($"bin" < $"b2", lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** BIGRAM LM SCORING — [[unigramLogprob]] upgraded one Markov order:
     * each document's average negative log-probability under the corpus
     * BIGRAM model with fixed unigram interpolation,

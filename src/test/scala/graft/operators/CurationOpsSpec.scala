@@ -759,4 +759,67 @@ class CurationOpsSpec extends SparkSpec {
     // repetitive text scores strictly higher K than diverse text
     assert(got(1L)._5 > got(2L)._5)
   }
+
+  test("dsir weights: hand-built reference on a disjoint-vocabulary " +
+    "fixture; target docs positive, off-target negative, empty doc absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha"),
+      (2L, "en", "beta beta"),
+      (3L, "de", "gamma delta"),
+      (4L, "de", "delta delta gamma"),
+      (5L, "en", "")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.dsirWeightsFrom(docs, 1024, "en").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(!got.contains(5L), "empty doc has no tokens and emits no row")
+    // reference assumes the 4 distinct words occupy 4 distinct hash
+    // buckets (deterministic — a collision would fail the equality and
+    // the words would be re-chosen): nt=5 target tokens, nr=10 raw
+    def r(v: Double, n: Int) =
+      BigDecimal(v).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def lr(ct: Long, cr: Long) = r(
+      math.log((ct + 1).toDouble / (5 + 1024).toDouble) -
+        math.log((cr + 1).toDouble / (10 + 1024).toDouble), 12)
+    val (la, lb, lg, ld) = (lr(2, 2), lr(3, 3), lr(0, 2), lr(0, 3))
+    def doc(terms: Seq[Double]) = {
+      val s = terms.map(BigDecimal(_)).sum
+      (terms.size.toLong, r(s.toDouble, 6), r(s.toDouble / terms.size, 6))
+    }
+    assert(got(1L) === doc(Seq(la, lb, la)))
+    assert(got(2L) === doc(Seq(lb, lb)))
+    assert(got(3L) === doc(Seq(lg, ld)))
+    assert(got(4L) === doc(Seq(ld, ld, lg)))
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0,
+      "target-language docs carry positive log importance")
+    assert(got(3L)._2 < 0 && got(4L)._2 < 0,
+      "off-target docs carry negative log importance")
+  }
+
+  test("ccnet buckets: per-lang partition with strictly ordered " +
+    "head < middle < tail scores on real data") {
+    val got = TextAnalysis.ccnetBuckets(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getLong(4), r.getString(5)))
+    assert(got.length.toLong === TextAnalysis.unigramLogprob(spark, Sf).count(),
+      "every scored doc is labeled exactly once")
+    assert(got.forall(t => Set("head", "middle", "tail")(t._4)))
+    for ((lang, rows) <- got.groupBy(_._1)) {
+      val byLabel = rows.groupBy(_._4)
+      def bins(l: String) = byLabel.getOrElse(l, Array.empty).map(_._3)
+      def scores(l: String) = byLabel.getOrElse(l, Array.empty).map(_._2)
+      for ((lo, hi) <- Seq(("head", "middle"), ("middle", "tail"))
+           if bins(lo).nonEmpty && bins(hi).nonEmpty) {
+        assert(bins(lo).max < bins(hi).min,
+          s"$lang: $lo bins must sit strictly below $hi bins")
+        assert(scores(lo).max < scores(hi).min,
+          s"$lang: $lo scores must sit strictly below $hi scores")
+      }
+      // the tertile cut puts SOME mass at/above the 2/3 bin — tail is
+      // never empty (the cut bin always exists), and no single bucket
+      // swallows a lang whose scores spread over >1 bin
+      assert(bins("tail").nonEmpty, s"$lang: tail holds the cut bin")
+      if (rows.map(_._3).distinct.length > 2)
+        assert(byLabel.size >= 2, s"$lang: spread scores must split buckets")
+    }
+  }
 }

@@ -1284,6 +1284,22 @@ class DedupSimilaritySpec extends SparkSpec {
       "sum k*count equals total kNN edges")
   }
 
+  test("hubness on the NN-descent graph: histogram equals that graph's " +
+    "in-degrees, covers the corpus, conserves its edge endpoints") {
+    val g = Similarity.knnDescent(spark, Sf).collect().map(_.getLong(1))
+    val n = Tables.embeddings(spark, Sf).count()
+    val indeg = g.groupBy(identity).map { case (id, xs) => id -> xs.length.toLong }
+    val expected = (indeg.values.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong } +
+      (0L -> (n - indeg.size))).filter(_._2 > 0)
+    val got = Similarity.hubnessDescent(spark, Sf).collect()
+      .map(r => r.getAs[Long]("k_occurrence") -> r.getAs[Long]("n_vecs")).toMap
+    assert(got === expected)
+    assert(got.values.sum === n, "histogram partitions the corpus")
+    assert(got.map { case (k, c) => k * c }.sum === g.length.toLong,
+      "sum k*count equals total descent-graph edges")
+  }
+
   test("dedup funnel: designed fixture exercises every layer and the " +
     "marginal attribution; empty layers report zero") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}

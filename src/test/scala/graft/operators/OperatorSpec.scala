@@ -487,4 +487,26 @@ class OperatorSpec extends SparkSpec {
     val totInc = inc.agg(sum(col("n_orders"))).head.getLong(0)
     assert(totInc === rnew.join(snew, col("o_custkey") === col("c_custkey")).count())
   }
+
+  test("histogram quantiles: estimates within one bin width of exact " +
+    "percentiles, monotone, correct total") {
+    val nBins = 1024
+    val xs = Tables.lineitem(spark, Sf)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val (mn, mx) = (xs.head, xs.last)
+    val width = (mx - mn) / nBins
+    val got = Relational.q53HistogramQuantiles(spark, Sf, nBins).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.size === 4 && got.values.forall(_._3 === xs.length.toLong))
+    for ((p, (_, est, _)) <- got) {
+      // exact p-quantile: the ceil(p*n)-th smallest (the first value the
+      // cumulative compare can reach)
+      val exact = xs(math.ceil(p * xs.length).toInt - 1)
+      assert(math.abs(est - exact) <= width + 1e-9,
+        s"p=$p: est $est vs exact $exact exceeds bin width $width")
+    }
+    val ordered = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(ordered === ordered.sorted, "estimates must be monotone in p")
+  }
 }
