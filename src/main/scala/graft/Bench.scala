@@ -91,6 +91,11 @@ object Bench {
     "sim_knn_descent", // added r12: 3 NN-descent rounds — the sub-quadratic kNN build
     "dedup_lsh_append", // added r12: batch-incremental LSH maintenance (new-vs-all only)
     "dedup_editdist_passjoin", // added r12: PassJoin segment-blocked entity resolution
+    "sim_hubness_descent", // added r12: in-degree histogram over the NN-descent graph
+    "sim_kmeanspp_seeds", // added r12: 3 k-means|| Bernoulli rounds, driver-policy centers
+    "rel_histogram_quantiles", // added r12: 2-scan fixed-bin percentile estimation
+    "text_dsir_weights", // added r12: hashed-unigram importance weights, broadcast LM
+    "text_ccnet_buckets", // added r12: per-lang perplexity tertiles via histogram cut
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

@@ -2338,6 +2338,47 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT CAST(1 AS BIGINT) AS rk, vec_id, CAST(NULL AS DOUBLE) AS sel_d2 FROM s1
          |UNION ALL $sels""".stripMargin
     },
+    "sim_kmeanspp_seeds" -> {
+      // twin of Similarity.kmeansParallelSeeds (l=8, rounds=3): the
+      // k-means|| Bernoulli rounds unrolled as MATERIALIZED CTEs.
+      // φ sums round-8 d² in DECIMAL (order-free); the coin fraction
+      // and the 8.0·d²₈/φ threshold are the same left-to-right double
+      // ops as the Spark side; the per-round dmin update min-joins the
+      // selected centers (min over exact doubles is order-free, so the
+      // aggregate equals Spark's pairwise least chain)
+      val rounds = 3
+      def d2s(a: String, b: String) =
+        s"list_sum(list_transform(range(64), i -> " +
+          s"(($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1])))"
+      val body = (1 to rounds).map { r =>
+        val upd = if (r < rounds)
+          s""",
+             |m$r AS (SELECT s.vec_id, min(${d2s("s.v", "c.v")}) AS md
+             |  FROM s${r - 1} s CROSS JOIN sel$r c GROUP BY s.vec_id),
+             |s$r AS MATERIALIZED (SELECT s.vec_id, s.v,
+             |    least(s.dmin, coalesce(m.md, s.dmin)) AS dmin
+             |  FROM s${r - 1} s LEFT JOIN m$r m ON s.vec_id = m.vec_id)""".stripMargin
+        else ""
+        s"""p$r AS (SELECT CAST(sum(CAST(round(dmin, 8) AS DECIMAL(38,12)))
+           |    AS DOUBLE) AS phi FROM s${r - 1}),
+           |sel$r AS MATERIALIZED (SELECT vec_id, v, round(dmin, 8) AS sd
+           |  FROM s${r - 1} CROSS JOIN p$r
+           |  WHERE CAST(${h60(s"concat(CAST(vec_id AS VARCHAR), '#kpp#$r')")}
+           |      % 1000000 AS BIGINT)::DOUBLE / 1000000.0
+           |    < 8.0 * round(dmin, 8) / phi)$upd""".stripMargin
+      }.mkString(",\n")
+      val sels = (1 to rounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS sel_round, vec_id, round(sd, 6) AS sel_d2 FROM sel$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |c0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+         |s0 AS MATERIALIZED (SELECT e.vec_id, e.v, ${d2s("e.v", "c.v")} AS dmin
+         |  FROM e CROSS JOIN c0 c),
+         |$body
+         |SELECT CAST(0 AS BIGINT) AS sel_round, vec_id,
+         |  CAST(NULL AS DOUBLE) AS sel_d2 FROM c0
+         |UNION ALL $sels""".stripMargin
+    },
     "sim_pq_balanced" -> {
       // twin of Similarity.pqBalanced: per-dimension variance from
       // DECIMAL sums (squares rounded to scale 10 on BOTH sides before

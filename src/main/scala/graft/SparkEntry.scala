@@ -220,6 +220,7 @@ object SparkEntry {
     "sim_graph_ann_descent" -> ((s, d) => Similarity.graphAnnDescentTopK(s, d)),
     "sim_hubness" -> ((s, d) => Similarity.hubnessAudit(s, d)),
     "sim_hubness_descent" -> ((s, d) => Similarity.hubnessDescent(s, d)),
+    "sim_kmeanspp_seeds" -> ((s, d) => Similarity.kmeansParallelSeeds(s, d)),
     // multimodal columns
     "mm_meta_stats" -> (MultiModal.mmMetaStats _),
     "mm_features" -> (MultiModal.mmFeatures _),

@@ -1521,6 +1521,88 @@ object Similarity {
       .select($"rk", $"vec_id", round($"sel_d2", 6).as("sel_d2"))
   }
 
+  /** K-MEANS‖ OVERSAMPLING SEEDS — scalable k-means++ initialization
+    * (Bahmani, Moseley, Vattani, Kumar & Vassilvitskii, "Scalable
+    * k-means++", VLDB 2012): instead of k-means++'s k inherently
+    * sequential D²-weighted draws (k corpus scans that cannot batch),
+    * k-means‖ runs a FIXED handful of rounds, each sampling every point
+    * INDEPENDENTLY with probability min(1, ℓ·d²(x,C)/φ) — expected ℓ
+    * new centers per round, so ~ℓ·rounds oversampled seeds land in a
+    * handful of scans and a weighted Lloyd pass ([[pqLloydRefine]]'s
+    * family) reduces them to k afterwards. This is THE distributed
+    * k-means init — the paper's setting is exactly a 10⁹-point corpus
+    * where [[kcenterSeedsFrom]]'s k sequential rounds and k-means++'s
+    * k dependent draws are both too slow.
+    *
+    * Shape per round (nothing touches the driver but the expected-ℓ
+    * selected centers — the [[kcenterSeedsFrom]] driver-policy
+    * contract, ℓ rows instead of 1): one DECIMAL aggregate for
+    * φ = Σ d² (order-free — the round-8 d² casts to DECIMAL(38,12)
+    * before summing), one filtered corpus scan for the Bernoulli
+    * selections, one map-side dmin update against the ≤ℓ new centers
+    * baked in as LITERALS (no join, no shuffle — the k-center
+    * discipline), then localCheckpoint. At 100 TB: 2·rounds bounded
+    * scans of the embedding table.
+    *
+    * Determinism: the Bernoulli coin is the engine-neutral
+    * hash60(vec_id ⧺ '#kpp#' ⧺ round) % 10⁶ / 10⁶ fraction compared
+    * against ℓ·d²₈/φ with the same left-to-right double ops in both
+    * engines (d²₈ = round(d², 8) is what both φ and the compare read);
+    * d² itself is the sequential-fold HOF of the [[VectorOps]]
+    * contract. The twin unrolls the rounds as MATERIALIZED CTEs.
+    * Output: (sel_round, vec_id, sel_d2) — round 0 is the min-id start
+    * center with NULL d². */
+  def kmeansParallelSeeds(s: SparkSession, dir: String, l: Int = 8,
+                          rounds: Int = 3): DataFrame =
+    kmeansParallelFrom(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      l, rounds)
+
+  /** Core of [[kmeansParallelSeeds]] over any (vec_id, v) frame. */
+  def kmeansParallelFrom(e0: DataFrame, l: Int, rounds: Int): DataFrame = {
+    require(l >= 1 && rounds >= 1 && rounds <= 8,
+      s"need l >= 1 and rounds in [1,8], got l=$l rounds=$rounds")
+    val sp = e0.sparkSession
+    val e = e0.localCheckpoint(true)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val first = e.orderBy($"vec_id".asc).limit(1).collect().head
+    var out = Vector[Row](Row(0L, first.getLong(0), null))
+    var state = e
+      .select($"vec_id", $"v",
+        d2($"v", typedLit(first.getSeq[Double](1))).as("dmin"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val sd = round($"dmin", 8)
+      val phi = state
+        .agg(sum(sd.cast("decimal(38,12)")).cast("double").as("phi"))
+        .collect().head.getDouble(0)
+      val coin = (graft.functions.EngineNeutral.hash60(
+        concat($"vec_id".cast("string"), lit(s"#kpp#$r"))) % 1000000L)
+        .cast("double") / lit(1000000.0)
+      val sel = state
+        .filter(coin < lit(l.toDouble) * sd / lit(phi))
+        .select($"vec_id", $"v", sd.as("sd"))
+        .collect().sortBy(_.getLong(0))
+      out ++= sel.map(row => Row(r.toLong, row.getLong(0), row.getDouble(2)))
+      if (r < rounds && sel.nonEmpty) {
+        val newDs = sel.map(row => d2($"v", typedLit(row.getSeq[Double](1))))
+        state = state
+          .withColumn("dmin", ($"dmin" +: newDs).reduce(least(_, _)))
+          .localCheckpoint(true)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("sel_round", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("sel_d2", DoubleType, nullable = true)))
+    sp.createDataFrame(sp.sparkContext.parallelize(out, 1), schema)
+      .select($"sel_round", $"vec_id", round($"sel_d2", 6).as("sel_d2"))
+  }
+
   /** GRAPH-BASED ANN — beam search over the exact kNN graph: the fourth
     * retrieval paradigm of this family, next to LSH banding
     * ([[srpNearDupPairs]]), IVF ([[ivfTopK]]) and PQ ([[pqAdcTopK]]) —

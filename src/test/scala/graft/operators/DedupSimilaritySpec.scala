@@ -1284,6 +1284,47 @@ class DedupSimilaritySpec extends SparkSpec {
       "sum k*count equals total kNN edges")
   }
 
+  test("kmeans|| seeds: full selection trace equals a sequential " +
+    "driver-side reference of the Bernoulli rounds") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) =>
+        acc + (a(i) - b(i)) * (a(i) - b(i))) // the HOF's sequential fold
+    def rnd(v: Double, n: Int) =
+      BigDecimal(v).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = vecs.keys.toSeq.sorted
+    val first = ids.head
+    var dmin = ids.map(id => id -> d2(vecs(id), vecs(first))).toMap
+    var expected = Vector((0L, first, Option.empty[Double]))
+    for (r <- 1 to 3) {
+      val sd = dmin.map { case (k, v) => k -> rnd(v, 8) }
+      val phi = sd.values.map(BigDecimal(_)).sum.toDouble
+      val sel = ids.filter(id =>
+        (h60(s"$id#kpp#$r") % 1000000L).toDouble / 1000000.0
+          < 8.0 * sd(id) / phi)
+      expected ++= sel.map(id => (r.toLong, id, Some(rnd(sd(id), 6))))
+      if (r < 3 && sel.nonEmpty)
+        dmin = dmin.map { case (id, dv) =>
+          id -> (dv +: sel.map(c => d2(vecs(id), vecs(c)))).min
+        }
+    }
+    val got = Similarity.kmeansParallelSeeds(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2))))
+      .toVector
+    assert(got.sorted === expected.sorted)
+    assert(expected.count(_._1 > 0) >= 3,
+      "fixture must actually select oversampled seeds")
+  }
+
   test("hubness on the NN-descent graph: histogram equals that graph's " +
     "in-degrees, covers the corpus, conserves its edge endpoints") {
     val g = Similarity.knnDescent(spark, Sf).collect().map(_.getLong(1))

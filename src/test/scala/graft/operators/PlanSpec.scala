@@ -289,12 +289,26 @@ class PlanSpec extends SparkSpec {
       s"salted join degenerated:\n$j")
   }
 
-  test("triangle census: wedge and closure joins are equi, never a nested loop") {
+  test("triangle census: joins are equi, never a nested loop; the edge " +
+    "frame is materialized — the LSH chain is never re-derived") {
     val p = plan(Graph.triangleCensus(spark, Sf))
     // the only permissible non-equi join is the final 1x1 stats x tri glue
     val loops = "BroadcastNestedLoopJoin".r.findAllIn(p).size +
       "CartesianProduct".r.findAllIn(p).size
     assert(loops <= 1, s"wedge/closure joins degenerated to nested loops:\n$p")
+    // censusOf references the edge frame repeatedly (degrees, the
+    // orientation join, the adjacency build): every reference must read
+    // the checkpointed RDD — the banded-LSH pair derivation and its
+    // documents scan must NOT reappear anywhere in the census plan
+    // (the round-11 11.2x-superlinear census was exactly this unrolled)
+    assert(p.contains("ExistingRDD"),
+      s"expected checkpointed-edge scans under the census:\n$p")
+    assert(!p.contains("documents") && !p.contains("Parquet"),
+      s"census plan re-derives the corpus chain:\n$p")
+    // the sampled estimator shares censusOf; pin the same contract
+    val ps = plan(Graph.triangleSample(spark, Sf))
+    assert(ps.contains("ExistingRDD") && !ps.contains("Parquet"),
+      s"sampled census re-derives the corpus chain:\n$ps")
   }
 
   test("pagerank: iterations are materialized — final plan reads stored " +
