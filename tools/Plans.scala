@@ -53,7 +53,7 @@ object Plans {
       "rel_merge_upsert" -> "MERGE/upsert/delete: one shuffle per side on the merge key, full-outer SMJ, coalesce + tombstone-arm projection, unmatched-tombstone filter — the full CDC apply",
       "rel_scd2_late_splice" -> "SCD2 late splice: one window over base history, anti join excludes rewritten keys, semi-joined affected keys re-windowed — rewrite cost bounded by the late batch's key set",
       "sim_pq_lloyd_chain" -> "PQ-Lloyd chain: three assignment+means rounds, each a broadcast <=128-row codebook join + one (vec,sub) exchange; corpus scan shared via AQE exchange reuse",
-      "graph_triangle_sample" -> "DOULION census: hash60 edge coin filters the pair set BEFORE orientation — wedge fan-out shrinks ~p^2; same census body as the exact count",
+      "graph_triangle_sample" -> "DOULION census: hash60 edge coin filters the MATERIALIZED pair set (ExistingRDD — never re-derives the LSH chain); forward algorithm per-edge sorted-adjacency intersection, adjacency broadcast under the 8M-edge bar",
       "graph_pagerank" -> "PageRank: adjacency localCheckpoint'ed once, per-iteration rank checkpoint (lineage truncated — final plan reads ExistingRDD; the 100x rehearsal measured the un-materialized unroll at 88x its 10x cost)",
       "text_span_dedup" -> "span dedup: ONE span-hash exchange carries the shingle stream (window rank picks canonicals — never a self-join); removal explode bounded by dup-span volume; per-doc rebuild aggregate after a left-anti position join",
       "graph_kcore" -> "k-core: checkpointed peel rounds — final plan reads ExistingRDD members, two membership equi joins + one partial-agged degree count; never re-derives earlier rounds or the LSH chain",
@@ -79,7 +79,7 @@ object Plans {
       "text_zipf_fit" -> "zipf fit: one partial-agged token count, TakeOrderedAndProject 200-row head (vocabulary never sorts globally), single-partition window+agg over <=200 rows",
       "mm_phash_pairs" -> "phash pairs: codegen char-ngram simhash scan, (mime,block,value) bucket join with leftmost-block dedup — candidates unique by construction, exact bit_count verify",
       "events_top_paths" -> "top paths: ONE user_id exchange serves the sort and both lead()s (single window spec), partial-agged path count, TakeOrderedAndProject top-20",
-      "graph_local_clustering" -> "local clustering: the census's oriented wedge join (arboricity-bounded fan-out), triangle list charged to 3 corners via unionAll + ONE partial-agged count, degrees LEFT-joined for cc=0 totality",
+      "graph_local_clustering" -> "local clustering: the census's forward-algorithm triangle edges (SortedIntersectExpr per oriented edge, broadcast adjacency), charged to 3 corners via one 2-per-edge explode + one ws explode + ONE partial-agged count; degrees LEFT-joined for cc=0 totality",
       "graph_eigencentrality" -> "eigencentrality: per iteration one adjacency equi-join + decimal agg + broadcast 1-row L1 normalizer; iterates checkpointed — final plan reads ExistingRDD",
       "sim_silhouette" -> "silhouette: O(2^nBits)-row centroid table broadcast against ONE corpus scan; conditional-MIN a/b collapse in a single partial agg; decimal per-bucket means",
       "rel_join_delta_view" -> "IVM join view: all three delta terms join a BROADCAST small side (delta batch / changed dim keys); only shuffles are the signed delta agg + the full-outer apply on the view key — cost ∝ delta + view keys",
@@ -87,7 +87,15 @@ object Plans {
       "dedup_funnel" -> "dedup funnel: three layer derivations (fp group-join, LSH band join, containment prefix-filter) reduced to flag sets, one unionAll + first-layer agg + 3-row cumulative window — as scalable as its layers",
       "text_lexical_diversity" -> "lexical diversity: explode -> (doc,token) partial count -> per-doc rollup riding the shared doc_id prefix partitioning; integer moments, one double division per ratio",
       "events_markov_stationary" -> "markov stationary: the ONE user_id window exchange of the transition count; everything after runs on the |types|^2 matrix — broadcast normalizers, checkpointed iterates",
-      "sim_graph_ann_topk" -> "graph ANN: per hop one frontier equi-join vs the k-out-degree graph + broadcast-query scoring + per-query window rank; beams checkpointed; candidate volume nQ*beam*(k+1) however big the corpus")
+      "sim_graph_ann_topk" -> "graph ANN: per hop one frontier equi-join vs the k-out-degree graph + broadcast-query scoring + per-query window rank; beams checkpointed; candidate volume nQ*beam*(k+1) however big the corpus",
+      "sim_knn_descent" -> "NN-descent: two-seed bucket init, per round reverse-cap window + sym/two-hop DISTINCT equi-joins + corpus scoring joins + partial_graft_topk heaps; graph iterate checkpointed — candidate volume O(N*(k+r)^2)/round, never O(N^2)",
+      "dedup_lsh_append" -> "incremental LSH: standing index REUSED (no standing x standing join) — new-batch signatures band-join the appended index, new-pair filter, exact verify only on the delta",
+      "dedup_editdist_passjoin" -> "PassJoin: pigeonhole segment explode (maxDist+1 per name) equi-joins substring probes on (segment, position band) — no length-band cross join; levenshtein verify only on candidates",
+      "sim_hubness_descent" -> "descent-graph hubness: the NN-descent build's bounded rounds, then ONE partial-agged in-degree count + ONE histogram agg; corpus LEFT join keeps the antihub zero bucket",
+      "sim_kmeanspp_seeds" -> "k-means||: per round one DECIMAL phi aggregate + one filtered corpus scan (expected-l driver rows) + map-side dmin update vs LITERAL centers — no joins, no shuffles beyond the 1-row aggs; state checkpointed",
+      "rel_histogram_quantiles" -> "histogram quantiles: two partial-agged scans (min/max, bin counts) — exchange carries <=nBins rows; cumulative window + percentile cut run on the AGGREGATED frame only",
+      "text_dsir_weights" -> "DSIR: two partial-agged token scans build the <=nBuckets log-ratio table, broadcast to the occurrence stream; only data-volume exchange is the per-doc aggregate",
+      "text_ccnet_buckets" -> "CCNet buckets: unigram-LM chain + per-lang min/max broadcast + INTEGER bin labels via broadcast tertile cuts — no per-lang global sort; cumulative window over the <=lang*nBins histogram")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
