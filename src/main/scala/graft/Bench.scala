@@ -97,6 +97,7 @@ object Bench {
     "text_dsir_weights", // added r12: hashed-unigram importance weights, broadcast LM
     "text_ccnet_buckets", // added r12: per-lang perplexity tertiles via histogram cut
     "mm_phash_pairs", // added r12: banded Hamming join over 64-bit pHashes
+    "events_attribution", // added r12: bucketed range join + credit window
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

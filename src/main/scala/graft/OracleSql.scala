@@ -1443,6 +1443,31 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  AND epoch_ms(r.ts) < epoch_ms(l.ts)
         |WHERE l.event_type = 'error'
         |GROUP BY 1, 2, 3""".stripMargin,
+    "events_attribution" ->
+      // twin of Events.attribution (purchase <- view/click/signup,
+      // 6h lookback, linear credit): the raw range predicate (the Spark
+      // side's 2-bucket probe is an exact cover); credit = value/n via
+      // a per-conversion count window; round-2 sums absorb order ULPs
+      """WITH conv AS (SELECT event_id AS conv_id, user_id,
+        |    epoch_ms(ts) AS ms, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |paired AS (SELECT c.conv_id, c.value, t.event_type AS touch_type
+        |  FROM conv c JOIN events t ON c.user_id = t.user_id
+        |    AND t.event_type IN ('view', 'click', 'signup')
+        |    AND epoch_ms(t.ts) >= c.ms - 21600000
+        |    AND epoch_ms(t.ts) < c.ms),
+        |credited AS (SELECT conv_id, touch_type,
+        |    value / (count(*) OVER (PARTITION BY conv_id)) AS credit
+        |  FROM paired)
+        |SELECT touch_type, count(*) AS n_touches,
+        |  count(DISTINCT conv_id) AS n_conversions,
+        |  round(sum(credit), 2) AS attributed_value
+        |FROM credited GROUP BY touch_type
+        |UNION ALL
+        |SELECT 'direct' AS touch_type, 0 AS n_touches,
+        |  count(*) AS n_conversions, round(sum(value), 2) AS attributed_value
+        |FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM paired)
+        |HAVING count(*) > 0""".stripMargin,
     "events_funnel" ->
       // twin of Events.funnel (view→click→purchase): stage k = users
       // with a stage-k event at-or-after (>=, simultaneous counts) their

@@ -168,6 +168,7 @@ object SparkEntry {
     "events_cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
     "events_path_transitions" -> (Events.pathTransitions _),
     "events_markov_stationary" -> ((s, d) => Events.markovStationary(s, d)),
+    "events_attribution" -> ((s, d) => Events.attribution(s, d)),
     "events_top_paths" -> ((s, d) => Events.topPaths(s, d)),
     "events_anomaly_zscore" -> ((s, d) => Events.anomalyZscore(s, d)),
     "events_sliding_agg" -> (Events.slidingAgg _),

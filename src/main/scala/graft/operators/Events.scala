@@ -546,4 +546,72 @@ object Events {
         round(coalesce($"tot".cast("double"), lit(0.0)) /
           $"g".cast("double"), 8).as("empirical_from_share"))
   }
+
+  /** MULTI-TOUCH ATTRIBUTION (linear model) — each conversion's value
+    * split equally across the user's touch events inside the lookback
+    * window, credited to the touch TYPE; conversions with no in-window
+    * touch report as 'direct'. This is the standard marketing /
+    * growth-analytics question ("which channel earns the revenue?")
+    * re-expressed over the events stream; the linear model is the
+    * order-free member of the classic family (first/last-touch are
+    * [[asofJoin]] shapes, U-shaped adds position weights to THIS plan).
+    *
+    * Shape at 100 TB: the conversion×touch pairing is the
+    * [[rangeJoinPriorCounts]] bucketed range join — each conversion
+    * probes exactly TWO (user, time-bucket) keys, so the join is equi
+    * on (user, bucket) with a residual window filter, never an
+    * unbounded time-range explode; the per-conversion touch count is
+    * one window over the conv-keyed pairing (bounded by in-window touch
+    * volume), and the rollup is one partial-agged exchange on the touch
+    * type. Determinism: credit = value/n is one double divide; sums
+    * round at 2 (the [[hourlyAgg]] ULP-absorption convention).
+    * Output: one row per touch type + 'direct'. */
+  def attribution(s: SparkSession, dir: String,
+                  convType: String = "purchase",
+                  touchTypes: Seq[String] = Seq("view", "click", "signup"),
+                  windowMs: Long = 21600000L): DataFrame =
+    attributionFrom(
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          unix_millis($"ts").as("ms")),
+      convType, touchTypes, windowMs)
+
+  /** Core of [[attribution]] over any (event_id, user_id, event_type,
+    * value, ms) frame. */
+  def attributionFrom(ev: DataFrame, convType: String,
+                      touchTypes: Seq[String], windowMs: Long): DataFrame = {
+    require(windowMs > 0 && touchTypes.nonEmpty,
+      s"need windowMs > 0 and touch types, got $windowMs / $touchTypes")
+    def bucketOf(ms: Column): Column = floor(ms / windowMs).cast("long")
+    val conv = ev.filter($"event_type" === convType)
+      .select($"event_id".as("conv_id"), $"user_id", $"ms", $"value")
+    val touch = ev.filter($"event_type".isInCollection(touchTypes))
+      .select($"user_id".as("t_user"), $"event_type".as("touch_type"),
+        bucketOf($"ms").as("t_bucket"), $"ms".as("t_ms"))
+    val paired = conv
+      .withColumn("probe_bucket",
+        explode(array(bucketOf($"ms") - 1, bucketOf($"ms"))))
+      .join(touch,
+        $"user_id" === $"t_user" && $"probe_bucket" === $"t_bucket" &&
+          $"t_ms" >= $"ms" - windowMs && $"t_ms" < $"ms")
+      .select($"conv_id", $"value", $"touch_type")
+    val n = Window.partitionBy($"conv_id")
+    val credited = paired
+      .withColumn("credit", $"value" / count(lit(1)).over(n))
+    val byType = credited.groupBy($"touch_type")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct($"conv_id").as("n_conversions"),
+        round(sum($"credit"), 2).as("attributed_value"))
+    val direct = conv
+      .join(paired.select($"conv_id").distinct(), Seq("conv_id"), "left_anti")
+      .agg(
+        lit(0L).as("n_touches"),
+        count(lit(1)).as("n_conversions"),
+        round(sum($"value"), 2).as("attributed_value"))
+      .select(lit("direct").as("touch_type"), $"n_touches",
+        $"n_conversions", $"attributed_value")
+      .filter($"n_conversions" > 0)
+    byType.unionByName(direct)
+  }
 }

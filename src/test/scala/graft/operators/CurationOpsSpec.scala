@@ -760,6 +760,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(1L)._5 > got(2L)._5)
   }
 
+  test("attribution: linear credit on a hand-built fixture; window " +
+    "boundaries half-open; untouched conversions fall to 'direct'") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: two in-window touches share the 10.0 purchase equally
+      (1L, 1L, "view", 0.0, 1000L),
+      (2L, 1L, "click", 0.0, 1500L),
+      (3L, 1L, "purchase", 10.0, 2000L),
+      // u2: no touches at all
+      (4L, 2L, "purchase", 7.5, 9000L),
+      // u3: touch at the SAME ms as the conversion — excluded (t < ms)
+      (5L, 3L, "view", 0.0, 3000L),
+      (6L, 3L, "purchase", 2.0, 3000L),
+      // u4: touch older than the window — excluded (t >= ms - window)
+      (7L, 4L, "click", 0.0, 500L),
+      (8L, 4L, "purchase", 4.0, 2000L))
+      .toDF("event_id", "user_id", "event_type", "value", "ms")
+    val got = Events.attributionFrom(ev, "purchase",
+        Seq("view", "click", "signup"), windowMs = 1000L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("view") === ((1L, 1L, 5.0)))
+    assert(got("click") === ((1L, 1L, 5.0)))
+    assert(got("direct") === ((0L, 3L, 13.5)))
+    assert(got.size === 3)
+    // boundary inclusion: a touch exactly at ms - window IS in window
+    val ev2 = Seq(
+      (1L, 1L, "view", 0.0, 1000L),
+      (2L, 1L, "purchase", 6.0, 2000L))
+      .toDF("event_id", "user_id", "event_type", "value", "ms")
+    val g2 = Events.attributionFrom(ev2, "purchase",
+        Seq("view"), windowMs = 1000L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(g2 === Map("view" -> ((1L, 1L, 6.0))))
+  }
+
   test("dsir weights: hand-built reference on a disjoint-vocabulary " +
     "fixture; target docs positive, off-target negative, empty doc absent") {
     import spark.implicits._
