@@ -1681,7 +1681,45 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     s"CASE WHEN n < $k THEN n::DOUBLE " +
       s"ELSE ${(k - 1).toDouble} * 1152921504606846976.0 / max_h::DOUBLE END"
 
+  /** Raw HLL estimate expression over (s_scaled) — twin of Dedup.hllEstFrom:
+    * alpha_256 · m² · 2^53 / S with every operator in the Spark plan's
+    * left-associated order, so the doubles agree bit-for-bit. */
+  private val hllRawSql: String =
+    "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0" +
+      " / CAST(s_scaled AS DOUBLE)"
+
   private val dedup: Map[String, String] = Map(
+    "dedup_hll_distinct" ->
+      // twin of Dedup.hllDistinct: deterministic HLL registers off the
+      // shared hash60 fingerprint (top 8 bits → register, rank = leading
+      // zeros of the 52-bit remainder + 1 via the minimal bin()
+      // rendering both engines share); harmonic denominator carried as
+      // the exact integer Σ 2^(53−mj) (+ 2^53 per empty register);
+      // raw-vs-linear-counting branch as in Flajolet et al. AofA'07
+      s"""WITH f AS (SELECT source,
+         |    ${h60("regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")} AS h FROM $docs),
+         |r AS (SELECT source, h >> 52 AS reg,
+         |    CASE WHEN (h & 4503599627370495) = 0 THEN 53
+         |         ELSE 53 - length(bin(h & 4503599627370495)) END AS rho FROM f),
+         |bysrc AS (SELECT source, reg, CAST(max(rho) AS BIGINT) AS mj
+         |  FROM r GROUP BY 1, 2),
+         |regs AS (SELECT * FROM bysrc UNION ALL
+         |  SELECT 'ALL' AS source, reg, max(mj) AS mj FROM bysrc GROUP BY reg),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs,
+         |    CAST(sum(1::BIGINT << CAST(53 - mj AS INTEGER)) AS BIGINT) AS s_present
+         |  FROM regs GROUP BY source),
+         |sc AS (SELECT source, 256 - n_regs AS n_zero_regs,
+         |    s_present + (256 - n_regs) * 9007199254740992 AS s_scaled FROM g),
+         |est AS (SELECT source, n_zero_regs, s_scaled,
+         |    round(CASE WHEN $hllRawSql <= 640.0 AND n_zero_regs > 0
+         |      THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE))
+         |      ELSE $hllRawSql END, 4) AS est_hll FROM sc),
+         |ex AS (SELECT source, count(DISTINCT h) AS n_exact FROM f GROUP BY source
+         |  UNION ALL SELECT 'ALL', count(DISTINCT h) FROM f)
+         |SELECT est.source, n_zero_regs, s_scaled, est_hll, n_exact,
+         |  round(abs(est_hll - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE), 4) AS err_rel
+         |FROM est JOIN ex ON est.source = ex.source""".stripMargin,
     "dedup_kmv_distinct" ->
       // twin of Dedup.kmvDistinct (k=64): distinct-content estimate per
       // source from the k-minimum-values sketch

@@ -194,6 +194,7 @@ object SparkEntry {
     "dedup_editdist_passjoin" -> ((s, d) => Dedup.editDistancePassJoin(s, d)),
     "dedup_kmv_distinct" -> ((s, d) => Dedup.kmvDistinct(s, d)),
     "dedup_kmv_overlap" -> ((s, d) => Dedup.kmvOverlap(s, d)),
+    "dedup_hll_distinct" -> ((s, d) => Dedup.hllDistinct(s, d)),
     "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
     "corpus_jsonl_dedup" -> ((s, d) => Dedup.jsonlCorpusDedup(s, d)),
     "layout_compaction_plan" -> ((s, d) => graft.sources.Layout.compactionPlan(s, d)),

@@ -651,10 +651,12 @@ object Dedup {
   // [[crossSourceMatrix]]: that one counts verified near-dup PAIRS via
   // the LSH join; this one estimates exact-content overlap from
   // |sources| tiny (k-row) synopses — at 100 TB the overlap audit reads
-  // kB of sketch, not the corpus. Unlike HLL (engine-specific register
-  // layouts), KMV over the md5-derived hash60 is DETERMINISTIC and
-  // engine-neutral, so the estimates themselves hash-compare in the
-  // DuckDB gate.
+  // kB of sketch, not the corpus. KMV over the md5-derived hash60 is
+  // DETERMINISTIC and engine-neutral, so the estimates themselves
+  // hash-compare in the DuckDB gate (as does the deterministic
+  // [[hllDistinct]] register sketch below — the two cover the
+  // distinct-estimation cost/accuracy spectrum: k·8 B KMV sketches
+  // support intersection estimates, 256 B HLL registers merge by MAX).
 
   /** 2^60 as an (exactly representable) double — the hash60 value range. */
   private val TwoPow60: Double = 1152921504606846976.0
@@ -750,6 +752,95 @@ object Dedup {
       round(uEst, 2).as("union_est"),
       round(rho * uEst, 2).as("inter_est"))
   }
+
+  // ---- HyperLogLog: engine-neutral register sketch --------------------
+  //
+  // The HLL sketch (Flajolet, Fusy, Gandouet & Meunier, AofA'07) with a
+  // DETERMINISTIC register layout: registers are carved out of the same
+  // md5-derived hash60 every other sketch here uses (top 8 bits →
+  // register, remaining 52 bits → rank), so unlike engine-native
+  // approx_count_distinct sketches (whose register values differ per
+  // engine and can only be bound-checked, see rel_approx_distinct) the
+  // registers AND the estimate hash-compare exactly in the DuckDB gate.
+  // Where KMV keeps the k smallest hashes (k·8 B per source), HLL keeps
+  // one 6-bit rank per register (256 B per source at p=8) and merges by
+  // register-wise MAX — the 100 TB posture: every partition sketches
+  // independently, merge is a 256-row agg, and a cross-source union
+  // estimate never rescans any corpus.
+
+  /** Register count exponent p: 2^8 = 256 registers — relative error
+    * ~1.04/√256 ≈ 6.5%. */
+  private val HllRemBits = 52 // 60-bit hash minus the 8 register bits
+
+  /** Per-source HLL REGISTER rows (source, reg, mj): mj = max over the
+    * source's contents of (#leading zero bits of the 52-bit remainder)
+    * + 1 ∈ [1, 53]. No distinct pass — register max absorbs repeats by
+    * construction, so the whole build is ONE partial-aggregated shuffle
+    * of ≤ 256 rows per source. Rank via the minimal binary rendering
+    * (both engines' `bin` strips leading zeros; rem = 0 ⇒ all 52 bits
+    * zero ⇒ rank 53). */
+  def hllRegistersFrom(docs: DataFrame): DataFrame = {
+    val rem = $"h".bitwiseAND(lit((1L << HllRemBits) - 1))
+    docs
+      .select($"source",
+        hash60(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("h"))
+      .select($"source", shiftright($"h", HllRemBits).as("reg"),
+        when(rem === 0, lit(HllRemBits + 1))
+          .otherwise(lit(HllRemBits + 1) - length(bin(rem)))
+          .cast("long").as("rho"))
+      .groupBy($"source", $"reg").agg(max($"rho").as("mj"))
+  }
+
+  /** HLL estimate columns over a grouped register frame. The harmonic
+    * denominator Σ 2^−mj is carried as the INTEGER Σ 2^(53−mj) (every
+    * term and the ≤ 256·2^53 sum are exact in BIGINT — no FP ordering
+    * hazard across engines); zero registers contribute 2^53 each. The
+    * raw-vs-linear-counting branch follows the paper: E ≤ 2.5m with
+    * empty registers → m·ln(m/V). The single terminal ln/÷ are the one
+    * FP step, rounded at 4 dp (the text-suite ln-parity discipline). */
+  private[operators] def hllEstFrom(regs: DataFrame, key: Column): DataFrame = {
+    val m = 256.0
+    val grouped = regs.groupBy(key.as("source"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
+          .as("s_present"))
+    val vZero = lit(256L) - $"n_regs"
+    val sScaled = $"s_present" + vZero * lit(1L << 53)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val raw = alpha * lit(m * m) * lit(9007199254740992.0) /
+      sScaled.cast("double")
+    val est = when(raw <= lit(2.5 * m) && vZero > 0,
+      lit(m) * log(lit(m) / vZero.cast("double"))).otherwise(raw)
+    grouped.select($"source", vZero.as("n_zero_regs"),
+      sScaled.as("s_scaled"), round(est, 4).as("est_hll"))
+  }
+
+  /** Per-source + merged-union HLL distinct-content estimates. Output:
+    * (source, n_zero_regs, s_scaled, est_hll, n_exact, err_rel) — one
+    * row per source plus an `ALL` row whose registers are the
+    * register-wise MAX of the per-source sketches (the mergeability
+    * demonstration: the union estimate is computed from 256-row
+    * sketches, not from data). `n_exact`/`err_rel` are the self-audit
+    * columns — the one count-distinct pass a 100 TB deployment would
+    * drop, kept here so the gate verifies the estimator's error, not
+    * just its determinism. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bySrc = hllRegistersFrom(docs).localCheckpoint(true)
+    val regs = bySrc.unionByName(
+      bySrc.groupBy($"reg").agg(max($"mj").as("mj"))
+        .select(lit("ALL").as("source"), $"reg", $"mj"))
+    val fp = docs.select($"source",
+      hash60(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("h"))
+    val exact = fp.groupBy($"source").agg(countDistinct($"h").as("n_exact"))
+      .unionByName(fp.agg(countDistinct($"h").as("n_exact"))
+        .select(lit("ALL").as("source"), $"n_exact"))
+    hllEstFrom(regs, $"source").join(exact, Seq("source"))
+      .select($"source", $"n_zero_regs", $"s_scaled", $"est_hll", $"n_exact",
+        round(abs($"est_hll" - $"n_exact".cast("double")) /
+          $"n_exact".cast("double"), 4).as("err_rel"))
+  }
+
   /** DEDUP FUNNEL — the layered "onion" audit of the whole dedup
     * family (the report RefinedWeb-style curation pipelines publish:
     * how much each successive dedup layer removes, Penedo et al.,

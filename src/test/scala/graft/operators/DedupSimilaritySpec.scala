@@ -1090,6 +1090,55 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("HLL: registers match a from-scratch scalar reference; union sketch = sketch of union; estimator bounded") {
+    import spark.implicits._
+    // scalar reference HLL off the same md5-derived layout
+    def scalarReg(s: String): (Long, Long) = {
+      val skel = s.toLowerCase.replaceAll("[^a-z0-9]", "")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(skel.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      val rem = h & ((1L << 52) - 1)
+      (h >>> 52, if (rem == 0) 53L else 53L - (64 - java.lang.Long.numberOfLeadingZeros(rem)))
+    }
+    val docs = Tables.documents(spark, Sf)
+    val expect = docs.select($"source", $"text").as[(String, String)].collect()
+      .map { case (src, t) => (src, scalarReg(t)) }
+      .groupBy { case (src, (reg, _)) => (src, reg) }
+      .map { case ((src, reg), xs) => (src, reg, xs.map(_._2._2).max) }.toSet
+    val got = Dedup.hllRegistersFrom(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect, "register frame differs from the scalar reference")
+    // mergeability: the ALL row's registers (max over per-source sketches)
+    // equal the sketch built directly over the union corpus
+    val allViaMerge = Dedup.hllRegistersFrom(docs)
+      .groupBy($"reg").agg(max($"mj").as("mj")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allDirect = Dedup.hllRegistersFrom(docs.withColumn("source", lit("ALL")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(allViaMerge === allDirect, "merged sketch != sketch of union")
+    // estimator: every row's self-audit error within 3 sigma of the
+    // p=8 standard error (1.04/sqrt(256) ~ 6.5%)
+    val rows = Dedup.hllDistinct(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).contains("ALL"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("err_rel") < 0.20,
+        s"${r.getString(0)}: err_rel ${r.getAs[Double]("err_rel")}")
+    }
+    // the harness-corpus rows above exercise linear counting (empty
+    // registers exist at fixture scale); exercise the RAW branch with a
+    // planted full-register sketch: every register at rank 3 ->
+    // S = 256 * 2^50, raw = alpha*m^2*8 = 4723.386... (hand arithmetic)
+    val planted = spark.range(256)
+      .select(lit("P").as("source"), $"id".as("reg"), lit(3L).as("mj"))
+    val praw = Dedup.hllEstFrom(planted, col("source")).collect().head
+    assert(praw.getAs[Long]("n_zero_regs") === 0L)
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    val expected = BigDecimal(alpha * 65536.0 * 9007199254740992.0 /
+      (256.0 * math.pow(2, 50))).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(praw.getAs[Double]("est_hll")) === expected)
+  }
+
   test("k-center seeds: matches the sequential Gonzalez greedy; farthest distance non-increasing") {
     import spark.implicits._
     // fixture with unambiguous geometry: 30 points in 3 well-separated
