@@ -1361,6 +1361,27 @@ private[graft] final class OracleSqlGen(sfDir: String) {
   // ---- events -----------------------------------------------------------
 
   private val events: Map[String, String] = Map(
+    "events_itemset_pairs" ->
+      // twin of Events.itemsetPairs: baskets = (user, UTC day), pairs
+      // via the DISTINCT self-join with type_a < type_b — equivalent to
+      // the Spark side's sorted-array i<j explode; lift/support doubles
+      // in the Spark plan's operand order
+      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+        |    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT count(*) AS n_baskets FROM
+        |    (SELECT DISTINCT user_id, day FROM d)),
+        |s AS (SELECT event_type, count(*) AS n_single FROM d GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.day = b.day
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_pair,
+        |  round(CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+        |  round((CAST(n_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE)) /
+        |    (CAST(sa.n_single AS DOUBLE) * CAST(sb.n_single AS DOUBLE)), 6) AS lift
+        |FROM p JOIN s sa ON sa.event_type = p.type_a
+        |  JOIN s sb ON sb.event_type = p.type_b CROSS JOIN n""".stripMargin,
     "events_hourly_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
@@ -1720,6 +1741,50 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round(abs(est_hll - CAST(n_exact AS DOUBLE))
          |    / CAST(n_exact AS DOUBLE), 4) AS err_rel
          |FROM est JOIN ex ON est.source = ex.source""".stripMargin,
+    "dedup_tfidf_cosine_pairs" -> {
+      // twin of Dedup.tfidfCosinePairs (threshold 0.85): same 6-dp
+      // DECIMAL(15,6) weights (squares/dot products are exact 12-dp
+      // decimal sums — partial-agg order can't move them), same
+      // rarity-order prefix filter with the same eps-loose double
+      // bound, same single terminal double divide per pair
+      val thrSql = 0.85.toString
+      val t2e = (0.85 * 0.85 - 1e-9).toString
+      s"""WITH tok AS (SELECT doc_id, ${h60("t")} AS th,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(${toks("lower(text)")}) AS t FROM $docs)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY th),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+         |wts AS (SELECT * FROM (
+         |  SELECT doc_id, tok.th, df,
+         |    CAST(round(CAST(tf AS DOUBLE)
+         |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+         |      AS DECIMAL(15,6)) AS dw
+         |  FROM tok JOIN dfq ON dfq.th = tok.th CROSS JOIN nd) WHERE dw > 0),
+         |wsq AS (SELECT doc_id, th, df, dw, dw * dw AS dsq FROM wts),
+         |norms AS (SELECT doc_id, sum(dsq) AS n2 FROM wsq GROUP BY doc_id),
+         |preb AS (SELECT wsq.th, wsq.doc_id, n2,
+         |    coalesce(sum(dsq) OVER (PARTITION BY wsq.doc_id
+         |      ORDER BY df ASC, th ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM wsq JOIN norms ON norms.doc_id = wsq.doc_id),
+         |pre AS (SELECT th, doc_id FROM preb
+         |  WHERE CAST(n2 - bef AS DOUBLE) >= $t2e * CAST(n2 AS DOUBLE)),
+         |cand AS (SELECT DISTINCT least(p.doc_id, t.doc_id) AS doc_a,
+         |    greatest(p.doc_id, t.doc_id) AS doc_b
+         |  FROM pre p JOIN wsq t ON t.th = p.th AND t.doc_id <> p.doc_id),
+         |num AS (SELECT doc_a, doc_b, sum(a.dw * b.dw) AS dot
+         |  FROM cand JOIN wsq a ON a.doc_id = cand.doc_a
+         |  JOIN wsq b ON b.doc_id = cand.doc_b AND b.th = a.th
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+         |    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+         |FROM num JOIN norms na ON na.doc_id = num.doc_a
+         |  JOIN norms nb ON nb.doc_id = num.doc_b
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+         |  * sqrt(CAST(nb.n2 AS DOUBLE))) >= $thrSql""".stripMargin
+    },
     "dedup_kmv_distinct" ->
       // twin of Dedup.kmvDistinct (k=64): distinct-content estimate per
       // source from the k-minimum-values sketch
@@ -3299,6 +3364,37 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |w0 AS MATERIALIZED (SELECT node AS start, node FROM nodes),
          |$stepCtes
          |$sel""".stripMargin
+    },
+    "graph_ktruss" -> {
+      // twin of Graph.kTruss (k=4, rounds=2): fixed truss peels — round
+      // i's per-edge support = common-neighbor count within round i-1's
+      // survivors (exactly the forward algorithm's triangle charge);
+      // edges below k-2 = 2 drop; output = survivor edges with support
+      // recomputed within the final set (LEFT join: a survivor whose
+      // support fell to 0 in the last recompute still reports its row).
+      // MATERIALIZED per round for the graph_kcore fd-exhaustion reason.
+      val rounds = 2
+      def supCte(i: Int, e: String, adj: String) =
+        s"""sup$i AS MATERIALIZED (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS s
+           |  FROM $e e JOIN $adj x ON x.src = e.a
+           |  JOIN $adj y ON y.src = e.b AND y.dst = x.dst
+           |  GROUP BY e.a, e.b)""".stripMargin
+      val peel = (1 to rounds).map { i =>
+        val prevE = if (i == 1) "edges" else s"e${i - 1}"
+        val prevAdj = if (i == 1) "adjm" else s"adj${i - 1}"
+        s"""${supCte(i, prevE, prevAdj)},
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prevE e
+           |  JOIN sup$i s ON s.a = e.a AND s.b = e.b WHERE s.s >= 2),
+           |adj$i AS MATERIALIZED (SELECT a AS src, b AS dst FROM e$i
+           |  UNION ALL SELECT b, a FROM e$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |$peel,
+         |${supCte(rounds + 1, s"e$rounds", s"adj$rounds")}
+         |SELECT e.a AS doc_a, e.b AS doc_b, coalesce(s.s, 0) AS support
+         |FROM e$rounds e LEFT JOIN sup${rounds + 1} s
+         |  ON s.a = e.a AND s.b = e.b""".stripMargin
     },
     "graph_kcore" -> {
       // twin of Graph.kCore (k=3, rounds=8): the fixed peel-round unroll

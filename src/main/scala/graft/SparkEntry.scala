@@ -110,6 +110,7 @@ object SparkEntry {
     "graph_triangle_sample" -> ((s, d) => Graph.triangleSample(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "graph_kcore" -> ((s, d) => Graph.kCore(s, d)),
+    "graph_ktruss" -> ((s, d) => Graph.kTruss(s, d)),
     "graph_pagerank_trajectory" -> ((s, d) => Graph.pageRankTrajectory(s, d)),
     "graph_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     "graph_random_walks" -> ((s, d) => Graph.randomWalks(s, d)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "text_shard_plan" -> ((s, d) => TextAnalysis.shardPlan(s, d)),
     // events (batch time-series)
     "events_hourly_agg" -> (Events.hourlyAgg _),
+    "events_itemset_pairs" -> ((s, d) => Events.itemsetPairs(s, d)),
     "events_sessionize" -> (Events.sessionize _),
     "events_top_type_per_user" -> (Events.topTypePerUser _),
     "events_props_extract" -> (Events.propsExtract _),
@@ -195,6 +197,7 @@ object SparkEntry {
     "dedup_kmv_distinct" -> ((s, d) => Dedup.kmvDistinct(s, d)),
     "dedup_kmv_overlap" -> ((s, d) => Dedup.kmvOverlap(s, d)),
     "dedup_hll_distinct" -> ((s, d) => Dedup.hllDistinct(s, d)),
+    "dedup_tfidf_cosine_pairs" -> ((s, d) => Dedup.tfidfCosinePairs(s, d)),
     "dedup_semantic_survivors" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
     "corpus_jsonl_dedup" -> ((s, d) => Dedup.jsonlCorpusDedup(s, d)),
     "layout_compaction_plan" -> ((s, d) => graft.sources.Layout.compactionPlan(s, d)),

@@ -963,6 +963,103 @@ object Dedup {
         round(sortedJaccard($"wh_a", $"wh_b"), 6).as("w_jaccard"))
   }
 
+  // ---- TF-IDF cosine all-pairs (Bayardo prefix filter) ----------------
+
+  /** TF-IDF COSINE PAIRS — the exact all-pairs similarity join over
+    * tf·idf-weighted token vectors (Bayardo, Ma & Srikant, WWW'07
+    * "Scaling Up All Pairs Similarity Search"): every document pair
+    * whose cosine over ln(N/df)-weighted token frequencies reaches the
+    * threshold. The weighted complement of [[ngramJaccardPairs]]: set
+    * similarity treats every shingle equally, so boilerplate-heavy
+    * pairs dominate; idf weighting discounts exactly those tokens, and
+    * the cosine join surfaces pairs that share RARE vocabulary — the
+    * topical-duplicate signal (same article rewritten) that set joins
+    * miss and embedding joins need a model for.
+    *
+    * Exactness machinery:
+    *  - PREFIX FILTER, norm form: order each doc's features by the
+    *    global (df asc, hash asc) rarity order; index only the head
+    *    positions whose remaining suffix still has ‖suffix‖² ≥ t²·‖v‖².
+    *    A pair sharing no indexed feature of one side has all shared
+    *    mass inside that side's suffix, so cos ≤ ‖suffix‖/‖v‖ < t —
+    *    the index-vs-ALL-features join below is therefore EXACT. The
+    *    pruning comparison runs in double with the [[ngramJaccardPairs]]
+    *    epsilon-in-the-loose-direction discipline (may admit one extra
+    *    candidate at a boundary, never drops a true pair).
+    *  - ENGINE-NEUTRAL ARITHMETIC: weights are rounded to 6 dp and
+    *    carried as DECIMAL(15,6); squared norms and the verify's dot
+    *    product are then sums of exact 12-dp decimals — associativity-
+    *    free, so partial-agg order can never move a value — and the
+    *    one floating division happens once per pair at the end, in the
+    *    same operand order in both engines.
+    *
+    * Shape for scale: tf/df are two partial-agged exchanges; the
+    * inverted-index join shuffles prefix entries against the token
+    * table on the token hash, and the rarity order keeps indexed
+    * tokens' df small — high-df stopwords sort LAST and fall out of
+    * every prefix, so the candidate exchange is bounded by rare-token
+    * collisions, never |corpus|². Verify touches candidate pairs only. */
+  def tfidfCosinePairs(s: SparkSession, dir: String,
+                       threshold: Double = 0.85): DataFrame =
+    tfidfCosinePairsFrom(
+      Tables.documents(s, dir).select($"doc_id", $"text"), threshold)
+
+  /** Core of [[tfidfCosinePairs]] over any (doc_id, text) frame. */
+  def tfidfCosinePairsFrom(docsIn: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    val t2 = threshold * threshold
+    val Eps = 1e-9
+    val docs = docsIn.select($"doc_id", $"text")
+    val tf = docs
+      .select($"doc_id", explode(wsTokens(lower($"text"))).as("tok"))
+      .select($"doc_id", hash60($"tok").as("th"))
+      .groupBy($"doc_id", $"th").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"th").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select($"doc_id").distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    // dw: 6-dp decimal weight; dsq: its exact 12-dp square
+    val weighted = tf.join(df, "th").crossJoin(broadcast(nDocs))
+      .withColumn("dw",
+        round($"tf".cast("double") *
+          log($"n_docs".cast("double") / $"df".cast("double")), 6)
+          .cast(DecimalType(15, 6)))
+      .filter($"dw" > 0)
+      .select($"doc_id", $"th", $"df", $"dw", ($"dw" * $"dw").as("dsq"))
+      .localCheckpoint(true)
+    val norms = weighted.groupBy($"doc_id").agg(sum($"dsq").as("n2"))
+    // prefix: positions (rarity order) whose suffix-from-here mass
+    // still reaches t^2 * n2 — the minimal head the bound needs
+    val prefix = weighted.join(norms, "doc_id")
+      .withColumn("before", coalesce(sum($"dsq").over(
+        Window.partitionBy($"doc_id").orderBy($"df".asc, $"th".asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .filter(($"n2" - $"before").cast("double") >=
+        lit(t2 - Eps) * $"n2".cast("double"))
+      .select($"th", $"doc_id")
+    val cands = prefix.as("p")
+      .join(weighted.select($"th", $"doc_id".as("probe_doc")).as("t"), Seq("th"))
+      .filter($"doc_id" =!= $"probe_doc")
+      .select(least($"doc_id", $"probe_doc").as("doc_a"),
+        greatest($"doc_id", $"probe_doc").as("doc_b"))
+      .distinct()
+    val num = cands
+      .join(weighted.select($"th", $"doc_id".as("doc_a"), $"dw".as("dw_a")),
+        Seq("doc_a"))
+      .join(weighted.select($"th", $"doc_id".as("doc_b"), $"dw".as("dw_b")),
+        Seq("doc_b", "th"))
+      .groupBy($"doc_a", $"doc_b").agg(sum($"dw_a" * $"dw_b").as("dot"))
+    val cos = $"dot".cast("double") /
+      (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double")))
+    num
+      .join(norms.as("na"), $"doc_a" === col("na.doc_id"))
+      .join(norms.as("nb"), $"doc_b" === col("nb.doc_id"))
+      .filter(cos >= threshold)
+      .select($"doc_a", $"doc_b", round(cos, 6).as("cosine"))
+  }
+
   // ---- edit-distance entity resolution (dimension strings) ------------
 
   /** EDIT-DISTANCE NAME PAIRS — character-level fuzzy matching over a

@@ -614,4 +614,53 @@ object Events {
       .filter($"n_conversions" > 0)
     byType.unionByName(direct)
   }
+
+  /** FREQUENT EVENT-TYPE PAIRS — the 2-itemset market-basket census
+    * (Agrawal & Srikant, VLDB'94 A-Priori, at the k=2 level where the
+    * candidate space is just |types|² and needs no candidate pruning):
+    * baskets are (user, UTC day), items are the distinct event types in
+    * the basket, and every co-occurring type pair reports its basket
+    * count, support, and lift — the behavioral complement of
+    * [[pathTransitions]] (which is ORDER-sensitive and adjacent-only;
+    * this is order-free whole-basket co-occurrence, the "viewed AND
+    * purchased same day" signal).
+    *
+    * Shape for scale: one shuffle builds the per-basket sorted distinct
+    * type array (collect_set is bounded by |event types|, a small
+    * constant); pairs explode i<j off the sorted array map-side, so the
+    * pair exchange carries ≤ |types|²/2 rows per basket and the
+    * aggregate output is ≤ |types|² rows total whatever the event
+    * volume. Singles/total join back by broadcast. No self-join of the
+    * event table — the twin's DISTINCT self-join formulation is the
+    * semantics, not the plan. */
+  def itemsetPairs(s: SparkSession, dir: String): DataFrame =
+    itemsetPairsFrom(Tables.events(s, dir)
+      .filter($"user_id".isNotNull && $"event_type".isNotNull)
+      .select($"user_id", date_trunc("day", $"ts").as("day"), $"event_type"))
+
+  /** Core of [[itemsetPairs]] over any (user_id, day, event_type) frame. */
+  def itemsetPairsFrom(base: DataFrame): DataFrame = {
+    val baskets = base.groupBy($"user_id", $"day")
+      .agg(sort_array(collect_set($"event_type")).as("types"))
+      .localCheckpoint(true)
+    val nB = baskets.agg(count(lit(1)).as("n_baskets"))
+    val singles = baskets.select(explode($"types").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("n_single"))
+    val pairs = baskets
+      .select($"types", posexplode($"types").as(Seq("i", "type_a")))
+      .select($"type_a",
+        explode(expr("slice(types, i + 2, size(types))")).as("type_b"))
+      .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(broadcast(singles.select($"t".as("type_a"), $"n_single".as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(singles.select($"t".as("type_b"), $"n_single".as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nB))
+      .select($"type_a", $"type_b", $"n_pair",
+        round($"n_pair".cast("double") / $"n_baskets".cast("double"), 6)
+          .as("support"),
+        round(($"n_pair".cast("double") * $"n_baskets".cast("double")) /
+          ($"n_a".cast("double") * $"n_b".cast("double")), 6).as("lift"))
+  }
 }

@@ -397,6 +397,58 @@ object Graph {
     coreDeg(members).select($"node".as("doc_id"), $"d".as("core_deg"))
   }
 
+  /** K-TRUSS — the edge-level cohesion peel (Cohen, "Trusses: cohesive
+    * subgraphs for social network analysis", 2008; distributed form:
+    * Wang & Cheng, VLDB'12): repeatedly drop every edge supported by
+    * fewer than k−2 triangles within the current subgraph. Where
+    * [[kCore]] keeps nodes with enough NEIGHBORS, the truss keeps edges
+    * with enough TRIANGLES — the strictly stronger cohesion cut, and on
+    * a near-dup graph the sharpest template-family extractor: a
+    * boilerplate hub's spoke edges have high degree but almost no
+    * closed triangles, so the truss drops them while keeping genuine
+    * mirror cliques intact (a clique of c docs survives any k ≤ c).
+    *
+    * Fixed `rounds` peels (the [[labelPropagation]]/[[kCore]]
+    * determinism discipline — each round is a pure function of the
+    * previous edge set, so the twin unrolls the same rounds as
+    * MATERIALIZED CTEs); output is the surviving edge list with its
+    * support recomputed WITHIN the survivor set. Per round the support
+    * pass is one [[triangleEdges]] derivation — the degree-ordered
+    * forward algorithm, orientation-bounded merge per edge, never a
+    * wedge exchange — plus one explode(3 charges/triangle) + one
+    * partial-agged sum + one equi-join filter, every iterate
+    * checkpointed so round r never re-derives rounds 1..r−1. */
+  def kTruss(s: SparkSession, dir: String, k: Int = 4, rounds: Int = 2): DataFrame =
+    kTrussFrom(edges(s, dir).localCheckpoint(true), k, rounds)
+
+  /** Core of [[kTruss]] over any materialized (a, b) a<b edge frame. */
+  def kTrussFrom(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"need k >= 3 and rounds >= 1")
+    // per-edge triangle support: each (s, t, ws) row charges size(ws)
+    // to the (s, t) edge and 1 to each of the two closing edges (s, w),
+    // (t, w) — every triangle contributes once to each of its 3 edges
+    def support(e: DataFrame): DataFrame = {
+      val tri = triangleEdges(e, degrees(e))
+      val st = tri.select(least($"s", $"t").as("a"),
+        greatest($"s", $"t").as("b"), size($"ws").cast("long").as("c"))
+      val sw = tri.select($"s", $"t", explode($"ws").as("w"))
+        .select(explode(array(
+          struct(least($"s", $"w").as("a"), greatest($"s", $"w").as("b")),
+          struct(least($"t", $"w").as("a"), greatest($"t", $"w").as("b"))))
+          .as("x"))
+        .select($"x.a".as("a"), $"x.b".as("b"), lit(1L).as("c"))
+      st.unionByName(sw).groupBy($"a", $"b").agg(sum($"c").as("support"))
+    }
+    var e = e0
+    for (_ <- 1 to rounds)
+      e = e.join(support(e), Seq("a", "b"))
+        .filter($"support" >= k - 2)
+        .select($"a", $"b").localCheckpoint(true)
+    e.join(support(e), Seq("a", "b"), "left")
+      .select($"a".as("doc_a"), $"b".as("doc_b"),
+        coalesce($"support", lit(0L)).as("support"))
+  }
+
   /** LABEL PROPAGATION COMMUNITIES — synchronous LPA (Raghavan et al.,
     * Phys. Rev. E 76, 2007) over the near-dup graph at a FIXED round
     * count: each round, every node adopts the most frequent label among

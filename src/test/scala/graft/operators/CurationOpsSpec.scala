@@ -797,6 +797,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(g2 === Map("view" -> ((1L, 1L, 6.0))))
   }
 
+  test("itemset pairs: hand-computed support and lift; dedup within " +
+    "basket; no cross-day or cross-user pairing") {
+    import spark.implicits._
+    // baskets: u1/d1 {view, click, purchase} (click twice — dedup),
+    // u1/d2 {view}, u2/d1 {view, click}, u3/d1 {purchase}
+    // -> 4 baskets; pairs: (click,view) x2, (click,purchase) x1,
+    //    (purchase,view) x1
+    val base = Seq(
+      (1L, "d1", "view"), (1L, "d1", "click"), (1L, "d1", "click"),
+      (1L, "d1", "purchase"),
+      (1L, "d2", "view"),
+      (2L, "d1", "view"), (2L, "d1", "click"),
+      (3L, "d1", "purchase"))
+      .toDF("user_id", "day", "event_type")
+    val got = Events.itemsetPairsFrom(base).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // singles: view 3, click 2, purchase 2; n_baskets 4
+    assert(got.keySet === Set(("click", "view"), ("click", "purchase"),
+      ("purchase", "view")))
+    assert(got(("click", "view")) === ((2L, 0.5, 1.333333))) // 8/6 @6dp
+    assert(got(("click", "purchase")) === ((1L, 0.25, 1.0))) // 4/4
+    assert(got(("purchase", "view")) === ((1L, 0.25, 0.666667))) // 4/6 @6dp
+    // registered query: bounded by |types|^2, canonical order, sane stats
+    val reg = Events.itemsetPairs(spark, Sf).collect()
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonical")
+      assert(r.getAs[Double]("support") > 0.0 && r.getAs[Double]("support") <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
   test("dsir weights: hand-built reference on a disjoint-vocabulary " +
     "fixture; target docs positive, off-target negative, empty doc absent") {
     import spark.implicits._

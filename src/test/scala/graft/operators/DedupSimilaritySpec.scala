@@ -1090,6 +1090,60 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tfidf cosine pairs: equals a brute-force all-pairs reference " +
+    "(prefix filter exact); identical docs score 1; threshold respected") {
+    import spark.implicits._
+    // planted corpus: template family (shared boilerplate + rare terms),
+    // an identical pair, and unrelated docs — cosines spread around the
+    // 0.3 test threshold so pruning is stressed at the boundary
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox leaps over the lazy cat",
+      4L -> "quantum flux capacitor resonance cascade theory",
+      5L -> "quantum flux capacitor overload cascade experiment",
+      6L -> "entirely different subject matter altogether here",
+      7L -> "the lazy dog naps under the brown fence",
+      8L -> "cascade theory of quantum resonance explained simply")
+    val docs = texts.toDF("doc_id", "text")
+    val thr = 0.3
+    val got = Dedup.tfidfCosinePairsFrom(docs, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force reference mirroring the declared arithmetic: 6-dp
+    // rounded weights, exact BigDecimal sums, one double divide
+    def toks(t: String) = t.toLowerCase.trim.split("\\s+").toSeq
+    val tf = texts.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).view.mapValues(_.size).toMap }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size)
+    val n = texts.size.toDouble
+    def w(id: Long): Map[String, BigDecimal] = tf(id).flatMap { case (t, c) =>
+      val dw = BigDecimal(c.toDouble * math.log(n / df(t)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if (dw > 0) Some(t -> dw) else None
+    }
+    val ids = texts.map(_._1)
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      wa = w(a); wb = w(b)
+      shared = wa.keySet intersect wb.keySet
+      if shared.nonEmpty
+      dot = shared.toSeq.map(t => wa(t) * wb(t)).sum
+      n2a = wa.values.map(x => x * x).sum
+      n2b = wb.values.map(x => x * x).sum
+      cos = dot.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))
+      if cos >= thr
+    } yield (a, b) -> BigDecimal(cos)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(got === expect,
+      s"engine ${got.toSeq.sorted} vs brute force ${expect.toSeq.sorted}")
+    assert(got((1L, 2L)) === 1.0, "identical docs must score 1.0")
+    assert(!got.contains((1L, 6L)), "unrelated docs must not pair")
+    // registered query well-formed at the default threshold
+    val reg = Dedup.tfidfCosinePairs(spark, Sf).collect()
+    assert(reg.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(reg.forall(r => r.getDouble(2) >= 0.85 && r.getDouble(2) <= 1.000001))
+  }
+
   test("HLL: registers match a from-scratch scalar reference; union sketch = sketch of union; estimator bounded") {
     import spark.implicits._
     // scalar reference HLL off the same md5-derived layout

@@ -199,6 +199,43 @@ class GraphSpec extends SparkSpec {
     reg.values.foreach(d => assert(d >= 3L, "non-core node survived the peel"))
   }
 
+  test("k-truss: triangle-support peel keeps the clique, drops pendant " +
+    "triangles and cascades through shared edges") {
+    import spark.implicits._
+    // 5-clique {1..5} (every edge in 3 triangles), a pendant triangle
+    // {10,11,12} (each edge in exactly 1), and a two-triangle strip
+    // 20-21-22-23 whose shared edge (21,22) starts at support 2 but
+    // must CASCADE out in round 2 once its side edges drop
+    val clique = (xs: Seq[Long]) =>
+      for (i <- xs.indices; j <- i + 1 until xs.size) yield (xs(i), xs(j))
+    val e = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      Seq((10L, 11L), (10L, 12L), (11L, 12L)) ++
+      Seq((20L, 21L), (20L, 22L), (21L, 22L), (21L, 23L), (22L, 23L)))
+      .toDF("a", "b").localCheckpoint(true)
+    val t4 = Graph.kTrussFrom(e, k = 4, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet === clique(Seq(1L, 2L, 3L, 4L, 5L)).toSet,
+      s"4-truss should be exactly the 5-clique, got ${t4.keySet}")
+    assert(t4.values.forall(_ === 3L), "every clique edge sits in 3 triangles")
+    // one more round changes nothing: the clique is a fixpoint
+    val t4b = Graph.kTrussFrom(e, k = 4, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4b === t4)
+    // k=3 (support >= 1) keeps every triangle, including the strip
+    val t3 = Graph.kTrussFrom(e, k = 3, rounds = 2).collect()
+    assert(t3.length === 18, s"3-truss keeps all triangle edges, got ${t3.length}")
+    // k above the clique's support empties the graph
+    assert(Graph.kTrussFrom(e, k = 6, rounds = 2).count() === 0L)
+    // truss <= core: surviving truss nodes are a subset of the 3-core
+    val trussNodes = t4.keySet.flatMap { case (a, b) => Set(a, b) }
+    val coreNodes = Graph.kCoreFrom(e, k = 3, rounds = 8).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(trussNodes.subsetOf(coreNodes))
+    // registered query well-formed on the harness graph
+    val reg = Graph.kTruss(spark, Sf).collect()
+    assert(reg.nonEmpty && reg.forall(_.getAs[Long]("support") >= 0L))
+  }
+
   test("label propagation: bridge-joined cliques split where CC lumps; " +
     "labels refine within components; brute-force round parity") {
     import spark.implicits._
