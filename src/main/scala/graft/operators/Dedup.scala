@@ -779,15 +779,22 @@ object Dedup {
     * of ≤ 256 rows per source. Rank via the minimal binary rendering
     * (both engines' `bin` strips leading zeros; rem = 0 ⇒ all 52 bits
     * zero ⇒ rank 53). */
+  /** (register, rank) columns of a hash60 column — shared by the batch
+    * sketch and [[graft.streaming.Streams]]'s windowed maintenance so
+    * the layouts cannot drift. */
+  private[graft] def hllParts(h: Column): (Column, Column) = {
+    val rem = h.bitwiseAND(lit((1L << HllRemBits) - 1))
+    (shiftright(h, HllRemBits),
+      when(rem === 0, lit(HllRemBits + 1))
+        .otherwise(lit(HllRemBits + 1) - length(bin(rem))).cast("long"))
+  }
+
   def hllRegistersFrom(docs: DataFrame): DataFrame = {
-    val rem = $"h".bitwiseAND(lit((1L << HllRemBits) - 1))
+    val (reg, rho) = hllParts($"h")
     docs
       .select($"source",
         hash60(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("h"))
-      .select($"source", shiftright($"h", HllRemBits).as("reg"),
-        when(rem === 0, lit(HllRemBits + 1))
-          .otherwise(lit(HllRemBits + 1) - length(bin(rem)))
-          .cast("long").as("rho"))
+      .select($"source", reg.as("reg"), rho.as("rho"))
       .groupBy($"source", $"reg").agg(max($"rho").as("mj"))
   }
 

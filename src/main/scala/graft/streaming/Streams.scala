@@ -429,6 +429,32 @@ object Streams {
         $"j", $"bucket", $"cnt")
   }
 
+  /** Streaming HYPERLOGLOG maintenance — the distinct-content gauge of
+    * an ingestion stream with O(1) state: per window, maintain the 256
+    * deterministic HLL registers of [[graft.operators.Dedup.hllDistinct]]
+    * (register-wise MAX is the whole update rule, and max is exactly
+    * the streaming-aggregable shape). Where [[dedupByFingerprint]]
+    * answers "is THIS doc new" with per-fingerprint state, this answers
+    * "how many distinct contents arrived this hour" with 256 rows per
+    * window whatever the stream carries — the dashboard counter that
+    * never stores an id. Registers share [[Dedup.hllParts]] with batch,
+    * so a drained stream's per-window register table equals the batch
+    * sketch of the same slice EXACTLY (StreamingSpec asserts it), and
+    * windows merge into coarser sketches by the same max. Read side:
+    * the estimate is [[Dedup]]'s closed-form over any register set. */
+  def hllMaintenance(docs: Dataset[Doc], windowLen: String = "1 hour"): DataFrame = {
+    import graft.functions.EngineNeutral.hash60
+    val (reg, rho) = graft.operators.Dedup.hllParts($"h")
+    docs
+      .withWatermark("ingest_ts", "2 hours")
+      .select($"ingest_ts",
+        hash60(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("h"))
+      .select($"ingest_ts", reg.as("reg"), rho.as("rho"))
+      .groupBy(window($"ingest_ts", windowLen), $"reg")
+      .agg(max($"rho").as("mj"))
+      .select(unix_timestamp($"window.start").as("window_ts"), $"reg", $"mj")
+  }
+
   /** Streaming twin of Events.topTypePerUser: each user's CURRENT
     * most-frequent event type, re-emitted whenever it may have changed
     * (update mode — the latest emission per user is the answer, which is

@@ -405,6 +405,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming HLL maintenance: per-window registers equal the batch " +
+    "sketch exactly; state bounded by windows x 256") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000000L
+    val nWin = 3
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getLong(0), r.getString(1),
+          new java.sql.Timestamp(t0 + (i % nWin) * 3600 * 1000L))
+      }.toSeq
+    val stream = MemoryStream[Doc]
+    val query = Streams.hllMaintenance(stream.toDS())
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt("hll"))
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      // final register value = max over update-mode re-emissions
+      val streamed = spark.table("hll_stream")
+        .groupBy("window_ts", "reg").agg(max("mj").as("mj")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // batch registers of the same slices via the shared batch operator
+      // (window label standing in for the source key)
+      val winMap = docs
+        .map(d => d.doc_id -> d.ingest_ts.getTime / 1000 / 3600 * 3600)
+        .toDF("doc_id", "win")
+      val batch = graft.operators.Dedup.hllRegistersFrom(
+        Tables.documents(spark, Sf)
+          .select($"doc_id", $"text").join(winMap, "doc_id")
+          .withColumn("source", $"win".cast("string")))
+        .collect()
+        .map(r => (r.getString(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch, "streamed registers diverge from batch sketch")
+      assert(streamed.size <= nWin * 256)
+      val st = query.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal <= nWin.toLong * 256,
+        s"state exceeds the 256-registers-per-window bound")
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps one survivor per batch fingerprint group") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
