@@ -1590,6 +1590,31 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |FROM x WHERE t1 IS NOT NULL AND t2 IS NOT NULL
         |GROUP BY 1
         |ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
+    "events_changepoint" ->
+      // twin of Events.changepointCusum: deviations scaled by the
+      // series length keep the CUSUM an exact integer cumsum; argmax
+      // |S| with the earlier-hour tie-break; last hour excluded (S_T=0)
+      """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |sc AS (SELECT event_type, hour_ts, n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t_hours,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    CAST(row_number() OVER w AS BIGINT) AS pos,
+        |    CAST(sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_n
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts ASC)),
+        |s2 AS (SELECT *,
+        |    CAST(cum_n * t_hours - pos * total AS BIGINT) AS s_scaled
+        |  FROM sc WHERE t_hours >= 2 AND pos < t_hours),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(s_scaled) DESC, hour_ts ASC) AS rk FROM s2)
+        |SELECT event_type, hour_ts AS cp_hour_ts, t_hours,
+        |  abs(s_scaled) AS s_abs_scaled,
+        |  round(CAST(cum_n AS DOUBLE) / CAST(pos AS DOUBLE), 4) AS mean_before,
+        |  round(CAST(total - cum_n AS DOUBLE) / CAST(t_hours - pos AS DOUBLE), 4)
+        |    AS mean_after
+        |FROM rk WHERE rk = 1""".stripMargin,
     "events_anomaly_zscore" ->
       // twin of Events.anomalyZscore (24h trailing baseline, minBaseline
       // 8): same hour grain, same strictly-preceding frame; integer

@@ -615,6 +615,59 @@ object Events {
     byType.unionByName(direct)
   }
 
+  /** CUSUM CHANGEPOINT — offline mean-shift detection per event type
+    * over its hourly count series (Page, Biometrika 1954; the offline
+    * argmax-|S| estimator): S_t = Σ_{i≤t}(x_i − x̄) peaks exactly where
+    * the series' level shifts, so the hour at max |S_t| is the
+    * estimated changepoint, reported with the mean level on each side.
+    * The monitoring complement of [[anomalyZscore]]: z-scores flag
+    * SPIKES against a trailing baseline; CUSUM finds the sustained
+    * LEVEL SHIFT (a deploy, a bot cohort arriving) that a per-hour
+    * z-score smears over many small excursions.
+    *
+    * Engine-neutral arithmetic: deviations are carried SCALED BY THE
+    * SERIES LENGTH — n_i·T − total is an exact integer, so the
+    * cumulative S_t is an exact integer cumsum (no FP ordering across
+    * engines, unlike a double x̄ subtraction), |S| argmax ties break on
+    * the earlier hour, and the only doubles are the two terminal mean
+    * divides. The last hour is excluded from candidates (S_T ≡ 0 —
+    * never a changepoint). Shape: one partial-agged hourly rollup, two
+    * windows over (type, hour) — series length per type is bounded by
+    * the time range, not event volume. */
+  def changepointCusum(s: SparkSession, dir: String): DataFrame =
+    changepointCusumFrom(hourlyCountsOf(Tables.events(s, dir)))
+
+  /** Hourly (hour_ts, event_type, n) rollup shared with the twin. */
+  private def hourlyCountsOf(ev: DataFrame): DataFrame =
+    ev.filter($"event_type".isNotNull)
+      .groupBy(unix_timestamp(date_trunc("hour", $"ts")).as("hour_ts"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+
+  /** Core of [[changepointCusum]] over any (hour_ts, event_type, n)
+    * hourly series frame. */
+  def changepointCusumFrom(hourly: DataFrame): DataFrame = {
+    val byType = Window.partitionBy($"event_type")
+    val ordered = Window.partitionBy($"event_type").orderBy($"hour_ts".asc)
+    val cum = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hourly
+      .withColumn("t_hours", count(lit(1)).over(byType))
+      .withColumn("total", sum($"n").over(byType))
+      .withColumn("pos", row_number().over(ordered))
+      .withColumn("cum_n", sum($"n").over(cum))
+      .withColumn("s_scaled", sum($"n" * $"t_hours" - $"total").over(cum))
+      .filter($"t_hours" >= 2 && $"pos" < $"t_hours")
+    val best = Window.partitionBy($"event_type")
+      .orderBy(abs($"s_scaled").desc, $"hour_ts".asc)
+    scored.withColumn("rk", row_number().over(best)).filter($"rk" === 1)
+      .select($"event_type", $"hour_ts".as("cp_hour_ts"),
+        $"t_hours", abs($"s_scaled").as("s_abs_scaled"),
+        round($"cum_n".cast("double") / $"pos".cast("double"), 4)
+          .as("mean_before"),
+        round(($"total" - $"cum_n").cast("double") /
+          ($"t_hours" - $"pos").cast("double"), 4).as("mean_after"))
+  }
+
   /** FREQUENT EVENT-TYPE PAIRS — the 2-itemset market-basket census
     * (Agrawal & Srikant, VLDB'94 A-Priori, at the k=2 level where the
     * candidate space is just |types|² and needs no candidate pruning):

@@ -797,6 +797,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(g2 === Map("view" -> ((1L, 1L, 6.0))))
   }
 
+  test("cusum changepoint: planted level shift found at the shift hour; " +
+    "flat series ties to the earliest hour; last hour never a candidate") {
+    import spark.implicits._
+    val hourly = (
+      // A: level 10 for 4 hours then 20 for 4 hours -> cp at hour 4
+      (1L to 4L).map(h => (h * 3600, "A", 10L)) ++
+      (5L to 8L).map(h => (h * 3600, "A", 20L)) ++
+      // B: flat -> every S_t = 0, tie broken by earliest hour
+      (1L to 5L).map(h => (h * 3600, "B", 7L)) ++
+      // C: single hour -> excluded entirely (t_hours < 2)
+      Seq((3600L, "C", 99L)))
+      .toDF("hour_ts", "event_type", "n")
+    val got = Events.changepointCusumFrom(hourly).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet === Set("A", "B"))
+    // A: |S|max = |4*10*8 - 4*120| = 160 at pos 4; means 10 / 20
+    assert(got("A") === ((4L * 3600, 8L, 160L, 10.0, 20.0)))
+    // B: all-zero CUSUM -> earliest hour, means equal the flat level
+    assert(got("B") === ((1L * 3600, 5L, 0L, 7.0, 7.0)))
+    // registered query: one row per event type present, sane values
+    val reg = Events.changepointCusum(spark, Sf).collect()
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      assert(r.getAs[Long]("s_abs_scaled") >= 0L)
+      assert(r.getAs[Double]("mean_before") > 0.0)
+      assert(r.getAs[Double]("mean_after") > 0.0)
+    }
+  }
+
   test("itemset pairs: hand-computed support and lift; dedup within " +
     "basket; no cross-day or cross-user pairing") {
     import spark.implicits._
