@@ -3391,32 +3391,44 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |$sel""".stripMargin
     },
     "graph_ktruss" -> {
-      // twin of Graph.kTruss (k=4, rounds=2): fixed truss peels — round
-      // i's per-edge support = common-neighbor count within round i-1's
-      // survivors (exactly the forward algorithm's triangle charge);
-      // edges below k-2 = 2 drop; output = survivor edges with support
-      // recomputed within the final set (LEFT join: a survivor whose
-      // support fell to 0 in the last recompute still reports its row).
+      // twin of Graph.kTruss (k=4, rounds=2): fixed truss peels. Each
+      // round's per-edge support comes from the DEGREE-ORDERED oriented
+      // triangle list (the graph_local_clustering twin's shape — the
+      // plain `edges x adj x adj` wedge join spills tens of GB on this
+      // quasi-clique graph at sf0.1; the orientation bounds the wedge
+      // fan-out by outdeg = O(sqrt E)): each triangle (u, x, y) charges
+      // its three canonical edges once, edges below k-2 = 2 drop, and
+      // the output recomputes support within the final survivor set
+      // (LEFT join keeps a survivor whose support fell to 0).
       // MATERIALIZED per round for the graph_kcore fd-exhaustion reason.
       val rounds = 2
-      def supCte(i: Int, e: String, adj: String) =
-        s"""sup$i AS MATERIALIZED (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS s
-           |  FROM $e e JOIN $adj x ON x.src = e.a
-           |  JOIN $adj y ON y.src = e.b AND y.dst = x.dst
-           |  GROUP BY e.a, e.b)""".stripMargin
+      def trussRound(i: Int, prevE: String) =
+        s"""nm$i AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           |  FROM (SELECT a AS src FROM $prevE UNION ALL SELECT b FROM $prevE)
+           |  GROUP BY src),
+           |or$i AS MATERIALIZED (SELECT
+           |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+           |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+           |  FROM (SELECT e.a, e.b, na.deg AS da, nb.deg AS db FROM $prevE e
+           |    JOIN nm$i na ON na.node = e.a JOIN nm$i nb ON nb.node = e.b)),
+           |tris$i AS MATERIALIZED (SELECT w.u, w.x, w.y FROM (
+           |  SELECT o1.u AS u, o1.v AS x, o2.v AS y FROM or$i o1
+           |  JOIN or$i o2 ON o1.u = o2.u AND o1.v < o2.v) w
+           |  JOIN $prevE e ON e.a = w.x AND e.b = w.y),
+           |sup$i AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS s
+           |  FROM (SELECT least(u, x) AS a, greatest(u, x) AS b FROM tris$i
+           |    UNION ALL SELECT least(u, y), greatest(u, y) FROM tris$i
+           |    UNION ALL SELECT x, y FROM tris$i) GROUP BY 1, 2)""".stripMargin
       val peel = (1 to rounds).map { i =>
-        val prevE = if (i == 1) "edges" else s"e${i - 1}"
-        val prevAdj = if (i == 1) "adjm" else s"adj${i - 1}"
-        s"""${supCte(i, prevE, prevAdj)},
+        val prevE = if (i == 1) "em" else s"e${i - 1}"
+        s"""${trussRound(i, prevE)},
            |e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prevE e
-           |  JOIN sup$i s ON s.a = e.a AND s.b = e.b WHERE s.s >= 2),
-           |adj$i AS MATERIALIZED (SELECT a AS src, b AS dst FROM e$i
-           |  UNION ALL SELECT b, a FROM e$i)""".stripMargin
+           |  JOIN sup$i s ON s.a = e.a AND s.b = e.b WHERE s.s >= 2)""".stripMargin
       }.mkString(",\n")
       s"""WITH $graphCtes,
-         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |em AS MATERIALIZED (SELECT a, b FROM edges),
          |$peel,
-         |${supCte(rounds + 1, s"e$rounds", s"adj$rounds")}
+         |${trussRound(rounds + 1, s"e$rounds")}
          |SELECT e.a AS doc_a, e.b AS doc_b, coalesce(s.s, 0) AS support
          |FROM e$rounds e LEFT JOIN sup${rounds + 1} s
          |  ON s.a = e.a AND s.b = e.b""".stripMargin

@@ -93,6 +93,9 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    # spill OUTSIDE the repo: a heavy twin otherwise drops multi-GB
+    # duckdb_temp_storage files into cwd (and `git add -A` eats them)
+    con.execute("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
