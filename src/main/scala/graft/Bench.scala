@@ -98,6 +98,10 @@ object Bench {
     "text_ccnet_buckets", // added r12: per-lang perplexity tertiles via histogram cut
     "mm_phash_pairs", // added r12: banded Hamming join over 64-bit pHashes
     "events_attribution", // added r12: bucketed range join + credit window
+    "dedup_hll_distinct", // added r12: deterministic 256-register HLL + union merge
+    "dedup_tfidf_cosine_pairs", // added r12: Bayardo prefix-filtered cosine join
+    "events_itemset_pairs", // added r12: basket 2-itemset census off sorted type arrays
+    "events_changepoint", // added r12: integer-exact CUSUM argmax per type series
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures
