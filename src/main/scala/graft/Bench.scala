@@ -99,7 +99,6 @@ object Bench {
     "mm_phash_pairs", // added r12: banded Hamming join over 64-bit pHashes
     "events_attribution", // added r12: bucketed range join + credit window
     "dedup_hll_distinct", // added r12: deterministic 256-register HLL + union merge
-    "dedup_tfidf_cosine_pairs", // added r12: Bayardo prefix-filtered cosine join
     "events_itemset_pairs", // added r12: basket 2-itemset census off sorted type arrays
     "events_changepoint", // added r12: integer-exact CUSUM argmax per type series
     "mm_meta_stats")
@@ -111,6 +110,14 @@ object Bench {
   // r12-vs-r11 deltas reflect both changes.
   // sim_graph_ann_topk / sim_hubness are NOT benched for the knn_graph
   // reason: their index build is the quadratic exact graph by contract.
+  // graph_ktruss is NOT benched: 2 peel rounds + final support = 3x the
+  // localClustering triangle pass (~35 s at sf0.1) — real cost lives in
+  // its SCALING.md rows, and benching it would drown the linear set.
+  // dedup_tfidf_cosine_pairs is NOT benched for the same reason: the
+  // template-heavy harness corpus makes nearly every doc pair share
+  // mid-rare vocabulary, so the exact join's candidate set is ~11M pairs
+  // (~70 s at sf0.1) — output/candidate-bound by contract, like the
+  // other deliberately-quadratic-by-contract components.
   // sim_knn_graph is deliberately NOT benched: the exact graph is
   // quadratic by contract (the scale path is ivf_topk per node), and a
   // 2.5B-pair entry would drown the signal of every linear query here.

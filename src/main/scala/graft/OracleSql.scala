@@ -1774,6 +1774,7 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // bound, same single terminal double divide per pair
       val thrSql = 0.85.toString
       val t2e = (0.85 * 0.85 - 1e-9).toString
+      val thrEps = (0.85 - 1e-9).toString
       s"""WITH tok AS (SELECT doc_id, ${h60("t")} AS th,
          |    CAST(count(*) AS BIGINT) AS tf
          |  FROM (SELECT doc_id, unnest(${toks("lower(text)")}) AS t FROM $docs)
@@ -1793,11 +1794,13 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |      ORDER BY df ASC, th ASC
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
          |  FROM wsq JOIN norms ON norms.doc_id = wsq.doc_id),
-         |pre AS (SELECT th, doc_id FROM preb
-         |  WHERE CAST(n2 - bef AS DOUBLE) >= $t2e * CAST(n2 AS DOUBLE)),
-         |cand AS (SELECT DISTINCT least(p.doc_id, t.doc_id) AS doc_a,
-         |    greatest(p.doc_id, t.doc_id) AS doc_b
-         |  FROM pre p JOIN wsq t ON t.th = p.th AND t.doc_id <> p.doc_id),
+         |pre AS (SELECT th, doc_id, rel_suf FROM (
+         |  SELECT th, doc_id,
+         |    CAST(n2 - bef AS DOUBLE) / CAST(n2 AS DOUBLE) AS rel_suf
+         |  FROM preb) WHERE rel_suf >= $t2e),
+         |cand AS (SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b
+         |  FROM pre p JOIN pre q ON q.th = p.th AND p.doc_id < q.doc_id
+         |    AND sqrt(p.rel_suf) * sqrt(q.rel_suf) >= $thrEps),
          |num AS (SELECT doc_a, doc_b, sum(a.dw * b.dw) AS dot
          |  FROM cand JOIN wsq a ON a.doc_id = cand.doc_a
          |  JOIN wsq b ON b.doc_id = cand.doc_b AND b.th = a.th
