@@ -106,9 +106,12 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  FROM cand$i c JOIN e ev ON ev.vec_id = c.src_id
          |  JOIN e ew ON ew.vec_id = c.nbr_id),
          |g$i AS (${topk(s"s$i")})""".stripMargin
-    s"""b AS (SELECT vec_id, unnest([
-       |  ${h60("concat(CAST(vec_id AS VARCHAR), '#0')")} % 16,
-       |  ${h60("concat(CAST(vec_id AS VARCHAR), '#1')")} % 16 + 16]) AS bkt
+    s"""nbk AS (SELECT GREATEST(16, CAST(ceil(count(*) / 128.0) AS BIGINT)) AS nb
+       |  FROM e),
+       |b AS (SELECT vec_id, unnest([
+       |  ${h60("concat(CAST(vec_id AS VARCHAR), '#0')")} % (SELECT nb FROM nbk),
+       |  ${h60("concat(CAST(vec_id AS VARCHAR), '#1')")} % (SELECT nb FROM nbk)
+       |    + (SELECT nb FROM nbk)]) AS bkt
        |  FROM e),
        |c0 AS (SELECT DISTINCT a.vec_id AS src_id, b2.vec_id AS nbr_id
        |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id <> b2.vec_id),
