@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench driver json.loads the LAST stdout line of
+// `sbt runMain graft.Bench`. Two things broke that every round:
+// (1) sbt's trailing "[success] Total time" banner was the last line;
+// (2) the forked JVM's stdout was re-logged with an "[info] " prefix
+// (and its stderr — all Spark logging — re-logged as "[error] " ON
+// STDOUT), so even the JSON line itself never json.loads'd. Suppress
+// the banner and pass the forked process's streams through verbatim:
+// stdout stays stdout (no prefix), stderr stays stderr.
+showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
