@@ -173,13 +173,19 @@ object Graph {
   def localClustering(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir).localCheckpoint(true)
     val deg = degrees(e)
-    val tris = triangleEdges(e, deg)
-    val stCharges = tris.select(explode(array(
-        struct($"s".as("node"), size($"ws").cast("long").as("c")),
-        struct($"t".as("node"), size($"ws").cast("long").as("c")))).as("x"))
+    // ONE consumption of the triangle frame: s, t and every wedge
+    // closer w are charged from a single explode. Two consumers (a
+    // unionAll of separate s/t and w selects) would EXECUTE the
+    // Σ outdeg² adjacency join twice — two live copies of its shuffle
+    // files, which is exactly what exhausted scratch disk at the 100x
+    // rehearsal. Same charges, same result, half the footprint.
+    val perNode = triangleEdges(e, deg)
+      .select(explode(concat(
+        array(
+          struct($"s".as("node"), size($"ws").cast("long").as("c")),
+          struct($"t".as("node"), size($"ws").cast("long").as("c"))),
+        transform($"ws", w => struct(w.as("node"), lit(1L).as("c"))))).as("x"))
       .select($"x.node".as("node"), $"x.c".as("c"))
-    val wCharges = tris.select(explode($"ws").as("node"), lit(1L).as("c"))
-    val perNode = stCharges.unionAll(wCharges)
       .groupBy($"node").agg(sum($"c").as("t"))
     deg.join(perNode, Seq("node"), "left")
       .select($"node".as("doc_id"), $"deg".as("degree"),
