@@ -238,9 +238,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scaleK = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // Shuffle partitions default to the core count (the sf0.1 posture);
+    // the 100x rehearsal overrides via SPARK_GRAFT_PARTITIONS — on a real
+    // cluster partition count scales with data volume, and at 100x a
+    // 32-partition sort of the census adjacency traffic concentrates
+    // ~100x base state per task (measured SparkOutOfMemory).
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS) — loader contract, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

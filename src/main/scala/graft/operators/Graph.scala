@@ -173,20 +173,18 @@ object Graph {
   def localClustering(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir).localCheckpoint(true)
     val deg = degrees(e)
-    // ONE consumption of the triangle frame: s, t and every wedge
-    // closer w are charged from a single explode. Two consumers (a
-    // unionAll of separate s/t and w selects) would EXECUTE the
-    // Σ outdeg² adjacency join twice — two live copies of its shuffle
-    // files, which is exactly what exhausted scratch disk at the 100x
-    // rehearsal. Same charges, same result, half the footprint.
+    // ONE consumption of the triangle frame: explode to a row per
+    // triangle (s, t, w), then charge each corner +1 from a second
+    // inline generator. Two consumers (a unionAll of separate s/t and
+    // w selects) would EXECUTE the Σ outdeg² adjacency join twice —
+    // two live copies of its shuffle files, which is exactly what
+    // exhausted scratch disk at the 100x rehearsal. s and t receive
+    // size(ws) in total by appearing once per closing w, so the
+    // charges — and the oracle hash — are identical.
     val perNode = triangleEdges(e, deg)
-      .select(explode(concat(
-        array(
-          struct($"s".as("node"), size($"ws").cast("long").as("c")),
-          struct($"t".as("node"), size($"ws").cast("long").as("c"))),
-        transform($"ws", w => struct(w.as("node"), lit(1L).as("c"))))).as("x"))
-      .select($"x.node".as("node"), $"x.c".as("c"))
-      .groupBy($"node").agg(sum($"c").as("t"))
+      .select($"s", $"t", explode($"ws").as("w"))
+      .select(explode(array($"s", $"t", $"w")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("t"))
     deg.join(perNode, Seq("node"), "left")
       .select($"node".as("doc_id"), $"deg".as("degree"),
         coalesce($"t", lit(0L)).as("n_triangles"),
@@ -433,18 +431,22 @@ object Graph {
     // per-edge triangle support: each (s, t, ws) row charges size(ws)
     // to the (s, t) edge and 1 to each of the two closing edges (s, w),
     // (t, w) — every triangle contributes once to each of its 3 edges
-    def support(e: DataFrame): DataFrame = {
-      val tri = triangleEdges(e, degrees(e))
-      val st = tri.select(least($"s", $"t").as("a"),
-        greatest($"s", $"t").as("b"), size($"ws").cast("long").as("c"))
-      val sw = tri.select($"s", $"t", explode($"ws").as("w"))
+    // ONE consumption of the triangle frame (the localClustering
+    // discipline): charging the (s,t) edge and the two closing edges
+    // from separate selects would execute the adjacency join twice per
+    // support pass. Explode to a row per triangle (s, t, w), then emit
+    // its three edges from a second inline generator — each triangle
+    // charges each of its edges exactly once, so no weight column.
+    def support(e: DataFrame): DataFrame =
+      triangleEdges(e, degrees(e))
+        .select($"s", $"t", explode($"ws").as("w"))
         .select(explode(array(
+          struct(least($"s", $"t").as("a"), greatest($"s", $"t").as("b")),
           struct(least($"s", $"w").as("a"), greatest($"s", $"w").as("b")),
           struct(least($"t", $"w").as("a"), greatest($"t", $"w").as("b"))))
           .as("x"))
-        .select($"x.a".as("a"), $"x.b".as("b"), lit(1L).as("c"))
-      st.unionByName(sw).groupBy($"a", $"b").agg(sum($"c").as("support"))
-    }
+        .select($"x.a".as("a"), $"x.b".as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("support"))
     var e = e0
     for (_ <- 1 to rounds)
       e = e.join(support(e), Seq("a", "b"))
