@@ -79,7 +79,7 @@ object Plans {
       "text_zipf_fit" -> "zipf fit: one partial-agged token count, TakeOrderedAndProject 200-row head (vocabulary never sorts globally), single-partition window+agg over <=200 rows",
       "mm_phash_pairs" -> "phash pairs: codegen char-ngram simhash scan, (mime,block,value) bucket join with leftmost-block dedup — candidates unique by construction, exact bit_count verify",
       "events_top_paths" -> "top paths: ONE user_id exchange serves the sort and both lead()s (single window spec), partial-agged path count, TakeOrderedAndProject top-20",
-      "graph_local_clustering" -> "local clustering: the census's forward-algorithm triangle edges (SortedIntersectExpr per oriented edge, broadcast adjacency), charged to 3 corners via one 2-per-edge explode + one ws explode + ONE partial-agged count; degrees LEFT-joined for cc=0 totality",
+      "graph_local_clustering" -> "local clustering: the census's forward-algorithm triangle edges (SortedIntersectExpr per oriented edge, broadcast adjacency) consumed ONCE — explode to a row per triangle, then a 3-corner explode + partial-agged count; degrees LEFT-joined for cc=0 totality",
       "graph_eigencentrality" -> "eigencentrality: per iteration one adjacency equi-join + decimal agg + broadcast 1-row L1 normalizer; iterates checkpointed — final plan reads ExistingRDD",
       "sim_silhouette" -> "silhouette: O(2^nBits)-row centroid table broadcast against ONE corpus scan; conditional-MIN a/b collapse in a single partial agg; decimal per-bucket means",
       "rel_join_delta_view" -> "IVM join view: all three delta terms join a BROADCAST small side (delta batch / changed dim keys); only shuffles are the signed delta agg + the full-outer apply on the view key — cost ∝ delta + view keys",
