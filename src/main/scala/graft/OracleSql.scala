@@ -3559,6 +3559,45 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |$iters
          |SELECT node AS doc_id, deg AS degree, pr AS centrality FROM x3""".stripMargin
     },
+    "graph_hits" -> {
+      // twin of Graph.hits (iters=3): hub/authority power iterations on
+      // the ORIENTED (doc_a < doc_b) edge list, DECIMAL update sums, L1
+      // normalizer over those sums, each iterate rounded to 8;
+      // MATERIALIZED for the graph_kcore reason (each auth reads the
+      // previous hub and each hub the fresh auth — inlining would
+      // re-expand the LSH chain per half-step)
+      val iters = (1 to 3).map { i =>
+        val prevHub = if (i == 1) "h0" else s"h${i - 1}"
+        s"""sa$i AS MATERIALIZED (SELECT e.dst AS node,
+           |  sum(CAST(p.h AS DECIMAL(27,10))) AS sa
+           |  FROM dedges e JOIN $prevHub p ON e.src = p.node GROUP BY e.dst),
+           |ta$i AS (SELECT sum(sa) AS tot FROM sa$i),
+           |a$i AS MATERIALIZED (SELECT node,
+           |  round(CAST(sa AS DOUBLE) / CAST(t.tot AS DOUBLE), 8) AS au
+           |  FROM sa$i CROSS JOIN ta$i t),
+           |sh$i AS MATERIALIZED (SELECT e.src AS node,
+           |  sum(CAST(p.au AS DECIMAL(27,10))) AS sh
+           |  FROM dedges e JOIN a$i p ON e.dst = p.node GROUP BY e.src),
+           |th$i AS (SELECT sum(sh) AS tot FROM sh$i),
+           |h$i AS MATERIALIZED (SELECT node,
+           |  round(CAST(sh AS DOUBLE) / CAST(t.tot AS DOUBLE), 8) AS h
+           |  FROM sh$i CROSS JOIN th$i t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |dedges AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges),
+         |hnodes AS MATERIALIZED (SELECT node,
+         |  CAST(sum(od) AS BIGINT) AS out_deg, CAST(sum(id) AS BIGINT) AS in_deg
+         |  FROM (SELECT src AS node, 1 AS od, 0 AS id FROM dedges
+         |        UNION ALL SELECT dst AS node, 0 AS od, 1 AS id FROM dedges)
+         |  GROUP BY node),
+         |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM hnodes),
+         |$iters
+         |SELECT n.node AS doc_id, n.out_deg, n.in_deg,
+         |  coalesce(h.h, CAST(0.0 AS DOUBLE)) AS hub,
+         |  coalesce(a.au, CAST(0.0 AS DOUBLE)) AS authority
+         |FROM hnodes n LEFT JOIN h3 h ON h.node = n.node
+         |LEFT JOIN a3 a ON a.node = n.node""".stripMargin
+    },
     "graph_pagerank" -> {
       // twin of Graph.pageRank: 3 unrolled power iterations, DECIMAL
       // contribution sums, rank rounded to 8 per iteration so both

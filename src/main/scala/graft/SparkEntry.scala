@@ -118,6 +118,7 @@ object SparkEntry {
     "graph_label_propagation" -> ((s, d) => Graph.labelPropagation(s, d)),
     "graph_local_clustering" -> (Graph.localClustering _),
     "graph_eigencentrality" -> ((s, d) => Graph.eigenCentrality(s, d)),
+    "graph_hits" -> ((s, d) => Graph.hits(s, d)),
     "graph_bfs_distance" -> ((s, d) => Graph.bfsDistance(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),

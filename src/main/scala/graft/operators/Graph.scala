@@ -703,6 +703,71 @@ object Graph {
       $"pr".as("centrality"))
   }
 
+  /** HITS HUBS & AUTHORITIES (Kleinberg, JACM 46(5), 1999) over the
+    * near-dup pair graph ORIENTED low→high doc_id — the pair list's
+    * native (doc_a < doc_b) direction, so the orientation is
+    * deterministic and engine-neutral by construction. A node is a
+    * strong HUB when its out-edges point at strong authorities (an
+    * early/low-id document whose near-dups are themselves heavily
+    * duplicated — the template's likely origin), a strong AUTHORITY
+    * when strong hubs point at it (a late/high-id copy that many
+    * origin-side documents resolve to). Alongside [[pageRank]] (damped
+    * undirected mass) and [[eigenCentrality]] (pure structural mass)
+    * this is the directed, two-sided member of the centrality family.
+    *
+    * Determinism (the [[eigenCentrality]] discipline): both update
+    * sums in DECIMAL(27,10) — exact under any partial-agg order — the
+    * normalizer is the L1 total of those sums (all terms positive),
+    * each normalized iterate rounds to 8 so both engines iterate on
+    * identical doubles, and the start is the constant-1 hub vector
+    * (the first normalization cancels any uniform constant, so there
+    * is no 1/N underflow bound here at all). Totality: nodes with no
+    * out-edges (never a hub) or no in-edges (never an authority) are
+    * kept by the final left joins with score 0.
+    *
+    * Shape per iteration: two equi-joins + two DECIMAL aggs + two
+    * single-row broadcast normalizers; the oriented edge list is
+    * localCheckpoint'd once, iterates checkpointed (bounded plans at
+    * any iteration count) — pageRank's lineage discipline. */
+  def hits(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    val e = edges(s, dir).select($"a".as("src"), $"b".as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select($"src".as("node"), lit(1L).as("od"), lit(0L).as("id"))
+      .unionByName(e.select($"dst".as("node"), lit(0L).as("od"), lit(1L).as("id")))
+      .groupBy($"node")
+      .agg(sum($"od").as("out_deg"), sum($"id").as("in_deg"))
+      .localCheckpoint(true)
+    var hub = nodes.select($"node", lit(1.0).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val asums = e
+        .join(hub.select($"node", $"h".cast("decimal(27,10)").as("c")),
+          $"src" === $"node")
+        .groupBy($"dst").agg(sum($"c").as("sa"))
+      val anorm = asums.agg(sum($"sa").as("tot"))
+      auth = asums.crossJoin(broadcast(anorm))
+        .select($"dst".as("node"),
+          round($"sa".cast("double") / $"tot".cast("double"), 8).as("au"))
+        .localCheckpoint(true)
+      val hsums = e
+        .join(auth.select($"node", $"au".cast("decimal(27,10)").as("c")),
+          $"dst" === $"node")
+        .groupBy($"src").agg(sum($"c").as("sh"))
+      val hnorm = hsums.agg(sum($"sh").as("tot"))
+      hub = hsums.crossJoin(broadcast(hnorm))
+        .select($"src".as("node"),
+          round($"sh".cast("double") / $"tot".cast("double"), 8).as("h"))
+        .localCheckpoint(true)
+    }
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select($"node".as("doc_id"), $"out_deg", $"in_deg",
+        coalesce($"h", lit(0.0)).as("hub"),
+        coalesce($"au", lit(0.0)).as("authority"))
+  }
+
   /** MULTI-SOURCE BFS HOP DISTANCE — minimum hop count from a seed set
     * to every node within `maxHops` of it in the near-dup graph: the
     * contamination-radius audit (how far a flagged template family

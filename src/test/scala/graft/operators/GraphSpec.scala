@@ -466,6 +466,54 @@ class GraphSpec extends SparkSpec {
     assert(got.values.max > got.values.min)
   }
 
+  test("hits: matches brute-force hub/authority iteration on the oriented " +
+    "pair list; scores normalized; edgeless sides exactly zero") {
+    val e = edgeSet() // already oriented doc_a < doc_b
+    val outOf = e.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSeq }
+    val inOf = e.groupBy(_._2).map { case (n, es) => n -> es.map(_._1).toSeq }
+    val nodes = (outOf.keySet ++ inOf.keySet).toSeq.sorted
+    def r8(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 3) {
+      val sa = inOf.map { case (n, srcs) =>
+        n -> srcs.map(u => BigDecimal(hub.getOrElse(u, 0.0)).setScale(10)).sum
+      }
+      val ta = sa.values.sum
+      auth = sa.map { case (n, v) => n -> r8((v / ta).toDouble) }
+      val sh = outOf.map { case (n, dsts) =>
+        n -> dsts.map(v => BigDecimal(auth.getOrElse(v, 0.0)).setScale(10)).sum
+      }
+      val th = sh.values.sum
+      hub = sh.map { case (n, v) => n -> r8((v / th).toDouble) }
+    }
+    val got = Graph.hits(spark, Sf).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("out_deg"), r.getAs[Long]("in_deg"),
+          r.getAs[Double]("hub"), r.getAs[Double]("authority")))
+    }.toMap
+    assert(got.keySet === nodes.toSet)
+    nodes.foreach { n =>
+      val (od, id, h, a) = got(n)
+      assert(od === outOf.getOrElse(n, Seq.empty).size.toLong)
+      assert(id === inOf.getOrElse(n, Seq.empty).size.toLong)
+      assert(math.abs(h - hub.getOrElse(n, 0.0)) < 1e-9, s"node $n hub $h")
+      assert(math.abs(a - auth.getOrElse(n, 0.0)) < 1e-9, s"node $n auth $a")
+      // a node that never points (or is never pointed at) scores EXACTLY 0
+      if (od === 0L) assert(h === 0.0)
+      if (id === 0L) assert(a === 0.0)
+    }
+    // both score vectors are L1-normalized up to per-node rounding
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-4)
+    // the direction carries signal: hub and authority rankings differ
+    // somewhere (the oriented dedup graph is not perfectly symmetric)
+    val topHub = got.maxBy(_._2._3)._1
+    val topAuth = got.maxBy(_._2._4)._1
+    assert(topHub != topAuth || got(topHub)._3 != got(topHub)._4)
+  }
+
   test("bfs distance equals brute-force BFS from the 8 smallest doc ids") {
     val e = edgeSet()
     val und = e ++ e.map { case (a, b) => (b, a) }
