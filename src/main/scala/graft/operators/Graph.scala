@@ -121,8 +121,16 @@ object Graph {
     * arrays, which is the honest distributed form (still never a wedge
     * exchange). */
   private def triangleEdges(e: DataFrame, deg: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    val bcast = e.count() <= BcastMaxEdges
+    val (oriented, adj, bcast, _) = triangleSetup(e, deg)
+    triangleEdgesOf(oriented, adj, bcast)
+  }
+
+  /** Shared first half of the forward algorithm: the degree-ordered
+    * oriented edge frame, its sorted out-adjacency table (both
+    * checkpointed), the broadcast decision and the edge count. */
+  private def triangleSetup(e: DataFrame, deg: DataFrame)
+  : (DataFrame, DataFrame, Boolean, Long) = {
+    val nEdges = e.count()
     val ed = e
       .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
       .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
@@ -134,11 +142,19 @@ object Graph {
     val adj = oriented.groupBy($"s".as("node"))
       .agg(sort_array(collect_list($"t")).as("nbrs"))
       .localCheckpoint(true)
+    (oriented, adj, nEdges <= BcastMaxEdges, nEdges)
+  }
+
+  /** Second half: N⁺(s) ∩ N⁺(t) per oriented edge of `sub` (any subset
+    * of the setup's oriented frame) against the FULL adjacency. */
+  private def triangleEdgesOf(sub: DataFrame, adj: DataFrame,
+                              bcast: Boolean): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     def side(asCol: String, asNbrs: String) =
       adj.select($"node".as(asCol), $"nbrs".as(asNbrs))
     val withS =
-      if (bcast) oriented.join(broadcast(side("s", "ns")), Seq("s"))
-      else oriented.join(side("s", "ns"), Seq("s"))
+      if (bcast) sub.join(broadcast(side("s", "ns")), Seq("s"))
+      else sub.join(side("s", "ns"), Seq("s"))
     val joined =
       if (bcast) withS.join(broadcast(side("t", "nt")), Seq("t"))
       else withS.join(side("t", "nt"), Seq("t"))
@@ -170,21 +186,64 @@ object Graph {
     * and its 3.5 s bench record was a count() artifact: Spark prunes
     * the final left join under a bare count(), so the 68 s of real
     * triangle work never ran. See Bench's toRdd note.) */
-  def localClustering(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir).localCheckpoint(true)
+  def localClustering(s: SparkSession, dir: String): DataFrame =
+    localClusteringFrom(edges(s, dir).localCheckpoint(true))
+
+  /** Edges-per-pass bar for [[localClusteringFrom]]'s sequential
+    * decomposition: under it the whole charge pipeline runs as one
+    * plan; above it the oriented edge list is processed in
+    * ceil(E / bar) deterministic hash-disjoint passes. Calibration:
+    * the 100x rehearsal's 96.5M-edge graph needed ~60-100 GB of live
+    * shuffle scratch in one pass (Σ outdeg² adjacency arrays through
+    * the SMJ) — over this box's free disk — so ~24M edges/pass caps a
+    * pass at roughly a quarter of that. On a 1000-executor cluster
+    * scratch scales with the fleet and the bar can be raised; it is a
+    * capacity policy, never a result change. */
+  val CensusPassEdges: Long = 24000000L
+
+  /** Core of [[localClustering]] over any materialized (a, b) a<b edge
+    * frame. `passEdges` exposes the pass bar for tests. */
+  def localClusteringFrom(e: DataFrame,
+                          passEdges: Long = CensusPassEdges): DataFrame = {
+    require(passEdges >= 1, s"passEdges must be >= 1, got $passEdges")
     val deg = degrees(e)
-    // ONE consumption of the triangle frame: explode to a row per
-    // triangle (s, t, w), then charge each corner +1 from a second
+    val (oriented, adj, bcast, nEdges) = triangleSetup(e, deg)
+    // ONE consumption of the triangle frame per pass: explode to a row
+    // per triangle (s, t, w), then charge each corner +1 from a second
     // inline generator. Two consumers (a unionAll of separate s/t and
     // w selects) would EXECUTE the Σ outdeg² adjacency join twice —
     // two live copies of its shuffle files, which is exactly what
     // exhausted scratch disk at the 100x rehearsal. s and t receive
     // size(ws) in total by appearing once per closing w, so the
     // charges — and the oracle hash — are identical.
-    val perNode = triangleEdges(e, deg)
-      .select($"s", $"t", explode($"ws").as("w"))
-      .select(explode(array($"s", $"t", $"w")).as("node"))
-      .groupBy($"node").agg(count(lit(1)).as("t"))
+    def charges(sub: DataFrame): DataFrame =
+      triangleEdgesOf(sub, adj, bcast)
+        .select($"s", $"t", explode($"ws").as("w"))
+        .select(explode(array($"s", $"t", $"w")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("t"))
+    val nPasses = math.max(1L, (nEdges + passEdges - 1) / passEdges).toInt
+    val perNode =
+      if (nPasses == 1) charges(oriented)
+      else {
+        // Sequential hash-disjoint passes: each pass intersects 1/K of
+        // the oriented edges against the FULL adjacency and reduces to
+        // per-node counts (bounded by |V|) before the next pass starts,
+        // so live shuffle scratch is ~1/K of the one-shot plan. The
+        // split covers every edge exactly once for ANY deterministic
+        // hash, so the summed counts — and the oracle hash — cannot
+        // depend on it. The checkpoint materializes the pass; the gc
+        // lets the ContextCleaner drop the pass's shuffle files before
+        // the next pass claims the disk (the Bench inter-query
+        // discipline — without it cleanup waits for an arbitrary GC).
+        val parts = (0 until nPasses).map { k =>
+          val part = charges(
+            oriented.filter(pmod(xxhash64($"s", $"t"), lit(nPasses)) === k))
+            .localCheckpoint(true)
+          System.gc()
+          part
+        }
+        parts.reduce(_ unionAll _).groupBy($"node").agg(sum($"t").as("t"))
+      }
     deg.join(perNode, Seq("node"), "left")
       .select($"node".as("doc_id"), $"deg".as("degree"),
         coalesce($"t", lit(0L)).as("n_triangles"),

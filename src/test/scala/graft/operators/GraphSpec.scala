@@ -466,6 +466,22 @@ class GraphSpec extends SparkSpec {
     assert(got.values.max > got.values.min)
   }
 
+  test("local clustering: sequential pass decomposition is result-invisible " +
+    "(forced multi-pass equals the one-shot plan row for row)") {
+    val e = Dedup.minhashLshPairs(spark, Sf)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(true)
+    val oneShot = Graph.localClusteringFrom(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // bar of 100 edges forces many hash-disjoint passes on the fixture
+    val multi = Graph.localClusteringFrom(e, passEdges = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(multi === oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("hits: matches brute-force hub/authority iteration on the oriented " +
     "pair list; scores normalized; edgeless sides exactly zero") {
     val e = edgeSet() // already oriented doc_a < doc_b
