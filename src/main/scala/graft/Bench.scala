@@ -101,6 +101,7 @@ object Bench {
     "dedup_hll_distinct", // added r12: deterministic 256-register HLL + union merge
     "events_itemset_pairs", // added r12: basket 2-itemset census off sorted type arrays
     "events_changepoint", // added r12: integer-exact CUSUM argmax per type series
+    "graph_hits", // added r12: directed hub/authority power iterations
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures
