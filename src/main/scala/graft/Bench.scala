@@ -102,6 +102,8 @@ object Bench {
     "events_itemset_pairs", // added r12: basket 2-itemset census off sorted type arrays
     "events_changepoint", // added r12: integer-exact CUSUM argmax per type series
     "graph_hits", // added r12: directed hub/authority power iterations
+    "graph_modularity", // added r12: LPA partition quality, integer counts
+    "graph_assortativity", // added r12: degree Pearson from integer moments
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

@@ -3276,28 +3276,81 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |  UNION ALL SELECT b AS src, a AS dst FROM edges),
        |nodes AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY src)""".stripMargin
 
+  /** Rounds of the registered LPA unroll (Graph.labelPropagation default). */
+  private val LpaRounds = 4
+
+  /** Synchronous-LPA CTE chain l0..l{LpaRounds} with the self-vote and
+    * min-label tie-break — MATERIALIZED for the graph_kcore reason
+    * (each round reads its predecessor twice; inlining would double the
+    * LSH chain per round). Shared by graph_label_propagation and
+    * graph_modularity. Requires $graphCtes in scope. */
+  private lazy val lpaCtes: String = {
+    val steps = (1 to LpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+         |  FROM (SELECT node, label, count(*) AS cnt FROM (
+         |    SELECT a.dst AS node, p.label FROM adjm a JOIN l${i - 1} p ON a.src = p.node
+         |    UNION ALL SELECT node, label FROM l${i - 1}) GROUP BY node, label))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+       |$steps""".stripMargin
+  }
+
   private val graph: Map[String, String] = Map(
-    "graph_label_propagation" -> {
+    "graph_label_propagation" ->
       // twin of Graph.labelPropagation (rounds=4): synchronous LPA with
       // the self-vote and min-label tie-break, unrolled; MATERIALIZED
       // for the graph_kcore reason (each round reads its predecessor
       // twice — inlining would double the LSH chain per round)
-      val rounds = 4
-      val steps = (1 to rounds).map { i =>
-        s"""l$i AS MATERIALIZED (SELECT node, label FROM (
-           |  SELECT node, label,
-           |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
-           |  FROM (SELECT node, label, count(*) AS cnt FROM (
-           |    SELECT a.dst AS node, p.label FROM adjm a JOIN l${i - 1} p ON a.src = p.node
-           |    UNION ALL SELECT node, label FROM l${i - 1}) GROUP BY node, label))
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
       s"""WITH $graphCtes,
-         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
-         |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
-         |$steps
-         |SELECT node AS doc_id, label AS community FROM l$rounds""".stripMargin
-    },
+         |$lpaCtes
+         |SELECT node AS doc_id, label AS community FROM l$LpaRounds""".stripMargin,
+    "graph_modularity" ->
+      // twin of Graph.modularity (LPA rounds=4): reuses the LPA unroll,
+      // then per-community contribution e_c/m - (d_c/2m)^2 — integer
+      // counts, the same two IEEE double ops + round(6)
+      s"""WITH $graphCtes,
+         |$lpaCtes,
+         |lab AS MATERIALIZED (SELECT node, label AS community FROM l$LpaRounds),
+         |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges),
+         |degc AS (SELECT lab.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(n.deg) AS BIGINT) AS deg_sum
+         |  FROM nodes n JOIN lab ON lab.node = n.node GROUP BY lab.community),
+         |intra AS (SELECT la.community, CAST(count(*) AS BIGINT) AS intra_edges
+         |  FROM edges e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b
+         |  WHERE la.community = lb.community GROUP BY la.community)
+         |SELECT d.community, d.n_nodes, d.deg_sum,
+         |  coalesce(i.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         |  round(CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / mm.m
+         |    - (CAST(d.deg_sum AS DOUBLE) / (2 * mm.m))
+         |      * (CAST(d.deg_sum AS DOUBLE) / (2 * mm.m)), 6) AS contribution
+         |FROM degc d LEFT JOIN intra i ON i.community = d.community
+         |CROSS JOIN mm""".stripMargin,
+    "graph_assortativity" ->
+      // twin of Graph.assortativity: five exact integer moment sums over
+      // the degree-joined symmetrized edge list, then the mean/sqrt
+      // Pearson formula in DOUBLE + round(6) — the rel_stats_agg
+      // moments discipline
+      s"""WITH $graphCtes,
+         |dd AS (SELECT nj.deg AS dj, nk.deg AS dk FROM adj a
+         |  JOIN nodes nj ON nj.node = a.src JOIN nodes nk ON nk.node = a.dst),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+         |  CAST(sum(dj * dk) AS BIGINT) AS sjk,
+         |  CAST(sum(dj) AS BIGINT) AS sj, CAST(sum(dk) AS BIGINT) AS sk,
+         |  CAST(sum(dj * dj) AS BIGINT) AS sj2,
+         |  CAST(sum(dk * dk) AS BIGINT) AS sk2 FROM dd)
+         |SELECT n2 AS n_directed_edges,
+         |  round((CAST(sjk AS DOUBLE) / n2
+         |      - (CAST(sj AS DOUBLE) / n2) * (CAST(sk AS DOUBLE) / n2))
+         |    / (sqrt(CAST(sj2 AS DOUBLE) / n2
+         |        - (CAST(sj AS DOUBLE) / n2) * (CAST(sj AS DOUBLE) / n2))
+         |      * sqrt(CAST(sk2 AS DOUBLE) / n2
+         |        - (CAST(sk AS DOUBLE) / n2) * (CAST(sk AS DOUBLE) / n2))), 6)
+         |    AS assortativity
+         |FROM s""".stripMargin,
     "graph_adamic_adar" ->
       // twin of Graph.adamicAdar (maxDeg=64, topN=50): wedge self-join
       // on non-hub centers, per-wedge weight 1/ln(deg) rounded to 12 and

@@ -562,6 +562,77 @@ object Graph {
     labels.select($"node".as("doc_id"), $"label".as("community"))
   }
 
+  /** MODULARITY of the LPA partition (Newman & Girvan, Phys. Rev. E 69,
+    * 2004): per community c, contribution e_c/m − (d_c/2m)² where e_c =
+    * intra-community edges, d_c = degree sum, m = |E|; Q is the sum
+    * over communities. The quality audit OVER [[labelPropagation]]'s
+    * output: high-contribution communities are real template families
+    * (dense inside, sparse out — delete-one-per confidently), a Q near
+    * 0 says the "communities" are no better than random degree-matched
+    * cuts and the curation should fall back to connected components.
+    *
+    * Determinism: e_c, d_c, m are integers (exact in any agg order);
+    * the contribution is the same two IEEE double ops + round(6) on
+    * both engines. m arrives via the one-row count the BcastMaxEdges
+    * discipline already pays, not a crossJoin. Shape: the LPA rounds
+    * (checkpointed), then one degree join + one two-sided label join
+    * on the edge list + two bounded aggs. */
+  def modularity(s: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val e = edges(s, dir).localCheckpoint(true)
+    val m = e.count().toDouble
+    val lab = labelPropagationFrom(e, rounds)
+      .select($"doc_id".as("node"), $"community")
+    val degC = degrees(e).join(lab, "node")
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("deg_sum"))
+    val intra = e
+      .join(lab.select($"node".as("a"), $"community".as("ca")), "a")
+      .join(lab.select($"node".as("b"), $"community".as("cb")), "b")
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(count(lit(1)).as("intra_edges"))
+    degC.join(intra, Seq("community"), "left")
+      .select($"community", $"n_nodes", $"deg_sum",
+        coalesce($"intra_edges", lit(0L)).as("intra_edges"),
+        round(coalesce($"intra_edges", lit(0L)).cast("double") / m
+          - ($"deg_sum".cast("double") / (2 * m))
+            * ($"deg_sum".cast("double") / (2 * m)), 6).as("contribution"))
+  }
+
+  /** DEGREE ASSORTATIVITY (Newman, Phys. Rev. Lett. 89, 2002): the
+    * Pearson correlation of endpoint degrees over the symmetrized edge
+    * list — one number telling whether heavy documents duplicate with
+    * other heavy documents (r > 0, concentrated template hubs; the
+    * dedup survivor policy can rank by degree alone) or with the
+    * long tail (r < 0, hub-and-spoke boilerplate; survivor choice
+    * needs the cluster structure). Computed from the five integer
+    * moment sums (n, Σjk, Σj, Σj², and their mirror — exact under any
+    * agg order, BIGINT-safe at 100x since degrees are per-replica),
+    * converted to IEEE doubles only in the final mean/sqrt formula and
+    * rounded to 6 — the engine-neutral moments discipline of
+    * rel_stats_agg. Shape: two broadcast-or-SMJ degree joins on the
+    * adjacency + one single-row aggregate. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val deg = degrees(e)
+    val sums = adjacency(e)
+      .join(deg.select($"node".as("src"), $"deg".as("dj")), "src")
+      .join(deg.select($"node".as("dst"), $"deg".as("dk")), "dst")
+      .agg(
+        count(lit(1)).as("n2"),
+        sum($"dj" * $"dk").as("sjk"),
+        sum($"dj").as("sj"), sum($"dk").as("sk"),
+        sum($"dj" * $"dj").as("sj2"), sum($"dk" * $"dk").as("sk2"))
+    val n2d = $"n2".cast("double")
+    val mj = $"sj".cast("double") / n2d
+    val mk = $"sk".cast("double") / n2d
+    sums.select(
+      $"n2".as("n_directed_edges"),
+      round(($"sjk".cast("double") / n2d - mj * mk)
+        / (sqrt($"sj2".cast("double") / n2d - mj * mj)
+          * sqrt($"sk2".cast("double") / n2d - mk * mk)), 6)
+        .as("assortativity"))
+  }
+
   /** ADAMIC-ADAR LINK PREDICTION — top-N non-adjacent document pairs
     * ranked by Σ_u 1/ln(deg(u)) over their common neighbors u (Adamic &
     * Adar, Social Networks 25(3), 2003). On the near-dup graph this is

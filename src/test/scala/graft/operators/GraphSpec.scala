@@ -530,6 +530,60 @@ class GraphSpec extends SparkSpec {
     assert(topHub != topAuth || got(topHub)._3 != got(topHub)._4)
   }
 
+  test("modularity: per-community contributions match a brute-force mirror " +
+    "over the spec-trusted LPA labels; Q bounded") {
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val m = e.size.toDouble
+    val labels = Graph.labelPropagation(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byC = labels.groupBy(_._2)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = byC.map { case (c, members) =>
+      val nodes = members.keySet
+      val degSum = nodes.toSeq.map(deg).sum
+      val intra = e.count { case (a, b) => nodes(a) && nodes(b) }
+      c -> ((nodes.size.toLong, degSum, intra.toLong,
+        r6(intra / m - (degSum / (2 * m)) * (degSum / (2 * m)))))
+    }
+    val got = Graph.modularity(spark, Sf).collect().map { r =>
+      r.getAs[Long]("community") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("deg_sum"),
+          r.getAs[Long]("intra_edges"), r.getAs[Double]("contribution")))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (c, (nn, ds, ie, q)) =>
+      val (gn, gd, gi, gq) = got(c)
+      assert(gn === nn); assert(gd === ds); assert(gi === ie)
+      assert(math.abs(gq - q) < 1e-9, s"community $c contribution $gq vs $q")
+    }
+    // Q = sum of contributions is a modularity: within [-1, 1], and on a
+    // clique-structured dedup graph decisively positive
+    val q = got.values.map(_._4).sum
+    assert(q > 0.0 && q <= 1.0, s"Q=$q")
+  }
+
+  test("assortativity equals the brute-force degree Pearson; within [-1, 1]") {
+    val e = edgeSet()
+    val und = (e ++ e.map { case (a, b) => (b, a) }).toSeq
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val pairs = und.map { case (a, b) => (deg(a).toDouble, deg(b).toDouble) }
+    val n = pairs.size.toDouble
+    val mj = pairs.map(_._1).sum / n
+    val mk = pairs.map(_._2).sum / n
+    val num = pairs.map(p => p._1 * p._2).sum / n - mj * mk
+    val den = math.sqrt(pairs.map(p => p._1 * p._1).sum / n - mj * mj) *
+      math.sqrt(pairs.map(p => p._2 * p._2).sum / n - mk * mk)
+    val want = num / den
+    val row = Graph.assortativity(spark, Sf).collect().head
+    assert(row.getAs[Long]("n_directed_edges") === und.size.toLong)
+    val got = row.getAs[Double]("assortativity")
+    assert(math.abs(got - want) < 1e-6, s"assortativity $got vs $want")
+    assert(got >= -1.0 && got <= 1.0)
+  }
+
   test("bfs distance equals brute-force BFS from the 8 smallest doc ids") {
     val e = edgeSet()
     val und = e ++ e.map { case (a, b) => (b, a) }
