@@ -104,6 +104,7 @@ object Bench {
     "graph_hits", // added r12: directed hub/authority power iterations
     "graph_modularity", // added r12: LPA partition quality, integer counts
     "graph_assortativity", // added r12: degree Pearson from integer moments
+    "graph_betweenness", // added r12: 8-source hop-bounded Brandes sweep
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

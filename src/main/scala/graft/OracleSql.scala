@@ -3397,6 +3397,55 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  WHERE NOT EXISTS (SELECT 1 FROM v2 v WHERE v.node = a.dst))
          |SELECT node AS doc_id, hops FROM v2
          |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3""".stripMargin,
+    "graph_betweenness" -> {
+      // twin of Graph.betweenness (nSeeds=8, maxHops=3): forward BFS
+      // layers with BIGINT σ sums, backward Brandes sweep with each
+      // contribution rounded to 12 and summed in DECIMAL(38,12), layer
+      // δ rounded to 8, per-node source sum in DECIMAL(27,10) rounded
+      // to 6 — every frame MATERIALIZED (the graph_kcore reason: the
+      // backward sweep reads each forward layer twice)
+      val hops = 3
+      val fwd = (1 to hops).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT f.start, a.dst AS node,
+           |  CAST(sum(f.sigma) AS BIGINT) AS sigma
+           |  FROM f${i - 1} f JOIN adjm a ON a.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+           |    WHERE v.start = f.start AND v.node = a.dst)
+           |  GROUP BY f.start, a.dst),
+           |v$i AS MATERIALIZED (SELECT start, node FROM v${i - 1}
+           |  UNION ALL SELECT start, node FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      val bwd = ((hops - 1) to 1 by -1).map { h =>
+        s"""c$h AS MATERIALIZED (SELECT f.start, f.node,
+           |  round(CAST(sum(CAST(round(CAST(f.sigma AS DOUBLE) / w.sigma
+           |      * (1 + dw.d), 12) AS DECIMAL(38,12))) AS DOUBLE), 8) AS dsum
+           |  FROM f$h f JOIN adjm a ON a.src = f.node
+           |  JOIN f${h + 1} w ON w.start = f.start AND w.node = a.dst
+           |  JOIN d${h + 1} dw ON dw.start = f.start AND dw.node = a.dst
+           |  GROUP BY f.start, f.node),
+           |d$h AS MATERIALIZED (SELECT f.start, f.node,
+           |  coalesce(c.dsum, CAST(0.0 AS DOUBLE)) AS d
+           |  FROM f$h f LEFT JOIN c$h c
+           |  ON c.start = f.start AND c.node = f.node)""".stripMargin
+      }.mkString(",\n")
+      val bunion = (1 to hops)
+        .map(h => s"SELECT node, d FROM d$h").mkString("\n  UNION ALL ")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |f0 AS MATERIALIZED (SELECT doc_id AS start, doc_id AS node,
+         |  CAST(1 AS BIGINT) AS sigma FROM $docs ORDER BY doc_id LIMIT 8),
+         |v0 AS MATERIALIZED (SELECT start, node FROM f0),
+         |$fwd,
+         |d$hops AS (SELECT start, node, CAST(0.0 AS DOUBLE) AS d FROM f$hops),
+         |$bwd,
+         |bacc AS ($bunion),
+         |b AS (SELECT node,
+         |  round(CAST(sum(CAST(d AS DECIMAL(27,10))) AS DOUBLE), 6) AS betweenness
+         |  FROM bacc GROUP BY node)
+         |SELECT n.node AS doc_id,
+         |  coalesce(b.betweenness, CAST(0.0 AS DOUBLE)) AS betweenness
+         |FROM nodes n LEFT JOIN b ON b.node = n.node""".stripMargin
+    },
     "graph_ppr" -> {
       // twin of Graph.personalizedPageRank (iters=3, seedMod=16): the
       // graph_pagerank body with a seed-split restart term, LEFT sum

@@ -121,6 +121,7 @@ object SparkEntry {
     "graph_hits" -> ((s, d) => Graph.hits(s, d)),
     "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
     "graph_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
+    "graph_betweenness" -> ((s, d) => Graph.betweenness(s, d)),
     "graph_bfs_distance" -> ((s, d) => Graph.bfsDistance(s, d)),
     // text analysis
     "text_token_stats" -> (TextAnalysis.tokenStats _),

@@ -940,4 +940,93 @@ object Graph {
     }
     visited.select($"node".as("doc_id"), $"hops")
   }
+
+  /** SAMPLED BETWEENNESS CENTRALITY — Brandes' dependency accumulation
+    * (Brandes, J. Math. Sociol. 25(2), 2001) from a fixed seed sample,
+    * hop-bounded (the k-source estimator of Bader, Kintali, Madduri &
+    * Mihail, WAW 2007): forward multi-source BFS layers carrying exact
+    * shortest-path counts σ, then the backward sweep δ(v) = Σ_w
+    * σ_v/σ_w · (1 + δ(w)) over the successor layer, summed over
+    * sources. The path-based member of the centrality family: where
+    * [[pageRank]]/[[eigenCentrality]] score mass concentration and
+    * [[hits]] directed endorsement, betweenness scores BROKERAGE — a
+    * document with high betweenness but modest degree is the bridge
+    * stitching two template families into one CC, exactly the document
+    * to re-examine before trusting transitive-closure dedup survivors.
+    *
+    * Determinism: seeds are the `nSeeds` smallest doc_ids (the
+    * [[bfsDistance]] convention); σ sums are BIGINT-exact; each
+    * backward contribution rounds the IEEE expression
+    * CAST(σ_v)/σ_w · (1 + δ_w) to 12, sums in DECIMAL(38,12) (exact
+    * under any partial-agg order — the Adamic-Adar discipline), and
+    * each layer's δ rounds to 8 so both engines sweep on identical
+    * doubles; the final per-node sum over sources is one DECIMAL agg
+    * rounded to 6. Shape: maxHops frontier joins forward (each one
+    * equi-join + one partial-agged BIGINT sum + one anti-join, layers
+    * checkpointed — the pageRank lineage discipline), maxHops joins
+    * backward, one final bounded agg; nothing wedge-sized, no driver
+    * loop beyond the fixed hop count. */
+  def betweenness(s: SparkSession, dir: String, nSeeds: Int = 8,
+                  maxHops: Int = 3): DataFrame = {
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    require(maxHops >= 1 && maxHops <= 6, s"maxHops must be in [1, 6], got $maxHops")
+    val e = edges(s, dir).localCheckpoint(true)
+    val adj = adjacency(e).localCheckpoint(true)
+    val allNodes = degrees(e).select($"node")
+    val seeds = graft.sources.Tables.documents(s, dir)
+      .select($"doc_id").orderBy($"doc_id").limit(nSeeds)
+      .select($"doc_id".as("start"))
+    // forward: per (start, node) layer frames with exact path counts
+    val f0 = seeds.select($"start", $"start".as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer(f0)
+    var visited = f0.select($"start", $"node")
+    for (_ <- 1 to maxHops) {
+      val nxt = layers.last
+        .join(adj, $"node" === $"src")
+        .groupBy($"start", $"dst").agg(sum($"sigma").as("sigma"))
+        .join(visited.select($"start".as("vs"), $"node".as("vn")),
+          $"start" === $"vs" && $"dst" === $"vn", "left_anti")
+        .select($"start", $"dst".as("node"), $"sigma")
+        .localCheckpoint(true)
+      visited = visited.unionByName(nxt.select($"start", $"node"))
+        .localCheckpoint(true)
+      layers += nxt
+    }
+    // backward: δ per layer, deepest first (δ of the deepest layer = 0)
+    var delta = layers(maxHops)
+      .select($"start", $"node", lit(0.0).as("d"))
+      .localCheckpoint(true)
+    val deltas = scala.collection.mutable.ArrayBuffer(delta)
+    for (h <- (maxHops - 1) to 1 by -1) { // δ_0 (the seed layer) is unused
+      val succ = layers(h + 1).select(
+        $"start".as("ws"), $"node".as("wn"), $"sigma".as("wsig"))
+      val dw = delta.select($"start".as("ds"), $"node".as("dn"), $"d".as("dw"))
+      val contrib = layers(h)
+        .join(adj, $"node" === $"src")
+        .join(succ, $"start" === $"ws" && $"dst" === $"wn")
+        .join(dw, $"start" === $"ds" && $"dst" === $"dn")
+        .select($"start", $"node",
+          round($"sigma".cast("double") / $"wsig" * (lit(1.0) + $"dw"), 12)
+            .cast("decimal(38,12)").as("c"))
+        .groupBy($"start", $"node")
+        .agg(round(sum($"c").cast("double"), 8).as("dsum"))
+      delta = layers(h).select($"start", $"node")
+        .join(contrib, Seq("start", "node"), "left")
+        .select($"start", $"node", coalesce($"dsum", lit(0.0)).as("d"))
+        .localCheckpoint(true)
+      deltas += delta
+    }
+    // B(v) = Σ_sources δ_s(v) over layers 1..maxHops (v ≠ s); each
+    // reached (start, node) sits in exactly one layer, so the union is
+    // duplicate-free and one DECIMAL agg closes the estimator
+    val reached = deltas.reverse // δ frames for layers maxHops..1 → 1..maxHops
+    val b = reached.reduce(_ unionAll _)
+      .select($"node", $"d".cast("decimal(27,10)").as("d"))
+      .groupBy($"node")
+      .agg(round(sum($"d").cast("double"), 6).as("betweenness"))
+    allNodes.join(b, Seq("node"), "left")
+      .select($"node".as("doc_id"),
+        coalesce($"betweenness", lit(0.0)).as("betweenness"))
+  }
 }

@@ -584,6 +584,66 @@ class GraphSpec extends SparkSpec {
     assert(got >= -1.0 && got <= 1.0)
   }
 
+  test("betweenness matches a brute-force hop-bounded Brandes sweep from " +
+    "the 8 smallest doc ids; unreached nodes exactly zero") {
+    val H = 3
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val adjOf = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val allNodes = adjOf.keySet
+    val seeds = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.take(8)
+    def r(x: Double, sc: Int): Double =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bAcc = scala.collection.mutable.Map.empty[Long, BigDecimal]
+    for (s0 <- seeds) {
+      // forward layers with exact sigma
+      var layers = Vector(Map(s0 -> 1L))
+      var visited = Set(s0)
+      for (_ <- 1 to H) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+        layers.last.foreach { case (v, sig) =>
+          adjOf.getOrElse(v, Set.empty).filterNot(visited).foreach { w =>
+            nxt(w) = nxt.getOrElse(w, 0L) + sig
+          }
+        }
+        visited ++= nxt.keySet
+        layers :+= nxt.toMap
+      }
+      // backward sweep: delta over layers H-1..1, deepest delta = 0
+      var delta = layers(H).map { case (v, _) => v -> 0.0 }
+      for (h <- (H - 1) to 1 by -1) {
+        delta = layers(h).map { case (v, sig) =>
+          val c = adjOf(v).toSeq
+            .filter(w => layers(h + 1).contains(w))
+            .map { w =>
+              BigDecimal(r(sig.toDouble / layers(h + 1)(w)
+                * (1.0 + delta(w)), 12)).setScale(12)
+            }.sum
+          v -> r(c.toDouble, 8)
+        }
+        delta.foreach { case (v, d) =>
+          bAcc(v) = bAcc.getOrElse(v, BigDecimal(0)) +
+            BigDecimal(d).setScale(10)
+        }
+      }
+      // deepest layer contributes its zeros (kept for exactness parity)
+      layers(H).keys.foreach(v =>
+        bAcc(v) = bAcc.getOrElse(v, BigDecimal(0)))
+    }
+    val want = allNodes.map(v =>
+      v -> r(bAcc.getOrElse(v, BigDecimal(0)).toDouble, 6)).toMap
+    val got = Graph.betweenness(spark, Sf).collect()
+      .map(r0 => r0.getAs[Long]("doc_id") -> r0.getAs[Double]("betweenness"))
+      .toMap
+    assert(got.keySet === allNodes)
+    want.foreach { case (v, b) =>
+      assert(math.abs(got(v) - b) < 1e-9, s"node $v betweenness ${got(v)} vs $b")
+    }
+    // brokerage exists on the fixture: someone is strictly positive
+    assert(got.values.max > 0.0)
+  }
+
   test("bfs distance equals brute-force BFS from the 8 smallest doc ids") {
     val e = edgeSet()
     val und = e ++ e.map { case (a, b) => (b, a) }
