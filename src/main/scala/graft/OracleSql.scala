@@ -1219,6 +1219,25 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round(avg(-ln(ctf / total)), 6) AS avg_neg_logprob
          |FROM t JOIN c USING (term) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+    "text_source_kl" ->
+      // twin of TextAnalysis.sourceKl: per-term (c/Ns)*ln((c/Ns)/(Ct/N))
+      // with the SAME op order as Spark, rounded to 12, summed in
+      // DECIMAL(38,12) (order-free), KL rounded to 6 — the
+      // text_dsir_weights ln-parity discipline
+      s"""WITH t AS (SELECT source, unnest(${toks("lower(text)")}) AS term FROM $docs),
+         |st AS (SELECT source, term, count(*) AS c FROM t GROUP BY source, term),
+         |ct AS (SELECT term, count(*) AS ctf FROM t GROUP BY term),
+         |ns AS (SELECT source, count(*) AS ns FROM t GROUP BY source),
+         |nn AS (SELECT count(*) AS n FROM t),
+         |k AS (SELECT st.source, ns.ns,
+         |  CAST(round((CAST(st.c AS DOUBLE) / ns.ns)
+         |    * ln((CAST(st.c AS DOUBLE) / ns.ns)
+         |      / (CAST(ct.ctf AS DOUBLE) / nn.n)), 12) AS DECIMAL(38,12)) AS k
+         |  FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN nn)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(max(ns) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(k) AS DOUBLE), 6) AS kl_divergence
+         |FROM k GROUP BY source""".stripMargin,
     "text_dsir_weights" ->
       // twin of TextAnalysis.dsirWeights (nBuckets=1024, target lang
       // 'en'): hashed-unigram bucket counts for target and raw, add-one

@@ -150,6 +150,7 @@ object SparkEntry {
     "text_common_spans" -> ((s, d) => TextAnalysis.commonSpans(s, d)),
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "text_source_kl" -> (TextAnalysis.sourceKl _),
     "text_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),
     "rel_approx_distinct" -> (Relational.q23ApproxDistinct _),
     "text_winnow_sketch" -> ((s, d) => TextAnalysis.winnowSketch(s, d)),

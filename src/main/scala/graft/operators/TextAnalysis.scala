@@ -573,6 +573,47 @@ object TextAnalysis {
   def commonSpans(s: SparkSession, dir: String, w: Int = 5, minDf: Int = 3): DataFrame =
     commonSpansFrom(Tables.documents(s, dir), w, minDf)
 
+  /** PER-SOURCE KL DIVERGENCE from the corpus unigram distribution —
+    * KL(source ‖ corpus) = Σ_t p_t·ln(p_t/q_t) over the source's
+    * vocabulary: the corpus-drift audit behind mixture decisions (a
+    * source whose token distribution diverges hard from the pooled
+    * corpus either deserves its own quality gates or is contaminating
+    * the mix — the same signal family DSIR importance weights
+    * [[dsirWeights]] act on per document, here aggregated to the
+    * source grain a curation dashboard ranks). q_t > 0 wherever
+    * p_t > 0 by construction (the corpus pools the sources), so the
+    * sum is total.
+    *
+    * Determinism: counts are integers; each term's contribution is the
+    * same IEEE expression on both engines — (c/N_s)·ln((c/N_s)/(C_t/N))
+    * — rounded to 12 and summed in DECIMAL(38,12) (order-free), the
+    * [[dsirWeights]] ln-parity discipline; the final KL rounds to 6.
+    * Shape at 100 TB: one grouped explode for (source, term) counts,
+    * one for the corpus df, a broadcast of the per-source totals
+    * (sources are few) and the 1-row corpus total — the tfidf df
+    * equi-join shape, nothing wider than the vocabulary. */
+  def sourceKl(s: SparkSession, dir: String): DataFrame =
+    sourceKlFrom(Tables.documents(s, dir))
+
+  /** Core of [[sourceKl]] over any (source, text) frame. */
+  def sourceKlFrom(docs: DataFrame): DataFrame = {
+    val tf = docs.select($"source", explode(wsTokens(lower($"text"))).as("term"))
+    val st = tf.groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+    val ct = tf.groupBy($"term").agg(count(lit(1)).as("ctf"))
+    val ns = tf.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val n = tf.agg(count(lit(1)).as("n"))
+    st.join(ct, "term")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .select($"source", $"ns",
+        round(($"c".cast("double") / $"ns")
+          * log(($"c".cast("double") / $"ns") / ($"ctf".cast("double") / $"n")),
+          12).cast("decimal(38,12)").as("k"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"), max($"ns").as("n_tokens"),
+        round(sum($"k").cast("double"), 6).as("kl_divergence"))
+  }
+
   /** Core of [[commonSpans]] over any (doc_id, text) frame. */
   def commonSpansFrom(docs: DataFrame, w: Int, minDf: Int): DataFrame = {
     require(w >= 1 && minDf >= 1, s"need w >= 1 and minDf >= 1, got w=$w minDf=$minDf")

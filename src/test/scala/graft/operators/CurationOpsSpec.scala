@@ -896,6 +896,40 @@ class CurationOpsSpec extends SparkSpec {
       "off-target docs carry negative log importance")
   }
 
+  test("source KL: hand-built reference on a two-source fixture; " +
+    "identical-to-corpus source scores zero, skewed source positive") {
+    import spark.implicits._
+    // source A = the pooled distribution's majority, source B skewed:
+    // corpus = {x:4, y:2, z:2}; A = {x:2, y:1, z:1} (exactly the corpus
+    // mix -> KL 0); B = {x:2, y:1, z:1}? no — make B skewed {x:2, z:2}
+    val docs = Seq(
+      ("A", "x x y z"),
+      ("B", "x x z z"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceKlFrom(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r(v: Double, n: Int) =
+      BigDecimal(v).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def kl(counts: Seq[(Long, Long)], ns: Long, n: Long): Double = {
+      val s = counts.map { case (c, ct) =>
+        BigDecimal(r((c.toDouble / ns)
+          * math.log((c.toDouble / ns) / (ct.toDouble / n)), 12)).setScale(12)
+      }.sum
+      r(s.toDouble, 6)
+    }
+    // corpus: x=4, y=1, z=3 over n=8; A: x=2,y=1,z=1 over 4; B: x=2,z=2 over 4
+    assert(got("A") === ((3L, 4L, kl(Seq((2L, 4L), (1L, 1L), (1L, 3L)), 4L, 8L))))
+    assert(got("B") === ((2L, 4L, kl(Seq((2L, 4L), (2L, 3L)), 4L, 8L))))
+    // the skewed source diverges more than the majority-mix source
+    assert(got("B")._3 > got("A")._3)
+    // and on the real fixture corpus every KL is >= 0 up to rounding
+    val real = TextAnalysis.sourceKl(spark, Sf).collect()
+    assert(real.nonEmpty)
+    real.foreach(r0 => assert(r0.getDouble(3) >= -1e-6,
+      s"KL must be non-negative, got ${r0.getDouble(3)} for ${r0.getString(0)}"))
+  }
+
   test("ccnet buckets: per-lang partition with strictly ordered " +
     "head < middle < tail scores on real data") {
     val got = TextAnalysis.ccnetBuckets(spark, Sf).collect()
