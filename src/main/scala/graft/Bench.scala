@@ -105,6 +105,7 @@ object Bench {
     "graph_modularity", // added r12: LPA partition quality, integer counts
     "graph_assortativity", // added r12: degree Pearson from integer moments
     "graph_betweenness", // added r12: 8-source hop-bounded Brandes sweep
+    "text_source_kl", // added r12: per-source corpus-drift KL
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures
