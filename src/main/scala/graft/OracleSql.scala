@@ -1408,6 +1408,42 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_periodicity" ->
+      // twin of Events.periodicity (lagHours=24): densified hourly grid
+      // via generate_series, lag-24 self-join, five exact integer moment
+      // sums, the mean/sqrt Pearson in DOUBLE + round(6) (the
+      // graph_assortativity moments discipline); zero variance decided
+      // on exact HUGEINT products (Spark: DECIMAL(38,0)) -> 0.0
+      """WITH hc AS (SELECT
+        |  CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS BIGINT) AS h,
+        |  event_type, count(*) AS n FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+        |grid AS (SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM hc) t CROSS JOIN
+        |  (SELECT unnest(generate_series(h0, h1)) AS h FROM r) g),
+        |ser AS (SELECT g.event_type, g.h, coalesce(hc.n, 0) AS x
+        |  FROM grid g LEFT JOIN hc ON hc.event_type = g.event_type AND hc.h = g.h),
+        |lagd AS (SELECT event_type, h + 24 AS h, x AS y FROM ser),
+        |s AS (SELECT ser.event_type, CAST(count(*) AS BIGINT) AS np,
+        |  CAST(sum(ser.x * l.y) AS BIGINT) AS sxy,
+        |  CAST(sum(ser.x) AS BIGINT) AS sx, CAST(sum(l.y) AS BIGINT) AS sy,
+        |  CAST(sum(ser.x * ser.x) AS BIGINT) AS sx2,
+        |  CAST(sum(l.y * l.y) AS BIGINT) AS sy2
+        |  FROM ser JOIN lagd l ON l.event_type = ser.event_type AND l.h = ser.h
+        |  GROUP BY ser.event_type)
+        |SELECT event_type, np AS n_pairs, CAST(24 AS BIGINT) AS lag_hours,
+        |  CASE WHEN CAST(np AS HUGEINT) * sx2 = CAST(sx AS HUGEINT) * sx
+        |      OR CAST(np AS HUGEINT) * sy2 = CAST(sy AS HUGEINT) * sy
+        |    THEN 0.0
+        |    ELSE round((CAST(sxy AS DOUBLE) / np
+        |        - (CAST(sx AS DOUBLE) / np) * (CAST(sy AS DOUBLE) / np))
+        |      / (sqrt(CAST(sx2 AS DOUBLE) / np
+        |          - (CAST(sx AS DOUBLE) / np) * (CAST(sx AS DOUBLE) / np))
+        |        * sqrt(CAST(sy2 AS DOUBLE) / np
+        |          - (CAST(sy AS DOUBLE) / np) * (CAST(sy AS DOUBLE) / np))), 6)
+        |  END AS autocorr
+        |FROM s""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,

@@ -161,6 +161,7 @@ object SparkEntry {
     "events_hourly_agg" -> (Events.hourlyAgg _),
     "events_itemset_pairs" -> ((s, d) => Events.itemsetPairs(s, d)),
     "events_changepoint" -> ((s, d) => Events.changepointCusum(s, d)),
+    "events_periodicity" -> ((s, d) => Events.periodicity(s, d)),
     "events_sessionize" -> (Events.sessionize _),
     "events_top_type_per_user" -> (Events.topTypePerUser _),
     "events_props_extract" -> (Events.propsExtract _),

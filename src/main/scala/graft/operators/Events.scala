@@ -637,6 +637,64 @@ object Events {
   def changepointCusum(s: SparkSession, dir: String): DataFrame =
     changepointCusumFrom(hourlyCountsOf(Tables.events(s, dir)))
 
+  /** HOURLY PERIODICITY — lag-`lagHours` autocorrelation of each event
+    * type's hourly volume series (the Box-Jenkins seasonality
+    * diagnostic at the one lag that matters operationally: 24 h): a
+    * type with autocorr ≈ 1 has a hard daily cycle — size its
+    * ingestion windows and watermark slack to the cycle — while
+    * autocorr ≈ 0 means load is memoryless and static partitioning is
+    * fine. The series is DENSIFIED to the full corpus hour grid with
+    * zero counts (a sparse series would silently correlate only busy
+    * hours and overstate the cycle).
+    *
+    * Determinism: the grid is integer hour indices (epoch/3600) via
+    * sequence(); counts are integers; the Pearson at lag L uses the
+    * five exact integer moment sums and converts to IEEE doubles only
+    * in the terminal mean/sqrt formula + round(6) — the
+    * [[Graph.assortativity]] moments discipline. A zero-variance side
+    * (constant series) is decided on exact DECIMAL integer products
+    * and reports autocorr = 0. Shape: one partial-agged hourly
+    * rollup, a broadcast 2-value hour range, a types × grid explode
+    * (bounded by time range, not volume), one self-equi-join on
+    * (type, hour+L), one bounded agg. */
+  def periodicity(s: SparkSession, dir: String, lagHours: Int = 24): DataFrame =
+    periodicityFrom(hourlyCountsOf(Tables.events(s, dir)), lagHours)
+
+  /** Core of [[periodicity]] over any (hour_ts, event_type, n) frame. */
+  def periodicityFrom(hourly: DataFrame, lagHours: Int): DataFrame = {
+    require(lagHours >= 1, s"lagHours must be >= 1, got $lagHours")
+    val hc = hourly.select(($"hour_ts" / 3600).cast("long").as("h"),
+      $"event_type", $"n")
+    val range = hc.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val grid = hc.select($"event_type").distinct()
+      .crossJoin(broadcast(range))
+      .select($"event_type", explode(sequence($"h0", $"h1")).as("h"))
+    val series = grid.join(hc, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", coalesce($"n", lit(0L)).as("x"))
+    val lagged = series.select($"event_type",
+      ($"h" + lagHours).as("h"), $"x".as("y"))
+    val sums = series.join(lagged, Seq("event_type", "h"))
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("np"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sx2"), sum($"y" * $"y").as("sy2"))
+    val npd = $"np".cast("double")
+    val mx = $"sx".cast("double") / npd
+    val my = $"sy".cast("double") / npd
+    val varXZero = $"np".cast("decimal(38,0)") * $"sx2" ===
+      $"sx".cast("decimal(38,0)") * $"sx"
+    val varYZero = $"np".cast("decimal(38,0)") * $"sy2" ===
+      $"sy".cast("decimal(38,0)") * $"sy"
+    sums.select($"event_type", $"np".as("n_pairs"),
+      lit(lagHours.toLong).as("lag_hours"),
+      when(varXZero || varYZero, lit(0.0))
+        .otherwise(round(($"sxy".cast("double") / npd - mx * my)
+          / (sqrt($"sx2".cast("double") / npd - mx * mx)
+            * sqrt($"sy2".cast("double") / npd - my * my)), 6))
+        .as("autocorr"))
+  }
+
   /** Hourly (hour_ts, event_type, n) rollup shared with the twin. */
   private def hourlyCountsOf(ev: DataFrame): DataFrame =
     ev.filter($"event_type".isNotNull)

@@ -930,6 +930,31 @@ class CurationOpsSpec extends SparkSpec {
       s"KL must be non-negative, got ${r0.getDouble(3)} for ${r0.getString(0)}"))
   }
 
+  test("periodicity: a 24h-periodic series scores autocorr 1, a constant " +
+    "series 0 by the exact-variance guard; pair count excludes the lag head") {
+    import spark.implicits._
+    val hours = 0 until 72
+    val hourly = (
+      hours.map(h => ((1000000L + h) * 3600L, "daily", (h % 24 + 1).toLong)) ++
+        hours.map(h => ((1000000L + h) * 3600L, "flat", 5L))
+      ).toDF("hour_ts", "event_type", "n")
+    val got = Events.periodicityFrom(hourly, 24).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("daily") === ((48L, 24L, 1.0)),
+      "identical series 24h apart must correlate to exactly 1 after round(6)")
+    assert(got("flat") === ((48L, 24L, 0.0)),
+      "zero-variance series must hit the exact-integer guard, not NaN")
+    // densification: dropping one mid-grid hour from 'daily' must change
+    // the pair count not at all (grid is the full range) and keep a
+    // defined result
+    val sparse = hourly.filter(!($"event_type" === "daily" &&
+      $"hour_ts" === (1000000L + 30) * 3600L))
+    val got2 = Events.periodicityFrom(sparse, 24).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2("daily") === 48L)
+  }
+
   test("ccnet buckets: per-lang partition with strictly ordered " +
     "head < middle < tail scores on real data") {
     val got = TextAnalysis.ccnetBuckets(spark, Sf).collect()
