@@ -106,6 +106,7 @@ object Bench {
     "graph_assortativity", // added r12: degree Pearson from integer moments
     "graph_betweenness", // added r12: 8-source hop-bounded Brandes sweep
     "text_source_kl", // added r12: per-source corpus-drift KL
+    "events_periodicity", // added r12: lag-24 autocorr on the dense hour grid
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

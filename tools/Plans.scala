@@ -95,7 +95,13 @@ object Plans {
       "sim_kmeanspp_seeds" -> "k-means||: per round one DECIMAL phi aggregate + one filtered corpus scan (expected-l driver rows) + map-side dmin update vs LITERAL centers — no joins, no shuffles beyond the 1-row aggs; state checkpointed",
       "rel_histogram_quantiles" -> "histogram quantiles: two partial-agged scans (min/max, bin counts) — exchange carries <=nBins rows; cumulative window + percentile cut run on the AGGREGATED frame only",
       "text_dsir_weights" -> "DSIR: two partial-agged token scans build the <=nBuckets log-ratio table, broadcast to the occurrence stream; only data-volume exchange is the per-doc aggregate",
-      "text_ccnet_buckets" -> "CCNet buckets: unigram-LM chain + per-lang min/max broadcast + INTEGER bin labels via broadcast tertile cuts — no per-lang global sort; cumulative window over the <=lang*nBins histogram")
+      "text_ccnet_buckets" -> "CCNet buckets: unigram-LM chain + per-lang min/max broadcast + INTEGER bin labels via broadcast tertile cuts — no per-lang global sort; cumulative window over the <=lang*nBins histogram",
+      "graph_hits" -> "HITS: oriented edge list checkpointed once (ExistingRDD); per half-step one equi-join + partial DECIMAL agg + 1-row broadcast normalizer; final two left joins onto the degree frame keep edgeless sides at exact 0",
+      "graph_modularity" -> "modularity: checkpointed LPA iterates, then one degree join + one two-sided label join on the a<b edge list + two bounded per-community aggs; m is a driver count, not a crossJoin",
+      "graph_assortativity" -> "assortativity: two degree equi-joins on the symmetrized adjacency, ONE single-row integer-moments aggregate — no window, no wedge, nothing wider than the edge stream",
+      "graph_betweenness" -> "betweenness: 3 forward frontier joins with partial BIGINT sigma sums + per-level anti-join, 2 backward dependency joins over checkpointed layers (ExistingRDD), final bounded DECIMAL agg + left-join totality",
+      "text_source_kl" -> "source KL: two grouped explodes (source-term tf, corpus df), broadcast per-source totals + 1-row corpus total, per-term codegen contribution, partial DECIMAL agg to one row per source",
+      "events_periodicity" -> "periodicity: partial-agged hourly rollup, broadcast 2-value hour range, sequence() grid explode, lag self-equi-join on (type, hour), single-row integer-moments agg per type")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
