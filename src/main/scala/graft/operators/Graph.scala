@@ -84,19 +84,44 @@ object Graph {
     * PageRank lineage pathology). The census never materializes a
     * triangle row at all: n_triangles = Σ per-edge common-out-neighbor
     * counts from [[triangleEdges]]. */
-  private def censusOf(e: DataFrame): DataFrame = {
+  private[operators] def censusOf(
+      e: DataFrame, passEdges: Long = CensusPassEdges): DataFrame = {
     val deg = degrees(e)
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       (sum($"deg") / 2).cast("long").as("n_edges"),
       sum($"deg" * ($"deg" - 1) / 2).cast("long").as("n_wedges"))
-    val tri = triangleEdges(e, deg)
+    val (oriented, adj, bcast, nEdges) = triangleSetup(e, deg)
+    def sumOf(sub: DataFrame) = triangleEdgesOf(sub, adj, bcast)
       .agg(coalesce(sum(size($"ws")).cast("long"), lit(0L))
         .as("n_triangles"))
+    val passes = orientedPasses(oriented, nEdges, passEdges)
+    val tri =
+      if (passes.size == 1) sumOf(passes.head)
+      else passes.map { p =>
+        val r = sumOf(p).localCheckpoint(true); System.gc(); r
+      }.reduce(_ unionAll _)
+        .agg(sum($"n_triangles").cast("long").as("n_triangles"))
     stats.crossJoin(tri)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
         round(lit(3.0) * $"n_triangles" / $"n_wedges", 6)
           .as("global_clustering"))
+  }
+
+  /** Hash-disjoint pass subsets of an oriented edge frame: one slice
+    * under the [[CensusPassEdges]] bar (the plan the harness scales
+    * verify), ceil(E / bar) deterministic slices above it — the
+    * scratch-bounding policy shared by [[localClusteringFrom]],
+    * [[censusOf]] and [[kTrussFrom]]'s support pass. Every edge lands
+    * in exactly one slice, so any reduction summed across slices is
+    * split-invariant. */
+  private def orientedPasses(oriented: DataFrame, nEdges: Long,
+                             passEdges: Long): Seq[DataFrame] = {
+    require(passEdges >= 1, s"passEdges must be >= 1, got $passEdges")
+    val k = math.max(1L, (nEdges + passEdges - 1) / passEdges).toInt
+    if (k == 1) Seq(oriented)
+    else (0 until k).map(i =>
+      oriented.filter(pmod(xxhash64($"s", $"t"), lit(k)) === i))
   }
 
   /** FORWARD triangle algorithm (Schank & Wagner, SEA 2005) over the
@@ -221,29 +246,24 @@ object Graph {
         .select($"s", $"t", explode($"ws").as("w"))
         .select(explode(array($"s", $"t", $"w")).as("node"))
         .groupBy($"node").agg(count(lit(1)).as("t"))
-    val nPasses = math.max(1L, (nEdges + passEdges - 1) / passEdges).toInt
+    // Sequential hash-disjoint passes ([[orientedPasses]]): each pass
+    // intersects 1/K of the oriented edges against the FULL adjacency
+    // and reduces to per-node counts (bounded by |V|) before the next
+    // pass starts, so live shuffle scratch is ~1/K of the one-shot
+    // plan. The split covers every edge exactly once, so the summed
+    // counts — and the oracle hash — cannot depend on it. The
+    // checkpoint materializes the pass; the gc lets the ContextCleaner
+    // drop the pass's shuffle files before the next pass claims the
+    // disk (the Bench inter-query discipline — without it cleanup
+    // waits for an arbitrary GC).
+    val passes = orientedPasses(oriented, nEdges, passEdges)
     val perNode =
-      if (nPasses == 1) charges(oriented)
-      else {
-        // Sequential hash-disjoint passes: each pass intersects 1/K of
-        // the oriented edges against the FULL adjacency and reduces to
-        // per-node counts (bounded by |V|) before the next pass starts,
-        // so live shuffle scratch is ~1/K of the one-shot plan. The
-        // split covers every edge exactly once for ANY deterministic
-        // hash, so the summed counts — and the oracle hash — cannot
-        // depend on it. The checkpoint materializes the pass; the gc
-        // lets the ContextCleaner drop the pass's shuffle files before
-        // the next pass claims the disk (the Bench inter-query
-        // discipline — without it cleanup waits for an arbitrary GC).
-        val parts = (0 until nPasses).map { k =>
-          val part = charges(
-            oriented.filter(pmod(xxhash64($"s", $"t"), lit(nPasses)) === k))
-            .localCheckpoint(true)
-          System.gc()
-          part
-        }
-        parts.reduce(_ unionAll _).groupBy($"node").agg(sum($"t").as("t"))
-      }
+      if (passes.size == 1) charges(passes.head)
+      else passes.map { p =>
+        val part = charges(p).localCheckpoint(true)
+        System.gc()
+        part
+      }.reduce(_ unionAll _).groupBy($"node").agg(sum($"t").as("t"))
     deg.join(perNode, Seq("node"), "left")
       .select($"node".as("doc_id"), $"deg".as("degree"),
         coalesce($"t", lit(0L)).as("n_triangles"),
@@ -485,7 +505,8 @@ object Graph {
     kTrussFrom(edges(s, dir).localCheckpoint(true), k, rounds)
 
   /** Core of [[kTruss]] over any materialized (a, b) a<b edge frame. */
-  def kTrussFrom(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kTrussFrom(e0: DataFrame, k: Int, rounds: Int,
+                 passEdges: Long = CensusPassEdges): DataFrame = {
     require(k >= 3 && rounds >= 1, s"need k >= 3 and rounds >= 1")
     // per-edge triangle support: each (s, t, ws) row charges size(ws)
     // to the (s, t) edge and 1 to each of the two closing edges (s, w),
@@ -496,8 +517,12 @@ object Graph {
     // support pass. Explode to a row per triangle (s, t, w), then emit
     // its three edges from a second inline generator — each triangle
     // charges each of its edges exactly once, so no weight column.
-    def support(e: DataFrame): DataFrame =
-      triangleEdges(e, degrees(e))
+    // Above the CensusPassEdges bar the slices run sequentially with
+    // per-pass (a, b) partial counts (bounded by |E|) — the
+    // scratch-bounding policy of [[localClusteringFrom]].
+    def support(e: DataFrame): DataFrame = {
+      val (oriented, adj, bcast, nEdges) = triangleSetup(e, degrees(e))
+      def chargesOf(sub: DataFrame) = triangleEdgesOf(sub, adj, bcast)
         .select($"s", $"t", explode($"ws").as("w"))
         .select(explode(array(
           struct(least($"s", $"t").as("a"), greatest($"s", $"t").as("b")),
@@ -505,7 +530,17 @@ object Graph {
           struct(least($"t", $"w").as("a"), greatest($"t", $"w").as("b"))))
           .as("x"))
         .select($"x.a".as("a"), $"x.b".as("b"))
-        .groupBy($"a", $"b").agg(count(lit(1)).as("support"))
+      val passes = orientedPasses(oriented, nEdges, passEdges)
+      if (passes.size == 1)
+        chargesOf(passes.head)
+          .groupBy($"a", $"b").agg(count(lit(1)).as("support"))
+      else passes.map { p =>
+        val r = chargesOf(p).groupBy($"a", $"b")
+          .agg(count(lit(1)).as("c")).localCheckpoint(true)
+        System.gc(); r
+      }.reduce(_ unionAll _)
+        .groupBy($"a", $"b").agg(sum($"c").as("support"))
+    }
     var e = e0
     for (_ <- 1 to rounds)
       e = e.join(support(e), Seq("a", "b"))

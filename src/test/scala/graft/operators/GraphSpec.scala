@@ -482,6 +482,22 @@ class GraphSpec extends SparkSpec {
     assert(oneShot.nonEmpty)
   }
 
+  test("census and k-truss pass decomposition is result-invisible " +
+    "(forced multi-pass equals the one-shot plans row for row)") {
+    val e = Dedup.minhashLshPairs(spark, Sf)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(true)
+    val c1 = Graph.censusOf(e).collect().head
+    val cN = Graph.censusOf(e, passEdges = 100L).collect().head
+    assert(cN.toSeq === c1.toSeq, "census must not depend on the pass split")
+    val t1 = Graph.kTrussFrom(e, 4, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tN = Graph.kTrussFrom(e, 4, 2, passEdges = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tN === t1, "k-truss must not depend on the pass split")
+    assert(t1.nonEmpty)
+  }
+
   test("hits: matches brute-force hub/authority iteration on the oriented " +
     "pair list; scores normalized; edgeless sides exactly zero") {
     val e = edgeSet() // already oriented doc_a < doc_b
