@@ -107,6 +107,13 @@ object Bench {
     "graph_betweenness", // added r12: 8-source hop-bounded Brandes sweep
     "text_source_kl", // added r12: per-source corpus-drift KL
     "events_periodicity", // added r12: lag-24 autocorr on the dense hour grid
+    "graph_jaccard_neighbors", // added r13: hub-capped wedge join, normalized overlap
+    "sim_bq_recall", // added r13: 1-bit sign codes, XOR+POPCNT shortlist + rerank
+    "sim_matryoshka_recall", // added r13: 3 prefix-slice scans vs the exact top-k
+    "events_ewma_anomaly", // added r13: bounded 24-hour range self-join EWMA
+    "events_interarrival", // added r13: per-type gap window + nearest-rank picks
+    "text_pmi_bigrams", // added r13: two counting explodes + bounded score join
+    "rel_table_checksum", // added r13: 3 hash-sum scans, no data shuffle
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

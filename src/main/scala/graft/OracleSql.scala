@@ -588,6 +588,30 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM ($unpivot)
          |GROUP BY col_name""".stripMargin
     },
+    "rel_table_checksum" -> {
+      // twin of Relational.q54TableChecksum: per-row hash60 over the
+      // SAME canonical rendering (ints/strings verbatim, monetary
+      // doubles as HALF_UP cents — both engines round away from zero —
+      // timestamps as epoch seconds), summed in DECIMAL(38,0). The sum
+      // is order-free, so the twin needs no ORDER BY to agree.
+      def v(e: String) = s"CAST($e AS VARCHAR)"
+      def cents(e: String) = v(s"CAST(round($e * 100) AS BIGINT)")
+      def ep(e: String) = v(s"CAST(epoch($e) AS BIGINT)")
+      def row(tbl: String, cols: Seq[String]) =
+        s"""SELECT '$tbl' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS row_checksum
+           |FROM (SELECT ${h60(s"concat_ws('|', ${cols.mkString(", ")})")} AS h
+           |  FROM $tbl)""".stripMargin
+      Seq(
+        row("lineitem", Seq(v("l_orderkey"), v("l_linenumber"),
+          cents("l_quantity"), cents("l_extendedprice"), cents("l_discount"),
+          cents("l_tax"), "l_returnflag", "l_linestatus", ep("l_shipdate"))),
+        row("orders", Seq(v("o_orderkey"), v("o_custkey"), "o_orderstatus",
+          cents("o_totalprice"), ep("o_orderdate"), "o_orderpriority")),
+        row("customer", Seq(v("c_custkey"), "c_name", v("c_nationkey"),
+          cents("c_acctbal"), "c_mktsegment")))
+        .mkString("\nUNION ALL\n")
+    },
     "rel_histogram_quantiles" ->
       // twin of Relational.q53HistogramQuantiles (nBins=1024, p in
       // {0.5,0.9,0.99,0.999}): bin/threshold/estimate expressions are
@@ -796,6 +820,27 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
          |  coalesce(pd.avg_neg_logprob, 0.0) AS avg_neg_logprob
          |FROM $docs d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    "text_pmi_bigrams" ->
+      // twin of TextAnalysis.pmiBigrams (minCount=5, topN=50): adjacent
+      // pair and unigram counts, PMI = ln((c12/Nb) / ((c1/N)*(c2/N)))
+      // in the SAME op order rounded to 6, top 50 under (pmi desc, a, b)
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
+         |occ AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg FROM t),
+         |o AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM occ),
+         |uni AS (SELECT unnest(tk) AS w FROM t),
+         |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM o),
+         |b AS (SELECT w1, w2, count(*) AS c12 FROM o
+         |  GROUP BY w1, w2 HAVING count(*) >= 5)
+         |SELECT b.w1 AS term_a, b.w2 AS term_b, b.c12 AS n_pair,
+         |  round(ln((b.c12::DOUBLE / nb.n_big)
+         |    / ((u1.c::DOUBLE / nt.n_tok) * (u2.c::DOUBLE / nt.n_tok))), 6)
+         |    AS pmi
+         |FROM b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w
+         |CROSS JOIN nt CROSS JOIN nb
+         |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin,
     "text_char_entropy" ->
       // twin of TextAnalysis.charEntropy: per-char terms -p*log2(p)
       // rounded to 12, summed in DECIMAL; empty-skeleton docs kept at 0
@@ -1408,6 +1453,56 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_ewma_anomaly" ->
+      // twin of Events.ewmaAnomaly (lookback=24, decay=0.7,
+      // minBaseline=8, topN=20): sparse hourly series, bounded range
+      // self-join on [h-24, h-1], weight and weighted term each
+      // rounded to 12 and summed in DECIMAL(38,12) (order-free), ewma
+      // and deviation rounded to 6, top-20 under the
+      // (|deviation| desc, type, hour) total order
+      """WITH hc AS (SELECT
+        |  CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS BIGINT) AS h,
+        |  event_type, count(*) AS n FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT event_type, h AS h2, n AS x2 FROM hc),
+        |j AS (SELECT hc.event_type, hc.h, hc.n,
+        |  CAST(round(pow(0.7, hc.h - p.h2 - 1), 12) AS DECIMAL(38,12)) AS w,
+        |  CAST(round(pow(0.7, hc.h - p.h2 - 1) * p.x2, 12) AS DECIMAL(38,12)) AS wx
+        |  FROM hc JOIN p ON hc.event_type = p.event_type
+        |    AND p.h2 >= hc.h - 24 AND p.h2 < hc.h),
+        |a AS (SELECT event_type, h, n, count(*) AS base_n,
+        |  sum(w) AS den, sum(wx) AS num FROM j GROUP BY 1, 2, 3),
+        |sc AS (SELECT event_type, h * 3600 AS hour_ts, n,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+        |  FROM a WHERE base_n >= 8),
+        |d AS (SELECT event_type, hour_ts, n, ewma,
+        |  round((n - ewma) / sqrt(ewma + 1.0), 6) AS deviation FROM sc)
+        |SELECT event_type, hour_ts, n, ewma, deviation FROM d
+        |ORDER BY abs(deviation) DESC, event_type, hour_ts LIMIT 20""".stripMargin,
+    "events_interarrival" ->
+      // twin of Events.interarrivalStats: integer-ms gaps off the
+      // (ts, event_id) total order per type, exact BIGINT gap sum for
+      // the mean (one rounded division), nearest-rank-low p50/p90
+      // picks (actual gap values — no interpolating percentile kernel)
+      """WITH ev AS (SELECT event_type, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type IS NOT NULL),
+        |g AS (SELECT event_type, ms - lag(ms) OVER (
+        |    PARTITION BY event_type ORDER BY ms ASC, event_id ASC) AS gap_ms
+        |  FROM ev),
+        |r AS (SELECT event_type, gap_ms, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY gap_ms ASC) AS rn
+        |  FROM g WHERE gap_ms IS NOT NULL),
+        |c AS (SELECT event_type, count(*) AS n_gaps, sum(gap_ms) AS sum_ms
+        |  FROM r GROUP BY event_type)
+        |SELECT r.event_type,
+        |  CAST(max(c.n_gaps) + 1 AS BIGINT) AS n_events,
+        |  CAST(max(c.n_gaps) AS BIGINT) AS n_gaps,
+        |  round(CAST(max(c.sum_ms) AS DOUBLE) / max(c.n_gaps), 3) AS mean_gap_ms,
+        |  max(CASE WHEN r.rn = floor((c.n_gaps - 1) * 0.5) + 1
+        |    THEN r.gap_ms END) AS p50_gap_ms,
+        |  max(CASE WHEN r.rn = floor((c.n_gaps - 1) * 0.9) + 1
+        |    THEN r.gap_ms END) AS p90_gap_ms
+        |FROM r JOIN c USING (event_type) GROUP BY r.event_type""".stripMargin,
     "events_periodicity" ->
       // twin of Events.periodicity (lagHours=24): densified hourly grid
       // via generate_series, lag-24 self-join, five exact integer moment
@@ -3286,7 +3381,80 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  CAST(count(s8.vec_id) AS BIGINT) AS sq8_overlap,
          |  round(count(s8.vec_id)::DOUBLE / count(*), 6) AS sq8_recall_at_k
          |FROM bf LEFT JOIN s8 ON bf.q_id = s8.q_id AND bf.vec_id = s8.vec_id
-         |GROUP BY bf.q_id""".stripMargin)
+         |GROUP BY bf.q_id""".stripMargin,
+    "sim_bq_recall" ->
+      // twin of Similarity.bqRecall (nQueries=5, k=10, shortlist=50):
+      // per-dim midrange thresholds (order-free min/max, SAME op order
+      // mn + (mx-mn)/2), two 32-bit packed sign words, XOR+bit_count
+      // Hamming shortlist under (hamming asc, vec_id asc), exact-dot
+      // re-rank rounded to 6, overlap vs the exact top-k
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |sp AS (SELECT vec_id, g.i, v[g.i+1] AS comp
+         |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS i) g),
+         |bt AS (SELECT i,
+         |  min(comp) + (max(comp) - min(comp)) / CAST(2.0 AS DOUBLE) AS th
+         |  FROM sp GROUP BY i),
+         |btl AS (SELECT list(th ORDER BY i) AS thl FROM bt),
+         |bits AS (SELECT vec_id, v,
+         |  CAST(list_sum(list_transform(range(32), i ->
+         |    CASE WHEN v[i+1] >= thl[i+1] THEN (1::BIGINT << i)
+         |         ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+         |  CAST(list_sum(list_transform(range(32), i ->
+         |    CASE WHEN v[i+33] >= thl[i+33] THEN (1::BIGINT << i)
+         |         ELSE 0::BIGINT END)) AS BIGINT) AS hi
+         |  FROM e CROSS JOIN btl),
+         |qb AS (SELECT vec_id AS q_id, v AS q_v, lo AS qlo, hi AS qhi
+         |  FROM bits WHERE vec_id < 5),
+         |ham AS (SELECT qb.q_id, b.vec_id, qb.q_v, b.v,
+         |  bit_count(xor(b.lo, qb.qlo)) + bit_count(xor(b.hi, qb.qhi)) AS hd
+         |  FROM bits b JOIN qb ON b.vec_id <> qb.q_id),
+         |sl AS (SELECT q_id, vec_id, q_v, v FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY hd ASC, vec_id ASC) AS rn FROM ham) WHERE rn <= 50),
+         |rr AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY round(list_sum(list_transform(range(64),
+         |      i -> (q_v)[i+1] * (v)[i+1])), 6) DESC, vec_id ASC) AS rn
+         |  FROM sl) WHERE rn <= 10),
+         |bf AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_sum(list_transform(range(64),
+         |        i -> (q.q_v)[i+1] * (e.v)[i+1])), 6) DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN (SELECT vec_id AS q_id, v AS q_v FROM e
+         |    WHERE vec_id < 5) q ON e.vec_id <> q.q_id) WHERE rn <= 10)
+         |SELECT bf.q_id, count(*) AS n_exact,
+         |  CAST(count(rr.vec_id) AS BIGINT) AS bq_overlap,
+         |  round(count(rr.vec_id)::DOUBLE / count(*), 6) AS bq_recall_at_k
+         |FROM bf LEFT JOIN rr ON bf.q_id = rr.q_id AND bf.vec_id = rr.vec_id
+         |GROUP BY bf.q_id""".stripMargin,
+    "sim_matryoshka_recall" -> {
+      // twin of Similarity.matryoshkaRecall (nQueries=5, k=10, dims
+      // 16/32/64): per prefix width, rank by the prefix inner product
+      // rounded to 6 under (score desc, vec_id asc) and overlap against
+      // the full-dim exact top-k; the 64-row is the 1.0 sanity anchor
+      def prefDot(d: Int) =
+        s"round(list_sum(list_transform(range($d), i -> (j.q_v)[i+1] * (j.v)[i+1])), 6)"
+      val dimSelects = Seq(16, 32, 64).map { d =>
+        s"""SELECT bf.q_id, CAST($d AS BIGINT) AS dim, count(*) AS n_exact,
+           |  CAST(count(p.vec_id) AS BIGINT) AS prefix_overlap,
+           |  round(count(p.vec_id)::DOUBLE / count(*), 6) AS prefix_recall_at_k
+           |FROM bf LEFT JOIN (SELECT q_id, vec_id FROM (
+           |  SELECT j.q_id, j.vec_id, row_number() OVER (PARTITION BY j.q_id
+           |    ORDER BY ${prefDot(d)} DESC, j.vec_id ASC) AS rn FROM j)
+           |  WHERE rn <= 10) p
+           |ON bf.q_id = p.q_id AND bf.vec_id = p.vec_id
+           |GROUP BY bf.q_id""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |j AS (SELECT q.q_id, e.vec_id, q.q_v, e.v FROM e
+         |  JOIN q ON e.vec_id <> q.q_id),
+         |bf AS (SELECT q_id, vec_id FROM (
+         |  SELECT j.q_id, j.vec_id, row_number() OVER (PARTITION BY j.q_id
+         |    ORDER BY ${prefDot(64)} DESC, j.vec_id ASC) AS rn FROM j)
+         |  WHERE rn <= 10)$dimSelects""".stripMargin
+    })
 
   /** Shared CTE chain of the SQ8 twins: per-dimension (min, range/255)
     * grid as two position-ordered lists, grid-decoded vectors, query
@@ -3424,6 +3592,28 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT x AS doc_a, y AS doc_b,
          |  round(CAST(aa_dec AS DOUBLE), 6) AS aa_score, n_common
          |FROM nonedge ORDER BY aa_score DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "graph_jaccard_neighbors" ->
+      // twin of Graph.jaccardNeighbors (maxDeg=64, topN=50): the
+      // adamic_adar wedge machinery with the normalized score —
+      // |N(x)∩N(y)| via the hub-capped wedge count, the union via the
+      // FULL degrees (cap prunes wedge generation, not the
+      // denominator), one rounded division, existing edges anti'd
+      // away, top 50 under (jaccard desc, a, b)
+      s"""WITH $graphCtes,
+         |adjd AS (SELECT a.src, a.dst FROM adj a
+         |  JOIN nodes n ON n.node = a.src WHERE n.deg <= 64),
+         |common AS (SELECT l.dst AS x, r.dst AS y, count(*) AS n_common
+         |  FROM adjd l JOIN adjd r ON l.src = r.src AND l.dst < r.dst
+         |  GROUP BY l.dst, r.dst),
+         |scored AS (SELECT c.x, c.y, c.n_common,
+         |  round(CAST(c.n_common AS DOUBLE)
+         |    / (nx.deg + ny.deg - c.n_common), 6) AS nbr_jaccard
+         |  FROM common c JOIN nodes nx ON nx.node = c.x
+         |  JOIN nodes ny ON ny.node = c.y),
+         |nonedge AS (SELECT s.x, s.y, s.nbr_jaccard, s.n_common FROM scored s
+         |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = s.x AND e.b = s.y))
+         |SELECT x AS doc_a, y AS doc_b, nbr_jaccard, n_common
+         |FROM nonedge ORDER BY nbr_jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin,
     "graph_degree_distribution" ->
       // twin of Graph.degreeDistribution
       s"""WITH $graphCtes

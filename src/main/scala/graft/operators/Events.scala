@@ -774,4 +774,106 @@ object Events {
         round(($"n_pair".cast("double") * $"n_baskets".cast("double")) /
           ($"n_a".cast("double") * $"n_b".cast("double")), 6).as("lift"))
   }
+
+  /** EWMA DEVIATION DETECTION — each (event_type, hour) count scored
+    * against the exponentially-weighted moving average of its TRAILING
+    * 24 present hours (decay 0.7 per hour of lag, weights re-normalized
+    * over the hours actually present — a gap hour is MISSING, not
+    * zero), reporting the top-20 hours by |deviation|. The recency-
+    * weighted complement of [[anomalyZscore]]: the flat 24-hour mean
+    * dilutes a level shift across the whole baseline, while the EWMA
+    * tracks it within a few hours — the two differ exactly on "new
+    * normal vs anomaly", which is why monitoring stacks run both.
+    *
+    * Shape for scale: one aggregate to hour grain (after which the
+    * data is types × hours, tiny — the [[anomalyZscore]] posture),
+    * then one BOUNDED-fan-out range self-join (each hour joins ≤ 24
+    * predecessors: never a window over unbounded history, never a
+    * per-type collect) and one partial-agged rollup. Determinism: the
+    * weight pow(0.7, lag−1) and the weighted term are each rounded to
+    * 12 and summed in DECIMAL(38,12) — partial-agg order never moves a
+    * score — and the final ewma/deviation round to 6 before the
+    * (|deviation| desc, type, hour) total-order top-20. */
+  def ewmaAnomaly(s: SparkSession, dir: String): DataFrame =
+    ewmaAnomalyFrom(hourlyCountsOf(Tables.events(s, dir)))
+
+  /** Core of [[ewmaAnomaly]] over any (hour_ts, event_type, n) frame. */
+  def ewmaAnomalyFrom(hourly: DataFrame, lookback: Int = 24,
+                      decay: Double = 0.7, minBaseline: Int = 8,
+                      topN: Int = 20): DataFrame = {
+    require(lookback >= 1 && decay > 0 && decay < 1 && minBaseline >= 1,
+      "need lookback >= 1, 0 < decay < 1, minBaseline >= 1")
+    val hc = hourly.select(($"hour_ts" / 3600).cast("long").as("h"),
+      $"event_type", $"n").localCheckpoint(true)
+    val prior = hc.select($"event_type".as("p_type"), $"h".as("h2"),
+      $"n".as("x2"))
+    val scored = hc.join(prior,
+        $"event_type" === $"p_type"
+          && $"h2" >= $"h" - lookback && $"h2" < $"h")
+      .select($"event_type", $"h", $"n",
+        round(pow(lit(decay), $"h" - $"h2" - 1), 12)
+          .cast("decimal(38,12)").as("w"),
+        round(pow(lit(decay), $"h" - $"h2" - 1) * $"x2", 12)
+          .cast("decimal(38,12)").as("wx"))
+      .groupBy($"event_type", $"h", $"n")
+      .agg(count(lit(1)).as("base_n"), sum($"w").as("den"), sum($"wx").as("num"))
+      .filter($"base_n" >= minBaseline)
+      .select($"event_type", ($"h" * 3600).as("hour_ts"), $"n",
+        round($"num".cast("double") / $"den".cast("double"), 6).as("ewma"))
+      .select($"event_type", $"hour_ts", $"n", $"ewma",
+        round(($"n" - $"ewma") / sqrt($"ewma" + 1.0), 6).as("deviation"))
+    scored
+      .orderBy(abs($"deviation").desc, $"event_type".asc, $"hour_ts".asc)
+      .limit(topN)
+  }
+
+  /** INTER-ARRIVAL STATISTICS — per event type, the distribution of
+    * gaps between consecutive events (global arrival order per type):
+    * count, exact integer-ms mean, and nearest-rank p50/p90. The
+    * traffic-model fingerprint next to [[periodicity]]'s cyclic view:
+    * a p90/p50 ratio far above ~3 says bursty arrivals (batch
+    * ingestion, bot traffic), near-uniform gaps say a metronome
+    * (synthetic or scheduled load) — the first audit run when an
+    * events feed's provenance is in question.
+    *
+    * Determinism: gaps are exact integer milliseconds off the
+    * (ts, event_id) total order; the mean divides the exact BIGINT gap
+    * sum once and rounds to 3; percentiles are NEAREST-RANK LOW picks
+    * (the element at row floor((n−1)·q)+1 of the gap sort) — an
+    * ACTUAL gap value, identical in both engines, where interpolating
+    * percentile kernels could disagree in the last ulp. Ties among
+    * equal gaps make the rank pick value-stable regardless of
+    * row_number's tie order. Shape: one window pass partitioned by
+    * type (the [[sessionize]] exchange), one rank window at types ×
+    * gaps grain, one bounded rollup — types with a single event have
+    * no gap and emit no row. */
+  def interarrivalStats(s: SparkSession, dir: String): DataFrame =
+    interarrivalStatsFrom(Tables.events(s, dir)
+      .filter($"event_type".isNotNull)
+      .select($"event_type", $"event_id", unix_millis($"ts").as("ms")))
+
+  /** Core of [[interarrivalStats]] over any (event_type, event_id, ms)
+    * frame. */
+  def interarrivalStatsFrom(ev: DataFrame): DataFrame = {
+    val byType = Window.partitionBy($"event_type")
+      .orderBy($"ms".asc, $"event_id".asc)
+    val gaps = ev
+      .withColumn("gap_ms", $"ms" - lag($"ms", 1).over(byType))
+      .filter($"gap_ms".isNotNull)
+    val ranked = gaps.withColumn("rn", row_number().over(
+      Window.partitionBy($"event_type").orderBy($"gap_ms".asc)))
+    val cnt = ranked.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum($"gap_ms").as("sum_ms"))
+    ranked.join(cnt, "event_type")
+      .groupBy($"event_type")
+      .agg(
+        (max($"n_gaps") + 1L).as("n_events"),
+        max($"n_gaps").as("n_gaps"),
+        round(max($"sum_ms").cast("double") / max($"n_gaps"), 3)
+          .as("mean_gap_ms"),
+        max(when($"rn" === floor(($"n_gaps" - 1) * 0.5) + 1L, $"gap_ms"))
+          .as("p50_gap_ms"),
+        max(when($"rn" === floor(($"n_gaps" - 1) * 0.9) + 1L, $"gap_ms"))
+          .as("p90_gap_ms"))
+  }
 }

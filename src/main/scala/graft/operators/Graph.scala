@@ -714,6 +714,58 @@ object Graph {
       .limit(topN)
   }
 
+  /** NEIGHBORHOOD-JACCARD LINK PREDICTION — top-N non-adjacent pairs
+    * ranked by |N(x)∩N(y)| / |N(x)∪N(y)| (Liben-Nowell & Kleinberg,
+    * CIKM'03's structural-similarity baseline). The NORMALIZED
+    * complement of [[adamicAdar]]: AA rewards many rare common
+    * neighbors in absolute terms, so high-degree pairs dominate its
+    * head; the Jaccard score divides the overlap by the union, so a
+    * low-degree pair whose neighborhoods coincide ENTIRELY outranks a
+    * hub pair that shares a sliver — the "same family, different
+    * shard" signal a survivor-selection pass ranks by when it decides
+    * which unlinked documents to re-probe with an exact verify.
+    *
+    * Scale shape: identical to [[adamicAdar]] — one hub-capped wedge
+    * self-join (centers with deg > maxDeg excluded before the join
+    * bounds fan-out at maxDeg²/2 per center; the overlap count is then
+    * a LOWER bound for hub-coupled pairs, the standard cap semantics
+    * documented there) + two degree joins for the denominator (FULL
+    * degrees — the cap prunes wedge generation, not the union size),
+    * one anti-join against the edge set, TakeOrderedAndProject under
+    * the total order (jaccard desc, doc_a, doc_b). |N(x)∩N(y)| and the
+    * degrees are exact integers, so only the final division is IEEE —
+    * one rounded op, engine-stable. */
+  def jaccardNeighbors(s: SparkSession, dir: String,
+                       maxDeg: Int = 64, topN: Int = 50): DataFrame =
+    jaccardNeighborsFrom(edges(s, dir).localCheckpoint(true), maxDeg, topN)
+
+  /** Core of [[jaccardNeighbors]] over any (a, b) a<b edge frame.
+    * Callers pass a materialized frame (the [[censusOf]] contract):
+    * the body references it in the wedge join, both degree joins and
+    * the anti-join. */
+  def jaccardNeighborsFrom(e: DataFrame, maxDeg: Int, topN: Int): DataFrame = {
+    require(maxDeg >= 2 && topN >= 1, "need maxDeg >= 2 and topN >= 1")
+    val deg = degrees(e)
+    val adjCapped = adjacency(e)
+      .join(deg.filter($"deg" <= maxDeg), $"src" === $"node")
+      .select($"src", $"dst")
+    val common = adjCapped.as("l")
+      .join(adjCapped.as("r"), $"l.src" === $"r.src" && $"l.dst" < $"r.dst")
+      .groupBy($"l.dst".as("x"), $"r.dst".as("y"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = common
+      .join(deg.select($"node".as("x"), $"deg".as("dx")), "x")
+      .join(deg.select($"node".as("y"), $"deg".as("dy")), "y")
+      .select($"x", $"y", $"n_common",
+        round($"n_common".cast("double")
+          / ($"dx" + $"dy" - $"n_common"), 6).as("nbr_jaccard"))
+    scored
+      .join(e, scored("x") === e("a") && scored("y") === e("b"), "left_anti")
+      .select($"x".as("doc_a"), $"y".as("doc_b"), $"nbr_jaccard", $"n_common")
+      .orderBy($"nbr_jaccard".desc, $"doc_a", $"doc_b")
+      .limit(topN)
+  }
+
   /** PERSONALIZED PAGERANK — random-walk-with-restart mass from a SEED
     * SET, not the uniform prior: restart probability 0.15 is split over
     * the seeds only, so rank mass stays concentrated in the seeds'

@@ -1141,4 +1141,45 @@ object Relational {
       .select($"c_nationkey", $"n_orders",
         round($"rev".cast("double"), 2).as("total_revenue"))
   }
+
+  /** ORDER-INVARIANT TABLE CHECKSUM — one (table_name, n_rows,
+    * row_checksum) row per audited table, where the checksum is the
+    * SUM of a per-row engine-neutral hash over a canonical column
+    * rendering. Because the sum is commutative, the fingerprint is
+    * invariant under row order, partitioning, and file layout — the
+    * primitive every cross-engine migration / replication validation
+    * runs at 100 TB ("does the copy hold the same rows?") without ever
+    * sorting or moving the table: one embarrassingly-parallel scan per
+    * table, one 1-row aggregate, no shuffle of data rows at all. A
+    * single flipped row moves the sum; matching (n_rows, checksum)
+    * pairs make byte-level comparison unnecessary.
+    *
+    * Canonical rendering keeps every field engine-exact: integers and
+    * strings as-is, monetary doubles as HALF_UP cents (both engines
+    * round away from zero), timestamps as epoch seconds — never a raw
+    * double's decimal image, whose shortest-digit rendering is the one
+    * thing two engines may disagree on. Per-row hash is the md5-derived
+    * [[graft.functions.EngineNeutral.hash60]]; the sum accumulates in
+    * DECIMAL(38,0) (exact, order-free — a 100 TB table's 10¹² rows ×
+    * 2⁶⁰ max hash still sits 10⁹ under the 38-digit ceiling). */
+  def q54TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.EngineNeutral.hash60
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    def rowOf(df: DataFrame, name: String, cols: Seq[Column]): DataFrame =
+      df.select(hash60(concat_ws("|", cols.map(_.cast("string")): _*)).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"h".cast("decimal(38,0)")).as("row_checksum"))
+        .select(lit(name).as("table_name"), $"n_rows", $"row_checksum")
+    rowOf(Tables.lineitem(s, dir), "lineitem", Seq(
+      $"l_orderkey", $"l_linenumber", cents($"l_quantity"),
+      cents($"l_extendedprice"), cents($"l_discount"), cents($"l_tax"),
+      $"l_returnflag", $"l_linestatus", unix_timestamp($"l_shipdate")))
+      .unionAll(rowOf(Tables.orders(s, dir), "orders", Seq(
+        $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        cents($"o_totalprice"), unix_timestamp($"o_orderdate"),
+        $"o_orderpriority")))
+      .unionAll(rowOf(Tables.customer(s, dir), "customer", Seq(
+        $"c_custkey", $"c_name", $"c_nationkey", cents($"c_acctbal"),
+        $"c_mktsegment")))
+  }
 }

@@ -1387,6 +1387,154 @@ object Similarity {
           .as("sq8_recall_at_k"))
   }
 
+  /** Per-dimension midrange thresholds as one broadcast row (thl: 64
+    * position-sorted doubles). Midrange — mn + (mx−mn)/2 — instead of
+    * the mean: min/max are EXACT under any partial-agg order (the
+    * [[sq8TopK]] grid discipline), so the threshold never depends on
+    * double-sum ordering; a mean would need a DECIMAL detour for the
+    * same engine-stability. */
+  private def bqThresholds(e: DataFrame): DataFrame =
+    e.select(posexplode($"v").as(Seq("pos", "comp")))
+      .groupBy($"pos")
+      .agg(min($"comp").as("mn"), max($"comp").as("mx"))
+      .select($"pos", ($"mn" + ($"mx" - $"mn") / lit(2.0)).as("th"))
+      .agg(transform(array_sort(collect_list(struct($"pos", $"th"))),
+        x => x.getField("th")).as("thl"))
+
+  /** BINARY QUANTIZATION RECALL — 1-bit-per-dimension sign quantization
+    * (Charikar, STOC'02's SimHash applied to retrieval — the "BQ" mode
+    * modern vector stores ship for 32× memory collapse): each dimension
+    * keeps only WHICH SIDE of its midrange the component falls on, a
+    * 64-dim vector packs into two 32-bit words, candidate generation is
+    * a HAMMING-distance scan over 16 B codes, and the top-`shortlist`
+    * Hamming candidates are re-ranked by the exact inner product before
+    * the final top-k. Reported: per query, the overlap of that pipeline
+    * against the exact top-k — the recall the 32× collapse costs, next
+    * to [[sq8Recall]] (8×) and [[pqRecall]] (128×), completing the
+    * compression-vs-recall ladder a deployment picks from.
+    *
+    * Shape at 100 TB: thresholds are ONE broadcast row (64 doubles —
+    * derived from order-free min/max); encoding is one codegen scan
+    * (64 comparisons folding into two integer words — no shuffle); the
+    * Hamming scan distributes exactly like [[bruteForceTopK]] but reads
+    * 16 B/vector instead of 512 B — the binary sidecar column a code
+    * table serves while embeddings stay cold; XOR+POPCNT is inside
+    * whole-stage codegen (Spark's bit_count intrinsic). Shortlist and
+    * final rank both run the proven two-phase window. Determinism:
+    * bits are exact comparisons against an engine-identical threshold,
+    * Hamming is integer, tie-breaks are (distance, vec_id) total
+    * orders, and the re-rank rounds the dot to 6 — both engines walk
+    * the identical shortlist. */
+  def bqRecall(s: SparkSession, dir: String, nQueries: Int = 5,
+               k: Int = 10, shortlist: Int = 50): DataFrame =
+    bqRecallFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k, shortlist)
+
+  /** Core of [[bqRecall]] over any (vec_id, v) frame. */
+  def bqRecallFrom(e: DataFrame, nQueries: Int, k: Int,
+                   shortlist: Int): DataFrame = {
+    require(nQueries >= 1 && k >= 1 && shortlist >= k,
+      s"need nQueries >= 1, k >= 1, shortlist >= k")
+    def packBits(off: Int): Column =
+      (0 until 32).map { i =>
+        when(element_at($"v", off + i + 1) >= element_at($"thl", off + i + 1),
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bits = e.crossJoin(broadcast(bqThresholds(e)))
+      .select($"vec_id", $"v", packBits(0).as("lo"), packBits(32).as("hi"))
+    val q = bits.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"),
+        $"lo".as("qlo"), $"hi".as("qhi"))
+    val ham = bits.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"q_v", $"v",
+        (bit_count($"lo".bitwiseXOR($"qlo"))
+          + bit_count($"hi".bitwiseXOR($"qhi"))).cast("long").as("hamming"))
+    // two-phase ASCENDING shortlist rank (the adcRank shape, inverted)
+    val bucketed = ham.withColumn("bkt", pmod(hash($"vec_id"), lit(8)))
+    val wLocal = Window.partitionBy($"q_id", $"bkt")
+      .orderBy($"hamming".asc, $"vec_id".asc)
+    val wFinal = Window.partitionBy($"q_id")
+      .orderBy($"hamming".asc, $"vec_id".asc)
+    val shortd = bucketed
+      .withColumn("rl", row_number().over(wLocal)).filter($"rl" <= shortlist)
+      .withColumn("rn", row_number().over(wFinal)).filter($"rn" <= shortlist)
+    val reranked = adcRank(
+      shortd.select($"q_id", $"vec_id",
+        round(dot($"q_v", $"v"), 6).as("adc_score")), k)
+      .select($"q_id".as("bq"), $"vec_id".as("bv_id"))
+    val qv = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"))
+    val exact = adcRank(
+      e.join(broadcast(qv), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(dot($"q_v", $"v"), 6).as("adc_score")), k)
+      .select($"q_id", $"vec_id")
+    exact
+      .join(reranked, $"q_id" === $"bq" && $"vec_id" === $"bv_id", "left")
+      .groupBy($"q_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count($"bv_id").as("bq_overlap"),
+        round(count($"bv_id").cast("double") / count(lit(1)), 6)
+          .as("bq_recall_at_k"))
+  }
+
+  /** MATRYOSHKA PREFIX-DIMENSION RECALL — rank by the inner product of
+    * PREFIX SLICES of the embedding (dims 16 / 32 / 64) and report each
+    * prefix's top-k overlap against the full-dimension exact top-k: the
+    * adaptive-retrieval audit Matryoshka Representation Learning
+    * (Kusupati et al., NeurIPS'22) is built around — if the 16-dim
+    * prefix already recalls ~1.0, the first-stage scan can read a
+    * quarter of the bytes and the full vector only re-ranks. The
+    * full-dim row doubles as the harness's own sanity anchor: its
+    * recall is 1.0 by construction, pinning that the slice machinery
+    * and the exact side rank identically.
+    *
+    * Shape at 100 TB: one broadcast query set × corpus scan PER PREFIX
+    * (each reading only its prefix bytes — with the embedding stored
+    * dimension-chunked, shorter prefixes scan proportionally less), the
+    * proven two-phase rank, and a per-(query, dim) bounded aggregate.
+    * Slices and dots are sequential-fold kernels — engine-identical —
+    * and scores round to 6 before the (score desc, vec_id) total-order
+    * rank. */
+  def matryoshkaRecall(s: SparkSession, dir: String, nQueries: Int = 5,
+                       k: Int = 10, dims: Seq[Int] = Seq(16, 32, 64)): DataFrame =
+    matryoshkaRecallFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k, dims)
+
+  /** Core of [[matryoshkaRecall]] over any (vec_id, v) frame. */
+  def matryoshkaRecallFrom(e: DataFrame, nQueries: Int, k: Int,
+                           dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= 64),
+      s"dims must be within [1, 64], got $dims")
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"))
+    val joined = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+    val exact = adcRank(
+      joined.select($"q_id", $"vec_id",
+        round(dot($"q_v", $"v"), 6).as("adc_score")), k)
+      .select($"q_id", $"vec_id")
+    dims.map { d =>
+      val pref = adcRank(
+        joined.select($"q_id", $"vec_id",
+          round(dot(slice($"q_v", 1, d), slice($"v", 1, d)), 6)
+            .as("adc_score")), k)
+        .select($"q_id".as("pq"), $"vec_id".as("pv_id"))
+      exact
+        .join(pref, $"q_id" === $"pq" && $"vec_id" === $"pv_id", "left")
+        .groupBy($"q_id")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          count($"pv_id").as("prefix_overlap"),
+          round(count($"pv_id").cast("double") / count(lit(1)), 6)
+            .as("prefix_recall_at_k"))
+        .select($"q_id", lit(d.toLong).as("dim"), $"n_exact",
+          $"prefix_overlap", $"prefix_recall_at_k")
+    }.reduce(_ unionAll _)
+  }
+
   /** OPQ-LITE: VARIANCE-BALANCED SUBSPACE ASSIGNMENT — the cheap half of
     * Optimized Product Quantization (Ge et al., CVPR'13: allocate
     * dimensions to subspaces so variance is balanced; the full method

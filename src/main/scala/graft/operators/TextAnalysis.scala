@@ -827,6 +827,56 @@ object TextAnalysis {
         coalesce($"avg_neg_logprob", lit(0.0)).as("avg_neg_logprob"))
   }
 
+  /** PMI COLLOCATIONS — the top adjacent word pairs by pointwise mutual
+    * information ln(P(xy) / (P(x)·P(y))) (Church & Hanks, Comp.
+    * Linguistics 16(1), 1990), minimum pair count 5: the phrases whose
+    * words co-occur far beyond their independent rates. On a training
+    * corpus this is the templated-phrase detector — boilerplate
+    * n-grams, glued entity names, and markup fragments all surface at
+    * the PMI head long before a human reads a sample — and the
+    * min-count floor is the standard guard against the PMI's
+    * rare-pair bias (a hapax pair maxes the score by definition).
+    *
+    * Shape for scale: bigram and unigram counts are two partial-agged
+    * explodes (the [[bigramLogprob]] train-side exchanges); the two
+    * 1-row totals broadcast; the score joins land on the BOUNDED
+    * surviving-pair set (count >= 5 — vocabulary-sized, not
+    * corpus-sized); top-N under the (pmi desc, a, b) total order is
+    * TakeOrderedAndProject. Determinism: counts are exact, the PMI
+    * divides in one fixed op order and rounds to 6 before ranking. */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame =
+    pmiBigramsFrom(Tables.documents(s, dir))
+
+  /** Core of [[pmiBigrams]] over any (doc_id, text) frame. */
+  def pmiBigramsFrom(docs: DataFrame, minCount: Int = 5,
+                     topN: Int = 50): DataFrame = {
+    require(minCount >= 1 && topN >= 1, "need minCount >= 1 and topN >= 1")
+    val t = docs.select($"doc_id", wsTokens(lower($"text")).as("tk"))
+    val pairs = when(size($"tk") >= 2,
+      transform(sequence(lit(1), size($"tk") - 1),
+        i => struct(element_at($"tk", i).as("w1"),
+          element_at($"tk", i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val occ = t.select(explode(pairs).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val uni = t.select(explode($"tk").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum($"c").as("n_tok"))
+    val big = occ.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .filter($"c12" >= minCount)
+    val nBig = occ.agg(count(lit(1)).as("n_big"))
+    big
+      .join(uni.select($"w".as("w1"), $"c".as("c1")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select($"w1".as("term_a"), $"w2".as("term_b"), $"c12".as("n_pair"),
+        round(log(($"c12".cast("double") / $"n_big")
+          / (($"c1".cast("double") / $"n_tok")
+            * ($"c2".cast("double") / $"n_tok"))), 6).as("pmi"))
+      .orderBy($"pmi".desc, $"term_a".asc, $"term_b".asc)
+      .limit(topN)
+  }
+
   /** Document fingerprint: md5 over the lowercased alphanumeric skeleton
     * (whitespace/punct-insensitive content identity — the key for exact
     * dedup after normalization). */

@@ -955,6 +955,80 @@ class CurationOpsSpec extends SparkSpec {
     assert(got2("daily") === 48L)
   }
 
+  test("ewma anomaly: spike over a flat baseline scores the exact " +
+    "hand-computed deviation; gaps renormalize; thin baselines emit no row") {
+    import spark.implicits._
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val h0 = 1000000L
+    // flat 5s for 24 hours, then a 50 spike; one mid-baseline gap hour
+    val spike = (0 until 24).filter(_ != 20)
+      .map(h => ((h0 + h) * 3600L, "spike", 5L)) :+
+      ((h0 + 24) * 3600L, "spike", 50L)
+    // only 5 baseline hours — under minBaseline, must emit nothing
+    val thin = (0 until 6).map(h => ((h0 + h) * 3600L, "thin", 5L))
+    val hourly = (spike ++ thin).toDF("hour_ts", "event_type", "n")
+    val got = Events.ewmaAnomalyFrom(hourly).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.forall(_._1 == "spike"), "thin baseline must emit no row")
+    val atSpike = got.filter(_._2 == (h0 + 24) * 3600L)
+    assert(atSpike.length === 1)
+    // all present baseline points are 5, so the renormalized EWMA is
+    // exactly 5 regardless of the gap; deviation = (50-5)/sqrt(6)
+    assert(atSpike.head._4 === 5.0)
+    assert(atSpike.head._5 === r6(45.0 / math.sqrt(6.0)))
+    // output ordered by |deviation| desc
+    val devs = got.map(t => math.abs(t._5))
+    assert(devs.sameElements(devs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("interarrival stats: hand-computed gaps, exact mean, nearest-rank " +
+    "percentiles; single-event types emit no row") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", 1L, 0L), ("a", 2L, 1000L), ("a", 3L, 3000L), ("a", 4L, 10000L),
+      ("b", 5L, 42L)) // single event: no gap, no row
+      .toDF("event_type", "event_id", "ms")
+    val got = Events.interarrivalStatsFrom(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set("a"))
+    // gaps 1000, 2000, 7000: mean 10000/3 -> 3333.333; p50 at rank
+    // floor(2*0.5)+1=2 -> 2000; p90 at rank floor(2*0.9)+1=2 -> 2000
+    assert(got("a") === ((4L, 3L, 3333.333, 2000L, 2000L)))
+    // tie order among equal timestamps is pinned by event_id, so a
+    // duplicate-ts fixture still yields deterministic zero gaps
+    val tied = Seq(("t", 1L, 100L), ("t", 2L, 100L), ("t", 3L, 200L))
+      .toDF("event_type", "event_id", "ms")
+    val t = Events.interarrivalStatsFrom(tied).collect().head
+    assert((t.getLong(1), t.getLong(2), t.getLong(4)) === ((3L, 2L, 0L)),
+      "p50 of gaps [0, 100] must pick the actual 0 gap")
+  }
+
+  test("pmi bigrams: hand-computed collocation score; min-count floor " +
+    "drops the rare pair; ranked by the total order") {
+    import spark.implicits._
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // "a b" x5 adjacent, "b a" x4 — the floor keeps only (a, b)
+    val docs = Seq((1L, "a b a b a b a b a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigramsFrom(docs, minCount = 5, topN = 50)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // tokens: a x5, b x5 (N=10); bigrams: 9 total, (a,b) x5, (b,a) x4
+    val want = r6(math.log((5.0 / 9) / ((5.0 / 10) * (5.0 / 10))))
+    assert(got.toSeq === Seq(("a", "b", 5L, want)))
+    // on the real corpus: counts honor the floor and the ranking is the
+    // (pmi desc, a, b) total order
+    val real = TextAnalysis.pmiBigrams(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(real.forall(_._3 >= 5L))
+    val resorted = real.sortBy(t => (-t._4, t._1, t._2))
+    assert(real.sameElements(resorted))
+  }
+
   test("ccnet buckets: per-lang partition with strictly ordered " +
     "head < middle < tail scores on real data") {
     val got = TextAnalysis.ccnetBuckets(spark, Sf).collect()

@@ -979,6 +979,83 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("binary quantization: recall equals a brute-force sign-bit mirror " +
+    "(thresholds, Hamming shortlist, rerank); overlap bounded") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = vecs.head._2.length
+    // midrange thresholds — the operator's exact arithmetic
+    val th = Array.tabulate(dim) { i =>
+      val c = vecs.values.map(_(i))
+      c.min + (c.max - c.min) / 2.0
+    }
+    def bits(v: Array[Double]): Array[Boolean] =
+      Array.tabulate(dim)(i => v(i) >= th(i))
+    def hamming(a: Array[Boolean], b: Array[Boolean]): Int =
+      a.indices.count(i => a(i) != b(i))
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def score(q: Array[Double], v: Array[Double]): Double =
+      round6(q.indices.foldLeft(0.0)((acc, i) => acc + q(i) * v(i)))
+    val ref = (0L until 5L).map { q =>
+      val qb = bits(vecs(q))
+      val shortlist = vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, hamming(qb, bits(v))) }
+        .sortBy { case (id, h) => (h, id) }.take(50).map(_._1)
+      val bqTop = shortlist
+        .map(id => (id, score(vecs(q), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val exact = vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, score(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      q -> ((exact intersect bqTop).size.toLong,
+        round6((exact intersect bqTop).size.toDouble / exact.size))
+    }.toMap
+    val got = Similarity.bqRecall(spark, Sf).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("bq_overlap"), r.getAs[Double]("bq_recall_at_k"))))
+      .toMap
+    assert(got.keySet === (0L until 5L).toSet)
+    got.foreach { case (q, (ov, rec)) =>
+      assert((ov, rec) === ref(q),
+        s"query $q: engine ($ov, $rec) diverges from the sign-bit mirror ${ref(q)}")
+      assert(ov >= 0L && ov <= 10L && rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("matryoshka recall: full-dim row anchors at exactly 1.0; prefix " +
+    "rows equal a brute-force slice mirror") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def score(q: Array[Double], v: Array[Double], d: Int): Double =
+      round6((0 until d).foldLeft(0.0)((acc, i) => acc + q(i) * v(i)))
+    def topk(q: Long, d: Int): Set[Long] =
+      vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, score(vecs(q), v, d)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val got = Similarity.matryoshkaRecall(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("dim")) ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("prefix_overlap"),
+          r.getAs[Double]("prefix_recall_at_k"))))
+      .toMap
+    assert(got.keySet ===
+      (for (q <- 0L until 5L; d <- Seq(16L, 32L, 64L)) yield (q, d)).toSet)
+    for (q <- 0L until 5L) {
+      val exact = topk(q, 64)
+      assert(got((q, 64L)) === ((10L, 10L, 1.0)),
+        s"query $q: the full-dim anchor row must recall exactly 1.0")
+      for (d <- Seq(16, 32)) {
+        val ov = (exact intersect topk(q, d)).size.toLong
+        assert(got((q, d.toLong)) === ((10L, ov, round6(ov.toDouble / 10))),
+          s"query $q dim $d: engine diverges from the slice mirror")
+      }
+    }
+  }
+
   test("ivfpq rerank: exact-cosine rank of the ADC shortlist, order exact") {
     val e = Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

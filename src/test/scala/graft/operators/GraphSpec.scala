@@ -313,6 +313,45 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (a, b, _, _) => assert(!e.contains((a, b))) }
   }
 
+  test("jaccard neighbors: matches brute-force capped-wedge scores; no " +
+    "existing edge leaks; scores within (0, 1]") {
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size }
+    val adjOf = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val maxDeg = 64
+    // common-neighbor counts via capped centers (deg(u) <= maxDeg),
+    // union denominator via FULL degrees — the operator's contract
+    val acc = collection.mutable.Map[(Long, Long), Long]()
+    for ((u, nbrs) <- adjOf if deg(u) >= 2 && deg(u) <= maxDeg) {
+      val sorted = nbrs.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.size) {
+        val key = (sorted(i), sorted(j))
+        acc(key) = acc.getOrElse(key, 0L) + 1L
+      }
+    }
+    val brute = acc.toSeq
+      .filterNot { case ((x, y), _) => e.contains((x, y)) }
+      .map { case ((x, y), c) =>
+        (x, y, r6(c.toDouble / (deg(x) + deg(y) - c)), c)
+      }
+      .sortBy { case (x, y, sc, _) => (-sc, x, y) }
+      .take(50)
+    val got = Graph.jaccardNeighbors(spark, Sf).collect()
+      .map(row => (row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b"),
+        row.getAs[Double]("nbr_jaccard"), row.getAs[Long]("n_common")))
+    assert(got.length === brute.length)
+    got.zip(brute).foreach { case (g, b) =>
+      assert(g === b, s"engine $g vs brute-force $b")
+    }
+    got.foreach { case (a, b, sc, _) =>
+      assert(!e.contains((a, b)))
+      assert(sc > 0.0 && sc <= 1.0)
+    }
+  }
+
   test("personalized pagerank matches brute-force restart iteration; " +
     "orbit bounded by hop distance from seeds") {
     def refHash60(x: String): Long = {

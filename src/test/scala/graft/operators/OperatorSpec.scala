@@ -509,4 +509,36 @@ class OperatorSpec extends SparkSpec {
     val ordered = got.toSeq.sortBy(_._1).map(_._2._2)
     assert(ordered === ordered.sorted, "estimates must be monotone in p")
   }
+
+  test("table checksum: equals an md5 reference sum on customer, is row-" +
+    "order invariant, and moves when any single row flips") {
+    def refHash60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def cents(d: Double): Long = java.math.BigDecimal.valueOf(d * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val rows = Tables.customer(spark, Sf).collect().map { r =>
+      Seq(r.getLong(0).toString, r.getString(1), r.getInt(2).toString,
+        cents(r.getDouble(3)).toString, r.getString(4)).mkString("|")
+    }
+    val refSum = rows.map(s => BigInt(refHash60(s))).sum
+    val got = Relational.q54TableChecksum(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))).toMap
+    assert(got.keySet === Set("lineitem", "orders", "customer"))
+    assert(got("customer") === ((rows.length.toLong, refSum)),
+      "customer checksum diverges from the md5 reference sum")
+    // order invariance is structural (a commutative sum), and any
+    // single-row flip moves the total: dropping each of 5 sample rows
+    // yields 5 distinct sums, none equal to the full sum
+    val dropped = rows.take(5).map(s => refSum - BigInt(refHash60(s)))
+    assert(dropped.forall(_ != refSum))
+    assert(dropped.distinct.length === dropped.length)
+    // the other two tables carry consistent row counts
+    assert(got("lineitem")._1 ===
+      Tables.lineitem(spark, Sf).count())
+    assert(got("orders")._1 === Tables.orders(spark, Sf).count())
+  }
 }

@@ -101,7 +101,14 @@ object Plans {
       "graph_assortativity" -> "assortativity: two degree equi-joins on the symmetrized adjacency, ONE single-row integer-moments aggregate — no window, no wedge, nothing wider than the edge stream",
       "graph_betweenness" -> "betweenness: 3 forward frontier joins with partial BIGINT sigma sums + per-level anti-join, 2 backward dependency joins over checkpointed layers (ExistingRDD), final bounded DECIMAL agg + left-join totality",
       "text_source_kl" -> "source KL: two grouped explodes (source-term tf, corpus df), broadcast per-source totals + 1-row corpus total, per-term codegen contribution, partial DECIMAL agg to one row per source",
-      "events_periodicity" -> "periodicity: partial-agged hourly rollup, broadcast 2-value hour range, sequence() grid explode, lag self-equi-join on (type, hour), single-row integer-moments agg per type")
+      "events_periodicity" -> "periodicity: partial-agged hourly rollup, broadcast 2-value hour range, sequence() grid explode, lag self-equi-join on (type, hour), single-row integer-moments agg per type",
+      "graph_jaccard_neighbors" -> "jaccard neighbors: the adamic_adar hub-capped wedge self-join, two degree joins for the FULL-degree union denominator, existing-edge anti join, TakeOrderedAndProject top-50",
+      "sim_bq_recall" -> "BQ recall: broadcast 64-double threshold row, codegen sign-pack to two 32-bit words, XOR+bit_count Hamming scan over 16 B codes, two-phase ASC shortlist rank, exact-dot rerank on <=50 rows/query",
+      "sim_matryoshka_recall" -> "matryoshka recall: one broadcast-query corpus scan per prefix width (slice + sequential dot), two-phase rank each, per-(q,dim) bounded agg — shorter prefixes read proportionally fewer bytes in a chunked layout",
+      "events_ewma_anomaly" -> "EWMA: hour-grain agg exchange, checkpointed tiny hourly frame self-joined with BOUNDED <=24-predecessor fan-out, DECIMAL weight partials, top-20 TakeOrderedAndProject",
+      "events_interarrival" -> "interarrival: ONE user-free per-type exchange serves the lag window, rank window at (type, gap) grain, bounded rollup with nearest-rank conditional picks",
+      "text_pmi_bigrams" -> "PMI: bigram+unigram partial-agged count passes, min-count floor BEFORE the score joins (bounded pair set), broadcast 1-row totals, TakeOrderedAndProject top-50",
+      "rel_table_checksum" -> "table checksum: three independent scans, per-row codegen hash, single-row DECIMAL partial-agg sums — ZERO data-row shuffles; row order/partitioning invisible by commutativity")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
