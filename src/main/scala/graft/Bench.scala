@@ -114,6 +114,10 @@ object Bench {
     "events_interarrival", // added r13: per-type gap window + nearest-rank picks
     "text_pmi_bigrams", // added r13: two counting explodes + bounded score join
     "rel_table_checksum", // added r13: 3 hash-sum scans, no data shuffle
+    "rel_fk_audit", // added r13: 5 key-only left joins + conditional counts
+    "text_heaps_fit", // added r13: two first-touch exchanges + bounded bucket fit
+    "text_ngram_novelty", // added r13: gram min-doc first occurrence + per-doc rollup
+    "events_session_stats", // added r13: one user exchange, size-grain rollup
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

@@ -612,6 +612,35 @@ private[graft] final class OracleSqlGen(sfDir: String) {
           cents("c_acctbal"), "c_mktsegment")))
         .mkString("\nUNION ALL\n")
     },
+    "rel_fk_audit" -> {
+      // twin of Relational.q55FkAudit: per FK relation, a left join of
+      // child keys against the DISTINCT parent key set with exact
+      // conditional counts; the rate divides once and rounds to 6
+      def fk(child: String, key: String, parent: String, pkey: String,
+             name: String) =
+        s"""SELECT '$name' AS relation, CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+           |  round(CAST(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+           |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS orphan_rate
+           |FROM (SELECT $key AS k FROM $child) c
+           |LEFT JOIN (SELECT DISTINCT $pkey AS pk FROM $parent) p
+           |ON c.k = p.pk""".stripMargin
+      Seq(
+        fk("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "lineitem.l_orderkey->orders"),
+        fk("lineitem", "l_partkey", "part", "p_partkey",
+          "lineitem.l_partkey->part"),
+        fk("lineitem", "l_suppkey", "supplier", "s_suppkey",
+          "lineitem.l_suppkey->supplier"),
+        fk("orders", "o_custkey", "customer", "c_custkey",
+          "orders.o_custkey->customer"),
+        fk("customer", "c_nationkey", "nation", "n_nationkey",
+          "customer.c_nationkey->nation"))
+        .mkString("\nUNION ALL\n")
+    },
     "rel_histogram_quantiles" ->
       // twin of Relational.q53HistogramQuantiles (nBins=1024, p in
       // {0.5,0.9,0.99,0.999}): bin/threshold/estimate expressions are
@@ -906,6 +935,71 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |    / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
          |    AS r2
          |FROM sums""".stripMargin,
+    "text_heaps_fit" ->
+      // twin of TextAnalysis.heapsFit (nPoints=64): per-doc token and
+      // first-occurrence new-type counts aggregated to doc_id-range
+      // buckets (step = mxid // 64 + 1), ROWS-cumulative over the
+      // bounded bucket frame, then the zipf_fit LS chain verbatim
+      // (ln/products rounded to 8 before DECIMAL sums, finals to 6)
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
+         |mx AS (SELECT max(doc_id) AS mxid FROM $docs),
+         |pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM t),
+         |fo AS (SELECT token, min(doc_id) AS fd FROM (
+         |  SELECT doc_id, unnest(tk) AS token FROM t) GROUP BY token),
+         |nv AS (SELECT fd, count(*) AS nv FROM fo GROUP BY fd),
+         |b AS (SELECT pd.doc_id // (mx.mxid // 64 + 1) AS g, pd.nt,
+         |  coalesce(nv.nv, 0) AS nv
+         |  FROM pd LEFT JOIN nv ON pd.doc_id = nv.fd CROSS JOIN mx),
+         |bk AS (SELECT g, sum(nt) AS bt, sum(nv) AS bv FROM b GROUP BY g),
+         |cum AS (SELECT g,
+         |  sum(bt) OVER (ORDER BY g ASC ROWS UNBOUNDED PRECEDING) AS cn,
+         |  sum(bv) OVER (ORDER BY g ASC ROWS UNBOUNDED PRECEDING) AS cv
+         |  FROM bk),
+         |xy AS (SELECT round(ln(cn), 8) AS x, round(ln(cv), 8) AS y
+         |  FROM cum WHERE cn > 0 AND cv > 0),
+         |xy2 AS (SELECT x, y, round(x*x, 8) AS xx, round(y*y, 8) AS yy,
+         |  round(x*y, 8) AS xyp FROM xy),
+         |sums AS (SELECT count(*) AS n_points,
+         |  CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(xx AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(yy AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         |  CAST(sum(CAST(xyp AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+         |  FROM xy2)
+         |SELECT n_points,
+         |  round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6)
+         |    AS beta,
+         |  round((sy - (n_points * sxy - sx * sy)
+         |    / (n_points * sxx - sx * sx) * sx) / n_points, 6) AS ln_k,
+         |  round(((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy))
+         |    / ((n_points * sxx - sx * sx) * (n_points * syy - sy * sy)), 6)
+         |    AS r2
+         |FROM sums""".stripMargin,
+    "text_ngram_novelty" -> {
+      // twin of TextAnalysis.ngramNovelty (w=5): the common_spans
+      // doc-distinct 5-shingle hash stream, gram-keyed min(doc_id)
+      // first occurrence, per-doc novel fraction, left-join totality
+      val tk = toks("lower(text)")
+      s"""WITH t AS (SELECT doc_id, $tk AS tk FROM $docs),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |  CASE WHEN len(tk) >= 5
+         |    THEN list_transform(range(1, len(tk) - 3),
+         |      j -> concat_ws(' ', tk[j], tk[j+1], tk[j+2], tk[j+3], tk[j+4]))
+         |    ELSE CAST([] AS VARCHAR[]) END,
+         |  x -> ${h60("x")})) AS gh FROM t),
+         |e AS (SELECT doc_id, unnest(gh) AS gram FROM g),
+         |fd AS (SELECT gram, min(doc_id) AS fdoc FROM e GROUP BY gram),
+         |pd AS (SELECT e.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN fd.fdoc = e.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN fd.fdoc = e.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty_frac
+         |  FROM e JOIN fd USING (gram) GROUP BY e.doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+         |  coalesce(pd.n_novel, 0) AS n_novel,
+         |  coalesce(pd.novelty_frac, 0.0) AS novelty_frac
+         |FROM $docs d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+    },
     "text_cms_estimate" ->
       // twin of TextAnalysis.cmsEstimate(depth=4, width=4096): the same
       // d seeded md5 hashes build a bit-identical counter matrix, the
@@ -1453,6 +1547,27 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_session_stats" ->
+      // twin of Events.sessionStats (gap 30 min): same (ts, event_id)
+      // per-user windows — lag flag then ROWS-cumulative session id —
+      // per-(user, session) exact-ms spans, size-grain rollup
+      """WITH ev AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, event_id, ts, ms,
+        |  CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM ev WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id, ms, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |g AS (SELECT user_id, sid, count(*) AS n_ev,
+        |  max(ms) - min(ms) AS dur FROM s GROUP BY user_id, sid)
+        |SELECT n_ev AS events_per_session,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(CAST(sum(dur) AS DOUBLE) / count(*), 3) AS mean_duration_ms,
+        |  CAST(max(dur) AS BIGINT) AS max_duration_ms
+        |FROM g GROUP BY n_ev""".stripMargin,
     "events_ewma_anomaly" ->
       // twin of Events.ewmaAnomaly (lookback=24, decay=0.7,
       // minBaseline=8, topN=20): sparse hourly series, bounded range

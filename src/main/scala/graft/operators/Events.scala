@@ -827,6 +827,49 @@ object Events {
       .limit(topN)
   }
 
+  /** SESSION STATISTICS — the duration-vs-size profile of the 30-minute
+    * inactivity sessions [[sessionize]] counts: one row per session
+    * SIZE (events per session) with how many sessions have that size,
+    * their exact-ms mean duration, and the max. The engagement-model
+    * artifact behind bot triage: human sessions show duration growing
+    * roughly linearly with size, scripted traffic shows many-event
+    * near-zero-duration rows, and the single-event bucket's share is
+    * the bounce rate — none of which the per-user session COUNT
+    * exposes.
+    *
+    * Shape: the [[sessionize]] user_id exchange serves BOTH windows
+    * (lag flag + running session id — same partitioning, one sort),
+    * then a per-(user, session) rollup rides the same user_id prefix;
+    * the final size-grain aggregate is bounded by the longest session,
+    * not event volume. Durations are exact integer ms (max−min); the
+    * mean divides the exact BIGINT sum once and rounds to 3. */
+  def sessionStats(s: SparkSession, dir: String,
+                   gapMs: Long = 1800000L): DataFrame =
+    sessionStatsFrom(Tables.events(s, dir), gapMs)
+
+  /** Core of [[sessionStats]] over any (user_id, event_id, ts) frame. */
+  def sessionStatsFrom(ev: DataFrame, gapMs: Long): DataFrame = {
+    require(gapMs >= 1L, s"need a positive gap, got $gapMs")
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val flagged = ev
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"event_id", $"ts", unix_millis($"ts").as("ms"))
+      .withColumn("prev_ms", lag($"ms", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ms".isNull || $"ms" - $"prev_ms" > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_ev"), (max($"ms") - min($"ms")).as("dur_ms"))
+      .groupBy($"n_ev".as("events_per_session"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum($"dur_ms").cast("double") / count(lit(1)), 3)
+          .as("mean_duration_ms"),
+        max($"dur_ms").as("max_duration_ms"))
+  }
+
   /** INTER-ARRIVAL STATISTICS — per event type, the distribution of
     * gaps between consecutive events (global arrival order per type):
     * count, exact integer-ms mean, and nearest-rank p50/p90. The

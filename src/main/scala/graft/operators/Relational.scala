@@ -1182,4 +1182,44 @@ object Relational {
         $"c_custkey", $"c_name", $"c_nationkey", cents($"c_acctbal"),
         $"c_mktsegment")))
   }
+
+  /** REFERENTIAL-INTEGRITY AUDIT — one row per foreign-key relation in
+    * the star: child row count, NULL-key count, ORPHAN count (non-null
+    * keys with no parent row) and the orphan rate. The data-quality
+    * gate a warehouse runs after every load — a nonzero orphan rate on
+    * an append says the dimension lagged the fact (late-arriving dim),
+    * and the NULL column separates "no reference" from "broken
+    * reference", which downstream joins treat very differently (a left
+    * join hides both; this query prices them).
+    *
+    * Shape at 100 TB: per relation ONE left join of the fact keys
+    * against the DISTINCT parent key set — the parent side is the
+    * dimension's key column only (broadcast for real dims; a key-only
+    * shuffle at worst) — and one single-row conditional aggregate.
+    * Counts are exact longs; the rate divides once and rounds to 6.
+    * No fact data column ever moves. */
+  def q55FkAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(child: DataFrame, key: Column, parent: DataFrame,
+              pkey: Column, name: String): DataFrame =
+      child.select(key.as("k"))
+        .join(broadcast(parent.select(pkey.as("pk")).distinct()),
+          $"k" === $"pk", "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when($"k".isNotNull && $"pk".isNull, 1L).otherwise(0L))
+            .as("n_orphan"))
+        .select(lit(name).as("relation"), $"n_child", $"n_null", $"n_orphan",
+          round($"n_orphan".cast("double") / $"n_child", 6).as("orphan_rate"))
+    val li = Tables.lineitem(s, dir)
+    audit(li, $"l_orderkey", Tables.orders(s, dir), $"o_orderkey",
+      "lineitem.l_orderkey->orders")
+      .unionAll(audit(li, $"l_partkey", Tables.part(s, dir), $"p_partkey",
+        "lineitem.l_partkey->part"))
+      .unionAll(audit(li, $"l_suppkey", Tables.supplier(s, dir), $"s_suppkey",
+        "lineitem.l_suppkey->supplier"))
+      .unionAll(audit(Tables.orders(s, dir), $"o_custkey",
+        Tables.customer(s, dir), $"c_custkey", "orders.o_custkey->customer"))
+      .unionAll(audit(Tables.customer(s, dir), $"c_nationkey",
+        Tables.nation(s, dir), $"n_nationkey", "customer.c_nationkey->nation"))
+  }
 }

@@ -1226,6 +1226,115 @@ object TextAnalysis {
               ($"n_terms" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
   }
 
+  /** HEAPS' LAW FIT — the vocabulary-growth exponent: least-squares fit
+    * of ln(V) against ln(N) where V is the distinct-type count and N
+    * the token count after each doc_id-ordered corpus prefix (Heaps,
+    * "Information Retrieval", 1978: V ≈ K·N^β, natural text β ≈
+    * 0.4–0.6). The companion drift monitor to [[zipfFit]]'s static
+    * rank curve: a corpus whose β collapses toward 0 between two
+    * ingestion runs has stopped contributing NEW vocabulary — the
+    * template-flood / dedup-failure signal at one number — while β
+    * near 1 says near-disjoint token streams (ids, hashes, codes).
+    *
+    * Scale shape: the x-axis needs a GLOBAL prefix sum, so the doc
+    * grain is first aggregated to ≤ nPoints+1 doc_id-range buckets
+    * (step = max_id div nPoints + 1, broadcast 1-row max) — per-bucket
+    * token totals and new-type counts are two partial-agged exchanges
+    * (new types via min-doc_id first occurrence, the standard
+    * first-touch trick), and ONLY the bounded bucket frame flows
+    * through the cumulative window (the [[shardPlan]] concern solved
+    * the histogram-quantile way: never a window over row-grain data).
+    * Fit arithmetic is [[zipfFit]]'s verbatim: ln/products rounded to
+    * 8 before DECIMAL(38,12) sums, finals rounded to 6. */
+  def heapsFit(s: SparkSession, dir: String, nPoints: Int = 64): DataFrame =
+    heapsFitFrom(Tables.documents(s, dir), nPoints)
+
+  /** Core of [[heapsFit]] over any (doc_id, text) frame. */
+  def heapsFitFrom(docs: DataFrame, nPoints: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPoints >= 3, s"need >= 3 prefix points, got $nPoints")
+    val t = docs.select($"doc_id", wsTokens(lower($"text")).as("tk"))
+    val mx = docs.agg(max($"doc_id").as("mxid"))
+    val perDocTok = t.select($"doc_id", size($"tk").cast("long").as("nt"))
+    val newTypes = t.select($"doc_id", explode($"tk").as("token"))
+      .groupBy($"token").agg(min($"doc_id").as("fd"))
+      .groupBy($"fd").agg(count(lit(1)).as("nv"))
+    val buckets = perDocTok
+      .join(newTypes, $"doc_id" === $"fd", "left")
+      .crossJoin(broadcast(mx))
+      .select(expr(s"doc_id div (mxid div $nPoints + 1)").as("g"),
+        $"nt", coalesce($"nv", lit(0L)).as("nv"))
+      .groupBy($"g").agg(sum($"nt").as("bt"), sum($"nv").as("bv"))
+    val wCum = Window.orderBy($"g".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = buckets
+      .select($"g", sum($"bt").over(wCum).as("cn"), sum($"bv").over(wCum).as("cv"))
+      .filter($"cn" > 0 && $"cv" > 0)
+      .select(round(log($"cn"), 8).as("x"), round(log($"cv"), 8).as("y"))
+      .select($"x", $"y",
+        round($"x" * $"x", 8).as("xx"),
+        round($"y" * $"y", 8).as("yy"),
+        round($"x" * $"y", 8).as("xyp"))
+    def dec(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    pts.agg(
+        count(lit(1)).as("n_points"),
+        dec($"x").as("sx"), dec($"y").as("sy"),
+        dec($"xx").as("sxx"), dec($"yy").as("syy"), dec($"xyp").as("sxy"))
+      .select($"n_points",
+        round(($"n_points" * $"sxy" - $"sx" * $"sy") /
+          ($"n_points" * $"sxx" - $"sx" * $"sx"), 6).as("beta"),
+        round(($"sy" - ($"n_points" * $"sxy" - $"sx" * $"sy") /
+          ($"n_points" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n_points", 6)
+          .as("ln_k"),
+        round(
+          (($"n_points" * $"sxy" - $"sx" * $"sy") *
+            ($"n_points" * $"sxy" - $"sx" * $"sy")) /
+            (($"n_points" * $"sxx" - $"sx" * $"sx") *
+              ($"n_points" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+  }
+
+  /** N-GRAM NOVELTY CURVE — per document, the fraction of its distinct
+    * word 5-gram fingerprints that first appear THERE in doc_id order
+    * (first occurrence = min doc_id holding the gram — the same
+    * first-touch aggregate [[heapsFit]] uses at type grain). The
+    * per-document complement of the corpus-level Heaps curve: a late
+    * document with near-zero novelty is TEMPLATE/REHASH material even
+    * if no single earlier document matches it pairwise (its grams are
+    * scattered across many predecessors — exactly the case the
+    * pairwise dedup family cannot flag), while a novelty spike inside
+    * an otherwise-flat ingestion run marks a genuinely new source.
+    *
+    * Shape: one gram explode (doc-distinct, the [[commonSpans]]
+    * stream), one gram-keyed min aggregate, one equi-join back, one
+    * per-doc rollup — all partial-aggregated, nothing wider than the
+    * gram stream. Short docs (< 5 tokens) have no grams and report 0
+    * novelty over 0 grams (left-join totality, the [[bigramLogprob]]
+    * convention). */
+  def ngramNovelty(s: SparkSession, dir: String, w: Int = 5): DataFrame =
+    ngramNoveltyFrom(Tables.documents(s, dir), w)
+
+  /** Core of [[ngramNovelty]] over any (doc_id, text) frame. */
+  def ngramNoveltyFrom(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"need w >= 1, got $w")
+    val g = docs
+      .select($"doc_id", wsTokens(lower($"text")).as("tk"))
+      .select($"doc_id",
+        explode(array_distinct(transform(wordShinglesOf($"tk", w), x => hash60(x))))
+          .as("gram"))
+    val fd = g.groupBy($"gram").agg(min($"doc_id").as("fdoc"))
+    val perDoc = g.join(fd, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"fdoc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        round($"n_novel".cast("double") / $"n_grams", 6).as("novelty_frac"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        coalesce($"novelty_frac", lit(0.0)).as("novelty_frac"))
+  }
+
   /** LEXICAL DIVERSITY — per-document vocabulary-richness signals:
     * type-token ratio, hapax fraction (types occurring once), and
     * Yule's K = 10⁴·(Σ_t cnt_t² − N)/N² (Yule, "The Statistical Study

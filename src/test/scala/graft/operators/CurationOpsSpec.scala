@@ -1006,6 +1006,114 @@ class CurationOpsSpec extends SparkSpec {
       "p50 of gaps [0, 100] must pick the actual 0 gap")
   }
 
+  test("heaps fit matches a BigDecimal least-squares reference over " +
+    "doc-prefix buckets; growth exponent positive") {
+    def round8(d: Double) = BigDecimal(d)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    def toks(t: String): Seq[String] = {
+      val tr = t.toLowerCase.trim
+      if (tr.isEmpty) Seq() else tr.split("\\s+").toSeq
+    }
+    val mx = docs.map(_._1).max
+    val step = mx / 64 + 1
+    val seen = collection.mutable.Set[String]()
+    val bt = collection.mutable.Map[Long, Long]()
+    val bv = collection.mutable.Map[Long, Long]()
+    for ((id, t) <- docs) {
+      val ws = toks(t)
+      val g = id / step
+      bt(g) = bt.getOrElse(g, 0L) + ws.length
+      bv(g) = bv.getOrElse(g, 0L) + ws.count(seen.add)
+    }
+    var (cn, cv) = (0L, 0L)
+    val pts = bt.keys.toSeq.sorted.flatMap { g =>
+      cn += bt(g); cv += bv(g)
+      if (cn > 0 && cv > 0)
+        Some((round8(math.log(cn.toDouble)), round8(math.log(cv.toDouble))))
+      else None
+    }
+    def dsum(vs: Seq[Double]): Double =
+      vs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val n = pts.length.toDouble
+    val sx = dsum(pts.map(_._1)); val sy = dsum(pts.map(_._2))
+    val sxx = dsum(pts.map(p => round8(p._1 * p._1)))
+    val syy = dsum(pts.map(p => round8(p._2 * p._2)))
+    val sxy = dsum(pts.map(p => round8(p._1 * p._2)))
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val lnK = (sy - beta * sx) / n
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = TextAnalysis.heapsFit(spark, Sf).collect()(0)
+    assert(got.getAs[Long]("n_points") === pts.length.toLong)
+    assert(math.abs(got.getAs[Double]("beta") - round6(beta)) < 2e-6)
+    assert(math.abs(got.getAs[Double]("ln_k") - round6(lnK)) < 2e-6)
+    assert(math.abs(got.getAs[Double]("r2") - round6(r2)) < 2e-6)
+    // the synthetic corpus draws from a CLOSED ~40-word vocabulary, so
+    // it saturates within the first bucket and beta rounds to 0 — the
+    // "template flood" reading the operator exists to flag. A genuinely
+    // open vocabulary must push beta positive: append docs with fresh
+    // tokens and re-fit.
+    assert(got.getAs[Double]("beta") >= 0.0)
+    import spark.implicits._
+    val open = docs.map { case (id, t) => (id, t) } ++
+      (1 to 200).map(i => (mx + i, s"neword${i}a neword${i}b neword${i}c"))
+    val beta2 = TextAnalysis.heapsFitFrom(
+      open.toSeq.toDF("doc_id", "text"), 64).collect()(0).getAs[Double]("beta")
+    assert(beta2 > 0.0,
+      "an open-vocabulary extension must push the growth exponent positive")
+  }
+
+  test("ngram novelty: first doc fully novel, exact copy zero, partial " +
+    "overlap fractional, short docs total at zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), // grams abcde, bcdef — both first here
+      (2L, "a b c d e f"), // exact copy: 0 novel
+      (3L, "a b"), // too short for a 5-gram
+      (4L, "a b c d e x")) // abcde seen, bcdex new -> 0.5
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNoveltyFrom(docs, 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 0L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    assert(got(4L) === ((2L, 1L, 0.5)))
+    // totality + bounds on the real corpus
+    val real = TextAnalysis.ngramNovelty(spark, Sf).collect()
+    assert(real.length.toLong === Tables.documents(spark, Sf).count())
+    real.foreach { r =>
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("session stats: hand-built sessions land in the right size " +
+    "buckets with exact durations") {
+    import spark.implicits._
+    val m = 60000L
+    val ev = Seq(
+      // user 1: 3 events 10 min apart (one session, 20 min span),
+      // then one isolated event 2 h later (size-1 session)
+      (1L, 1L, 0L), (1L, 2L, 10 * m), (1L, 3L, 20 * m), (1L, 4L, 140 * m),
+      // user 2: a single event
+      (2L, 5L, 0L))
+      .toDF("user_id", "event_id", "ms")
+      .withColumn("ts", expr("timestamp_millis(ms)"))
+    val got = Events.sessionStatsFrom(ev, 1800000L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(3L) === ((1L, 1200000.0, 1200000L)))
+    assert(got(1L) === ((2L, 0.0, 0L)))
+  }
+
   test("pmi bigrams: hand-computed collocation score; min-count floor " +
     "drops the rare pair; ranked by the total order") {
     import spark.implicits._

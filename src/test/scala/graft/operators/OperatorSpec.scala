@@ -541,4 +541,39 @@ class OperatorSpec extends SparkSpec {
       Tables.lineitem(spark, Sf).count())
     assert(got("orders")._1 === Tables.orders(spark, Sf).count())
   }
+
+  test("fk audit: orphan/null counts equal collected-key-set mirrors " +
+    "for all five relations") {
+    def keys(df: org.apache.spark.sql.DataFrame, c: String): Seq[Option[Long]] =
+      df.select(col(c).cast("long")).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    def parents(df: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
+      keys(df, c).flatten.toSet
+    val cases = Seq(
+      ("lineitem.l_orderkey->orders",
+        keys(Tables.lineitem(spark, Sf), "l_orderkey"),
+        parents(Tables.orders(spark, Sf), "o_orderkey")),
+      ("lineitem.l_partkey->part",
+        keys(Tables.lineitem(spark, Sf), "l_partkey"),
+        parents(Tables.part(spark, Sf), "p_partkey")),
+      ("lineitem.l_suppkey->supplier",
+        keys(Tables.lineitem(spark, Sf), "l_suppkey"),
+        parents(Tables.supplier(spark, Sf), "s_suppkey")),
+      ("orders.o_custkey->customer",
+        keys(Tables.orders(spark, Sf), "o_custkey"),
+        parents(Tables.customer(spark, Sf), "c_custkey")),
+      ("customer.c_nationkey->nation",
+        keys(Tables.customer(spark, Sf), "c_nationkey"),
+        parents(Tables.nation(spark, Sf), "n_nationkey")))
+    val got = Relational.q55FkAudit(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === cases.map(_._1).toSet)
+    for ((name, ks, ps) <- cases) {
+      val nNull = ks.count(_.isEmpty).toLong
+      val nOrphan = ks.count(k => k.isDefined && !ps(k.get)).toLong
+      assert(got(name) === ((ks.length.toLong, nNull, nOrphan)),
+        s"$name diverges from the collected-key mirror")
+    }
+  }
 }

@@ -108,7 +108,11 @@ object Plans {
       "events_ewma_anomaly" -> "EWMA: hour-grain agg exchange, checkpointed tiny hourly frame self-joined with BOUNDED <=24-predecessor fan-out, DECIMAL weight partials, top-20 TakeOrderedAndProject",
       "events_interarrival" -> "interarrival: ONE user-free per-type exchange serves the lag window, rank window at (type, gap) grain, bounded rollup with nearest-rank conditional picks",
       "text_pmi_bigrams" -> "PMI: bigram+unigram partial-agged count passes, min-count floor BEFORE the score joins (bounded pair set), broadcast 1-row totals, TakeOrderedAndProject top-50",
-      "rel_table_checksum" -> "table checksum: three independent scans, per-row codegen hash, single-row DECIMAL partial-agg sums — ZERO data-row shuffles; row order/partitioning invisible by commutativity")
+      "rel_table_checksum" -> "table checksum: three independent scans, per-row codegen hash, single-row DECIMAL partial-agg sums — ZERO data-row shuffles; row order/partitioning invisible by commutativity",
+      "rel_fk_audit" -> "fk audit: five key-only projections left-join broadcast DISTINCT parent key sets, single-row conditional aggs — no fact data column ever moves",
+      "text_heaps_fit" -> "heaps fit: two partial-agged first-touch exchanges (per-doc tokens, min-doc types) reduce to <=65 range buckets; cumulative window + LS fit run on the bounded bucket frame only",
+      "text_ngram_novelty" -> "ngram novelty: doc-distinct gram explode, gram-keyed min(doc_id) partial agg, equi-join back, per-doc rollup + left-join totality — nothing wider than the gram stream",
+      "events_session_stats" -> "session stats: ONE user_id exchange serves the lag flag window, the running-sid window AND the per-session rollup; size-grain final agg bounded by max session length")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
