@@ -1441,7 +1441,10 @@ object Similarity {
         when(element_at($"v", off + i + 1) >= element_at($"thl", off + i + 1),
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val bits = e.crossJoin(broadcast(bqThresholds(e)))
+    // the 1-row threshold frame is localCheckpoint'd: `bits` is consumed
+    // by both the corpus and the query side, and an un-materialized
+    // threshold subtree would inline its full posexplode scan into each
+    val bits = e.crossJoin(broadcast(bqThresholds(e).localCheckpoint(true)))
       .select($"vec_id", $"v", packBits(0).as("lo"), packBits(32).as("hi"))
     val q = bits.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("q_v"),
