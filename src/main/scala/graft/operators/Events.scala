@@ -800,14 +800,26 @@ object Events {
   /** Core of [[ewmaAnomaly]] over any (hour_ts, event_type, n) frame. */
   def ewmaAnomalyFrom(hourly: DataFrame, lookback: Int = 24,
                       decay: Double = 0.7, minBaseline: Int = 8,
-                      topN: Int = 20): DataFrame = {
+                      topN: Int = 20): DataFrame =
+    ewmaScoredFrom(hourly, lookback, decay, minBaseline)
+      .orderBy(abs($"deviation").desc, $"event_type".asc, $"hour_ts".asc)
+      .limit(topN)
+
+  /** The unranked EWMA score frame — every scoreable (type, hour) row.
+    * [[ewmaAnomalyFrom]] top-Ns it; the streaming twin
+    * ([[graft.streaming.Streams.ewmaMonitor]]) emits exactly these rows
+    * as hours close (global ranking is a batch/serving concern, the
+    * rfmRunning convention), so the parity spec compares against THIS. */
+  private[graft] def ewmaScoredFrom(hourly: DataFrame, lookback: Int = 24,
+                                    decay: Double = 0.7,
+                                    minBaseline: Int = 8): DataFrame = {
     require(lookback >= 1 && decay > 0 && decay < 1 && minBaseline >= 1,
       "need lookback >= 1, 0 < decay < 1, minBaseline >= 1")
     val hc = hourly.select(($"hour_ts" / 3600).cast("long").as("h"),
       $"event_type", $"n").localCheckpoint(true)
     val prior = hc.select($"event_type".as("p_type"), $"h".as("h2"),
       $"n".as("x2"))
-    val scored = hc.join(prior,
+    hc.join(prior,
         $"event_type" === $"p_type"
           && $"h2" >= $"h" - lookback && $"h2" < $"h")
       .select($"event_type", $"h", $"n",
@@ -822,9 +834,6 @@ object Events {
         round($"num".cast("double") / $"den".cast("double"), 6).as("ewma"))
       .select($"event_type", $"hour_ts", $"n", $"ewma",
         round(($"n" - $"ewma") / sqrt($"ewma" + 1.0), 6).as("deviation"))
-    scored
-      .orderBy(abs($"deviation").desc, $"event_type".asc, $"hour_ts".asc)
-      .limit(topN)
   }
 
   /** SESSION STATISTICS — the duration-vs-size profile of the 30-minute

@@ -56,6 +56,20 @@ final case class TopTypeOut(user_id: Long, event_type: String, n: Long)
   * rowsBetween(-24,-1) baseline, carried as at most 24 longs. */
 final case class ZScoreState(open: Map[Long, Long], ring: List[Long])
 
+/** Per-event-type EWMA-monitor state: OPEN hour counts (hourMs -> n)
+  * plus the trailing finalized (hourMs, n) pairs still inside the
+  * lookback horizon — the pairs carry their HOUR because the batch
+  * EWMA weights by hour DISTANCE (decay^(lag-1)), not ring position:
+  * a gap hour shifts every weight, which a bare count ring would miss. */
+final case class EwmaState(open: Map[Long, Long], ring: List[(Long, Long)])
+
+/** One finalized, scoreable hour under the EWMA baseline: `n` events of
+  * `event_type` in the hour at `hour_ts` (epoch seconds), the
+  * renormalized trailing EWMA, and the deviation (n-ewma)/sqrt(ewma+1)
+  * — the batch operator's exact arithmetic. */
+final case class EwmaOut(event_type: String, hour_ts: Long, n: Long,
+                         ewma: Double, deviation: Double)
+
 /** One finalized, scoreable hour: `n` events of `event_type` in the hour
   * starting at `hour_ts` (epoch seconds), `z` standard deviations from
   * the trailing-24-observed-hours mean. */
@@ -626,6 +640,92 @@ object Streams {
           // re-arm to the earliest still-open hour's end so the score
           // fires as soon as the watermark closes it; clamped a tick
           // past the watermark (the API rejects <= wm)
+          if (st.open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              st.open.keys.min + 3600000L, state.getCurrentWatermarkMs() + 1))
+          hits.iterator
+      }
+  }
+
+  /** Streaming twin of the EWMA deviation detector's scored core
+    * (graft.operators.Events.ewmaScoredFrom — the batch operator's
+    * top-20 stays a batch/serving concern, the rfmRunning convention):
+    * each hour an event type's watermark closes is scored against the
+    * exponentially-weighted average of its trailing <= `lookback`
+    * PRESENT closed hours, weights decay^(hour lag - 1) renormalized
+    * over the hours actually present — gap hours are MISSING, not
+    * zero, exactly the batch semantics, which is why the state ring
+    * carries (hour, n) PAIRS (a gap shifts every lag).
+    *
+    * Arithmetic parity: per-pair weight and weighted term are rounded
+    * to 12 (HALF_UP) and summed in BigDecimal — the batch DECIMAL(38,12)
+    * sums — then ewma and deviation round to 6 from the same doubles,
+    * so streamed rows equal the batch frame row-for-row on closed
+    * hours (StreamingSpec pins it with exceptAll both ways).
+    *
+    * State at 100 TB: per event TYPE, the watermark-open hour counts
+    * plus <= `lookback` (hour, count) pairs — the smallest-keyed state
+    * in the file alongside [[anomalyZscore]], whose open/finalize/
+    * timeout skeleton (and UTC whole-hour timezone coupling, asserted
+    * below) this shares. */
+  def ewmaMonitor(events: Dataset[Event], lookback: Int = 24,
+                  decay: Double = 0.7, minBaseline: Int = 8): Dataset[EwmaOut] = {
+    require(lookback >= 1 && decay > 0 && decay < 1 && minBaseline >= 1,
+      "need lookback >= 1, 0 < decay < 1, minBaseline >= 1")
+    val tz = java.util.TimeZone.getTimeZone(
+      events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC"))
+    require(tz.getRawOffset % 3600000 == 0 && tz.getDSTSavings % 3600000 == 0,
+      s"ewmaMonitor buckets hours by UTC epoch floor; session timezone " +
+        s"${tz.getID} has a non-whole-hour offset and would diverge " +
+        "from the batch date_trunc oracle")
+    import events.sparkSession.implicits._
+
+    def r(d: Double, sc: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(sc, java.math.RoundingMode.HALF_UP)
+
+    def finalize(typ: String, st: EwmaState, wmMs: Long): (EwmaState, List[EwmaOut]) = {
+      val (closable, open) = st.open.partition { case (h, _) => h + 3600000L <= wmMs }
+      var ring = st.ring
+      var out = List.empty[EwmaOut]
+      closable.toSeq.sortBy(_._1).foreach { case (hMs, n) =>
+        val h = hMs / 3600000L
+        val base = ring.filter { case (h2, _) => h2 >= h - lookback && h2 < h }
+        if (base.size >= minBaseline) {
+          var num = java.math.BigDecimal.ZERO
+          var den = java.math.BigDecimal.ZERO
+          base.foreach { case (h2, x2) =>
+            val wRaw = math.pow(decay, (h - h2 - 1).toDouble)
+            den = den.add(r(wRaw, 12))
+            num = num.add(r(wRaw * x2, 12))
+          }
+          val ewma = r(num.doubleValue() / den.doubleValue(), 6).doubleValue()
+          val dev = r((n - ewma) / math.sqrt(ewma + 1.0), 6).doubleValue()
+          out ::= EwmaOut(typ, hMs / 1000L, n, ewma, dev)
+        }
+        ring = ((h, n) :: ring).filter { case (h2, _) => h2 > h - lookback }
+      }
+      (EwmaState(open, ring), out.reverse)
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          val prior = state.getOption.getOrElse(EwmaState(Map.empty, Nil))
+          val merged =
+            if (state.hasTimedOut) prior
+            else {
+              var open = prior.open
+              it.foreach { e =>
+                val h = e.ts.getTime - e.ts.getTime % 3600000L
+                open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+              }
+              prior.copy(open = open)
+            }
+          val (st, hits) = finalize(typ, merged, state.getCurrentWatermarkMs())
+          state.update(st)
           if (st.open.nonEmpty)
             state.setTimeoutTimestamp(math.max(
               st.open.keys.min + 3600000L, state.getCurrentWatermarkMs() + 1))

@@ -774,6 +774,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming EWMA monitor equals the batch scored frame on closed hours") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = loadEvents()
+    val maxMs = events.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    val query = Streams.ewmaMonitor(stream.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("ew"))
+      .start()
+    try {
+      val third = events.size / 3
+      Seq(events.take(third), events.slice(third, 2 * third), events.drop(2 * third))
+        .foreach { b => stream.addData(b); query.processAllAvailable() }
+      // sentinels push the watermark past every real hour (the
+      // anomalyZscore harness); the sentinel type is excluded
+      Seq(maxMs + 30L * 24 * 3600 * 1000, maxMs + 31L * 24 * 3600 * 1000).foreach { ms =>
+        stream.addData(Seq(Event(-1L, new java.sql.Timestamp(ms), -1L, "__wm__", 0.0)))
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("ewma_stream")
+        .filter($"event_type" =!= "__wm__")
+        .select($"event_type", $"hour_ts", $"n", $"ewma", $"deviation")
+      val hourly = Tables.events(spark, Sf)
+        .filter($"event_type".isNotNull)
+        .groupBy(unix_timestamp(date_trunc("hour", $"ts")).as("hour_ts"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val batch = Events.ewmaScoredFrom(hourly)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed EWMA rows diverge from the batch scored frame")
+      // append-mode scores are final: no (type, hour) emitted twice
+      val dups = spark.table("ewma_stream")
+        .groupBy("event_type", "hour_ts").count().filter($"count" > 1).count()
+      assert(dups === 0L, "an hour was scored more than once")
+    } finally query.stop()
+  }
+
   test("streaming RFM profiles converge to the batch per-user rollup") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
