@@ -118,6 +118,8 @@ object Bench {
     "text_heaps_fit", // added r13: two first-touch exchanges + bounded bucket fit
     "text_ngram_novelty", // added r13: gram min-doc first occurrence + per-doc rollup
     "events_session_stats", // added r13: one user exchange, size-grain rollup
+    "graph_coreness", // added r13: 8 checkpointed h-index rounds over the LSH graph
+    "text_dedup_impact", // added r13: fp dedup + two token counts + KL join
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

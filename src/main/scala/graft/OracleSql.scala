@@ -935,6 +935,32 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |    / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
          |    AS r2
          |FROM sums""".stripMargin,
+    "text_dedup_impact" ->
+      // twin of TextAnalysis.dedupImpact: min-doc_id survivor per
+      // normalized fingerprint (the dedup_exact grouping), before/after
+      // token and type counts, and the survivors' unigram KL from the
+      // full corpus — the text_source_kl ln-parity discipline
+      s"""WITH kept AS (SELECT min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+         |  FROM $docs) GROUP BY fp),
+         |kd AS (SELECT d.doc_id, d.text FROM $docs d JOIN kept USING (doc_id)),
+         |tf AS (SELECT term, count(*) AS c FROM (
+         |  SELECT unnest(${toks("lower(text)")}) AS term FROM $docs) GROUP BY term),
+         |tk AS (SELECT term, count(*) AS ck FROM (
+         |  SELECT unnest(${toks("lower(text)")}) AS term FROM kd) GROUP BY term),
+         |nf AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS types FROM tf),
+         |nk AS (SELECT CAST(sum(ck) AS BIGINT) AS nk, count(*) AS types_k FROM tk),
+         |kl AS (SELECT round(CAST(sum(k) AS DOUBLE), 6) AS kl_kept_vs_full FROM (
+         |  SELECT CAST(round((CAST(tk.ck AS DOUBLE) / nk.nk)
+         |    * ln((CAST(tk.ck AS DOUBLE) / nk.nk)
+         |      / (CAST(tf.c AS DOUBLE) / nf.n)), 12) AS DECIMAL(38,12)) AS k
+         |  FROM tk JOIN tf USING (term) CROSS JOIN nk CROSS JOIN nf))
+         |SELECT (SELECT count(*) FROM $docs) AS n_docs,
+         |  (SELECT count(*) FROM kd) AS n_docs_kept,
+         |  nf.n AS n_tokens, nf.types AS n_types,
+         |  nk.nk AS n_tokens_kept, nk.types_k AS n_types_kept,
+         |  kl.kl_kept_vs_full
+         |FROM nf CROSS JOIN nk CROSS JOIN kl""".stripMargin,
     "text_heaps_fit" ->
       // twin of TextAnalysis.heapsFit (nPoints=64): per-doc token and
       // first-occurrence new-type counts aggregated to doc_id-range
@@ -3616,6 +3642,7 @@ private[graft] final class OracleSqlGen(sfDir: String) {
 
   /** Rounds of the registered LPA unroll (Graph.labelPropagation default). */
   private val LpaRounds = 4
+  private val CorenessRounds = 8
 
   /** Synchronous-LPA CTE chain l0..l{LpaRounds} with the self-vote and
     * min-label tie-break — MATERIALIZED for the graph_kcore reason
@@ -3637,7 +3664,35 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |$steps""".stripMargin
   }
 
+  /** Unrolled iterated-h-index coreness rounds — twin of
+    * Graph.corenessFrom's fixed unroll (c0 = degree; each round the
+    * h-index max(least(rank, value)) of neighbor values under the
+    * (value desc, src asc) total order). MATERIALIZED per round for
+    * the graph_kcore reason. */
+  private lazy val corenessCtes: String = {
+    val steps = (1 to CorenessRounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT dst AS node, max(least(rn, nv)) AS cv
+         |  FROM (SELECT a.dst, p.cv AS nv,
+         |    row_number() OVER (PARTITION BY a.dst
+         |      ORDER BY p.cv DESC, a.src ASC) AS rn
+         |    FROM adjm a JOIN c${i - 1} p ON a.src = p.node)
+         |  GROUP BY dst)""".stripMargin
+    }.mkString(",\n")
+    s"""adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+       |c0 AS MATERIALIZED (SELECT node, CAST(deg AS BIGINT) AS cv FROM nodes),
+       |$steps""".stripMargin
+  }
+
   private val graph: Map[String, String] = Map(
+    "graph_coreness" ->
+      // twin of Graph.coreness (rounds=8): iterated neighborhood
+      // h-index from the degree start; exact integers throughout, so
+      // the only engine coupling is the shared total order
+      s"""WITH $graphCtes,
+         |$corenessCtes
+         |SELECT n.node AS doc_id, CAST(n.deg AS BIGINT) AS degree,
+         |  CAST(c.cv AS BIGINT) AS coreness
+         |FROM nodes n JOIN c$CorenessRounds c ON c.node = n.node""".stripMargin,
     "graph_label_propagation" ->
       // twin of Graph.labelPropagation (rounds=4): synchronous LPA with
       // the self-vote and min-label tie-break, unrolled; MATERIALIZED

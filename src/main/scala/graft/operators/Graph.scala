@@ -714,6 +714,51 @@ object Graph {
       .limit(topN)
   }
 
+  /** CORENESS — the FULL k-core decomposition: every node labeled with
+    * the largest k whose k-core contains it, via the iterated
+    * neighborhood h-index (Lü, Zhou, Zhang, Stanley, Nature Comm. 7,
+    * 2016): start each node at its degree and repeatedly set c(v) to
+    * the h-index of its neighbors' current values — the sequence is
+    * monotonically NONINCREASING and its fixpoint is exactly the core
+    * number. Where [[kCore]] answers membership at ONE chosen k, this
+    * is the whole density spectrum in a single pass — the artifact a
+    * curation policy thresholds AFTER looking ("keep one doc per
+    * family above coreness 5") instead of re-running a peel per k.
+    *
+    * Determinism: values are exact integers; the h-index is
+    * max(min(rank, value)) under the (value desc, src asc) total
+    * order — rank ties among equal values pick the same MIN, so the
+    * tie order is value-invisible. Registered at a fixed round count
+    * (the [[pageRank]] unroll discipline); GraphSpec proves the
+    * fixture reaches the true peel-computed coreness within the
+    * registered rounds AND that one more round moves nothing.
+    * Shape per round: one adjacency equi-join + one per-node window
+    * rank + one partial-agged max — all keyed on the node, iterates
+    * checkpointed so round r never re-derives rounds 1..r-1. */
+  def coreness(s: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    corenessFrom(edges(s, dir).localCheckpoint(true), rounds)
+
+  /** Core of [[coreness]] over any (a, b) a<b edge frame (callers pass
+    * a materialized frame — the [[censusOf]] contract). */
+  def corenessFrom(e: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val adj = adjacency(e).localCheckpoint(true)
+    val deg = degrees(e).localCheckpoint(true)
+    var c = deg.select($"node", $"deg".cast("long").as("cv"))
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy($"dst").orderBy($"nv".desc, $"src".asc)
+      c = adj.join(c.select($"node".as("src"), $"cv".as("nv")), "src")
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"dst")
+        .agg(max(least($"rn".cast("long"), $"nv")).as("cv"))
+        .select($"dst".as("node"), $"cv")
+        .localCheckpoint(true)
+    }
+    deg.join(c, "node")
+      .select($"node".as("doc_id"), $"deg".as("degree"), $"cv".as("coreness"))
+  }
+
   /** NEIGHBORHOOD-JACCARD LINK PREDICTION — top-N non-adjacent pairs
     * ranked by |N(x)∩N(y)| / |N(x)∪N(y)| (Liben-Nowell & Kleinberg,
     * CIKM'03's structural-similarity baseline). The NORMALIZED

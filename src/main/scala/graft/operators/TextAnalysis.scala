@@ -1226,6 +1226,58 @@ object TextAnalysis {
               ($"n_terms" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
   }
 
+  /** DEDUP IMPACT REPORT — what exact dedup DOES to the corpus, in one
+    * row: document / token / type counts before and after keeping the
+    * min-doc_id survivor per normalized fingerprint (the
+    * [[graft.operators.Dedup.exact]] grouping), plus the KL divergence
+    * of the survivors' unigram distribution from the full corpus's.
+    * Removal counts alone undersell or oversell a dedup pass — dropping
+    * a million copies of one boilerplate page barely moves the
+    * distribution (KL ≈ 0: safe), while dropping a few huge documents
+    * can tilt it hard (the curation decision that needs a human) — so
+    * the report prices the DISTRIBUTIONAL cost next to the row savings,
+    * the number data-curation writeups publish alongside dedup rates.
+    *
+    * Determinism: counts are exact; per-term KL contributions use the
+    * [[sourceKl]] discipline — one fixed IEEE op order, round(12),
+    * DECIMAL(38,12) sum, round(6). Survivor terms are a subset of
+    * corpus terms, so no zero denominators exist. Shape: one
+    * fingerprint exchange (the dedup pass itself), one semi join, two
+    * token-count exchanges, broadcast 1-row totals — every aggregate
+    * partial-agged, output is ONE row. */
+  def dedupImpact(s: SparkSession, dir: String): DataFrame =
+    dedupImpactFrom(Tables.documents(s, dir))
+
+  /** Core of [[dedupImpact]] over any (doc_id, text) frame. */
+  def dedupImpactFrom(docs: DataFrame): DataFrame = {
+    val kept = docs
+      .select($"doc_id",
+        md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val keptDocs = docs.join(kept, Seq("doc_id"), "left_semi")
+    def tf(d: DataFrame) = d.select(explode(wsTokens(lower($"text"))).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+    val full = tf(docs).localCheckpoint(true)
+    val keptTf = tf(keptDocs)
+    val nFull = full.agg(sum($"c").as("n"), count(lit(1)).as("types"))
+    val nKept = keptTf.agg(sum($"c").as("nk"), count(lit(1)).as("types_k"))
+    val kl = keptTf.select($"term", $"c".as("ck"))
+      .join(full, "term")
+      .crossJoin(broadcast(nKept.select($"nk")))
+      .crossJoin(broadcast(nFull.select($"n")))
+      .select(round(($"ck".cast("double") / $"nk")
+        * log(($"ck".cast("double") / $"nk") / ($"c".cast("double") / $"n")),
+        12).cast("decimal(38,12)").as("k"))
+      .agg(round(sum($"k").cast("double"), 6).as("kl_kept_vs_full"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(keptDocs.agg(count(lit(1)).as("n_docs_kept"))))
+      .crossJoin(broadcast(nFull.select($"n".as("n_tokens"), $"types".as("n_types"))))
+      .crossJoin(broadcast(nKept.select($"nk".as("n_tokens_kept"),
+        $"types_k".as("n_types_kept"))))
+      .crossJoin(broadcast(kl))
+  }
+
   /** HEAPS' LAW FIT — the vocabulary-growth exponent: least-squares fit
     * of ln(V) against ln(N) where V is the distinct-type count and N
     * the token count after each doc_id-ordered corpus prefix (Heaps,

@@ -1006,6 +1006,36 @@ class CurationOpsSpec extends SparkSpec {
       "p50 of gaps [0, 100] must pick the actual 0 gap")
   }
 
+  test("dedup impact: hand-computed counts and survivor KL on a " +
+    "duplicated fixture; KL non-negative on the real corpus") {
+    import spark.implicits._
+    def r(d: Double, sc: Int) = java.math.BigDecimal.valueOf(d)
+      .setScale(sc, java.math.RoundingMode.HALF_UP)
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "a a a b"), // exact copies: keep doc 1
+      (3L, "a b b c")) // unique
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.dedupImpactFrom(docs).collect()(0)
+    assert(row.getAs[Long]("n_docs") === 3L)
+    assert(row.getAs[Long]("n_docs_kept") === 2L)
+    assert(row.getAs[Long]("n_tokens") === 12L)
+    assert(row.getAs[Long]("n_tokens_kept") === 8L)
+    assert(row.getAs[Long]("n_types") === 3L)
+    assert(row.getAs[Long]("n_types_kept") === 3L)
+    // mirror the engine's exact KL arithmetic: full a:7 b:4 c:1 (N=12),
+    // kept a:4 b:3 c:1 (Nk=8)
+    val terms = Seq((4L, 7L), (3L, 4L), (1L, 1L)).map { case (ck, c) =>
+      r((ck.toDouble / 8L) * math.log((ck.toDouble / 8L) / (c.toDouble / 12L)), 12)
+    }
+    val want = r(terms.reduce(_ add _).doubleValue(), 6).doubleValue()
+    assert(row.getAs[Double]("kl_kept_vs_full") === want)
+    // survivors' distribution can only stay or drift, never "anti-drift"
+    val real = TextAnalysis.dedupImpact(spark, Sf).collect()(0)
+    assert(real.getAs[Double]("kl_kept_vs_full") >= -1e-6)
+    assert(real.getAs[Long]("n_docs_kept") <= real.getAs[Long]("n_docs"))
+    assert(real.getAs[Long]("n_types_kept") <= real.getAs[Long]("n_types"))
+  }
+
   test("heaps fit matches a BigDecimal least-squares reference over " +
     "doc-prefix buckets; growth exponent positive") {
     def round8(d: Double) = BigDecimal(d)

@@ -352,6 +352,43 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("coreness: iterated h-index equals brute-force sequential peel; " +
+    "registered rounds are a fixpoint; consistent with the k-core") {
+    val e = edgeSet()
+    // brute-force core numbers: repeatedly peel the minimum-degree node
+    val adjOf = collection.mutable.Map[Long, collection.mutable.Set[Long]]()
+    for ((a, b) <- e) {
+      adjOf.getOrElseUpdate(a, collection.mutable.Set()) += b
+      adjOf.getOrElseUpdate(b, collection.mutable.Set()) += a
+    }
+    val core = collection.mutable.Map[Long, Long]()
+    var k = 0L
+    while (adjOf.nonEmpty) {
+      val (v, nbrs) = adjOf.minBy { case (n, ns) => (ns.size, n) }
+      k = math.max(k, nbrs.size.toLong)
+      core(v) = k
+      nbrs.foreach(u => adjOf.get(u).foreach(_ -= v))
+      adjOf -= v
+    }
+    val got = Graph.coreness(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("coreness")))).toMap
+    assert(got.keySet === core.keySet)
+    got.foreach { case (v, (deg, c)) =>
+      assert(c === core(v), s"node $v: engine coreness $c vs peel ${core(v)}")
+      assert(c >= 1L && c <= deg)
+    }
+    // the registered 8 rounds are a fixpoint on this graph: one more
+    // round moves nothing
+    val extra = Graph.coreness(spark, Sf, rounds = 9).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("coreness")).toMap
+    assert(extra === got.map { case (v, (_, c)) => v -> c })
+    // decomposition vs membership: coreness >= 3 is exactly the 3-core
+    val inKCore = Graph.kCore(spark, Sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got.filter(_._2._2 >= 3L).keySet === inKCore)
+  }
+
   test("personalized pagerank matches brute-force restart iteration; " +
     "orbit bounded by hop distance from seeds") {
     def refHash60(x: String): Long = {

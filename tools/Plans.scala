@@ -112,7 +112,9 @@ object Plans {
       "rel_fk_audit" -> "fk audit: five key-only projections left-join broadcast DISTINCT parent key sets, single-row conditional aggs — no fact data column ever moves",
       "text_heaps_fit" -> "heaps fit: two partial-agged first-touch exchanges (per-doc tokens, min-doc types) reduce to <=65 range buckets; cumulative window + LS fit run on the bounded bucket frame only",
       "text_ngram_novelty" -> "ngram novelty: doc-distinct gram explode, gram-keyed min(doc_id) partial agg, equi-join back, per-doc rollup + left-join totality — nothing wider than the gram stream",
-      "events_session_stats" -> "session stats: ONE user_id exchange serves the lag flag window, the running-sid window AND the per-session rollup; size-grain final agg bounded by max session length")
+      "events_session_stats" -> "session stats: ONE user_id exchange serves the lag flag window, the running-sid window AND the per-session rollup; size-grain final agg bounded by max session length",
+      "graph_coreness" -> "coreness: checkpointed h-index rounds (ExistingRDD iterates) — per round one adjacency equi-join + per-node rank window + partial-agged max; exact integers end to end",
+      "text_dedup_impact" -> "dedup impact: fingerprint exchange + semi join, two partial-agged token counts, broadcast 1-row totals, DECIMAL KL partials to a single row")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
