@@ -120,6 +120,8 @@ object Bench {
     "events_session_stats", // added r13: one user exchange, size-grain rollup
     "graph_coreness", // added r13: 8 checkpointed h-index rounds over the LSH graph
     "text_dedup_impact", // added r13: fp dedup + two token counts + KL join
+    "graph_rich_club", // added r13: 5 threshold membership-join passes
+    "sim_ivf_bq_topk", // added r13: bucket-pruned Hamming scan + exact rerank
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

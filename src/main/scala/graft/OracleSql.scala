@@ -3569,6 +3569,46 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round(count(rr.vec_id)::DOUBLE / count(*), 6) AS bq_recall_at_k
          |FROM bf LEFT JOIN rr ON bf.q_id = rr.q_id AND bf.vec_id = rr.vec_id
          |GROUP BY bf.q_id""".stripMargin,
+    "sim_ivf_bq_topk" -> {
+      // twin of Similarity.ivfBqTopK (nQueries=5, k=10, nBits=8,
+      // probeHamming=1, shortlist=50): the sim_ivf_topk SRP bucket +
+      // multi-probe pruning composed with the sim_bq_recall sign-code
+      // Hamming shortlist and exact-dot re-rank
+      val probeList = "[bucket" +
+        (0 until 8).map(b => s", xor(bucket, ${1L << b})").mkString + "]"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |sp AS (SELECT vec_id, g.i, v[g.i+1] AS comp
+         |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS i) g),
+         |bt AS (SELECT i,
+         |  min(comp) + (max(comp) - min(comp)) / CAST(2.0 AS DOUBLE) AS th
+         |  FROM sp GROUP BY i),
+         |btl AS (SELECT list(th ORDER BY i) AS thl FROM bt),
+         |bits AS (SELECT vec_id, v, ${srpBand("v", 0, 8)} AS bucket,
+         |  CAST(list_sum(list_transform(range(32), i ->
+         |    CASE WHEN v[i+1] >= thl[i+1] THEN (1::BIGINT << i)
+         |         ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+         |  CAST(list_sum(list_transform(range(32), i ->
+         |    CASE WHEN v[i+33] >= thl[i+33] THEN (1::BIGINT << i)
+         |         ELSE 0::BIGINT END)) AS BIGINT) AS hi
+         |  FROM e CROSS JOIN btl),
+         |q AS (SELECT vec_id AS q_id, v AS q_v, lo AS qlo, hi AS qhi,
+         |  unnest($probeList) AS q_bucket
+         |  FROM bits WHERE vec_id < 5),
+         |ham AS (SELECT q.q_id, b.vec_id, q.q_v, b.v,
+         |  bit_count(xor(b.lo, q.qlo)) + bit_count(xor(b.hi, q.qhi)) AS hd
+         |  FROM bits b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id),
+         |sl AS (SELECT q_id, vec_id, q_v, v FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY hd ASC, vec_id ASC) AS rn FROM ham) WHERE rn <= 50)
+         |SELECT q_id, vec_id, bq_score FROM (
+         |  SELECT q_id, vec_id,
+         |    round(list_sum(list_transform(range(64),
+         |      i -> (q_v)[i+1] * (v)[i+1])), 6) AS bq_score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY round(list_sum(list_transform(range(64),
+         |        i -> (q_v)[i+1] * (v)[i+1])), 6) DESC, vec_id ASC) AS rn
+         |  FROM sl) WHERE rn <= 10""".stripMargin
+    },
     "sim_matryoshka_recall" -> {
       // twin of Similarity.matryoshkaRecall (nQueries=5, k=10, dims
       // 16/32/64): per prefix width, rank by the prefix inner product
@@ -3684,6 +3724,24 @@ private[graft] final class OracleSqlGen(sfDir: String) {
   }
 
   private val graph: Map[String, String] = Map(
+    "graph_rich_club" -> {
+      // twin of Graph.richClub (k in 2,4,8,16,32): per threshold the
+      // rich-node count, within-club edge count, and the density
+      // 2*E_k/(N_k*(N_k-1)) in the SAME op order rounded to 6
+      val rows = Seq(2, 4, 8, 16, 32).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k, nr.n_rich, er.e_rich,
+           |  CASE WHEN nr.n_rich >= 2
+           |    THEN round(er.e_rich * 2.0 / (nr.n_rich * (nr.n_rich - 1)), 6)
+           |    ELSE 0.0 END AS phi
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n_rich FROM nodes
+           |  WHERE deg > $k) nr
+           |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS e_rich FROM edges e
+           |  JOIN nodes na ON na.node = e.a AND na.deg > $k
+           |  JOIN nodes nb ON nb.node = e.b AND nb.deg > $k) er""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $graphCtes
+         |$rows""".stripMargin
+    },
     "graph_coreness" ->
       // twin of Graph.coreness (rounds=8): iterated neighborhood
       // h-index from the degree start; exact integers throughout, so

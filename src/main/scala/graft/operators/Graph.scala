@@ -714,6 +714,46 @@ object Graph {
       .limit(topN)
   }
 
+  /** RICH-CLUB COEFFICIENT — for each degree threshold k, the edge
+    * density φ(k) = 2·E_k / (N_k·(N_k−1)) among the nodes of degree
+    * > k (Colizza, Flammini, Serrano, Vespignani, Nature Physics 2,
+    * 2006). On the near-dup graph this is the "do the heaviest
+    * duplicators duplicate EACH OTHER" audit: a rising φ(k) says the
+    * high-degree documents form one interlocked template family (one
+    * survivor policy covers them all); a flat/falling curve says many
+    * independent hubs (per-family policies needed). The five-row curve
+    * is the shape a curation review reads next to the degree
+    * distribution's tail.
+    *
+    * Shape: degrees localCheckpoint'd once; per threshold, one
+    * filtered membership join pair on the edge list + two single-row
+    * counts — |ks| bounded passes, output |ks| rows whatever the
+    * graph. Counts are exact; φ divides once in double and rounds
+    * to 6. */
+  def richClub(s: SparkSession, dir: String,
+               ks: Seq[Int] = Seq(2, 4, 8, 16, 32)): DataFrame =
+    richClubFrom(edges(s, dir).localCheckpoint(true), ks)
+
+  /** Core of [[richClub]] over any (a, b) a<b edge frame (callers pass
+    * a materialized frame — the [[censusOf]] contract). */
+  def richClubFrom(e: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"need thresholds >= 1, got $ks")
+    val deg = degrees(e).localCheckpoint(true)
+    ks.map { k =>
+      val rich = deg.filter($"deg" > k)
+      val nk = rich.agg(count(lit(1)).as("n_rich"))
+      val ek = e
+        .join(rich.select($"node".as("a")), "a")
+        .join(rich.select($"node".as("b")), "b")
+        .agg(count(lit(1)).as("e_rich"))
+      nk.crossJoin(broadcast(ek))
+        .select(lit(k.toLong).as("k"), $"n_rich", $"e_rich",
+          when($"n_rich" >= 2,
+            round($"e_rich" * 2.0 / ($"n_rich" * ($"n_rich" - 1)), 6))
+            .otherwise(lit(0.0)).as("phi"))
+    }.reduce(_ unionAll _)
+  }
+
   /** CORENESS — the FULL k-core decomposition: every node labeled with
     * the largest k whose k-core contains it, via the iterated
     * neighborhood h-index (Lü, Zhou, Zhang, Stanley, Nature Comm. 7,

@@ -1431,21 +1431,28 @@ object Similarity {
       .select($"vec_id", $"embedding".cast("array<double>").as("v")),
       nQueries, k, shortlist)
 
-  /** Core of [[bqRecall]] over any (vec_id, v) frame. */
-  def bqRecallFrom(e: DataFrame, nQueries: Int, k: Int,
-                   shortlist: Int): DataFrame = {
-    require(nQueries >= 1 && k >= 1 && shortlist >= k,
-      s"need nQueries >= 1, k >= 1, shortlist >= k")
+  /** (vec_id, v, lo, hi): the corpus with its two packed 32-bit sign
+    * words — the shared encode of [[bqRecall]] and [[ivfBqTopK]]. The
+    * 1-row threshold frame is localCheckpoint'd: the code frame is
+    * consumed by both the corpus and the query side, and an
+    * un-materialized threshold subtree would inline its full
+    * posexplode scan into each. */
+  private def bqCodes(e: DataFrame): DataFrame = {
     def packBits(off: Int): Column =
       (0 until 32).map { i =>
         when(element_at($"v", off + i + 1) >= element_at($"thl", off + i + 1),
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-    // the 1-row threshold frame is localCheckpoint'd: `bits` is consumed
-    // by both the corpus and the query side, and an un-materialized
-    // threshold subtree would inline its full posexplode scan into each
-    val bits = e.crossJoin(broadcast(bqThresholds(e).localCheckpoint(true)))
+    e.crossJoin(broadcast(bqThresholds(e).localCheckpoint(true)))
       .select($"vec_id", $"v", packBits(0).as("lo"), packBits(32).as("hi"))
+  }
+
+  /** Core of [[bqRecall]] over any (vec_id, v) frame. */
+  def bqRecallFrom(e: DataFrame, nQueries: Int, k: Int,
+                   shortlist: Int): DataFrame = {
+    require(nQueries >= 1 && k >= 1 && shortlist >= k,
+      s"need nQueries >= 1, k >= 1, shortlist >= k")
+    val bits = bqCodes(e)
     val q = bits.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("q_v"),
         $"lo".as("qlo"), $"hi".as("qhi"))
@@ -1481,6 +1488,67 @@ object Similarity {
         count($"bv_id").as("bq_overlap"),
         round(count($"bv_id").cast("double") / count(lit(1)), 6)
           .as("bq_recall_at_k"))
+  }
+
+  /** IVF-BQ TOP-K — the binary-sidecar retrieval shape AT SCALE:
+    * [[ivfTopK]]'s SRP coarse-bucket pruning composed with
+    * [[bqRecall]]'s Hamming-scan-then-exact-rerank, so the 16 B/vector
+    * binary scan touches ONLY the probed coarse buckets instead of the
+    * whole corpus — the flat-BQ docstring's full-scan reservation is
+    * exactly what this removes, the same way [[ivfPqTopK]] removes
+    * flat ADC's. At 100 TB the stored artifact is the (bucket, lo, hi)
+    * code table partitioned by coarse bucket: the probe join becomes
+    * partition pruning, each query reads |probes|/2^nBits of a table
+    * that is itself 32× smaller than the embeddings, and the raw
+    * vector column is fetched only for the ≤`shortlist` re-rank rows.
+    *
+    * Shape: threshold row broadcast (order-free min/max midranges),
+    * probe set and query codes broadcast against the one pruned code
+    * scan, XOR+POPCNT inside whole-stage codegen, two-phase ASC
+    * shortlist rank, exact-dot re-rank over ≤shortlist rows/query under
+    * the proven rank spec. Candidate semantics compose both prunings:
+    * vectors outside probed buckets are by-design unseen (the
+    * [[ivfTopK]] contract), and within buckets the Hamming shortlist
+    * bounds the exact work (the [[bqRecall]] contract). */
+  def ivfBqTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+                k: Int = 10, nBits: Int = 8, probeHamming: Int = 1,
+                shortlist: Int = 50): DataFrame =
+    ivfBqTopKFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      nQueries, k, nBits, probeHamming, shortlist)
+
+  /** Core of [[ivfBqTopK]] over any (vec_id, v) frame. */
+  def ivfBqTopKFrom(e: DataFrame, nQueries: Int, k: Int, nBits: Int,
+                    probeHamming: Int, shortlist: Int): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      s"probeHamming must be in [0, $nBits], got $probeHamming")
+    require(nQueries >= 1 && k >= 1 && shortlist >= k,
+      s"need nQueries >= 1, k >= 1, shortlist >= k")
+    val codes = bqCodes(e).withColumn("bucket", srpSignature($"v", nBits))
+    val probes = probeMasks(nBits, probeHamming).map {
+      case 0L => $"bucket"
+      case m => $"bucket".bitwiseXOR(lit(m))
+    }
+    val q = codes.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"),
+        $"lo".as("qlo"), $"hi".as("qhi"),
+        explode(array(probes: _*)).as("q_bucket"))
+    val ham = codes
+      .join(broadcast(q), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"q_v", $"v",
+        (bit_count($"lo".bitwiseXOR($"qlo"))
+          + bit_count($"hi".bitwiseXOR($"qhi"))).cast("long").as("hamming"))
+    val bucketed = ham.withColumn("bkt", pmod(hash($"vec_id"), lit(8)))
+    val wLocal = Window.partitionBy($"q_id", $"bkt")
+      .orderBy($"hamming".asc, $"vec_id".asc)
+    val wFinal = Window.partitionBy($"q_id")
+      .orderBy($"hamming".asc, $"vec_id".asc)
+    val shortd = bucketed
+      .withColumn("rl", row_number().over(wLocal)).filter($"rl" <= shortlist)
+      .withColumn("rn", row_number().over(wFinal)).filter($"rn" <= shortlist)
+    adcRank(shortd.select($"q_id", $"vec_id",
+        round(dot($"q_v", $"v"), 6).as("adc_score")), k)
+      .withColumnRenamed("adc_score", "bq_score")
   }
 
   /** MATRYOSHKA PREFIX-DIMENSION RECALL — rank by the inner product of

@@ -1024,6 +1024,48 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf-bq: engine ranking equals a brute-force mirror composing SRP " +
+    "bucket pruning with the sign-code Hamming shortlist and exact rerank") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = vecs.head._2.length
+    val th = Array.tabulate(dim) { i =>
+      val c = vecs.values.map(_(i))
+      c.min + (c.max - c.min) / 2.0
+    }
+    def bits(v: Array[Double]): Array[Boolean] =
+      Array.tabulate(dim)(i => v(i) >= th(i))
+    def bqHamming(a: Array[Boolean], b: Array[Boolean]): Int =
+      a.indices.count(i => a(i) != b(i))
+    // SRP coarse bucket: sign of the sequential-fold projection onto the
+    // precomputed hyperplanes (the srpBand kernel's semantics)
+    def bucket(v: Array[Double]): Int =
+      (0 until 8).map { b =>
+        val plane = graft.functions.SrpPlanes.plane(b)
+        val proj = v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * plane(i))
+        if (proj >= 0) 1 << b else 0
+      }.sum
+    def bucketHamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def score(q: Array[Double], v: Array[Double]): Double =
+      round6(q.indices.foldLeft(0.0)((acc, i) => acc + q(i) * v(i)))
+    val ref = (0L until 5L).flatMap { q =>
+      val qb = bits(vecs(q)); val qBucket = bucket(vecs(q))
+      val shortlist = vecs.filter(_._1 != q).toSeq
+        .filter { case (_, v) => bucketHamming(qBucket, bucket(v)) <= 1 }
+        .map { case (id, v) => (id, bqHamming(qb, bits(v))) }
+        .sortBy { case (id, h) => (h, id) }.take(50).map(_._1)
+      shortlist.map(id => (id, score(vecs(q), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+        .map { case (id, s) => (q, id, s) }
+    }.toSet
+    val got = Similarity.ivfBqTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === ref, "engine IVF-BQ top-k diverges from the composed mirror")
+  }
+
   test("matryoshka recall: full-dim row anchors at exactly 1.0; prefix " +
     "rows equal a brute-force slice mirror") {
     val vecs = Tables.embeddings(spark, Sf)

@@ -352,6 +352,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("rich club: density among deg>k nodes matches brute force across " +
+    "all thresholds; phi within [0, 1]") {
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size }
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val brute = Seq(2, 4, 8, 16, 32).map { k =>
+      val rich = deg.filter(_._2 > k).keySet
+      val nk = rich.size.toLong
+      val ek = e.count { case (a, b) => rich(a) && rich(b) }.toLong
+      (k.toLong, nk, ek,
+        if (nk >= 2) r6(ek * 2.0 / (nk * (nk - 1))) else 0.0)
+    }
+    val got = Graph.richClub(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === brute)
+    got.foreach { case (_, _, _, phi) => assert(phi >= 0.0 && phi <= 1.0) }
+  }
+
   test("coreness: iterated h-index equals brute-force sequential peel; " +
     "registered rounds are a fixpoint; consistent with the k-core") {
     val e = edgeSet()
