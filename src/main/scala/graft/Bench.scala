@@ -122,6 +122,11 @@ object Bench {
     "text_dedup_impact", // added r13: fp dedup + two token counts + KL join
     "graph_rich_club", // added r13: 5 threshold membership-join passes
     "sim_ivf_bq_topk", // added r13: bucket-pruned Hamming scan + exact rerank
+    "graph_hyperball", // added r13: 4 register-max merge rounds, 64-reg HLL balls
+    "sim_ivf_probe_curve", // added r13: 3 probe-radius scans + one exact baseline
+    "graph_harmonic", // added r13: 3 per-seed frontier joins + one DECIMAL agg
+    "mm_phash_clusters", // added r13: banded Hamming pairs + frontier CC rollup
+    "text_token_fertility", // added r13: one projection + one bounded shuffle
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

@@ -1056,6 +1056,28 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
          |  CAST(length(text) AS BIGINT) AS n_chars_measured
          |FROM $docs""".stripMargin,
+    "text_token_fertility" ->
+      // twin of TextAnalysis.tokenFertility: exact per-source BIGINT
+      // totals, three rounded divisions, null rates for zero-token
+      // sources on both engines
+      s"""WITH d AS (SELECT source,
+         |    CAST(len(${toks("lower(text)")}) AS BIGINT) AS w,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS b,
+         |    CAST(length(text) AS BIGINT) AS c FROM $docs),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(b) AS BIGINT) AS n_bpeish,
+         |    CAST(sum(c) AS BIGINT) AS n_chars
+         |  FROM d GROUP BY source)
+         |SELECT source, n_docs, n_words, n_bpeish, n_chars,
+         |  CASE WHEN n_words > 0
+         |    THEN round(CAST(n_bpeish AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    END AS fertility,
+         |  CASE WHEN n_bpeish > 0
+         |    THEN round(CAST(n_chars AS DOUBLE) / CAST(n_bpeish AS DOUBLE), 6)
+         |    END AS chars_per_token,
+         |  round(CAST(n_bpeish AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS tokens_per_doc
+         |FROM g""".stripMargin,
     "text_quality_score" -> {
       // ratio columns re-derived locally; the composite itself is the
       // shared $qualitySql fragment so it can never drift from the
@@ -3107,6 +3129,59 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM bf LEFT JOIN iv ON bf.q_id = iv.q_id AND bf.vec_id = iv.vec_id
          |GROUP BY bf.q_id""".stripMargin
     },
+    "sim_ivf_probe_curve" -> {
+      // twin of Similarity.ivfProbeCurve (nQueries=5, k=10, nBits=8,
+      // maxHamming=2): the brute-force baseline once, then per probe
+      // radius its own probe-expanded candidate join — candidate count,
+      // scan fraction vs the 5·(N−1) brute-force volume, and macro
+      // recall, each closed with the same two rounded divisions
+      val nBits = 8
+      def masksUpTo(h: Int): Seq[Long] =
+        (0 to h).flatMap(d => (0 until nBits).combinations(d)
+          .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
+      val rows = (0 to 2).map { h =>
+        val probeList = "[" + masksUpTo(h).map {
+          case 0L => "bucket"
+          case m => s"xor(bucket, $m)"
+        }.mkString(", ") + "]"
+        s"""qp$h AS (SELECT vec_id AS q_id, v AS q_v, unnest($probeList) AS q_bucket
+           |  FROM sig WHERE vec_id < 5),
+           |sc$h AS MATERIALIZED (SELECT qp.q_id, s.vec_id,
+           |  round(${cosSql("qp.q_v", "s.v")}, 4) AS cos_sim
+           |  FROM sig s JOIN qp$h qp ON s.bucket = qp.q_bucket AND s.vec_id <> qp.q_id),
+           |c$h AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM sc$h),
+           |tk$h AS (SELECT q_id, vec_id FROM (
+           |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc$h) WHERE rn <= 10),
+           |o$h AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(tk.vec_id) AS BIGINT) AS n_overlap
+           |  FROM bf LEFT JOIN tk$h tk
+           |  ON bf.q_id = tk.q_id AND bf.vec_id = tk.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val curve = (0 to 2).map { h =>
+        val nProbes = masksUpTo(h).size
+        s"""SELECT CAST($h AS BIGINT) AS probe_hamming,
+           |  CAST($nProbes AS BIGINT) AS n_probes, n_candidates,
+           |  round(CAST(n_candidates AS DOUBLE)
+           |    / (5.0 * CAST(n_corpus - 1 AS DOUBLE)), 6) AS scan_frac,
+           |  n_overlap, n_exact,
+           |  round(CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+           |    AS recall_at_k
+           |FROM o$h CROSS JOIN c$h CROSS JOIN nc""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |sig AS MATERIALIZED (SELECT vec_id, v, ${srpBand("v", 0, nBits)} AS bucket FROM e),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e),
+         |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |bf AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |  SELECT q0.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q0.q_id
+         |      ORDER BY round(${cosSql("q0.q_v", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN q0 ON e.vec_id <> q0.q_id) WHERE rn <= 10),
+         |$rows,
+         |curve AS ($curve)
+         |SELECT * FROM curve""".stripMargin
+    },
     "sim_threshold_histogram" -> {
       // twin of Similarity.thresholdHistogram: the srp_neardup candidate
       // CTE with the verify filter OPEN, bucketed at 0.1 grain — both
@@ -3870,6 +3945,95 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  WHERE NOT EXISTS (SELECT 1 FROM v2 v WHERE v.node = a.dst))
          |SELECT node AS doc_id, hops FROM v2
          |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3""".stripMargin,
+    "graph_harmonic" -> {
+      // twin of Graph.harmonicCentrality (nSeeds=8, maxHops=3): the
+      // graph_bfs_distance frontier sweep PER SEED (the betweenness
+      // forward layers without sigma), per-layer 1/h rounded to 12,
+      // summed in DECIMAL, closed with one round-6
+      val hops = 3
+      val fwd = (1 to hops).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT DISTINCT f.start, a.dst AS node
+           |  FROM adjm a JOIN f${i - 1} f ON a.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+           |    WHERE v.start = f.start AND v.node = a.dst)),
+           |v$i AS MATERIALIZED (SELECT start, node FROM v${i - 1}
+           |  UNION ALL SELECT start, node FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      val contrib = (1 to hops).map { h =>
+        s"""SELECT node, CAST(round(CAST(1.0 AS DOUBLE) / CAST($h AS DOUBLE), 12)
+           |  AS DECIMAL(38,12)) AS c FROM f$h""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |f0 AS MATERIALIZED (SELECT doc_id AS start, doc_id AS node
+         |  FROM $docs ORDER BY doc_id LIMIT 8),
+         |v0 AS MATERIALIZED (SELECT start, node FROM f0),
+         |$fwd,
+         |cacc AS ($contrib),
+         |g AS (SELECT node, CAST(count(*) AS BIGINT) AS n_sources_reached,
+         |  round(CAST(sum(c) AS DOUBLE), 6) AS harmonic FROM cacc GROUP BY node)
+         |SELECT n.node AS doc_id,
+         |  coalesce(g.n_sources_reached, CAST(0 AS BIGINT)) AS n_sources_reached,
+         |  coalesce(g.harmonic, CAST(0.0 AS DOUBLE)) AS harmonic
+         |FROM nodes n LEFT JOIN g ON g.node = n.node""".stripMargin
+    },
+    "graph_hyperball" -> {
+      // twin of Graph.hyperBall (maxHops=4, 64 registers): per-node HLL
+      // ball sketches advanced by register-wise max over neighbors, one
+      // MATERIALIZED register frame per hop (the graph_kcore reason:
+      // each hop reads its predecessor twice — the merge join and the
+      // self union); per-node estimate follows the dedup_hll_distinct
+      // branch at the 64-register grid (Σ 2^(55−mj) integer denominator,
+      // linear counting below 2.5m with empty registers), rounded to 4
+      // and summed in DECIMAL(20,4); supremum fraction and the 90%
+      // effective-diameter flag off the 5-row curve
+      val hops = 4
+      val mask = (1L << 54) - 1 // 54-bit remainder of the 60-bit hash
+      val pow = 1L << 55 // integer scale of the harmonic denominator
+      val rs = (1 to hops).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT node, reg, CAST(max(mj) AS BIGINT) AS mj
+           |  FROM (SELECT a.dst AS node, r.reg, r.mj
+           |      FROM adjm a JOIN r${i - 1} r ON r.node = a.src
+           |    UNION ALL SELECT node, reg, mj FROM r${i - 1})
+           |  GROUP BY node, reg)""".stripMargin
+      }.mkString(",\n")
+      val bs = (0 to hops).map { h =>
+        s"""g$h AS (SELECT 64 - n_regs AS n_zero,
+           |    s_present + (64 - n_regs) * $pow AS s_scaled
+           |  FROM (SELECT node, count(*) AS n_regs,
+           |      CAST(sum(1::BIGINT << CAST(55 - mj AS INTEGER)) AS BIGINT) AS s_present
+           |    FROM r$h GROUP BY node)),
+           |b$h AS (SELECT CAST($h AS BIGINT) AS hops,
+           |    CAST(count(*) AS BIGINT) AS n_nodes,
+           |    sum(CAST(round(CASE WHEN raw <= 160.0 AND n_zero > 0
+           |        THEN 64.0 * ln(64.0 / CAST(n_zero AS DOUBLE)) ELSE raw END, 4)
+           |      AS DECIMAL(20,4))) AS pairs_dec
+           |  FROM (SELECT n_zero,
+           |      (${graft.operators.Graph.HbAlphaM2} * ${graft.operators.Graph.HbPow})
+           |        / CAST(s_scaled AS DOUBLE) AS raw FROM g$h))""".stripMargin
+      }.mkString(",\n")
+      val curve = (0 to hops).map(h => s"SELECT * FROM b$h").mkString("\n  UNION ALL ")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |r0 AS MATERIALIZED (SELECT node, h >> 54 AS reg,
+         |    CAST(CASE WHEN (h & $mask) = 0 THEN 55
+         |      ELSE 55 - length(bin(h & $mask)) END AS BIGINT) AS mj
+         |  FROM (SELECT node,
+         |    ${h60("concat('hb|', CAST(node AS VARCHAR))")} AS h FROM nodes)),
+         |$rs,
+         |$bs,
+         |curve AS ($curve),
+         |fr AS (SELECT hops, n_nodes,
+         |    round(CAST(pairs_dec AS DOUBLE), 4) AS pairs_est,
+         |    round(CAST(pairs_dec AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4) AS avg_ball,
+         |    round(CAST(pairs_dec AS DOUBLE)
+         |      / CAST(max(pairs_dec) OVER () AS DOUBLE), 6) AS reached_frac
+         |  FROM curve)
+         |SELECT hops, n_nodes, pairs_est, avg_ball, reached_frac,
+         |  hops = min(CASE WHEN reached_frac >= 0.9 THEN hops END) OVER ()
+         |    AS is_eff_diameter
+         |FROM fr""".stripMargin
+    },
     "graph_betweenness" -> {
       // twin of Graph.betweenness (nSeeds=8, maxHops=3): forward BFS
       // layers with BIGINT σ sums, backward Brandes sweep with each
@@ -4285,6 +4449,44 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
          |FROM sig a JOIN sig b ON a.mime = b.mime AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 5""".stripMargin
+    },
+    "mm_phash_clusters" -> {
+      // twin of MultiModal.mmPhashClusters (maxDist=5): the mm_phash_pairs
+      // signature CTEs, closed-form within-mime pairs, recursive
+      // transitive closure (the dedup_clusters convention), per-mime
+      // family-size histogram
+      val terms = (0 until 48).map { b =>
+        s"(CASE WHEN 2*len(list_filter(hs, v -> ((v >> $b) & 1) = 1)) >= len(hs) THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      val grams =
+        "list_distinct(CASE WHEN length(sk) >= 4 THEN " +
+          "list_transform(range(1, length(sk) - 4 + 2), j -> sk[j:j+3]) " +
+          "ELSE CAST([] AS VARCHAR[]) END)"
+      s"""WITH RECURSIVE m AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |       ELSE 'video/mp4' END AS mime,
+         |  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS sk FROM $docs),
+         |g AS (SELECT doc_id, mime,
+         |  list_transform($grams, g -> ${h60("g")}) AS hs FROM m),
+         |sig AS (SELECT doc_id, mime, CAST($terms AS BIGINT) AS phash FROM g),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.mime = b.mime AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         |labels AS (SELECT m.doc_id, m.mime,
+         |  least(m.doc_id, coalesce(min(r.b), m.doc_id)) AS cluster_id
+         |  FROM m LEFT JOIN reach r ON r.a = m.doc_id GROUP BY m.doc_id, m.mime),
+         |cg AS (SELECT cluster_id, min(mime) AS mime, count(*) AS sz
+         |  FROM labels GROUP BY cluster_id)
+         |SELECT mime, sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_assets
+         |FROM cg GROUP BY mime, sz""".stripMargin
     },
     "mm_resize" ->
       // twin of MultiModal.mmResize(box=256): same integer fit-within

@@ -1201,4 +1201,171 @@ object Graph {
       .select($"node".as("doc_id"),
         coalesce($"betweenness", lit(0.0)).as("betweenness"))
   }
+
+  /** SAMPLED HARMONIC CENTRALITY — C_h(v) = Σ_s 1/d(s, v) over the
+    * fixed seed sample, hop-bounded (Boldi & Vigna, "Axioms for
+    * Centrality", Internet Math. 10, 2014 — the closeness variant that
+    * stays well-defined on disconnected graphs, which a near-dup graph
+    * ALWAYS is: unreachable pairs contribute 0, not a broken ∞). The
+    * distance-based member of the centrality family alongside
+    * [[betweenness]] (brokerage) and [[pageRank]] (mass): a document
+    * with high harmonic centrality is CLOSE to many seed templates at
+    * once — the "sits near everything" hub a curation reviewer reads
+    * first. Same estimator policy as [[betweenness]]/[[bfsDistance]]:
+    * seeds are the nSeeds smallest doc_ids, distances exact within
+    * maxHops.
+    *
+    * Shape: the [[betweenness]] forward sweep WITHOUT σ bookkeeping —
+    * maxHops frontier expansions, each one equi-join + distinct + one
+    * anti-join, layers checkpointed; per-layer contributions 1/h are
+    * the same literal for every row of a layer, rounded to 12 and
+    * summed in DECIMAL (order-independent), closed with one round-6.
+    * Per-seed frontier state is |S|·reach rows — the k-source sampling
+    * is exactly what makes this affordable at 100 TB (all-sources
+    * closeness is Θ(V·E); HyperBall-style sketched closeness is the
+    * [[hyperBall]] machinery if the full-V variant is ever needed). */
+  def harmonicCentrality(s: SparkSession, dir: String, nSeeds: Int = 8,
+                         maxHops: Int = 3): DataFrame = {
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    require(maxHops >= 1 && maxHops <= 6, s"maxHops must be in [1, 6], got $maxHops")
+    val e = edges(s, dir).localCheckpoint(true)
+    val adj = adjacency(e).localCheckpoint(true)
+    val allNodes = degrees(e).select($"node")
+    val seeds = graft.sources.Tables.documents(s, dir)
+      .select($"doc_id").orderBy($"doc_id").limit(nSeeds)
+      .select($"doc_id".as("start"))
+    var visited = seeds.select($"start", $"start".as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = visited.select($"start", $"node")
+    for (h <- 1 to maxHops) {
+      val nxt = frontier.join(adj, $"node" === $"src")
+        .select($"start", $"dst".as("node")).distinct()
+        .join(visited.select($"start".as("vs"), $"node".as("vn")),
+          $"start" === $"vs" && $"node" === $"vn", "left_anti")
+        .select($"start", $"node", lit(h.toLong).as("hops"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(nxt).localCheckpoint(true)
+      frontier = nxt.select($"start", $"node")
+    }
+    val contrib = visited.filter($"hops" > 0)
+      .select($"node",
+        round(lit(1.0) / $"hops".cast("double"), 12)
+          .cast("decimal(38,12)").as("c"))
+      .groupBy($"node")
+      .agg(count(lit(1)).as("n_sources_reached"),
+        round(sum($"c").cast("double"), 6).as("harmonic"))
+    allNodes.join(contrib, Seq("node"), "left")
+      .select($"node".as("doc_id"),
+        coalesce($"n_sources_reached", lit(0L)).as("n_sources_reached"),
+        coalesce($"harmonic", lit(0.0)).as("harmonic"))
+  }
+
+  // ---- HyperBall neighborhood function ----------------------------------
+
+  /** HyperBall register geometry: 64 registers (top 6 bits of the
+    * shared 60-bit hash), 54-bit remainder → ranks in [1, 55]. The
+    * coarser-than-[[Dedup.hllRegistersFrom]] grid (64 vs 256 registers)
+    * is deliberate: the sketch is carried PER NODE per iteration, so
+    * register count multiplies every shuffle of the whole run — 64
+    * registers (±13% per ball) is the published HyperBall operating
+    * point for graphs where per-node memory is the binding constraint
+    * (Boldi & Vigna run p=4..8 at web scale), and ball sums over many
+    * components average the per-component error well below that. */
+  private val HbRemBits = 54
+  private val HbRegs = 64L
+  /** α_64 · m² (Flajolet et al. AofA'07 give α_64 = 0.709) and the
+    * 2^55 integer scale of the harmonic denominator — both folded to
+    * the exact doubles the twin SQL interpolates. */
+  private[graft] val HbAlphaM2: Double = 0.709 * 64.0 * 64.0
+  private[graft] val HbPow: Double = (1L << (HbRemBits + 1)).toDouble
+
+  private def hbParts(h: org.apache.spark.sql.Column) = {
+    val rem = h.bitwiseAND(lit((1L << HbRemBits) - 1))
+    (shiftright(h, HbRemBits),
+      when(rem === 0, lit(HbRemBits + 1))
+        .otherwise(lit(HbRemBits + 1) - length(bin(rem))).cast("long"))
+  }
+
+  /** Per-node HLL ball estimate of one register frame (node, reg, mj):
+    * harmonic denominator carried as the exact integer Σ 2^(55−mj)
+    * (+ 2^55 per empty register — the [[Dedup.hllEstFrom]] discipline
+    * at the 64-register grid), raw-vs-linear-counting branch per the
+    * paper, per-node estimate rounded to 4 dp and summed in DECIMAL
+    * (order-independent) into the hop's reachable-pair mass. */
+  private def hbHopRow(regs: DataFrame, hop: Int): DataFrame = {
+    val grouped = regs.groupBy($"node")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HbRemBits + 1} - mj AS INT))"))
+          .as("s_present"))
+    val vZero = lit(HbRegs) - $"n_regs"
+    val sScaled = $"s_present" + vZero * lit(1L << (HbRemBits + 1))
+    val raw = lit(HbAlphaM2) * lit(HbPow) / sScaled.cast("double")
+    val m = HbRegs.toDouble
+    val est = when(raw <= lit(2.5 * m) && vZero > 0,
+      lit(m) * log(lit(m) / vZero.cast("double"))).otherwise(raw)
+    grouped.select(round(est, 4).cast("decimal(20,4)").as("ball"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"ball").as("pairs_dec"))
+      .select(lit(hop.toLong).as("hops"), $"n_nodes", $"pairs_dec")
+  }
+
+  /** HYPERBALL NEIGHBORHOOD FUNCTION — the distance distribution of the
+    * near-dup graph without ever materializing distances: per node, an
+    * HLL sketch of the ball B(v, h) (all nodes within h hops), advanced
+    * one hop per round by register-wise MAX over the node's neighbors
+    * (Boldi & Vigna, "In-Core Computation of Geometric Centralities
+    * with HyperBall", ICDMW 2013; the HyperANF estimator of Boldi,
+    * Rosa & Vigna, WWW 2011). Output: one row per hop h = 0..maxHops —
+    * the estimated reachable-pair count N(h) = Σ_v |B(v, h)|, the mean
+    * ball size, the fraction of the supremum pair mass reached, and an
+    * `is_eff_diameter` flag on the first hop reaching 90% of it (the
+    * standard effective-diameter readout). For a curation run this is
+    * the "how transitive is my duplication?" artifact: N(h) saturating
+    * at h=2 says near-dup families are tight cliques that CC dedup
+    * collapses safely; still growing at h=4 says chained drift is
+    * bridging families and transitive-closure dedup will over-merge.
+    *
+    * THE algorithm for this question at 100 TB: exact distance
+    * distributions are Θ(V·E) multi-source BFS (HADI-scale jobs), while
+    * one HyperBall round is ONE adjacency equi-join + ONE partial-agged
+    * (node, register) MAX — registers only ever grow, repeats are
+    * absorbed by max, and shuffle volume is bounded by 64·V rows per
+    * round after map-side combine whatever the edge count. Every
+    * iterate is localCheckpoint'ed (the [[pageRank]] lineage
+    * discipline). Determinism: register init hashes the node id through
+    * the shared 60-bit kernel ("hb|" domain tag); rank/merge arithmetic
+    * is integer-exact; the per-node estimate's single ln/÷ rounds at
+    * 4 dp and the cross-node sum is DECIMAL — the [[Dedup.hllDistinct]]
+    * parity discipline, so the twin iterates on identical values. */
+  def hyperBall(s: SparkSession, dir: String, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, s"maxHops must be in [1, 8], got $maxHops")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges(s, dir).localCheckpoint(true)
+    val adj = adjacency(e).localCheckpoint(true)
+    val (reg, rho) = hbParts(graft.functions.EngineNeutral.hash60(
+      concat(lit("hb|"), $"node".cast("string"))))
+    var regsNow = degrees(e).select($"node")
+      .select($"node", reg.as("reg"), rho.as("mj"))
+      .localCheckpoint(true)
+    val hops = scala.collection.mutable.ArrayBuffer(hbHopRow(regsNow, 0))
+    for (h <- 1 to maxHops) {
+      regsNow = adj.join(regsNow, $"node" === $"src")
+        .select($"dst".as("node"), $"reg", $"mj")
+        .unionAll(regsNow)
+        .groupBy($"node", $"reg").agg(max($"mj").as("mj"))
+        .localCheckpoint(true)
+      hops += hbHopRow(regsNow, h)
+    }
+    val win = Window.partitionBy()
+    val curve = hops.reduce(_ unionAll _)
+      .select($"hops", $"n_nodes",
+        round($"pairs_dec".cast("double"), 4).as("pairs_est"),
+        round($"pairs_dec".cast("double") / $"n_nodes".cast("double"), 4)
+          .as("avg_ball"),
+        round($"pairs_dec".cast("double") /
+          max($"pairs_dec").over(win).cast("double"), 6).as("reached_frac"))
+    curve
+      .select($"hops", $"n_nodes", $"pairs_est", $"avg_ball", $"reached_frac",
+        ($"hops" === min(when($"reached_frac" >= 0.9, $"hops")).over(win))
+          .as("is_eff_diameter"))
+  }
 }

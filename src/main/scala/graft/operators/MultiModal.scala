@@ -278,4 +278,34 @@ object MultiModal {
       .filter($"hamming" <= maxDist)
       .select($"mime", $"doc_a", $"doc_b", $"hamming")
   }
+
+  /** PHASH DUPLICATE CLUSTERS — connected components over the banded
+    * pHash Hamming pairs ([[mmPhashPairs]]), rolled up to the per-mime
+    * duplicate-FAMILY histogram (mime, cluster_size, n_clusters,
+    * n_assets). The multimodal twin of [[Dedup.clusterSizes]]: pairwise
+    * Hamming ≤ maxDist is not transitive, so "how many near-identical
+    * COPIES of each asset exist" is a component question, not a pair
+    * question — a re-encoded image family chained A≈B≈C counts as ONE
+    * family of 3 here, where the pair report shows 2-3 disconnected
+    * rows. Per-mime by construction (pairs never cross mime, so
+    * components can't either); the histogram is the artifact a
+    * multimodal curation run reads to decide per-modality dedup policy.
+    *
+    * Shape: the pair join is the proven pigeonhole-banded one; CC is
+    * [[Dedup.clustersFromPairs]] (frontier min-propagation, O(diameter)
+    * checkpointed rounds, star-contraction fallback); the rollup is two
+    * bounded aggregates. Nothing here scales worse than the pair set
+    * itself. */
+  def mmPhashClusters(s: SparkSession, dir: String, maxDist: Int = 5): DataFrame = {
+    val assets = asMultimodal(s, dir)
+      .select($"doc_id", $"meta.mime".as("mime")).localCheckpoint(true)
+    val pairs = mmPhashPairs(s, dir, maxDist).select($"doc_a", $"doc_b")
+    Dedup.clustersFromPairs(assets.select($"doc_id"), pairs)
+      .join(assets, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(min($"mime").as("mime"), count(lit(1)).as("sz"))
+      .groupBy($"mime", $"sz")
+      .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_assets"))
+      .select($"mime", $"sz".as("cluster_size"), $"n_clusters", $"n_assets")
+  }
 }

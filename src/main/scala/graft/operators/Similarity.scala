@@ -521,6 +521,72 @@ object Similarity {
         round(count($"av").cast("double") / count(lit(1)), 6).as("recall_at_k"))
   }
 
+  /** IVF PROBE-SWEEP CURVE — recall@k AND scan cost of the multi-probe
+    * IVF index at every probe radius H = 0..maxHamming, in one report:
+    * per radius, the probed candidate volume (as a fraction of the
+    * brute-force nQueries·(N−1) scan) against the macro recall vs the
+    * exact top-k. THE tuning artifact of a deployed ANN index — nprobe
+    * is the one knob an operator actually turns (FAISS `nprobe`, and
+    * the reason every vector-DB benchmark is a recall-vs-QPS curve),
+    * and choosing it blind means either paying 10× the scan for recall
+    * already saturated, or silently serving 60% recall. Keeping the
+    * sweep in the engine over the live corpus makes the choice an
+    * oracle-checkable query, re-runnable after every re-ingestion
+    * (bucket-balance drift moves this curve; [[recallReport]] alone
+    * pins just one point of it).
+    *
+    * Shape: the exact baseline runs ONCE (the [[bruteForceTopKAggFrom]]
+    * bounded-heap pass); per radius, one corpus scan pruned to probed
+    * buckets by the broadcast equi-join — the probe expansion lives on
+    * the nQueries-row side, the corpus is bucketed once and
+    * checkpointed. The candidate frame is checkpointed per radius so
+    * its two consumers (the candidate count and the top-k rank) derive
+    * it once. Counts are exact integers; each row closes with two
+    * rounded divisions — engine-identical. Output: maxHamming+1 rows. */
+  def ivfProbeCurve(s: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 10, nBits: Int = 8,
+                    maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= nBits,
+      s"maxHamming must be in [0, $nBits], got $maxHamming")
+    val e0 = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val e = e0.withColumn("bucket", srpSignature($"v", nBits))
+      .localCheckpoint(true)
+    val exact = bruteForceTopKAggFrom(e0, nQueries, k)
+      .select($"q_id", $"vec_id").localCheckpoint(true)
+    val nCorpus = e.agg(count(lit(1)).as("n_corpus"))
+    (0 to maxHamming).map { hMax =>
+      val probes = probeMasks(nBits, hMax).map {
+        case 0L => $"bucket"
+        case m => $"bucket".bitwiseXOR(lit(m))
+      }
+      val q = e.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("q_id"), $"v".as("q_v"),
+          explode(array(probes: _*)).as("q_bucket"))
+      val scored = e
+        .join(broadcast(q), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+        .withColumn("cos_sim", round(cosine($"q_v", $"v"), 4))
+        .select($"q_id", $"vec_id", $"cos_sim")
+        .localCheckpoint(true)
+      val cand = scored.agg(count(lit(1)).as("n_candidates"))
+      val approx = topKTwoPhase(scored, k, nBuckets = 8)
+        .select($"q_id".as("aq"), $"vec_id".as("av"))
+      exact
+        .join(approx, $"q_id" === $"aq" && $"vec_id" === $"av", "left")
+        .agg(count(lit(1)).as("n_exact"), count($"av").as("n_overlap"))
+        .crossJoin(broadcast(cand)).crossJoin(broadcast(nCorpus))
+        .select(lit(hMax.toLong).as("probe_hamming"),
+          lit(probeMasks(nBits, hMax).size.toLong).as("n_probes"),
+          $"n_candidates",
+          round($"n_candidates".cast("double") /
+            (lit(nQueries.toDouble) * ($"n_corpus" - lit(1L)).cast("double")), 6)
+            .as("scan_frac"),
+          $"n_overlap", $"n_exact",
+          round($"n_overlap".cast("double") / $"n_exact".cast("double"), 6)
+            .as("recall_at_k"))
+    }.reduce(_ unionAll _)
+  }
+
   /** THRESHOLD-CALIBRATION HISTOGRAM — the similarity distribution of
     * the banded-SRP candidate pairs, bucketed at 0.1 grain: the curve a
     * pipeline reads to PICK its near-dup threshold (the valley between

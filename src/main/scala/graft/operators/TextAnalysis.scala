@@ -39,6 +39,44 @@ object TextAnalysis {
       length($"text").cast("long").as("n_chars_measured"))
   }
 
+  /** TOKEN FERTILITY PER SOURCE — the tokenizer-economics report a
+    * training-budget plan is priced from: per source, exact word /
+    * BPE-ish-token / char totals and the three derived rates — subword
+    * FERTILITY (tokens per word: high fertility flags sources the
+    * tokenizer fragments, e.g. code or non-English, which consume
+    * budget faster than their text volume suggests), chars per token
+    * (compression of the byte stream into the context window), and
+    * tokens per document (how many documents a token budget actually
+    * buys from this source). [[tokenStats]] is the per-document view;
+    * THIS is the per-source planning artifact next to
+    * [[corpusMix]]-style quota decisions.
+    *
+    * Shape: one projection + one partial-aggregated shuffle of ≤
+    * |sources| rows; counts are exact BIGINTs, each rate is one rounded
+    * division (engine-identical), zero-token sources report null rates
+    * on both engines. */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select($"source",
+        size(wsTokens(lower($"text"))).cast("long").as("w"),
+        size(regexp_extract_all($"text",
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("b"),
+        length($"text").cast("long").as("c"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"w").as("n_words"), sum($"b").as("n_bpeish"),
+        sum($"c").as("n_chars"))
+      .select($"source", $"n_docs", $"n_words", $"n_bpeish", $"n_chars",
+        when($"n_words" > 0,
+          round($"n_bpeish".cast("double") / $"n_words".cast("double"), 6))
+          .as("fertility"),
+        when($"n_bpeish" > 0,
+          round($"n_chars".cast("double") / $"n_bpeish".cast("double"), 6))
+          .as("chars_per_token"),
+        round($"n_bpeish".cast("double") / $"n_docs".cast("double"), 6)
+          .as("tokens_per_doc"))
+
   /** The three quality signals over a `text` column, as
     * (punct_ratio, stopword_ratio, composite quality) — shared by
     * [[qualityScore]] and [[qualityFilterFrom]] so the score the filter

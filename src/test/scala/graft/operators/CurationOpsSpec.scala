@@ -571,6 +571,71 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm phash clusters: per-mime family histogram equals brute-force " +
+    "connected components over the pair graph") {
+    val assets = Tables.documents(spark, Sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val pairs = MultiModal.mmPhashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // brute-force CC: union-find over the pair list
+    val parent = collection.mutable.Map(assets.map(a => a -> a): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def mimeOf(id: Long): String = (id % 3) match {
+      case 0 => "image/png"; case 1 => "audio/wav"; case _ => "video/mp4"
+    }
+    val expected = assets.groupBy(find).toSeq
+      .map { case (root, members) => (mimeOf(root), members.length.toLong) }
+      .groupBy(identity)
+      .map { case ((mime, sz), xs) =>
+        (mime, sz, xs.size.toLong, xs.size.toLong * sz)
+      }.toSet
+    val got = MultiModal.mmPhashClusters(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected, "engine histogram diverges from union-find")
+    // totals: every asset appears in exactly one family
+    assert(got.toSeq.map(_._4).sum === assets.length.toLong)
+    // a family never crosses modality (pairs are mime-scoped), so the
+    // three mimes' asset totals are exactly the id%3 partition sizes
+    val byMime = got.groupBy(_._1).view.mapValues(_.toSeq.map(_._4).sum).toMap
+    assert(byMime === assets.groupBy(mimeOf).view
+      .mapValues(_.length.toLong).toMap)
+  }
+
+  test("token fertility: per-source totals and rates equal a brute-force " +
+    "mirror; every source covered") {
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, Sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val ref = docs.groupBy(_._1).map { case (src, ds) =>
+      val w = ds.map { case (_, t) =>
+        if (t.trim.isEmpty) 0L else t.trim.toLowerCase.split("\\s+").length.toLong
+      }.sum
+      val b = ds.map { case (_, t) => bpeRe.findAllIn(t).length.toLong }.sum
+      val c = ds.map(_._2.length.toLong).sum
+      val n = ds.length.toLong
+      (src, n, w, b, c,
+        if (w > 0) r6(b.toDouble / w.toDouble) else Double.NaN,
+        if (b > 0) r6(c.toDouble / b.toDouble) else Double.NaN,
+        r6(b.toDouble / n.toDouble))
+    }.toSet
+    val got = TextAnalysis.tokenFertility(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSet
+    assert(got === ref, "engine fertility diverges from the mirror")
+    assert(got.map(_._1) === docs.map(_._1).toSet)
+    // sanity: fertility >= 1 (a word splits into >= 1 BPE-ish pieces)
+    got.foreach { r => assert(r._6 >= 1.0, s"fertility < 1 for ${r._1}") }
+  }
+
   test("zipf fit matches a BigDecimal least-squares reference; slope is " +
     "negative and r2 sane on natural-ish text") {
     import spark.implicits._

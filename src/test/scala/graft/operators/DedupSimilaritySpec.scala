@@ -1066,6 +1066,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === ref, "engine IVF-BQ top-k diverges from the composed mirror")
   }
 
+  test("ivf probe curve: every column equals a brute-force mirror; " +
+    "candidates and recall are monotone in probe radius") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def bucket(v: Array[Double]): Int =
+      (0 until 8).map { b =>
+        val plane = graft.functions.SrpPlanes.plane(b)
+        val proj = v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * plane(i))
+        if (proj >= 0) 1 << b else 0
+      }.sum
+    val buckets = vecs.map { case (id, v) => id -> bucket(v) }
+    val n = vecs.size
+    val exact = (0L until 5L).map { q =>
+      q -> vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, r4(cos(vecs(q), v))) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+    }.toMap
+    def choose(m: Int, d: Int): Long =
+      (0 until d).foldLeft(1L)((acc, i) => acc * (m - i) / (i + 1))
+    val ref = (0 to 2).map { h =>
+      val cands = (0L until 5L).map { q =>
+        q -> vecs.keys.filter(id => id != q &&
+          Integer.bitCount(buckets(id) ^ buckets(q)) <= h).toSeq
+      }.toMap
+      val nCand = cands.values.map(_.size.toLong).sum
+      val overlap = (0L until 5L).map { q =>
+        val top = cands(q).map(id => (id, r4(cos(vecs(q), vecs(id)))))
+          .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+        (exact(q) intersect top).size.toLong
+      }.sum
+      (h.toLong, (0 to h).map(choose(8, _)).sum, nCand,
+        r6(nCand.toDouble / (5.0 * (n - 1).toDouble)),
+        overlap, 50L, r6(overlap.toDouble / 50.0))
+    }
+    val got = Similarity.ivfProbeCurve(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("probe_hamming"), r.getAs[Long]("n_probes"),
+        r.getAs[Long]("n_candidates"), r.getAs[Double]("scan_frac"),
+        r.getAs[Long]("n_overlap"), r.getAs[Long]("n_exact"),
+        r.getAs[Double]("recall_at_k")))
+      .sortBy(_._1).toSeq
+    assert(got === ref, "engine probe curve diverges from the mirror")
+    // growing the probe radius can only ADD candidates, and a candidate
+    // from the exact top-k always outranks a non-member — so both the
+    // candidate count and the recall are monotone in H
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 >= a._3 && b._7 >= a._7, s"curve not monotone: $a -> $b")
+    }
+    got.foreach { r =>
+      assert(r._4 > 0.0 && r._4 <= 1.0)
+      assert(r._7 >= 0.0 && r._7 <= 1.0)
+    }
+  }
+
   test("matryoshka recall: full-dim row anchors at exactly 1.0; prefix " +
     "rows equal a brute-force slice mirror") {
     val vecs = Tables.embeddings(spark, Sf)

@@ -116,7 +116,12 @@ object Plans {
       "graph_coreness" -> "coreness: checkpointed h-index rounds (ExistingRDD iterates) — per round one adjacency equi-join + per-node rank window + partial-agged max; exact integers end to end",
       "text_dedup_impact" -> "dedup impact: fingerprint exchange + semi join, two partial-agged token counts, broadcast 1-row totals, DECIMAL KL partials to a single row",
       "graph_rich_club" -> "rich club: degrees checkpointed once; per threshold two filtered membership joins on the edge list + two single-row counts — |ks| bounded passes",
-      "sim_ivf_bq_topk" -> "IVF-BQ: broadcast threshold row + probe set + query codes against ONE bucket-pruned code scan; XOR+bit_count in codegen; two-phase ASC shortlist; exact dot only on <=50 rows/query")
+      "sim_ivf_bq_topk" -> "IVF-BQ: broadcast threshold row + probe set + query codes against ONE bucket-pruned code scan; XOR+bit_count in codegen; two-phase ASC shortlist; exact dot only on <=50 rows/query",
+      "graph_hyperball" -> "hyperball: adjacency checkpointed once; per hop ONE register equi-join + partial-agged (node,reg) MAX, iterates checkpointed (ExistingRDD) — shuffle <=64*V rows/round post-combine whatever E; per-hop estimates are bounded DECIMAL aggs over the stored registers; curve windows run on 5 rows",
+      "graph_harmonic" -> "harmonic: 3 per-seed frontier DISTINCT equi-joins + per-level anti-joins over checkpointed layers (the betweenness forward sweep minus sigma); per-layer literal 1/h partials in DECIMAL, one bounded agg, left-join totality",
+      "sim_ivf_probe_curve" -> "probe curve: corpus bucketed + checkpointed ONCE; per radius one probe-pruned scan (checkpointed) feeds BOTH the candidate count and the two-phase rank; exact baseline = one partial_graft_topk heap pass, run once",
+      "mm_phash_clusters" -> "phash clusters: the banded phash pair join (leftmost-block dedup) + frontier min-propagation CC over checkpointed labels, then two bounded rollup aggregates — nothing wider than the pair set",
+      "text_token_fertility" -> "token fertility: one codegen projection + ONE partial-agged source exchange (<=|sources| rows); exact BIGINT totals, three rounded divisions")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
