@@ -2496,6 +2496,59 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |    AS n_surviving_after
          |FROM pl LEFT JOIN ff ON ff.fl = pl.layer_order CROSS JOIN tot""".stripMargin
     },
+    "dedup_lsh_tuning" -> {
+      // twin of Dedup.lshTuningCurve (threshold=0.9): per banding of the
+      // 16 permutations its own band-key join (DISTINCT pairs — the
+      // Spark leftmost-band dedup emits the same set), truth = the
+      // (8,2) finest-banding superset verified with exact jaccard
+      // (r=1 deliberately not swept — quadratic buckets, see the
+      // operator scaladoc), analytic S-curve point computed with the
+      // identical Scala expression
+      def r6(d: Double) = BigDecimal(d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val configs = Seq((8, 2), (4, 4), (2, 8))
+      val candCtes = configs.map { case (b, r) =>
+        val sel = (0 until b).map { bi =>
+          val cols = (0 until r).map(ri => s"CAST(mh${bi * r + ri} AS VARCHAR)")
+            .mkString(", ")
+          s"SELECT doc_id, CAST($bi AS BIGINT) AS band_id, " +
+            s"${h60(s"concat_ws('|', $cols)")} AS bk FROM sigm"
+        }.mkString("\n  UNION ALL ")
+        s"""bc_${b}_$r AS ($sel),
+           |cd_${b}_$r AS MATERIALIZED (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           |  FROM bc_${b}_$r l JOIN bc_${b}_$r r
+           |  ON l.band_id = r.band_id AND l.bk = r.bk AND l.doc_id < r.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val countCtes = configs.map { case (b, r) =>
+        s"""nc_${b}_$r AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cd_${b}_$r),
+           |nd_${b}_$r AS (SELECT CAST(count(*) AS BIGINT) AS n_detected FROM cd_${b}_$r c
+           |  WHERE EXISTS (SELECT 1 FROM tru t
+           |    WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))""".stripMargin
+      }.mkString(",\n")
+      val rows = configs.map { case (b, r) =>
+        val p = r6(1.0 - math.pow(1.0 - math.pow(0.9, r), b))
+        s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+           |  CAST($p AS DOUBLE) AS p_detect_at_threshold,
+           |  n_candidates, n_detected,
+           |  CASE WHEN n_candidates > 0 THEN
+           |    round(CAST(n_detected AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+           |    END AS detect_precision,
+           |  CASE WHEN n_truth > 0 THEN
+           |    round(CAST(n_detected AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+           |    END AS recall_vs_union
+           |FROM nd_${b}_$r CROSS JOIN nc_${b}_$r CROSS JOIN nt""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $minhashSigCte,
+         |sigm AS MATERIALIZED (SELECT * FROM sig),
+         |$candCtes,
+         |tru AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS j
+         |  FROM cd_8_2 JOIN ws wa ON wa.doc_id = doc_a
+         |  JOIN ws wb ON wb.doc_id = doc_b) WHERE j >= 0.9),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tru),
+         |$countCtes
+         |$rows""".stripMargin
+    },
     "dedup_clusters" ->
       // connected components of the banded-LSH pair graph via recursive
       // transitive closure; cluster_id = component minimum

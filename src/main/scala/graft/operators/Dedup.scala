@@ -224,6 +224,106 @@ object Dedup {
         round(agree.cast("double") / MinhashPerms, 6).as("est_sim"))
   }
 
+  /** LSH BANDING TUNING CURVE — the (bands × rows) knob of the MinHash
+    * index swept over every banding of the 16 permutations, each config
+    * priced in BOTH currencies at once: the analytic S-curve detection
+    * probability at the dedup threshold (1 − (1 − t^r)^b — Leskovec,
+    * Rajaraman & Ullman, MMDS ch.3) AND the measured candidate volume /
+    * detection / precision over the live corpus. The dedup-side
+    * companion of [[graft.operators.Similarity.ivfProbeCurve]]: banding
+    * chosen blind either floods the verifier with candidates (b high,
+    * r low) or silently drops true near-dups (b low, r high), and the
+    * curve MOVES when the corpus's similarity mass moves — re-run after
+    * every ingestion, in the engine, oracle-checked.
+    *
+    * Truth-set policy: a band of r = 2k permutations matching implies
+    * both aligned k-halves match, so candidate sets NEST as banding
+    * coarsens and the FINEST swept banding's candidate set is a
+    * superset of every coarser one's — its verified pairs are the
+    * recall denominator (`recall_vs_union`; with (8, 2) finest, a
+    * j ≥ 0.9 pair missed by all 8 two-row bands has probability
+    * (1 − j²)^8 ≈ 1.7e-6, named residual). The r = 1 single-permutation
+    * banding is deliberately NOT swept: one-MinHash buckets collect
+    * every document whose rarest permuted token coincides, which on a
+    * Zipfy corpus is O(N) per bucket → a quadratic candidate set — the
+    * exact configuration the S-curve tells an operator never to deploy,
+    * and the one this operator exists to price people away from
+    * (measured: the (16, 1) leg went quadratic at 10x while the swept
+    * three stayed banded). Shape: the signature table builds ONCE
+    * (checkpointed, 16 columns + the verify hash set); per config one
+    * leftmost-band-deduped equi-join (candidates unique by
+    * construction, never all-pairs) + one left-semi probe against the
+    * checkpointed truth set; the exact Jaccard verify runs ONLY for
+    * the finest config's truth pass. */
+  def lshTuningCurve(s: SparkSession, dir: String,
+                     threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    import graft.functions.SortedJaccardExpr
+    import org.apache.spark.sql.graftbridge.Bridge
+    def sortedJaccard(a: Column, b: Column): Column =
+      Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb0"))
+    val sig = hashed.select(
+      col("doc_id") +: (0 until MinhashPerms).map { i =>
+        array_min(transform($"hb0", h => minhashPerm(h, i))).as(s"mh$i")
+      } :+ sort_array(array_distinct($"hb0")).as("hb"): _*)
+      .localCheckpoint(true)
+    val configs = Seq((8, 2), (4, 4), (2, 8))
+    def candsOf(b: Int, r: Int): DataFrame = {
+      val keys = (0 until b).map { bi =>
+        val cols = (0 until r).map(ri => col(s"mh${bi * r + ri}").cast("string"))
+        hash60(concat_ws("|", cols: _*))
+      }
+      val withKeys = sig.select($"doc_id", array(keys: _*).as("bks"))
+      val bandRows = withKeys.select($"doc_id", $"bks",
+        explode(array((0 until b).map(bi =>
+          struct(lit(bi).as("band_id"), element_at($"bks", bi + 1).as("bk"))): _*)).as("x"))
+        .select($"doc_id", $"bks", $"x.band_id".as("band_id"), $"x.bk".as("bk"))
+      val l = bandRows.select($"band_id", $"bk", $"doc_id".as("doc_a"), $"bks".as("bks_a"))
+      val rr = bandRows.select($"band_id".as("band_id_r"), $"bk".as("bk_r"),
+        $"doc_id".as("doc_b"), $"bks".as("bks_b"))
+      val noEarlierMatch =
+        if (b == 1) lit(true)
+        else (0 until b - 1).map { e =>
+          $"band_id" <= e || element_at($"bks_a", e + 1) =!= element_at($"bks_b", e + 1)
+        }.reduce(_ && _)
+      l.join(rr, $"band_id" === $"band_id_r" && $"bk" === $"bk_r" &&
+          $"doc_a" < $"doc_b" && noEarlierMatch)
+        .select($"doc_a", $"doc_b")
+    }
+    val candFrames = configs.map { case (b, r) =>
+      (b, r) -> candsOf(b, r).localCheckpoint(true)
+    }.toMap
+    val hb = sig.select($"doc_id", $"hb")
+    val truth = candFrames((8, 2))
+      .join(hb.select($"doc_id".as("doc_a"), $"hb".as("hb_a")), "doc_a")
+      .join(hb.select($"doc_id".as("doc_b"), $"hb".as("hb_b")), "doc_b")
+      .filter(sortedJaccard($"hb_a", $"hb_b") >= threshold)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint(true)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    def r6(d: Double): Double = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    configs.map { case (b, r) =>
+      val c = candFrames((b, r))
+      val nc = c.agg(count(lit(1)).as("n_candidates"))
+      val pDetect = r6(1.0 - math.pow(1.0 - math.pow(threshold, r), b))
+      c.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_detected"))
+        .crossJoin(broadcast(nc)).crossJoin(broadcast(nTruth))
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          lit(pDetect).as("p_detect_at_threshold"),
+          $"n_candidates", $"n_detected",
+          when($"n_candidates" > 0,
+            round($"n_detected".cast("double") / $"n_candidates".cast("double"), 6))
+            .as("detect_precision"),
+          when($"n_truth" > 0,
+            round($"n_detected".cast("double") / $"n_truth".cast("double"), 6))
+            .as("recall_vs_union"))
+    }.reduce(_ unionAll _)
+  }
+
   /** CROSS-SOURCE duplication matrix — which sources duplicate which:
     * the diagnostic that decides whether a new crawl adds signal or
     * re-serves an existing source (and which source to keep when

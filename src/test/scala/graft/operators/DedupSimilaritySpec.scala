@@ -1066,6 +1066,61 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === ref, "engine IVF-BQ top-k diverges from the composed mirror")
   }
 
+  test("lsh tuning curve: every column equals a brute-force banding " +
+    "mirror; candidate sets nest as bands coarsen") {
+    import graft.functions.EngineNeutral.{MinhashPrime => P, minhashA, minhashB}
+    def refHash60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hb = docs.map { case (id, t) =>
+      val toks = if (t.trim.isEmpty) Seq.empty[String]
+        else t.trim.split("\\s+").toSeq.distinct
+      id -> toks.map(tok => refHash60(tok) % P)
+    }.filter(_._2.nonEmpty).toMap
+    def mh(hs: Seq[Long], i: Int): Long =
+      hs.map(h => (h * minhashA(i) + minhashB(i)) % P).min
+    val configs = Seq((8, 2), (4, 4), (2, 8))
+    def candsOf(b: Int, r: Int): Set[(Long, Long)] =
+      (0 until b).flatMap { bi =>
+        hb.toSeq.map { case (id, hs) =>
+          (bi, refHash60((0 until r).map(ri => mh(hs, bi * r + ri)).mkString("|"))) -> id
+        }.groupBy(_._1).values.flatMap { grp =>
+          val ids = grp.map(_._2).sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length)
+            yield (ids(i), ids(j))
+        }
+      }.toSet
+    def jacc(a: Seq[Long], b: Seq[Long]): Double = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      if ((sa union sb).isEmpty) 0.0
+      else (sa intersect sb).size.toDouble / (sa union sb).size.toDouble
+    }
+    val candSets = configs.map { case (b, r) => (b, r) -> candsOf(b, r) }.toMap
+    val truth = candSets((8, 2)).filter { case (a, b) => jacc(hb(a), hb(b)) >= 0.9 }
+    val ref = configs.map { case (b, r) =>
+      val c = candSets((b, r)); val d = (c intersect truth).size.toLong
+      (b.toLong, r.toLong, r6(1.0 - math.pow(1.0 - math.pow(0.9, r), b)),
+        c.size.toLong, d,
+        if (c.nonEmpty) r6(d.toDouble / c.size.toDouble) else Double.NaN,
+        if (truth.nonEmpty) r6(d.toDouble / truth.size.toDouble) else Double.NaN)
+    }.toSet
+    val got = Dedup.lshTuningCurve(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(got === ref, "engine tuning curve diverges from the mirror")
+    // aligned band layout: an r-row band match implies both r/2-row
+    // halves match, so candidate sets NEST as banding coarsens
+    assert(candSets((2, 8)).subsetOf(candSets((4, 4))))
+    assert(candSets((4, 4)).subsetOf(candSets((8, 2))))
+    assert(truth.nonEmpty, "fixture corpus must contain verified near-dups")
+  }
+
   test("ivf probe curve: every column equals a brute-force mirror; " +
     "candidates and recall are monotone in probe radius") {
     val vecs = Tables.embeddings(spark, Sf)

@@ -121,7 +121,8 @@ object Plans {
       "graph_harmonic" -> "harmonic: 3 per-seed frontier DISTINCT equi-joins + per-level anti-joins over checkpointed layers (the betweenness forward sweep minus sigma); per-layer literal 1/h partials in DECIMAL, one bounded agg, left-join totality",
       "sim_ivf_probe_curve" -> "probe curve: corpus bucketed + checkpointed ONCE; per radius one probe-pruned scan (checkpointed) feeds BOTH the candidate count and the two-phase rank; exact baseline = one partial_graft_topk heap pass, run once",
       "mm_phash_clusters" -> "phash clusters: the banded phash pair join (leftmost-block dedup) + frontier min-propagation CC over checkpointed labels, then two bounded rollup aggregates — nothing wider than the pair set",
-      "text_token_fertility" -> "token fertility: one codegen projection + ONE partial-agged source exchange (<=|sources| rows); exact BIGINT totals, three rounded divisions")
+      "text_token_fertility" -> "token fertility: one codegen projection + ONE partial-agged source exchange (<=|sources| rows); exact BIGINT totals, three rounded divisions",
+      "dedup_lsh_tuning" -> "LSH tuning: 16-perm signature table checkpointed ONCE; per banding one leftmost-band-deduped equi-join (candidates unique by construction); exact jaccard verify ONLY on the (16,1) truth pass; coarser configs probe the checkpointed truth with left-semi joins")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
