@@ -127,7 +127,6 @@ object Bench {
     "graph_harmonic", // added r13: 3 per-seed frontier joins + one DECIMAL agg
     "mm_phash_clusters", // added r13: banded Hamming pairs + frontier CC rollup
     "text_token_fertility", // added r13: one projection + one bounded shuffle
-    "dedup_lsh_tuning", // added r13: 4 banding joins + one exact-verify truth pass
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures
@@ -140,6 +139,13 @@ object Bench {
   // graph_ktruss is NOT benched: 2 peel rounds + final support = 3x the
   // localClustering triangle pass (~35 s at sf0.1) — real cost lives in
   // its SCALING.md rows, and benching it would drown the linear set.
+  // dedup_lsh_tuning is NOT benched for the ktruss reason: its truth
+  // pass exact-verifies the PERMISSIVE (8,2) banding's candidate set —
+  // ~7x the production pair join's candidate volume by design (that
+  // cost comparison IS the report) — and at 10x inside the shared
+  // bench JVM the verify join OOMs after ~90 accumulated queries
+  // (passes standalone: 15.9 s base / 93 s at 10x, REPS=2,
+  // bench_r13_new6.json — the SCALING.md record of note).
   // dedup_tfidf_cosine_pairs is NOT benched for the same reason: the
   // template-heavy harness corpus makes nearly every doc pair share
   // mid-rare vocabulary, so the exact join's candidate set is ~11M pairs
