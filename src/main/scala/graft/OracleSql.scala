@@ -3418,6 +3418,71 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc_score DESC, vec_id ASC) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "sim_ivfpq_probe_curve" -> {
+      // twin of Similarity.ivfPqProbeCurve (nQueries=5, k=10, nBits=8,
+      // maxHamming=2): the shared PQ/codebook/LUT chain built once,
+      // then per probe radius its own candidate prune + ADC scoring +
+      // rank, overlapped against the float brute-force baseline
+      val nBits = 8
+      def masksUpTo(h: Int): Seq[Long] =
+        (0 to h).flatMap(d => (0 until nBits).combinations(d)
+          .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
+      val legs = (0 to 2).map { h =>
+        val probeList = "[" + masksUpTo(h).map {
+          case 0L => "bucket"
+          case m => s"xor(bucket, $m)"
+        }.mkString(", ") + "]"
+        s"""qp$h AS (SELECT vec_id AS q_id, unnest($probeList) AS q_bucket
+           |  FROM sig WHERE vec_id < 5),
+           |cand$h AS (SELECT qp.q_id, s.vec_id FROM sig s
+           |  JOIN qp$h qp ON s.bucket = qp.q_bucket AND s.vec_id <> qp.q_id),
+           |scored$h AS MATERIALIZED (SELECT c.q_id, p.vec_id,
+           |  round(CAST(sum(part) AS DOUBLE), 6) AS adc_score
+           |  FROM pq p JOIN cand$h c ON p.vec_id = c.vec_id
+           |  JOIN lut l ON l.q_id = c.q_id AND p.sub = l.sub AND p.code = l.code
+           |  GROUP BY c.q_id, p.vec_id),
+           |c$h AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM scored$h),
+           |tk$h AS (SELECT q_id, vec_id FROM (
+           |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adc_score DESC, vec_id ASC) AS rn FROM scored$h)
+           |  WHERE rn <= 10),
+           |o$h AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(tk.vec_id) AS BIGINT) AS n_overlap
+           |  FROM bf LEFT JOIN tk$h tk
+           |  ON bf.q_id = tk.q_id AND bf.vec_id = tk.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val rows = (0 to 2).map { h =>
+        val nProbes = masksUpTo(h).size
+        s"""SELECT CAST($h AS BIGINT) AS probe_hamming,
+           |  CAST($nProbes AS BIGINT) AS n_probes, n_candidates,
+           |  round(CAST(n_candidates AS DOUBLE)
+           |    / (5.0 * CAST(n_corpus - 1 AS DOUBLE)), 6) AS scan_frac,
+           |  n_overlap, n_exact,
+           |  round(CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+           |    AS recall_at_k
+           |FROM o$h CROSS JOIN c$h CROSS JOIN nc""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $pqCte,
+         |$pqCodebookCtes,
+         |cbv AS (SELECT sub, code, list(mean_comp ORDER BY pos) AS cv
+         |  FROM cb GROUP BY sub, code),
+         |sig AS MATERIALIZED (SELECT vec_id, ${srpBand("v", 0, 8)} AS bucket FROM e),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM sig),
+         |q AS (SELECT vec_id AS q_id, sub, sv AS qv FROM pq WHERE vec_id < 5),
+         |lut AS (SELECT q_id, q.sub, cbv.code,
+         |  CAST(list_sum(list_transform(range(8), i -> (qv)[i+1] * (cv)[i+1]))
+         |    AS DECIMAL(27,10)) AS part
+         |  FROM q JOIN cbv ON q.sub = cbv.sub),
+         |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |bf AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |  SELECT q0.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q0.q_id
+         |      ORDER BY round(${cosSql("q0.q_v", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN q0 ON e.vec_id <> q0.q_id) WHERE rn <= 10),
+         |$legs,
+         |curve AS ($rows)
+         |SELECT * FROM curve""".stripMargin
+    },
     "sim_ivfpq_rerank" ->
       // twin of Similarity.ivfPqRerank (shortlist=50, k=10): the shared
       // ADC chain ranked to the 50-candidate shortlist, exact cosine on

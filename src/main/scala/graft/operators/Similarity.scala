@@ -883,6 +883,75 @@ object Similarity {
     adcRank(scored, k)
   }
 
+  /** IVF-PQ PROBE-SWEEP CURVE — [[ivfProbeCurve]]'s report for the
+    * COMPRESSED path: recall@k and code-scan cost of the IVF-PQ index
+    * ([[ivfPqTopK]]) at every probe radius H = 0..maxHamming, measured
+    * against the exact float top-k. The raw-vector sweep prices the
+    * coarse quantizer alone; this one prices coarse pruning AND PQ
+    * score distortion together — the recall an IVF-PQ deployment
+    * actually serves at each nprobe, which is the only number that
+    * matters when the corpus scan is codes-only (16 B/vector) and
+    * turning the probe knob is free relative to re-training the
+    * codebook. Completes the tuning-curve trio: coarse quantizer
+    * ([[ivfProbeCurve]]), LSH banding
+    * ([[Dedup.lshTuningCurve]]), compressed retrieval (this).
+    *
+    * Shape: codes, coarse buckets and the ADC LUT build ONCE
+    * (checkpointed; LUT broadcast); per radius one code-only scan
+    * pruned by the broadcast probe set, one (q, vec) DECIMAL partial
+    * agg (checkpointed — the candidate count and the rank both read
+    * it), the proven two-phase rank, and a left-join overlap against
+    * the once-built exact baseline. Output: maxHamming+1 rows. */
+  def ivfPqProbeCurve(s: SparkSession, dir: String,
+                      nQueries: Int = 5, k: Int = 10, nBits: Int = 8,
+                      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= nBits,
+      s"maxHamming must be in [0, $nBits], got $maxHamming")
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val exact = bruteForceTopKAggFrom(e, nQueries, k)
+      .select($"q_id", $"vec_id").localCheckpoint(true)
+    val eb = e.withColumn("bucket", srpSignature($"v", nBits))
+    val sigs = eb.select($"vec_id", $"bucket").localCheckpoint(true)
+    val codes = pqDecomposed(eb, Seq("bucket"))
+      .select($"vec_id", $"bucket", $"sub", $"code").localCheckpoint(true)
+    val lut = pqAdcLut(e, nQueries)
+      .withColumnRenamed("sub", "l_sub").withColumnRenamed("code", "l_code")
+      .localCheckpoint(true)
+    val nCorpus = sigs.agg(count(lit(1)).as("n_corpus"))
+    (0 to maxHamming).map { hMax =>
+      val probeCols = probeMasks(nBits, hMax).map {
+        case 0L => $"bucket"
+        case m => $"bucket".bitwiseXOR(lit(m))
+      }
+      val probes = sigs.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("p_id"), explode(array(probeCols: _*)).as("q_bucket"))
+      val scored = codes
+        .join(broadcast(probes), $"bucket" === $"q_bucket" && $"vec_id" =!= $"p_id")
+        .join(broadcast(lut),
+          $"q_id" === $"p_id" && $"sub" === $"l_sub" && $"code" === $"l_code")
+        .groupBy($"q_id", $"vec_id")
+        .agg(round(sum($"part").cast("double"), 6).as("adc_score"))
+        .localCheckpoint(true)
+      val cand = scored.agg(count(lit(1)).as("n_candidates"))
+      val approx = adcRank(scored, k)
+        .select($"q_id".as("aq"), $"vec_id".as("av"))
+      exact
+        .join(approx, $"q_id" === $"aq" && $"vec_id" === $"av", "left")
+        .agg(count(lit(1)).as("n_exact"), count($"av").as("n_overlap"))
+        .crossJoin(broadcast(cand)).crossJoin(broadcast(nCorpus))
+        .select(lit(hMax.toLong).as("probe_hamming"),
+          lit(probeMasks(nBits, hMax).size.toLong).as("n_probes"),
+          $"n_candidates",
+          round($"n_candidates".cast("double") /
+            (lit(nQueries.toDouble) * ($"n_corpus" - lit(1L)).cast("double")), 6)
+            .as("scan_frac"),
+          $"n_overlap", $"n_exact",
+          round($"n_overlap".cast("double") / $"n_exact".cast("double"), 6)
+            .as("recall_at_k"))
+    }.reduce(_ unionAll _)
+  }
+
   /** TWO-STAGE RETRIEVAL: IVF-PQ SHORTLIST + EXACT RE-RANK — the shape
     * every production ANN deployment actually serves (Jégou et al.
     * TPAMI'11 §V: ADC orders a shortlist, exact distances re-order it):

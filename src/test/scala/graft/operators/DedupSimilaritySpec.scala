@@ -736,6 +736,75 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "IVF-PQ plan has a cartesian product")
   }
 
+  test("ivfpq probe curve: every column equals the composed PQ mirror; " +
+    "candidates monotone, recall capped by PQ distortion") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val buckets = e.withColumn("b", VectorOps.srpSignature(col("v"), 8))
+      .select(col("vec_id"), col("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes = Similarity.pqCodes(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cb = Similarity.pqCodebooks(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    def recon(id: Long): Array[Double] =
+      Array.tabulate(64) { g =>
+        val (sub, pos) = (g / 8, g % 8)
+        cb((sub.toLong, codes((id, sub.toLong)), pos.toLong))
+      }
+    def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val n = vecs.size
+    val exact = (0L until 5L).map { q =>
+      q -> vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, r4(cos(vecs(q), v))) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+    }.toMap
+    def choose(m: Int, d: Int): Long =
+      (0 until d).foldLeft(1L)((acc, i) => acc * (m - i) / (i + 1))
+    val ref = (0 to 2).map { h =>
+      val cands = (0L until 5L).map { q =>
+        q -> vecs.keys.toSeq.filter(id => id != q &&
+          java.lang.Long.bitCount(buckets(id) ^ buckets(q)) <= h)
+      }.toMap
+      val nCand = cands.values.map(_.size.toLong).sum
+      val overlap = (0L until 5L).map { q =>
+        val top = cands(q)
+          .map(id => (id, r6((vecs(q), recon(id)).zipped.map(_ * _).sum)))
+          .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+        (exact(q) intersect top).size.toLong
+      }.sum
+      (h.toLong, (0 to h).map(choose(8, _)).sum, nCand,
+        r6(nCand.toDouble / (5.0 * (n - 1).toDouble)),
+        overlap, 50L, r6(overlap.toDouble / 50.0))
+    }
+    val got = Similarity.ivfPqProbeCurve(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("probe_hamming"), r.getAs[Long]("n_probes"),
+        r.getAs[Long]("n_candidates"), r.getAs[Double]("scan_frac"),
+        r.getAs[Long]("n_overlap"), r.getAs[Long]("n_exact"),
+        r.getAs[Double]("recall_at_k")))
+      .sortBy(_._1).toSeq
+    assert(got === ref, "engine ivfpq probe curve diverges from the mirror")
+    // candidates monotone in H; recall bounded by the raw-vector sweep's
+    // at the same radius (PQ distortion can only LOSE exact members)
+    got.sliding(2).foreach { case Seq(a, b) => assert(b._3 >= a._3) }
+    val raw = Similarity.ivfProbeCurve(spark, Sf).collect()
+      .map(r => r.getAs[Long]("probe_hamming") -> r.getAs[Double]("recall_at_k"))
+      .toMap
+    got.foreach { r => assert(r._7 <= raw(r._1) + 1e-9,
+      s"H=${r._1}: compressed recall ${r._7} above raw ${raw(r._1)}") }
+  }
+
   test("IVFADC equals dots against coarse+residual reconstructions, probed buckets only") {
     val e = Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -122,7 +122,8 @@ object Plans {
       "sim_ivf_probe_curve" -> "probe curve: corpus bucketed + checkpointed ONCE; per radius one probe-pruned scan (checkpointed) feeds BOTH the candidate count and the two-phase rank; exact baseline = one partial_graft_topk heap pass, run once",
       "mm_phash_clusters" -> "phash clusters: the banded phash pair join (leftmost-block dedup) + frontier min-propagation CC over checkpointed labels, then two bounded rollup aggregates — nothing wider than the pair set",
       "text_token_fertility" -> "token fertility: one codegen projection + ONE partial-agged source exchange (<=|sources| rows); exact BIGINT totals, three rounded divisions",
-      "dedup_lsh_tuning" -> "LSH tuning: 16-perm signature table checkpointed ONCE; per banding one leftmost-band-deduped equi-join (candidates unique by construction); exact jaccard verify ONLY on the (16,1) truth pass; coarser configs probe the checkpointed truth with left-semi joins")
+      "dedup_lsh_tuning" -> "LSH tuning: 16-perm signature table checkpointed ONCE; per banding one leftmost-band-deduped equi-join (candidates unique by construction); exact jaccard verify ONLY on the finest (8,2) truth pass; coarser configs probe the checkpointed truth with left-semi joins",
+      "sim_ivfpq_probe_curve" -> "IVF-PQ probe curve: codes/buckets/LUT built once (checkpointed, LUT broadcast); per radius ONE code-only scan pruned by the broadcast probe set + a (q,vec) DECIMAL partial agg (checkpointed — count and rank share it); exact float baseline runs once")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
