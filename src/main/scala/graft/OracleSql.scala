@@ -1666,6 +1666,39 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |  max(CASE WHEN r.rn = floor((c.n_gaps - 1) * 0.9) + 1
         |    THEN r.gap_ms END) AS p90_gap_ms
         |FROM r JOIN c USING (event_type) GROUP BY r.event_type""".stripMargin,
+    "events_burstiness" ->
+      // twin of Events.burstiness: the interarrival gap stream, exact
+      // BIGINT Σg and DECIMAL(38,0) Σg², μ/σ and both ratios in DOUBLE
+      // in the engine's expression order, variance clamped at 0 before
+      // the sqrt
+      """WITH ev AS (SELECT event_type, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type IS NOT NULL),
+        |g AS (SELECT event_type, ms - lag(ms) OVER (
+        |    PARTITION BY event_type ORDER BY ms ASC, event_id ASC) AS gap_ms
+        |  FROM ev),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap_ms) AS BIGINT) AS sum_g,
+        |    sum(CAST(gap_ms AS DECIMAL(19,0)) * CAST(gap_ms AS DECIMAL(19,0))) AS sum_g2
+        |  FROM g WHERE gap_ms IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_gaps,
+        |  round(CAST(sum_g AS DOUBLE) / n_gaps, 3) AS mean_gap_ms,
+        |  round(sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |    CAST(sum_g2 AS DOUBLE) / n_gaps
+        |      - (CAST(sum_g AS DOUBLE) / n_gaps) * (CAST(sum_g AS DOUBLE) / n_gaps))), 3)
+        |    AS sd_gap_ms,
+        |  round(sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |    CAST(sum_g2 AS DOUBLE) / n_gaps
+        |      - (CAST(sum_g AS DOUBLE) / n_gaps) * (CAST(sum_g AS DOUBLE) / n_gaps)))
+        |    / (CAST(sum_g AS DOUBLE) / n_gaps), 6) AS cv,
+        |  round((sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |    CAST(sum_g2 AS DOUBLE) / n_gaps
+        |      - (CAST(sum_g AS DOUBLE) / n_gaps) * (CAST(sum_g AS DOUBLE) / n_gaps)))
+        |      - CAST(sum_g AS DOUBLE) / n_gaps)
+        |    / (sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |      CAST(sum_g2 AS DOUBLE) / n_gaps
+        |        - (CAST(sum_g AS DOUBLE) / n_gaps) * (CAST(sum_g AS DOUBLE) / n_gaps)))
+        |      + CAST(sum_g AS DOUBLE) / n_gaps), 6) AS burstiness
+        |FROM a""".stripMargin,
     "events_periodicity" ->
       // twin of Events.periodicity (lagHours=24): densified hourly grid
       // via generate_series, lag-24 self-join, five exact integer moment

@@ -904,6 +904,52 @@ object Events {
       .filter($"event_type".isNotNull)
       .select($"event_type", $"event_id", unix_millis($"ts").as("ms")))
 
+  /** BURSTINESS COEFFICIENT — per event type, B = (σ−μ)/(σ+μ) of the
+    * inter-arrival gap distribution (Goh & Barabási, EPL 81, 2008),
+    * with the coefficient of variation σ/μ alongside. The one-number
+    * regime classifier on top of [[interarrivalStats]]'s percentile
+    * view: B → −1 is a metronome (scheduled/synthetic load), B ≈ 0 is
+    * Poisson (organic arrivals), B → +1 is heavy-tailed bursts (batch
+    * ingestion, bots, incident retries) — the provenance fingerprint a
+    * training-data pipeline checks before trusting an events feed as
+    * "real user behaviour".
+    *
+    * Determinism: gaps are exact integer ms off the (ts, event_id)
+    * total order; Σg is BIGINT, Σg² is DECIMAL(38,0) (each square
+    * exact — no Long overflow even at month-long gaps); μ, σ and the
+    * two ratios are computed in DOUBLE in one fixed expression order
+    * and rounded at the output. Variance is clamped at 0 before the
+    * sqrt (FP subtraction of near-equal doubles can land an ulp
+    * negative on a near-constant gap stream). Shape: ONE window pass
+    * partitioned by type + one partial-agged moment rollup — nothing
+    * beyond the [[interarrivalStats]] exchange. */
+  def burstiness(s: SparkSession, dir: String): DataFrame =
+    burstinessFrom(Tables.events(s, dir)
+      .filter($"event_type".isNotNull)
+      .select($"event_type", $"event_id", unix_millis($"ts").as("ms")))
+
+  /** Core of [[burstiness]] over any (event_type, event_id, ms) frame. */
+  def burstinessFrom(ev: DataFrame): DataFrame = {
+    val byType = Window.partitionBy($"event_type")
+      .orderBy($"ms".asc, $"event_id".asc)
+    val agg = ev
+      .withColumn("gap_ms", $"ms" - lag($"ms", 1).over(byType))
+      .filter($"gap_ms".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap_ms").as("sum_g"),
+        sum($"gap_ms".cast("decimal(19,0)") * $"gap_ms".cast("decimal(19,0)"))
+          .as("sum_g2"))
+    val mu = $"sum_g".cast("double") / $"n_gaps"
+    val sd = sqrt(greatest(lit(0.0),
+      $"sum_g2".cast("double") / $"n_gaps" - mu * mu))
+    agg.select($"event_type", $"n_gaps",
+      round(mu, 3).as("mean_gap_ms"),
+      round(sd, 3).as("sd_gap_ms"),
+      round(sd / mu, 6).as("cv"),
+      round((sd - mu) / (sd + mu), 6).as("burstiness"))
+  }
+
   /** Core of [[interarrivalStats]] over any (event_type, event_id, ms)
     * frame. */
   def interarrivalStatsFrom(ev: DataFrame): DataFrame = {

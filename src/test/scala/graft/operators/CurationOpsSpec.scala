@@ -1071,6 +1071,41 @@ class CurationOpsSpec extends SparkSpec {
       "p50 of gaps [0, 100] must pick the actual 0 gap")
   }
 
+  test("burstiness: hand-computed moments on fixtures for all three " +
+    "regimes; metronome pins B = -1, coefficient bounded in (-1, 1)") {
+    import spark.implicits._
+    def r(d: Double, sc: Int) = java.math.BigDecimal.valueOf(d)
+      .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
+    // metronome: constant gaps -> sigma 0 -> B = (0-mu)/(0+mu) = -1
+    val metro = Seq(("m", 1L, 0L), ("m", 2L, 500L), ("m", 3L, 1000L),
+      ("m", 4L, 1500L)).toDF("event_type", "event_id", "ms")
+    val m = Events.burstinessFrom(metro).collect().head
+    assert((m.getString(0), m.getLong(1), m.getDouble(2), m.getDouble(3),
+      m.getDouble(4), m.getDouble(5)) === (("m", 3L, 500.0, 0.0, 0.0, -1.0)))
+    // bursty: gaps 1, 1, 9998 -> hand-computed population moments
+    val burst = Seq(("b", 1L, 0L), ("b", 2L, 1L), ("b", 3L, 2L),
+      ("b", 4L, 10000L)).toDF("event_type", "event_id", "ms")
+    val b = Events.burstinessFrom(burst).collect().head
+    val mu = 10000.0 / 3
+    val sd = math.sqrt((1.0 + 1.0 + 9998.0 * 9998.0) / 3 - mu * mu)
+    assert(b.getLong(1) === 3L)
+    assert(b.getDouble(2) === r(mu, 3))
+    assert(b.getDouble(3) === r(sd, 3))
+    assert(b.getDouble(4) === r(sd / mu, 6))
+    assert(b.getDouble(5) === r((sd - mu) / (sd + mu), 6))
+    // n=3 gaps cap sigma at mu*sqrt(2), so B is bounded by ~0.17 here —
+    // positive (bursty side) is the regime claim, not magnitude
+    assert(b.getDouble(5) > 0.1, "near-degenerate bursts must read bursty")
+    // real corpus: every type emits one row, coefficients in [-1, 1]
+    val got = Events.burstiness(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val bc = row.getDouble(5)
+      assert(bc >= -1.0 && bc <= 1.0, s"${row.getString(0)}: B=$bc")
+      assert(row.getDouble(4) >= 0.0)
+    }
+  }
+
   test("dedup impact: hand-computed counts and survivor KL on a " +
     "duplicated fixture; KL non-negative on the real corpus") {
     import spark.implicits._
