@@ -129,6 +129,7 @@ object Bench {
     "text_token_fertility", // added r13: one projection + one bounded shuffle
     "sim_ivfpq_probe_curve", // added r13: 3 code-scan radii + one exact baseline
     "events_burstiness", // added r13: one per-type window + a moment rollup
+    "graph_closeness_sketch", // added r13: hyperball rounds + per-node telescoped sum
     "mm_meta_stats")
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures

@@ -4128,6 +4128,56 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  coalesce(g.harmonic, CAST(0.0 AS DOUBLE)) AS harmonic
          |FROM nodes n LEFT JOIN g ON g.node = n.node""".stripMargin
     },
+    "graph_closeness_sketch" -> {
+      // twin of Graph.closenessSketch (maxHops=4, 64 registers): the
+      // graph_hyperball register rounds, per-hop PER-NODE ball
+      // estimates (same denominator/branch/round-4), telescoped
+      // harmonic sum with 0-clamped DECIMAL deltas, round-8 /t terms
+      // and a fixed-order 4-term double chain closed at round-6
+      val hops = 4
+      val mask = (1L << 54) - 1
+      val pow = 1L << 55
+      val rs = (1 to hops).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT node, reg, CAST(max(mj) AS BIGINT) AS mj
+           |  FROM (SELECT a.dst AS node, r.reg, r.mj
+           |      FROM adjm a JOIN r${i - 1} r ON r.node = a.src
+           |    UNION ALL SELECT node, reg, mj FROM r${i - 1})
+           |  GROUP BY node, reg)""".stripMargin
+      }.mkString(",\n")
+      val es = (0 to hops).map { h =>
+        s"""g$h AS (SELECT node, 64 - n_regs AS n_zero,
+           |    s_present + (64 - n_regs) * $pow AS s_scaled
+           |  FROM (SELECT node, count(*) AS n_regs,
+           |      CAST(sum(1::BIGINT << CAST(55 - mj AS INTEGER)) AS BIGINT) AS s_present
+           |    FROM r$h GROUP BY node)),
+           |e$h AS MATERIALIZED (SELECT node,
+           |    CAST(round(CASE WHEN raw <= 160.0 AND n_zero > 0
+           |      THEN 64.0 * ln(64.0 / CAST(n_zero AS DOUBLE)) ELSE raw END, 4)
+           |      AS DECIMAL(20,4)) AS b$h
+           |  FROM (SELECT node, n_zero,
+           |      (${graft.operators.Graph.HbAlphaM2} * ${graft.operators.Graph.HbPow})
+           |        / CAST(s_scaled AS DOUBLE) AS raw FROM g$h))""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 to hops).map(h => s"JOIN e$h ON e$h.node = e0.node")
+        .mkString("\n  ")
+      val terms = (1 to hops).map { h =>
+        s"round(greatest(CAST(0.0 AS DOUBLE), CAST(b$h - b${h - 1} AS DOUBLE)) / $h, 8)"
+      }.mkString("\n    + ")
+      s"""WITH $graphCtes,
+         |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+         |r0 AS MATERIALIZED (SELECT node, h >> 54 AS reg,
+         |    CAST(CASE WHEN (h & $mask) = 0 THEN 55
+         |      ELSE 55 - length(bin(h & $mask)) END AS BIGINT) AS mj
+         |  FROM (SELECT node,
+         |    ${h60("concat('hb|', CAST(node AS VARCHAR))")} AS h FROM nodes)),
+         |$rs,
+         |$es
+         |SELECT e0.node AS doc_id,
+         |  round(CAST(b$hops AS DOUBLE), 4) AS est_ball,
+         |  round($terms, 6) AS est_harmonic
+         |FROM e0
+         |  $joins""".stripMargin
+    },
     "graph_hyperball" -> {
       // twin of Graph.hyperBall (maxHops=4, 64 registers): per-node HLL
       // ball sketches advanced by register-wise max over neighbors, one

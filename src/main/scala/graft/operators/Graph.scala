@@ -1308,6 +1308,74 @@ object Graph {
       .select(lit(hop.toLong).as("hops"), $"n_nodes", $"pairs_dec")
   }
 
+  /** Per-node HLL ball estimate (node, ball) of one register frame —
+    * the per-node view of [[hbHopRow]], same denominator/branch/round-4
+    * discipline, ball carried as DECIMAL(20,4). */
+  private def hbNodeEst(regs: DataFrame): DataFrame = {
+    val grouped = regs.groupBy($"node")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HbRemBits + 1} - mj AS INT))"))
+          .as("s_present"))
+    val vZero = lit(HbRegs) - $"n_regs"
+    val sScaled = $"s_present" + vZero * lit(1L << (HbRemBits + 1))
+    val raw = lit(HbAlphaM2) * lit(HbPow) / sScaled.cast("double")
+    val m = HbRegs.toDouble
+    val est = when(raw <= lit(2.5 * m) && vZero > 0,
+      lit(m) * log(lit(m) / vZero.cast("double"))).otherwise(raw)
+    grouped.select($"node", round(est, 4).cast("decimal(20,4)").as("ball"))
+  }
+
+  /** SKETCHED CLOSENESS (HyperBall's headline use) — HARMONIC
+    * centrality for EVERY node, estimated from the per-node ball
+    * sketches: C_h(v) ≈ Σ_{t=1..maxHops} (|B(v,t)| − |B(v,t−1)|)/t,
+    * the telescoped form Boldi & Vigna compute at web scale (ICDMW'13
+    * §3 — the whole point of HyperBall is that this needs only the
+    * ball CARDINALITIES, which the sketches carry). The full-V
+    * complement of [[harmonicCentrality]]: that one is EXACT but from
+    * a seed SAMPLE (per-seed BFS state is |S|·reach rows — all-sources
+    * is Θ(V·E)); this one scores every node at once for the price of
+    * the register rounds, with ±13% HLL noise per ball. A curation run
+    * uses them together: the sketch ranks the whole corpus, the exact
+    * sampled sweep audits the sketch where it matters.
+    *
+    * Determinism: ball estimates are the [[hyperBall]] round-4
+    * decimals; hop deltas are exact DECIMAL differences clamped at 0
+    * (register growth makes balls monotone except at the raw/linear
+    * branch crossover, where an ulp-scale dip is possible); each /t
+    * term rounds to 8 and the 4-term sum is a FIXED-ORDER chain of
+    * double adds — no aggregation-order hazard — closed with one
+    * round-6. Shape: the [[hyperBall]] register rounds (checkpointed)
+    * plus one bounded per-node aggregate per hop and a |V|-row 5-way
+    * equi-join on node. */
+  def closenessSketch(s: SparkSession, dir: String, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, s"maxHops must be in [1, 8], got $maxHops")
+    val e = edges(s, dir).localCheckpoint(true)
+    val adj = adjacency(e).localCheckpoint(true)
+    val (reg, rho) = hbParts(graft.functions.EngineNeutral.hash60(
+      concat(lit("hb|"), $"node".cast("string"))))
+    var regsNow = degrees(e).select($"node")
+      .select($"node", reg.as("reg"), rho.as("mj"))
+      .localCheckpoint(true)
+    val balls = scala.collection.mutable.ArrayBuffer(
+      hbNodeEst(regsNow).select($"node", $"ball".as("b0")))
+    for (h <- 1 to maxHops) {
+      regsNow = adj.join(regsNow, $"node" === $"src")
+        .select($"dst".as("node"), $"reg", $"mj")
+        .unionAll(regsNow)
+        .groupBy($"node", $"reg").agg(max($"mj").as("mj"))
+        .localCheckpoint(true)
+      balls += hbNodeEst(regsNow).select($"node", $"ball".as(s"b$h"))
+    }
+    val joined = balls.reduce((a, b) => a.join(b, "node"))
+    val terms = (1 to maxHops).map { h =>
+      round(greatest(lit(0.0),
+        (col(s"b$h") - col(s"b${h - 1}")).cast("double")) / h, 8)
+    }
+    joined.select($"node".as("doc_id"),
+      round(col(s"b$maxHops").cast("double"), 4).as("est_ball"),
+      round(terms.reduce(_ + _), 6).as("est_harmonic"))
+  }
+
   /** HYPERBALL NEIGHBORHOOD FUNCTION — the distance distribution of the
     * near-dup graph without ever materializing distances: per node, an
     * HLL sketch of the ball B(v, h) (all nodes within h hops), advanced

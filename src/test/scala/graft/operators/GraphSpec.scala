@@ -817,6 +817,49 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._1).max > 0L)
   }
 
+  test("closeness sketch: per-node estimates track the exact telescoped " +
+    "harmonic; corpus mass tight; totality over graph nodes") {
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val adjOf = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val nodes = adjOf.keySet
+    // exact hop-bounded balls and the telescoped harmonic per node
+    val exact = nodes.map { v =>
+      var ball = Set(v); var frontier = Set(v)
+      val sizes = Seq(1) ++ (1 to 4).map { _ =>
+        val next = frontier.flatMap(adjOf(_)) -- ball
+        ball ++= next; frontier = next
+        ball.size
+      }
+      val harm = (1 to 4).map(h => (sizes(h) - sizes(h - 1)).toDouble / h).sum
+      v -> ((sizes(4).toDouble, harm))
+    }.toMap
+    val got = Graph.closenessSketch(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("est_ball"), r.getAs[Double]("est_harmonic"))))
+      .toMap
+    assert(got.keySet === nodes)
+    // per-node: the 64-register sketch's ball and telescoped-delta
+    // noise envelopes (generous — exact cross-engine value parity is
+    // the DuckDB twin's job, accuracy-vs-truth is this one's)
+    var sumEst = 0.0; var sumExact = 0.0
+    got.foreach { case (v, (ball, harm)) =>
+      val (exBall, exHarm) = exact(v)
+      assert(math.abs(ball - exBall) / exBall <= 0.30,
+        s"node $v: ball $ball vs exact $exBall")
+      assert(math.abs(harm - exHarm) <= math.max(0.75, 0.35 * exHarm),
+        s"node $v: harmonic $harm vs exact $exHarm")
+      assert(harm >= 0.0)
+      sumEst += harm; sumExact += exHarm
+    }
+    // corpus-level mass: per-node noise largely averages out
+    assert(math.abs(sumEst - sumExact) / sumExact <= 0.15,
+      s"corpus harmonic mass: est $sumEst vs exact $sumExact")
+    // isolated-in-sketch sanity: a node with no neighbors would not be
+    // in the pair graph at all, so every row should carry SOME mass
+    assert(got.values.count(_._2 > 0.0) === nodes.size)
+  }
+
   test("hyperball: estimated neighborhood function tracks the exact " +
     "BFS ball sums; curve shape and effective-diameter flag are sound") {
     val e = edgeSet()
