@@ -330,29 +330,24 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench_last.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileLine + "\n")
-    // Compact stdout line: full base query map at 2dp-stripped, scale
-    // TOTALS only, errors only when present, sf as basename, no detail
-    // pointer — everything verbose lives in the file record above. The
-    // driver keeps a 2,000-char stdout tail and sbt appends ~80 chars of
-    // "[success] …" after us, so the budget is ~1,900 chars; the guard
-    // below degrades (drops scale, then the error map) rather than ever
-    // emitting a line that decapitates.
-    def stdoutLineOf(withScale: Boolean, withErrors: Boolean): String = {
-      val qsC = times.map { case (k, v) => jstr(k) + ":" + cs(v) }
-        .mkString("{", ",", "}")
+    // Compact stdout line: SUMMARY FIELDS ONLY plus a "detail" pointer
+    // to the full file record — never the per-query map. BENCH_r8/r9/
+    // r13 all landed "parsed": null because a 105-query map is ~3.5 KB
+    // and the driver keeps only a ~2,000-char stdout tail (r13's tail
+    // visibly starts mid-JSON). The per-query map lives exclusively in
+    // the file record above; this line stays a few hundred bytes with
+    // an explicit 1,400-char ceiling (errors truncated first) so it can
+    // never be decapitated again.
+    def stdoutLineOf(withErrors: Boolean): String = {
       val esC =
         if (errors.isEmpty || !withErrors) ""
         else errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
           .mkString(""","errors":{""", ",", "}")
-      val scC = if (withScale) s""","scale":$stdoutScale""" else ""
-      s"""{"metric":"total","reps":$reps,"value":${cs(times.map(_._2).sum)},"n_queries":${times.size},"queries":$qsC$esC,"n_failed":${errors.size},"unit":"sec","sf":${jstr(new java.io.File(sfDir).getName)}$scC}"""
+      s"""{"metric":"total","reps":$reps,"value":${cs(times.map(_._2).sum)},"n_queries":${times.size},"n_failed":${errors.size}$esC,"unit":"sec","sf":${jstr(new java.io.File(sfDir).getName)},"scale":$stdoutScale,"detail":${jstr(outPath)}}"""
     }
-    val stdoutLine = Seq(
-      stdoutLineOf(withScale = true, withErrors = true),
-      stdoutLineOf(withScale = true, withErrors = false),
-      stdoutLineOf(withScale = false, withErrors = false))
-      .find(_.length <= 1900)
-      .getOrElse(stdoutLineOf(withScale = false, withErrors = false))
+    val stdoutLine = Seq(stdoutLineOf(withErrors = true))
+      .find(_.length <= 1400)
+      .getOrElse(stdoutLineOf(withErrors = false))
     System.err.println(s"[bench] stdout line ${stdoutLine.length} chars; full record: $outPath")
     realOut.println(stdoutLine)
     realOut.flush()

@@ -592,14 +592,19 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin of Relational.q54TableChecksum: per-row hash60 over the
       // SAME canonical rendering (ints/strings verbatim, monetary
       // doubles as HALF_UP cents — both engines round away from zero —
-      // timestamps as epoch seconds), summed in DECIMAL(38,0). The sum
-      // is order-free, so the twin needs no ORDER BY to agree.
+      // dates as days-since-epoch), summed in DECIMAL(38,0) internally
+      // but EMITTED as BIGINT via one final mod 2^61-1 — a fixed-width
+      // integer no reader can render differently. The sum is
+      // order-free, so the twin needs no ORDER BY to agree.
       def v(e: String) = s"CAST($e AS VARCHAR)"
       def cents(e: String) = v(s"CAST(round($e * 100) AS BIGINT)")
-      def ep(e: String) = v(s"CAST(epoch($e) AS BIGINT)")
+      def ep(e: String) =
+        v(s"date_diff('day', DATE '1970-01-01', CAST($e AS DATE))")
       def row(tbl: String, cols: Seq[String]) =
         s"""SELECT '$tbl' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
-           |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS row_checksum
+           |  CAST(sum(CAST(h AS DECIMAL(38,0)))
+           |    % CAST(2305843009213693951 AS DECIMAL(38,0)) AS BIGINT)
+           |    AS row_checksum
            |FROM (SELECT ${h60(s"concat_ws('|', ${cols.mkString(", ")})")} AS h
            |  FROM $tbl)""".stripMargin
       Seq(
@@ -1223,6 +1228,27 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |       ELSE 'zh' END AS lang_guess
          |FROM h""".stripMargin
     },
+    "text_langid_ngram" ->
+      // twin of TextAnalysis.langIdNgram: rebuilds the SAME rank-profile
+      // model in SQL (train split doc_id % 5 <> 0, per-lang top-300
+      // trigrams by (count desc, gram asc), doc top-64, out-of-place
+      // distance with penalty 300, argmin (dist, lang)) — all exact
+      // integers, so engine and twin agree bit-for-bit
+      s"""WITH $langidCtes
+         |SELECT doc_id, lang_label, source, lang_pred, best_dist, margin
+         |FROM pred""".stripMargin,
+    "text_langid_mix" ->
+      // twin of TextAnalysis.langIdMix: the per-doc prediction CTE
+      // rolled up per (source, predicted lang) with label agreement and
+      // within-source share
+      s"""WITH $langidCtes
+         |SELECT source, lang_pred, n_docs, n_label_agree,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    / sum(n_docs) OVER (PARTITION BY source), 6) AS share
+         |FROM (SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_label_agree
+         |  FROM pred GROUP BY 1, 2)""".stripMargin,
     "text_tfidf_top_terms" ->
       s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
          |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM t),
@@ -1686,18 +1712,18 @@ private[graft] final class OracleSqlGen(sfDir: String) {
         |    CAST(sum_g2 AS DOUBLE) / n_gaps
         |      - (CAST(sum_g AS DOUBLE) / n_gaps) * (CAST(sum_g AS DOUBLE) / n_gaps))), 3)
         |    AS sd_gap_ms,
-        |  round(sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |  CASE WHEN sum_g > 0 THEN round(sqrt(greatest(CAST(0.0 AS DOUBLE),
         |    CAST(sum_g2 AS DOUBLE) / n_gaps
         |      - (CAST(sum_g AS DOUBLE) / n_gaps) * (CAST(sum_g AS DOUBLE) / n_gaps)))
-        |    / (CAST(sum_g AS DOUBLE) / n_gaps), 6) AS cv,
-        |  round((sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |    / (CAST(sum_g AS DOUBLE) / n_gaps), 6) END AS cv,
+        |  CASE WHEN sum_g > 0 THEN round((sqrt(greatest(CAST(0.0 AS DOUBLE),
         |    CAST(sum_g2 AS DOUBLE) / n_gaps
         |      - (CAST(sum_g AS DOUBLE) / n_gaps) * (CAST(sum_g AS DOUBLE) / n_gaps)))
         |      - CAST(sum_g AS DOUBLE) / n_gaps)
         |    / (sqrt(greatest(CAST(0.0 AS DOUBLE),
         |      CAST(sum_g2 AS DOUBLE) / n_gaps
         |        - (CAST(sum_g AS DOUBLE) / n_gaps) * (CAST(sum_g AS DOUBLE) / n_gaps)))
-        |      + CAST(sum_g AS DOUBLE) / n_gaps), 6) AS burstiness
+        |      + CAST(sum_g AS DOUBLE) / n_gaps), 6) END AS burstiness
         |FROM a""".stripMargin,
     "events_periodicity" ->
       // twin of Events.periodicity (lagHours=24): densified hourly grid
@@ -2046,6 +2072,42 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, md5(concat_ws('|', $cols)) AS band_hash FROM sig"
        }.mkString("\n  UNION ALL ")})""".stripMargin
   }
+
+  /** Shared Cavnar–Trenkle langid CTE chain — twin of
+    * TextAnalysis.langIdNgram's model + scoring. `pred` holds one row
+    * per document: (doc_id, lang_label, source, lang_pred, best_dist,
+    * margin). Languages come from the built profile (a language whose
+    * training docs are all sub-trigram has no profile on either side);
+    * docs with no trigrams get 'und' + null dist/margin on both sides. */
+  private def langidCtes: String =
+    s"""trn AS (SELECT lang, lower(text) AS t FROM $docs
+       |  WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+       |tg AS (SELECT lang, unnest(list_transform(range(1, len(t)-1),
+       |  i -> substr(t, CAST(i AS INT), 3))) AS gram FROM trn),
+       |lp AS (SELECT lang, gram, count(*) AS n FROM tg GROUP BY 1, 2),
+       |lpr AS MATERIALIZED (SELECT lang, gram, CAST(row_number() OVER (
+       |    PARTITION BY lang ORDER BY n DESC, gram ASC) AS INT) AS rnk
+       |  FROM lp QUALIFY rnk <= 300),
+       |langs AS (SELECT DISTINCT lang FROM lpr),
+       |dg AS (SELECT doc_id, unnest(list_transform(range(1, len(lower(text))-1),
+       |  i -> substr(lower(text), CAST(i AS INT), 3))) AS gram FROM $docs),
+       |dc AS (SELECT doc_id, gram, count(*) AS n FROM dg GROUP BY 1, 2),
+       |dpr AS MATERIALIZED (SELECT doc_id, gram, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS INT) AS rnk
+       |  FROM dc QUALIFY rnk <= 64),
+       |dist AS (SELECT d.doc_id, l.lang,
+       |    CAST(sum(coalesce(abs(d.rnk - p.rnk), 300)) AS BIGINT) AS dist
+       |  FROM dpr d CROSS JOIN langs l
+       |  LEFT JOIN lpr p ON p.lang = l.lang AND p.gram = d.gram
+       |  GROUP BY 1, 2),
+       |rankedl AS (SELECT doc_id, lang, dist, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS r FROM dist),
+       |pred AS (SELECT doc.doc_id, doc.lang AS lang_label, doc.source,
+       |    coalesce(b1.lang, 'und') AS lang_pred, b1.dist AS best_dist,
+       |    b2.dist - b1.dist AS margin
+       |  FROM $docs doc
+       |  LEFT JOIN (SELECT * FROM rankedl WHERE r = 1) b1 ON b1.doc_id = doc.doc_id
+       |  LEFT JOIN (SELECT * FROM rankedl WHERE r = 2) b2 ON b2.doc_id = doc.doc_id)""".stripMargin
 
   /** 48-term SimHash sum, mirrored from Dedup.simhashCol. */
   private def simhashCte: String = {
@@ -2572,7 +2634,8 @@ private[graft] final class OracleSqlGen(sfDir: String) {
            |FROM nd_${b}_$r CROSS JOIN nc_${b}_$r CROSS JOIN nt""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH $minhashSigCte,
-         |sigm AS MATERIALIZED (SELECT * FROM sig),
+         |sigm AS MATERIALIZED (SELECT sig.* FROM sig
+         |  JOIN ws ON ws.doc_id = sig.doc_id WHERE len(ws.hb) > 0),
          |$candCtes,
          |tru AS MATERIALIZED (SELECT doc_a, doc_b FROM (
          |  SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS j
@@ -4003,7 +4066,7 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  coalesce(i.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
          |  round(CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / mm.m
          |    - (CAST(d.deg_sum AS DOUBLE) / (2 * mm.m))
-         |      * (CAST(d.deg_sum AS DOUBLE) / (2 * mm.m)), 6) AS contribution
+         |      * (CAST(d.deg_sum AS DOUBLE) / (2 * mm.m)), 6) + 0.0 AS contribution
          |FROM degc d LEFT JOIN intra i ON i.community = d.community
          |CROSS JOIN mm""".stripMargin,
     "graph_assortativity" ->

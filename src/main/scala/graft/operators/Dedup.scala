@@ -264,6 +264,12 @@ object Dedup {
       Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
     val hashed = Tables.documents(s, dir)
       .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb0"))
+      // empty/whitespace-only docs have no tokens → every minhash null →
+      // concat_ws collapses ALL of them to one shared band key in every
+      // banding = O(N_empty²) candidate pairs, the exact quadratic
+      // bucket this curve exists to price away. They carry no near-dup
+      // signal; drop them before signatures (twin mirrors the filter).
+      .filter(size($"hb0") > 0)
     val sig = hashed.select(
       col("doc_id") +: (0 until MinhashPerms).map { i =>
         array_min(transform($"hb0", h => minhashPerm(h, i))).as(s"mh$i")

@@ -943,11 +943,14 @@ object Events {
     val mu = $"sum_g".cast("double") / $"n_gaps"
     val sd = sqrt(greatest(lit(0.0),
       $"sum_g2".cast("double") / $"n_gaps" - mu * mu))
+    // mu = 0 (all-duplicate timestamps → every gap 0) makes both ratios
+    // 0/0: Spark's non-ANSI Divide yields null, IEEE engines NaN — null
+    // on BOTH sides by explicit guard, the tokenFertility convention.
     agg.select($"event_type", $"n_gaps",
       round(mu, 3).as("mean_gap_ms"),
       round(sd, 3).as("sd_gap_ms"),
-      round(sd / mu, 6).as("cv"),
-      round((sd - mu) / (sd + mu), 6).as("burstiness"))
+      when($"sum_g" > 0, round(sd / mu, 6)).as("cv"),
+      when($"sum_g" > 0, round((sd - mu) / (sd + mu), 6)).as("burstiness"))
   }
 
   /** Core of [[interarrivalStats]] over any (event_type, event_id, ms)

@@ -628,9 +628,13 @@ object Graph {
     degC.join(intra, Seq("community"), "left")
       .select($"community", $"n_nodes", $"deg_sum",
         coalesce($"intra_edges", lit(0L)).as("intra_edges"),
-        round(coalesce($"intra_edges", lit(0L)).cast("double") / m
+        (round(coalesce($"intra_edges", lit(0L)).cast("double") / m
           - ($"deg_sum".cast("double") / (2 * m))
-            * ($"deg_sum".cast("double") / (2 * m)), 6).as("contribution"))
+            * ($"deg_sum".cast("double") / (2 * m)), 6)
+          // IEEE sign-of-zero normalization: a zero-intra-edge community
+          // rounds to -0.0 on engines that keep the sign through round();
+          // -0.0 + 0.0 = +0.0 canonicalizes both sides identically.
+          + lit(0.0)).as("contribution"))
   }
 
   /** DEGREE ASSORTATIVITY (Newman, Phys. Rev. Lett. 89, 2002): the

@@ -1156,27 +1156,37 @@ object Relational {
     *
     * Canonical rendering keeps every field engine-exact: integers and
     * strings as-is, monetary doubles as HALF_UP cents (both engines
-    * round away from zero), timestamps as epoch seconds — never a raw
+    * round away from zero), dates as days-since-epoch (an integer no
+    * timezone or sub-second convention can bend) — never a raw
     * double's decimal image, whose shortest-digit rendering is the one
     * thing two engines may disagree on. Per-row hash is the md5-derived
     * [[graft.functions.EngineNeutral.hash60]]; the sum accumulates in
     * DECIMAL(38,0) (exact, order-free — a 100 TB table's 10¹² rows ×
-    * 2⁶⁰ max hash still sits 10⁹ under the 38-digit ceiling). */
+    * 2⁶⁰ max hash still sits 10⁹ under the 38-digit ceiling) but the
+    * EMITTED fingerprint is that sum mod 2⁶¹−1 as BIGINT: same
+    * collision utility for a replication audit, and a fixed-width
+    * integer every reader renders identically — a 38-digit decimal's
+    * textual image is exactly the kind of cross-reader hazard this
+    * audit exists to rule out. */
   def q54TableChecksum(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.EngineNeutral.hash60
+    val Mersenne61 = 2305843009213693951L // 2^61 - 1
     def cents(c: Column): Column = round(c * 100).cast("long")
+    def days(c: Column): Column = datediff(c.cast("date"), lit("1970-01-01"))
     def rowOf(df: DataFrame, name: String, cols: Seq[Column]): DataFrame =
       df.select(hash60(concat_ws("|", cols.map(_.cast("string")): _*)).as("h"))
         .agg(count(lit(1)).as("n_rows"),
-          sum($"h".cast("decimal(38,0)")).as("row_checksum"))
+          (sum($"h".cast("decimal(38,0)"))
+            % lit(Mersenne61).cast("decimal(38,0)"))
+            .cast("long").as("row_checksum"))
         .select(lit(name).as("table_name"), $"n_rows", $"row_checksum")
     rowOf(Tables.lineitem(s, dir), "lineitem", Seq(
       $"l_orderkey", $"l_linenumber", cents($"l_quantity"),
       cents($"l_extendedprice"), cents($"l_discount"), cents($"l_tax"),
-      $"l_returnflag", $"l_linestatus", unix_timestamp($"l_shipdate")))
+      $"l_returnflag", $"l_linestatus", days($"l_shipdate")))
       .unionAll(rowOf(Tables.orders(s, dir), "orders", Seq(
         $"o_orderkey", $"o_custkey", $"o_orderstatus",
-        cents($"o_totalprice"), unix_timestamp($"o_orderdate"),
+        cents($"o_totalprice"), days($"o_orderdate"),
         $"o_orderpriority")))
       .unionAll(rowOf(Tables.customer(s, dir), "customer", Seq(
         $"c_custkey", $"c_name", $"c_nationkey", cents($"c_acctbal"),

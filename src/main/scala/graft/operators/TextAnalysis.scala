@@ -168,6 +168,123 @@ object TextAnalysis {
       when(en + de + es + fr + zh === 0, "und").otherwise(lang).as("lang_guess"))
   }
 
+  /** Language-profile size (top-K grams per language) and the absence
+    * penalty; doc profiles are capped at [[DocProfK]]. Cavnar–Trenkle's
+    * published defaults are 300/oop-max — kept here. */
+  private[graft] val LangProfK = 300
+  private[graft] val DocProfK = 64
+
+  /** Char trigrams of lower(text) at every position 1..len-2 — the
+    * n-gram family language ID models are built from (Cavnar &
+    * Trenkle 1994 §3 use 1..5-grams; trigrams alone carry most of the
+    * signal and keep the profile join-free). Empty below 3 chars. */
+  private def charTrigrams(text: Column): Column = {
+    val t = lower(text)
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** TRAINED N-GRAM LANGUAGE ID (Cavnar & Trenkle, SDAIR 1994): the
+    * standard curation gate a multilingual crawl runs before language
+    * routing — rank-profile classification with NO external weights:
+    * the model is trained on the corpus's own labeled 80% split
+    * (doc_id % 5 != 0), so the twin can rebuild it exactly in SQL.
+    * Per language: the top-[[LangProfK]] char trigrams by (count desc,
+    * gram asc) with their ranks. Per document: its own
+    * top-[[DocProfK]] ranked trigram profile. Score = out-of-place
+    * distance Σ |doc_rank − lang_rank| with penalty [[LangProfK]] for
+    * grams absent from the language profile — exact integers end to
+    * end, so both engines agree bit-for-bit. Prediction = argmin with
+    * (dist asc, lang asc) tie-break; sub-trigram docs emit 'und' with
+    * null dist/margin. margin = runner-up distance − best distance,
+    * the abstention signal a routing gate thresholds on.
+    *
+    * Shape at 100 TB: the model aggregate's (lang, gram) key space is
+    * bounded by |langs| × charset³, NOT corpus size, so its exchange
+    * collapses under partial agg to a profile of O(|langs|·K) rows —
+    * broadcast to both the langs cross join and the rank lookup.
+    * Document profiles use the [[tfidfTopTerms]] shape (explode →
+    * partial-agged (doc_id, gram) count → per-doc rank window →
+    * top-[[DocProfK]]); scoring is the broadcast left join fanned out
+    * |langs|× on ≤ [[DocProfK]] rows per doc, rolled up by one
+    * partial-agged (doc_id, lang) sum, and argmin'd by a bounded
+    * per-doc sort_array over ≤ |langs| collected structs — every
+    * exchange is keyed on doc_id with per-doc row counts bounded by
+    * constants, and nothing ever joins doc-to-doc. (A per-row HOF
+    * profile was tried and rejected: the nested lambda tree re-inlines
+    * its subtrees once per language distance, and optimizer + eval
+    * time explodes combinatorially.) */
+  def langIdNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    langIdNgramFrom(docs.filter($"doc_id" % 5 =!= 0), docs)
+  }
+
+  /** Core of [[langIdNgram]]: train on `train` (labeled), score `docs`. */
+  def langIdNgramFrom(train: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langProf = train.filter($"lang".isNotNull)
+      .select($"lang", explode(charTrigrams($"text")).as("gram"))
+      .groupBy($"lang", $"gram").agg(count(lit(1)).as("n"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"n".desc, $"gram".asc)))
+      .filter($"lrank" <= LangProfK)
+      .select($"lang", $"gram", $"lrank")
+      // O(|langs|·K) model rows, read twice (langs + rank join): pin
+      // once so the training scan doesn't run per consumer
+      .localCheckpoint(true)
+    val langs = langProf.select($"lang").distinct()
+    val docProf = docs
+      .select($"doc_id", explode(charTrigrams($"text")).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("n"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"n".desc, $"gram".asc)))
+      .filter($"drank" <= DocProfK)
+      .select($"doc_id", $"gram", $"drank")
+    val best = docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("lang", "gram"), "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum(coalesce(abs($"drank" - $"lrank").cast("long"),
+        lit(LangProfK.toLong))).as("dist"))
+      // argmin + runner-up in ONE bounded agg: ≤ |langs| structs per
+      // doc, sort_array's struct order IS the (dist asc, lang asc)
+      // tie-break
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"dist", $"lang"))).as("sc"))
+      .select($"doc_id",
+        element_at($"sc", 1)("lang").as("p1"),
+        element_at($"sc", 1)("dist").as("d1"),
+        try_element_at($"sc", lit(2))("dist").as("d2"))
+    docs.select($"doc_id", $"lang".as("lang_label"), $"source")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang_label", $"source",
+        coalesce($"p1", lit("und")).as("lang_pred"),
+        $"d1".as("best_dist"),
+        ($"d2" - $"d1").as("margin"))
+  }
+
+  /** PER-SOURCE LANGUAGE-MIX / CONTAMINATION REPORT off [[langIdNgram]]:
+    * for each (source, predicted language), document count, how many
+    * agree with the shipped label, and the share of the source — the
+    * one-page answer to "which sources are contaminated with
+    * off-target languages, and does the labeling pipeline agree with
+    * content?". A source whose share mass sits on an unexpected
+    * language (or whose n_label_agree lags n_docs) is quarantined
+    * before tokenization. Shape: the row-local scoring scan above plus
+    * ONE partial-agged exchange of ≤ |sources|·|langs| rows and a
+    * window over the tiny rollup. */
+  def langIdMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langIdNgram(s, dir)
+      .groupBy($"source", $"lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"lang_label" === $"lang_pred", 1L).otherwise(0L))
+          .as("n_label_agree"))
+      .withColumn("share", round($"n_docs".cast("double") /
+        sum($"n_docs").over(Window.partitionBy($"source")), 6))
+  }
+
   /** TF-IDF top terms: the classic corpus-statistics operator — document
     * frequencies via one explode+groupBy, idf broadcast back onto the
     * per-doc term counts, top-3 terms per doc by tf-idf with

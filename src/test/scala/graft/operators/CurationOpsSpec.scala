@@ -1096,6 +1096,15 @@ class CurationOpsSpec extends SparkSpec {
     // n=3 gaps cap sigma at mu*sqrt(2), so B is bounded by ~0.17 here —
     // positive (bursty side) is the regime claim, not magnitude
     assert(b.getDouble(5) > 0.1, "near-degenerate bursts must read bursty")
+    // degenerate: all-duplicate timestamps → every gap 0 → mu = 0 →
+    // both ratios 0/0; the sum_g > 0 guard emits null on both sides
+    // (Spark's non-ANSI Divide would null, DuckDB would NaN — the
+    // explicit guard pins one convention)
+    val dup = Seq(("d", 1L, 100L), ("d", 2L, 100L), ("d", 3L, 100L))
+      .toDF("event_type", "event_id", "ms")
+    val d = Events.burstinessFrom(dup).collect().head
+    assert((d.getLong(1), d.getDouble(2), d.getDouble(3)) === ((2L, 0.0, 0.0)))
+    assert(d.isNullAt(4) && d.isNullAt(5), "mu=0 ratios must be null")
     // real corpus: every type emits one row, coefficients in [-1, 1]
     val got = Events.burstiness(spark, Sf).collect()
     assert(got.nonEmpty)
@@ -1292,5 +1301,65 @@ class CurationOpsSpec extends SparkSpec {
       if (rows.map(_._3).distinct.length > 2)
         assert(byLabel.size >= 2, s"$lang: spread scores must split buckets")
     }
+  }
+
+  test("langid ngram: held-out docs of a real multilingual fixture " +
+    "classify correctly; output equals a brute-force Cavnar-Trenkle " +
+    "mirror; sub-trigram docs emit und") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while the rain in spain stays mainly in the plain", "en"),
+      (2L, "the cat sat on the mat with the hat and then the dog chased the cat around the garden", "en"),
+      (3L, "der schnelle braune fuchs springt ueber den faulen hund waehrend der regen in spanien bleibt", "de"),
+      (4L, "die katze sitzt auf der matte mit dem hut und dann jagt der hund die katze durch den garten", "de"),
+      (6L, "le rapide renard brun saute par dessus le chien paresseux pendant que la pluie reste dans la plaine", "fr"),
+      (7L, "le chat est assis sur le tapis avec le chapeau et puis le chien chasse le chat dans le jardin", "fr"))
+    val heldOut = Seq(
+      (101L, "she sells sea shells on the shore and the shells she sells are surely from the sea", "en"),
+      (102L, "der fischer und die katze warten in dem garten auf den regen der nicht kommt", "de"),
+      (103L, "le jardin et la plaine sont sous la pluie et le chat attend dans le chapeau", "fr"),
+      (200L, "ab", "en")) // sub-trigram: no profile -> und
+    val toDf = (xs: Seq[(Long, String, String)]) => xs
+      .map { case (id, t, l) => (id, t, l, "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis
+      .langIdNgramFrom(toDf(train), toDf(train ++ heldOut)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    // semantic claim: every held-out doc routes to its language, with a
+    // positive abstention margin; the 2-char doc abstains as 'und'
+    for ((id, _, l) <- heldOut if id != 200L) {
+      assert(got(id)._1 === l, s"doc $id misrouted: ${got(id)}")
+      assert(got(id)._3.exists(_ > 0), s"doc $id: margin must be positive")
+    }
+    assert(got(200L) === (("und", None, None)))
+    // exactness claim: full output equals a plain-Scala C-T mirror
+    def grams(t: String): Seq[String] = {
+      val s = t.toLowerCase
+      if (s.length < 3) Seq.empty
+      else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    }
+    def ranked(gs: Seq[String], k: Int): Map[String, Int] =
+      gs.groupBy(identity).map { case (g, xs) => (g, xs.size) }.toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(k).zipWithIndex
+        .map { case ((g, _), i) => g -> (i + 1) }.toMap
+    val langProf = train.groupBy(_._3).map { case (l, xs) =>
+      l -> ranked(xs.flatMap(x => grams(x._2)), TextAnalysis.LangProfK)
+    }
+    val langs = langProf.keys.toSeq.sorted
+    val mirror = (train ++ heldOut).map { case (id, t, _) =>
+      val dp = ranked(grams(t), TextAnalysis.DocProfK)
+      if (dp.isEmpty) id -> (("und", None, None))
+      else {
+        val ds = langs.map(l => (dp.toSeq.map { case (g, r) =>
+          langProf(l).get(g).map(lr => math.abs(r - lr).toLong)
+            .getOrElse(TextAnalysis.LangProfK.toLong)
+        }.sum, l)).sorted
+        id -> ((ds.head._2, Some(ds.head._1),
+          Some(ds(1)._1 - ds.head._1): Option[Long]))
+      }
+    }.toMap
+    assert(got === mirror, "engine diverges from the C-T mirror")
   }
 }

@@ -1190,6 +1190,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture corpus must contain verified near-dups")
   }
 
+  test("lsh tuning curve: empty and whitespace-only docs are dropped " +
+    "before signatures (no shared all-null band bucket)") {
+    import spark.implicits._
+    // 3 token-free docs (would all share one null-minhash band key →
+    // 3 spurious pairs per banding) + one genuine near-dup pair
+    val tmp = java.nio.file.Files.createTempDirectory("lshempty").toString
+    Seq(
+      (1L, "", "en", "a", 0L), (2L, "   ", "en", "a", 3L),
+      (3L, "\t\n", "en", "b", 2L),
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "a", 35L),
+      (11L, "alpha beta gamma delta epsilon zeta", "en", "b", 35L),
+      (12L, "totally unrelated content here now", "en", "a", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.lshTuningCurve(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet === Set((8L, 2L), (4L, 4L), (2L, 8L)))
+    // exactly the one identical pair — were empty docs kept, each
+    // banding would add C(3,2)=3 null-key candidates
+    got.foreach { case (cfg, (nCand, nDet)) =>
+      assert(nCand === 1L, s"$cfg: empty docs leaked into candidates")
+      assert(nDet === 1L, s"$cfg: the identical pair must verify")
+    }
+  }
+
   test("ivf probe curve: every column equals a brute-force mirror; " +
     "candidates and recall are monotone in probe radius") {
     val vecs = Tables.embeddings(spark, Sf)

@@ -401,4 +401,38 @@ class GateSemanticsSpec extends SparkSpec {
     val got = rows.find(_.getString(0) == fl).get.getDouble(5)
     assert(math.abs(got - g1) <= 1e-3, s"skewness not population g1: got $got want $g1")
   }
+
+  test("negative-zero net: no registered query emits -0.0 in any float " +
+    "column at sf0.001") {
+    // graph_modularity's r13 red row was Spark +0.0 vs DuckDB -0.0 on a
+    // zero-intra-edge community — invisible to Python value compares
+    // (-0.0 == 0.0) but fatal to the driver's repr-hash gate. Contract:
+    // every registered output normalizes the sign of zero (append
+    // `+ lit(0.0)` after a round() that can land on -0.0). One probe
+    // aggregate per query; string rendering is the same image the
+    // driver hashes. round()/KL/PMI/CUSUM/assortativity are all in the
+    // hazard class, so the net sweeps the WHOLE registry, not a list.
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val df = fn(spark, dir)
+        val fcols = df.schema.fields
+          .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+          .map(_.name)
+        if (fcols.isEmpty) None
+        else {
+          val probes = fcols.map(c =>
+            sum(when(col(c).cast("string") === "-0.0", 1L).otherwise(0L))
+              .as(c))
+          val row = df.agg(probes.head, probes.tail: _*).collect().head
+          val bad = fcols.indices
+            .filter(i => !row.isNullAt(i) && row.getLong(i) > 0)
+            .map(fcols)
+          if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+        }
+      }
+    assert(offenders.isEmpty,
+      s"-0.0 present (add `+ lit(0.0)`): ${offenders.mkString("; ")}")
+  }
 }

@@ -523,18 +523,20 @@ class OperatorSpec extends SparkSpec {
       Seq(r.getLong(0).toString, r.getString(1), r.getInt(2).toString,
         cents(r.getDouble(3)).toString, r.getString(4)).mkString("|")
     }
+    // emitted fingerprint = exact DECIMAL(38,0) sum mod 2^61-1 as BIGINT
+    val M61 = BigInt(2305843009213693951L)
     val refSum = rows.map(s => BigInt(refHash60(s))).sum
     val got = Relational.q54TableChecksum(spark, Sf).collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), BigInt(r.getLong(2))))).toMap
     assert(got.keySet === Set("lineitem", "orders", "customer"))
-    assert(got("customer") === ((rows.length.toLong, refSum)),
-      "customer checksum diverges from the md5 reference sum")
+    assert(got("customer") === ((rows.length.toLong, refSum % M61)),
+      "customer checksum diverges from the md5 reference sum mod 2^61-1")
     // order invariance is structural (a commutative sum), and any
     // single-row flip moves the total: dropping each of 5 sample rows
-    // yields 5 distinct sums, none equal to the full sum
-    val dropped = rows.take(5).map(s => refSum - BigInt(refHash60(s)))
-    assert(dropped.forall(_ != refSum))
+    // yields 5 distinct sums, none equal to the full sum (mod 2^61-1 a
+    // collision would need a 2^-61 accident on 5 draws)
+    val dropped = rows.take(5).map(s => (refSum - BigInt(refHash60(s))) % M61)
+    assert(dropped.forall(_ != refSum % M61))
     assert(dropped.distinct.length === dropped.length)
     // the other two tables carry consistent row counts
     assert(got("lineitem")._1 ===

@@ -9,8 +9,9 @@ tables registered by bare name), then compares: row count, sorted column
 names, and the multiset of rows (columns sorted by name, rows sorted by all
 columns, floats compared exactly after both engines' rounding).
 """
-import sys, os, json, glob
+import sys, os, json, glob, math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -127,6 +128,22 @@ def main():
             results[name] = f"SCHEMA cols spark={scols} oracle={ocols}"
             continue
         sdf, odf = sdf[scols], odf[scols]
+        # IEEE -0.0 net (graph_modularity r13 regression): Python's
+        # -0.0 == 0.0 hid a sign-of-zero divergence the driver's
+        # repr-hash gate caught. Registered outputs must never contain
+        # -0.0 in any float column — normalize with `+ 0.0` at the
+        # operator's final select.
+        # (checked on BOTH frames: Python's tuple equality hides the
+        # divergence — (-0.0,) == (0.0,) — so the row compare below can
+        # never see it; a -0.0 on either side must fail here.)
+        def negz_cols(df):
+            return [c for c in scols if df[c].dtype.kind == "f" and bool(
+                np.any((df[c].values == 0.0) & np.signbit(df[c].values)))]
+        negz_s, negz_o = negz_cols(sdf), negz_cols(odf)
+        if negz_s or negz_o:
+            results[name] = (f"NEGZERO -0.0 present: spark cols {negz_s}, "
+                             f"oracle cols {negz_o}")
+            continue
         dt_mismatch = [(c, str(sdf[c].dtype), str(odf[c].dtype))
                        for c in scols if str(sdf[c].dtype) != str(odf[c].dtype)]
         if dt_mismatch:
@@ -140,11 +157,18 @@ def main():
         bad = None
         for i, (a, b) in enumerate(zip(srows, orows)):
             if a != b:
-                ok = all(
-                    (x == y) or (x is None and y is None) or
-                    (isinstance(x, float) and isinstance(y, float) and
-                     (x == y or abs(x - y) < 1e-12 or (x != x and y != y)))
-                    for x, y in zip(a, b))
+                def cell_ok(x, y):
+                    if x is None and y is None:
+                        return True
+                    if isinstance(x, float) and isinstance(y, float):
+                        if x != x and y != y:  # NaN == NaN for the gate
+                            return True
+                        # the driver hashes reprs, where -0.0 != 0.0
+                        if x == 0.0 and y == 0.0:
+                            return math.copysign(1.0, x) == math.copysign(1.0, y)
+                        return x == y or abs(x - y) < 1e-12
+                    return x == y
+                ok = all(cell_ok(x, y) for x, y in zip(a, b))
                 if not ok:
                     bad = (i, a, b)
                     break
