@@ -130,7 +130,113 @@ object Bench {
     "sim_ivfpq_probe_curve", // added r13: 3 code-scan radii + one exact baseline
     "events_burstiness", // added r13: one per-type window + a moment rollup
     "graph_closeness_sketch", // added r13: hyperball rounds + per-node telescoped sum
+    "text_langid_ngram", // added r14: trained trigram rank profiles, broadcast-model scoring
     "mm_meta_stats")
+
+  /** Registered queries deliberately NOT in the headline bench, each
+    * with its reason. GateSemanticsSpec pins
+    * `headline ∪ notBenched == SparkEntry.queries.keySet` (disjoint),
+    * so every NEW registration must either join the bench — and with
+    * it the per-round 10x and end-of-round 100x scale sweeps — or
+    * record here, in code, why it does not. This is the structural fix
+    * for the recurring post-rehearsal registration gap: the query set
+    * the sweeps read is derived from the registry, never a hand-kept
+    * side list. */
+  val notBenched: Map[String, String] = {
+    def family(reason: String)(qs: String*): Seq[(String, String)] =
+      qs.map(_ -> reason)
+    (family("imdb reference-parity golden: ms-scale display query over " +
+        "the tiny reference CSVs; benching adds JVM noise, not plan signal")(
+        "imdb_graf1", "imdb_graf2", "imdb_graf3", "imdb_graf4",
+        "imdb_graf5", "imdb_graf6") ++
+      family("quadratic-or-output-bound BY CONTRACT, with standalone " +
+        "SCALING.md records; inside the shared bench JVM it would drown " +
+        "(or OOM) the linear headline set — see the NOTE block above")(
+        "sim_knn_graph", "sim_graph_ann_topk", "sim_graph_ann_descent",
+        "sim_hubness", "graph_ktruss", "graph_triangle_census",
+        "dedup_lsh_tuning", "dedup_tfidf_cosine_pairs",
+        "dedup_editdist_pairs", "dedup_embedding_neardup") ++
+      family("derived rollup/audit view of a benched pipeline: the " +
+        "upstream kernel's cost is the benched entry; this adds one " +
+        "bounded aggregate")(
+        "dedup_cluster_sizes", "dedup_survivors", "dedup_semantic_survivors",
+        "dedup_rate_by_source", "text_langid_mix", "sim_centroid_shift",
+        "sim_pq_lloyd_shift", "sim_pq_lloyd_trajectory",
+        "graph_pagerank_trajectory", "graph_degree_distribution",
+        "sim_dim_stats", "sim_threshold_histogram", "rel_skew_audit",
+        "rel_column_profile") ++
+      family("offline recall/tuning audit: the production scan is benched " +
+        "(sim_ivf/_pq probe curves, production top-k); the audit's exact " +
+        "baseline join is deliberate and output-bound")(
+        "sim_recall_report", "sim_ivfadc_recall", "sim_pq_recall",
+        "sim_pq_trained_recall", "sim_sq8_recall", "sim_range_search",
+        "sim_pq_recon_error") ++
+      family("build stage of a benched end-to-end pipeline: the chained " +
+        "siblings (sim_kmeanspp_seeds, sim_pq_lloyd_chain, " +
+        "sim_adc_trained_topk, sim_ivfpq_topk) time these kernels " +
+        "under their consumers")(
+        "sim_centroid_assign", "sim_kcenter_seeds", "sim_lloyd_iteration",
+        "sim_pq_lloyd", "sim_pq_codes", "sim_pq_codebooks", "sim_pq_balanced",
+        "sim_pca_power", "sim_sq8_topk", "dedup_minhash_signatures",
+        "dedup_simhash_signatures") ++
+      family("closed-form or bounded-sketch micro-op, sub-second at every " +
+        "scale; the sketch family's heavy member (dedup_hll_distinct) is " +
+        "benched")(
+        "dedup_minhash_calibration", "dedup_kmv_distinct", "dedup_kmv_overlap",
+        "rel_approx_distinct", "rel_approx_percentile") ++
+      family("single-exchange relational micro-op (TPC-H shape): the " +
+        "benched relational set (pricing_summary, star_join_revenue, " +
+        "window_top_per_key, cte_top_segments, salted_agg, " +
+        "bloom_prune_join, scd2 family, histogram_quantiles, " +
+        "table_checksum, fk_audit) covers every exchange pattern these " +
+        "compose")(
+        "rel_agg_delta_apply", "rel_anti_join", "rel_array_agg",
+        "rel_brand_revenue", "rel_bucketed_join_revenue", "rel_case_buckets",
+        "rel_conditional_agg", "rel_count_distinct", "rel_cross_join",
+        "rel_cube", "rel_date_parts", "rel_distinct", "rel_filter_project",
+        "rel_full_outer", "rel_grouping_sets", "rel_having",
+        "rel_in_list_range", "rel_intersect", "rel_join_inner",
+        "rel_latest_per_key", "rel_median", "rel_merge_upsert",
+        "rel_ntile_cume", "rel_pivot", "rel_rollup", "rel_salted_join",
+        "rel_scalar_subquery", "rel_scd2_snapshot_at", "rel_semi_join",
+        "rel_set_ops", "rel_stats_agg", "rel_string_funcs", "rel_topk",
+        "rel_unpivot", "rel_window_frames", "rel_window_ranks") ++
+      family("variant of a benched events kernel (asof cover join / " +
+        "session window / hourly rollup) differing only in direction, " +
+        "tolerance, or the bounded final rollup")(
+        "events_asof_forward", "events_asof_tolerance", "events_range_join",
+        "events_anomaly_zscore", "events_rfm", "events_cohort_retention",
+        "events_top_paths", "events_top_type_per_user", "events_props_extract") ++
+      family("one-time layout write or parquet-footer audit: IO-bound by " +
+        "design; the write-shaped representative events_zorder_scan is " +
+        "benched")(
+        "events_partitioned_daily", "layout_compaction_plan",
+        "layout_skipping_stats") ++
+      family("stub-codec plumbing: timing would measure the deterministic " +
+        "fake decoder, not a plan; the real mm kernels (pHash pairs/" +
+        "clusters, meta stats, shot boundaries) are benched")(
+        "mm_features", "mm_frame_sample", "mm_resize", "mm_payload_dedup") ++
+      family("ingestion-path variant over a spec-written fixture file: " +
+        "parse-bound, not plan-bound; the dedup kernel is benched via " +
+        "dedup_exact")(
+        "corpus_jsonl_dedup") ++
+      family("per-doc scan or bounded rollup whose kernel is benched via " +
+        "text_quality_score/_quality_filter/_weighted_sample (scan + " +
+        "window) or text_langid_ngram (explode→count→rank-window)")(
+        "text_token_stats", "text_repetition_score", "text_gopher_rules",
+        "text_hash_split", "text_lang_id", "text_zipf_fit",
+        "text_curation_manifest", "text_pack_sequences", "text_redact",
+        "text_stratified_sample", "text_token_budget_mix", "text_shard_plan",
+        "text_tfidf_top_terms", "text_winnow_sketch", "text_fingerprint",
+        "text_bm25_topk", "text_decontaminate") ++
+      family("3-hop frontier sweep whose kernel is benched via " +
+        "graph_harmonic (the same sweep from 8 seeds)")(
+        "graph_bfs_distance") ++
+      family("near-dup pair-join variant: the banded-join kernel is " +
+        "benched via dedup_minhash_lsh_pairs/_simhash_pairs/" +
+        "_containment_pairs; this changes only the similarity predicate")(
+        "dedup_ngram_jaccard_pairs", "dedup_weighted_jaccard")).toMap
+  }
   // NOTE on cross-round comparability: r12 switched the timing action to
   // toRdd.count() (see run()), so graph_local_clustering now measures
   // its REAL cost — r11's 3.5 s record for it was the count()-pruned

@@ -542,3 +542,114 @@ case class SortedIntersectExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Cavnar–Trenkle language scorer as ONE per-row kernel (SDAIR 1994):
+  * trigram-count the lowercased input, rank its top `docK` grams by
+  * (count desc, gram asc bytewise), and score every language profile
+  * by out-of-place distance Σ |doc_rank − lang_rank| with penalty
+  * `profK` for absent grams. Returns
+  * struct<lang_pred:string, best_dist:bigint, margin:bigint> —
+  * 'und' with null dist/margin when the input has no trigrams.
+  *
+  * The trained model (lang → gram → rank) rides IN the expression as a
+  * literal — built once on the driver from the O(|langs|·profK)-row
+  * profile and shipped with the serialized plan, so scoring is a
+  * stateless per-row projection: no join, no aggregation, no shuffle.
+  * That is what the STREAMING router needs — per-document scoring
+  * inside a micro-batch with no watermark or state — while the batch
+  * operator keeps the exchange-based form whose structure the DuckDB
+  * twin mirrors. Tie-breaks are bit-compatible with the batch path:
+  * UTF8String comparisons are bytewise like Spark's string sort order,
+  * and the argmin scans languages in ascending order with strict <.
+  * CodegenFallback: the per-row work is a hash-count + small sort —
+  * one virtual call per row is noise against it.
+  */
+case class LangIdScoreExpr(child: Expression,
+    profiles: Seq[(String, Map[String, Int])], profK: Int, docK: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(profiles.nonEmpty, "langid: empty language profile set")
+  require(profK >= 1 && docK >= 1, "langid: profile sizes must be >= 1")
+
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("best_dist", LongType, nullable = true),
+    StructField("margin", LongType, nullable = true)))
+
+  override def prettyName: String = "graft_langid_score"
+
+  // languages in ascending BYTE order — the argmin tie-break order
+  @transient private lazy val langNames: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).sortWith(_.compareTo(_) < 0).toArray
+  @transient private lazy val langMaps: Array[java.util.HashMap[UTF8String, Integer]] = {
+    val byName = profiles.map { case (l, m) => UTF8String.fromString(l) -> m }.toMap
+    langNames.map { l =>
+      val hm = new java.util.HashMap[UTF8String, Integer](byName(l).size * 2)
+      byName(l).foreach { case (g, r) => hm.put(UTF8String.fromString(g), Integer.valueOf(r)) }
+      hm
+    }
+  }
+  private val und = UTF8String.fromString("und")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase
+    val m = s.numChars() - 2
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](und, null, null))
+    // per-row trigram counts
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](math.min(m, 256))
+    var j = 0
+    while (j < m) {
+      val g = s.substringSQL(j + 1, 3)
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1)) else c(0) += 1
+      j += 1
+    }
+    // top docK by (count desc, gram asc bytewise)
+    val entries = new Array[(UTF8String, Int)](counts.size)
+    val it = counts.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) { val e = it.next(); entries(n) = (e.getKey, e.getValue()(0)); n += 1 }
+    java.util.Arrays.sort(entries, new java.util.Comparator[(UTF8String, Int)] {
+      def compare(a: (UTF8String, Int), b: (UTF8String, Int)): Int = {
+        val c = Integer.compare(b._2, a._2)
+        if (c != 0) c else a._1.compareTo(b._1)
+      }
+    })
+    val k = math.min(docK, n)
+    // out-of-place distance per language; langs ascend, strict < keeps
+    // the (dist asc, lang asc) tie-break
+    var bestD = Long.MaxValue; var secondD = Long.MaxValue
+    var bestL: UTF8String = null
+    var li = 0
+    while (li < langNames.length) {
+      val hm = langMaps(li)
+      var d = 0L; var r = 0
+      while (r < k) {
+        val lr = hm.get(entries(r)._1)
+        d += (if (lr == null) profK.toLong else math.abs(r + 1 - lr.intValue()).toLong)
+        r += 1
+      }
+      if (d < bestD) { secondD = bestD; bestD = d; bestL = langNames(li) }
+      else if (d < secondD) secondD = d
+      li += 1
+    }
+    val margin: Any = if (langNames.length > 1) java.lang.Long.valueOf(secondD - bestD) else null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestL, java.lang.Long.valueOf(bestD), margin))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdScoreExpr =
+    copy(child = newChild)
+}

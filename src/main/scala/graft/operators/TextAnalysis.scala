@@ -177,12 +177,15 @@ object TextAnalysis {
   /** Char trigrams of lower(text) at every position 1..len-2 — the
     * n-gram family language ID models are built from (Cavnar &
     * Trenkle 1994 §3 use 1..5-grams; trigrams alone carry most of the
-    * signal and keep the profile join-free). Empty below 3 chars. */
+    * signal; spaces/punctuation are KEPT — " th"/"he " word-boundary
+    * grams are among the strongest language cues). Empty below 3
+    * chars. Via the [[graft.functions.CharNgramsExpr]] kernel so
+    * lower(text) runs once per row, not once per gram (the
+    * lambda-captured HOF pitfall documented on that expression). */
   private def charTrigrams(text: Column): Column = {
-    val t = lower(text)
-    when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.CharNgramsExpr(
+      Bridge.expression(lower(text)), 3))
   }
 
   /** TRAINED N-GRAM LANGUAGE ID (Cavnar & Trenkle, SDAIR 1994): the
@@ -220,19 +223,27 @@ object TextAnalysis {
     langIdNgramFrom(docs.filter($"doc_id" % 5 =!= 0), docs)
   }
 
-  /** Core of [[langIdNgram]]: train on `train` (labeled), score `docs`. */
-  def langIdNgramFrom(train: DataFrame, docs: DataFrame): DataFrame = {
+  /** The trained model half of [[langIdNgram]]: per-language
+    * top-[[LangProfK]] trigram rank profiles (lang, gram, lrank) from
+    * the labeled training frame — O(|langs|·K) rows, pinned so the
+    * training scan doesn't rerun per consumer. Also feeds the
+    * streaming router ([[graft.streaming.Streams.langIdRouter]]). */
+  def langProfileOf(train: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val langProf = train.filter($"lang".isNotNull)
+    train.filter($"lang".isNotNull)
       .select($"lang", explode(charTrigrams($"text")).as("gram"))
       .groupBy($"lang", $"gram").agg(count(lit(1)).as("n"))
       .withColumn("lrank", row_number().over(
         Window.partitionBy($"lang").orderBy($"n".desc, $"gram".asc)))
       .filter($"lrank" <= LangProfK)
       .select($"lang", $"gram", $"lrank")
-      // O(|langs|·K) model rows, read twice (langs + rank join): pin
-      // once so the training scan doesn't run per consumer
       .localCheckpoint(true)
+  }
+
+  /** Core of [[langIdNgram]]: train on `train` (labeled), score `docs`. */
+  def langIdNgramFrom(train: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langProf = langProfileOf(train)
     val langs = langProf.select($"lang").distinct()
     val docProf = docs
       .select($"doc_id", explode(charTrigrams($"text")).as("gram"))

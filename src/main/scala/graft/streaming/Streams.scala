@@ -948,4 +948,40 @@ object Streams {
         $"f_word_count", $"f_mean_word_len", $"f_symbol", $"f_bullet",
         $"f_ellipsis", $"f_alpha", $"f_stop")
   }
+
+  /** STREAMING LANGUAGE ROUTER — the ingestion-time half of
+    * [[graft.operators.TextAnalysis.langIdNgram]]: arriving documents
+    * scored against a STATIC trained rank-profile model (the
+    * (lang, gram, lrank) frame [[graft.operators.TextAnalysis
+    * .langProfileOf]] builds — retrained offline, redeployed by
+    * restarting the query, the standard model-rollout seam). Emits one
+    * row per arriving doc: (doc_id, ingest_ts, lang_pred, best_dist,
+    * margin) with the batch operator's exact integer arithmetic and
+    * tie-breaks — the routing/quarantine decision at the crawl's front
+    * door rather than in the nightly batch.
+    *
+    * Shape: the O(|langs|·K)-row model collapses into the
+    * [[graft.functions.LangIdScoreExpr]] per-row kernel carried by the
+    * plan, so the stream is a STATELESS projection — no state store,
+    * no watermark, no shuffle, append-mode, unbounded throughput. The
+    * batch form's groupBy/window would drag watermark semantics and a
+    * state store into what is per-row work on this seam. */
+  def langIdRouter(docs: Dataset[Doc], langProf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.operators.TextAnalysis.{DocProfK, LangProfK}
+    val rows = langProf.collect() // static model: O(|langs|·K) rows
+    require(rows.nonEmpty, "langIdRouter: empty language profile model")
+    val profiles = rows.groupBy(_.getString(0)).toSeq
+      .map { case (l, rs) =>
+        l -> rs.map(r => r.getString(1) -> r.getInt(2)).toMap }
+      .sortBy(_._1)
+    val score = Bridge.column(graft.functions.LangIdScoreExpr(
+      Bridge.expression($"text"), profiles, LangProfK, DocProfK))
+    docs.toDF()
+      .select($"doc_id", $"ingest_ts", score.as("r"))
+      .select($"doc_id", $"ingest_ts",
+        coalesce($"r"("lang_pred"), lit("und")).as("lang_pred"),
+        $"r"("best_dist").as("best_dist"),
+        $"r"("margin").as("margin"))
+  }
 }

@@ -402,6 +402,27 @@ class GateSemanticsSpec extends SparkSpec {
     assert(math.abs(got - g1) <= 1e-3, s"skewness not population g1: got $got want $g1")
   }
 
+  test("bench coverage invariant: every registered query is benched or " +
+    "carries an explicit exclusion reason") {
+    // the structural fix for the post-rehearsal registration gap: the
+    // scale sweeps read Bench.headline, and this pin derives headline's
+    // complement from the REGISTRY — a new registration that neither
+    // joins the bench nor records a notBenched reason fails here, in
+    // the same commit, before any rehearsal can miss it
+    val benched = graft.Bench.headline.toSet
+    val excused = graft.Bench.notBenched.keySet
+    val all = graft.SparkEntry.queries.keySet
+    assert((benched intersect excused).isEmpty,
+      s"both benched and excused: ${benched intersect excused}")
+    assert((benched -- all).isEmpty, s"benched but unregistered: ${benched -- all}")
+    assert((excused -- all).isEmpty, s"excused but unregistered: ${excused -- all}")
+    val uncovered = all -- benched -- excused
+    assert(uncovered.isEmpty,
+      s"add to Bench.headline or Bench.notBenched (with a reason): $uncovered")
+    assert(graft.Bench.notBenched.values.forall(_.trim.length >= 20),
+      "every exclusion must carry a real reason, not a placeholder")
+  }
+
   test("negative-zero net: no registered query emits -0.0 in any float " +
     "column at sf0.001") {
     // graph_modularity's r13 red row was Spark +0.0 vs DuckDB -0.0 on a

@@ -953,4 +953,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.agg(sum($"n_docs")).head.getLong(0) === docs.size.toLong)
     } finally query.stop()
   }
+
+  test("langid router: streamed predictions equal the batch operator " +
+    "per doc, stateless (no state operators)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // model trained offline on the corpus's labeled 80% split — the
+    // SAME training half the batch operator uses
+    val corpus = Tables.documents(spark, Sf)
+    val model = graft.operators.TextAnalysis
+      .langProfileOf(corpus.filter($"doc_id" % 5 =!= 0))
+    val t0 = 1700000000000L
+    val docs = corpus.select("doc_id", "text").collect().zipWithIndex
+      .map { case (r, i) => Doc(r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(t0 + i * 1000L)) }.toSeq
+    val stream = MemoryStream[Doc]
+    val query = Streams.langIdRouter(stream.toDS(), model)
+      .writeStream.format("memory").queryName("langid_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("lid"))
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row, pred: Int, dist: Int, marg: Int) =
+        r.getLong(0) -> ((r.getString(pred),
+          if (r.isNullAt(dist)) None else Some(r.getLong(dist)),
+          if (r.isNullAt(marg)) None else Some(r.getLong(marg))))
+      val streamed = spark.table("langid_stream").collect()
+        .map(r => key(r, 2, 3, 4)).toMap
+      val batch = graft.operators.TextAnalysis
+        .langIdNgram(spark, Sf).collect().map(r => key(r, 3, 4, 5)).toMap
+      assert(streamed.size === docs.size, "every arriving doc must route")
+      assert(streamed === batch,
+        "streamed routing must equal the batch operator per doc")
+      // the router is a stateless projection: no state store at all
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "langid router must hold no state")
+    } finally query.stop()
+  }
 }
