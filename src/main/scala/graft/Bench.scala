@@ -285,17 +285,20 @@ object Bench {
     * comparison tracks. A System.gc() between queries nudges the
     * ContextCleaner to actually free dropped broadcast / checkpoint
     * blocks instead of letting them age into someone else's timing. */
-  /** Active set: `headline`, or its intersection with the comma-list in
-    * SPARK_GRAFT_ONLY (targeted re-measurement of a few queries without
-    * paying for the full set — the n_queries field keeps the resulting
-    * totals self-describing). */
+  /** Active set: `headline`, or the comma-list in SPARK_GRAFT_ONLY
+    * (targeted re-measurement without paying for the full set — the
+    * n_queries field keeps the resulting totals self-describing).
+    * SPARK_GRAFT_ONLY may name ANY registered query, including
+    * notBenched ones — that is exactly how an excused
+    * quadratic-by-contract query gets its standalone scale record in
+    * its own JVM. */
   private def active: Seq[String] =
     sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(csv) =>
         val want = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = want -- headline.toSet
-        require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in headline: $unknown")
-        headline.filter(want)
+        val unknown = want -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not registered: $unknown")
+        (headline ++ notBenched.keys.toSeq.sorted).filter(want)
       case None => headline
     }
 

@@ -125,7 +125,9 @@ object Plans {
       "dedup_lsh_tuning" -> "LSH tuning: 16-perm signature table checkpointed ONCE; per banding one leftmost-band-deduped equi-join (candidates unique by construction); exact jaccard verify ONLY on the finest (8,2) truth pass; coarser configs probe the checkpointed truth with left-semi joins",
       "sim_ivfpq_probe_curve" -> "IVF-PQ probe curve: codes/buckets/LUT built once (checkpointed, LUT broadcast); per radius ONE code-only scan pruned by the broadcast probe set + a (q,vec) DECIMAL partial agg (checkpointed — count and rank share it); exact float baseline runs once",
       "events_burstiness" -> "burstiness: ONE event_type window exchange serves the lag; partial-agged integer/decimal moment rollup to |types| rows; mu/sigma/ratios computed once per row at the output",
-      "graph_closeness_sketch" -> "closeness sketch: the hyperball register rounds (checkpointed, ExistingRDD iterates); per hop one bounded per-node estimate agg; a |V|-row 5-way node equi-join closes the telescoped sum — no per-pair state anywhere")
+      "graph_closeness_sketch" -> "closeness sketch: the hyperball register rounds (checkpointed, ExistingRDD iterates); per hop one bounded per-node estimate agg; a |V|-row 5-way node equi-join closes the telescoped sum — no per-pair state anywhere",
+      "text_langid_ngram" -> "langid: trained rank-profile model is an ExistingRDD (checkpointed O(langs*300) rows) BROADCAST into the langs cross join and the rank lookup; doc profiles via the tfidf explode->partial-count->rank-window shape; one (doc_id,lang) partial agg + one bounded sort_array argmin agg — every exchange doc_id-keyed, constant rows per doc",
+      "text_langid_mix" -> "langid mix: the full langid scoring plan rolled to <= sources*langs rows in ONE partial-agged exchange + a window over the tiny rollup")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
