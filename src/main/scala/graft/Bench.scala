@@ -131,6 +131,7 @@ object Bench {
     "events_burstiness", // added r13: one per-type window + a moment rollup
     "graph_closeness_sketch", // added r13: hyperball rounds + per-node telescoped sum
     "text_langid_ngram", // added r14: trained trigram rank profiles, broadcast-model scoring
+    "text_vocab_coverage", // added r14: token-count exchange + bounded top-16k head
     "mm_meta_stats")
 
   /** Registered queries deliberately NOT in the headline bench, each
@@ -160,7 +161,8 @@ object Bench {
         "upstream kernel's cost is the benched entry; this adds one " +
         "bounded aggregate")(
         "dedup_cluster_sizes", "dedup_survivors", "dedup_semantic_survivors",
-        "dedup_rate_by_source", "text_langid_mix", "sim_centroid_shift",
+        "dedup_rate_by_source", "text_langid_mix", "text_langid_confusion",
+        "sim_centroid_shift",
         "sim_pq_lloyd_shift", "sim_pq_lloyd_trajectory",
         "graph_pagerank_trajectory", "graph_degree_distribution",
         "sim_dim_stats", "sim_threshold_histogram", "rel_skew_audit",

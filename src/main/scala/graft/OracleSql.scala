@@ -1249,6 +1249,41 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |    CAST(sum(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_label_agree
          |  FROM pred GROUP BY 1, 2)""".stripMargin,
+    "text_langid_confusion" ->
+      // twin of TextAnalysis.langIdConfusion: the per-doc prediction CTE
+      // rolled to <= langs^2 cells with row- and column-share windows
+      s"""WITH $langidCtes
+         |SELECT lang_label, lang_pred, n_docs,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    / sum(n_docs) OVER (PARTITION BY lang_label), 6) AS share_of_label,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    / sum(n_docs) OVER (PARTITION BY lang_pred), 6) AS share_of_pred
+         |FROM (SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM pred GROUP BY 1, 2)""".stripMargin,
+    "text_vocab_coverage" -> {
+      // twin of TextAnalysis.vocabCoverage: token counts -> bounded
+      // top-16384 head under the (n desc, tok asc) total order ->
+      // per-budget covered sums; identical rounding
+      val budgets = Seq(1024, 4096, 16384)
+      val rows = budgets.map { v =>
+        s"""SELECT CAST($v AS BIGINT) AS vocab_size,
+           |  coalesce((SELECT CAST(sum(n) AS BIGINT) FROM hd WHERE rank <= $v), 0) AS covered_tokens,
+           |  total_tokens, n_types,
+           |  round(CAST(coalesce((SELECT sum(n) FROM hd WHERE rank <= $v), 0) AS DOUBLE)
+           |    / total_tokens, 6) AS coverage,
+           |  round(CAST(total_tokens - coalesce((SELECT sum(n) FROM hd WHERE rank <= $v), 0) AS DOUBLE)
+           |    / total_tokens, 6) AS oov_rate
+           |FROM tot""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tc AS (SELECT tok, count(*) AS n FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok
+         |    FROM $docs) GROUP BY tok),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types FROM tc),
+         |hd AS MATERIALIZED (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+         |  FROM tc ORDER BY n DESC, tok ASC LIMIT ${budgets.max})
+         |$rows""".stripMargin
+    },
     "text_tfidf_top_terms" ->
       s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
          |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM t),

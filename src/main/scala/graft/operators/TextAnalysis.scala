@@ -296,6 +296,76 @@ object TextAnalysis {
         sum($"n_docs").over(Window.partitionBy($"source")), 6))
   }
 
+  /** CONFUSION AUDIT of the trained router — per (label, prediction)
+    * cell: document count, the cell's share of its LABEL row (recall
+    * when label = pred) and of its PREDICTION column (precision when
+    * label = pred). [[langIdMix]] says where predicted mass sits per
+    * source; THIS says whether the router can be trusted at all — the
+    * model-quality gate before its routing decisions quarantine data
+    * (a de→nl-style systematic confusion shows up as one heavy
+    * off-diagonal cell; label noise shows up as a smeared row).
+    * Shape: the scoring scan + one ≤ |langs|²-row partial-agged
+    * exchange + two windows over that tiny rollup. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langIdNgram(s, dir)
+      .groupBy($"lang_label", $"lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .select($"lang_label", $"lang_pred", $"n_docs",
+        round($"n_docs".cast("double") /
+          sum($"n_docs").over(Window.partitionBy($"lang_label")), 6)
+          .as("share_of_label"),
+        round($"n_docs".cast("double") /
+          sum($"n_docs").over(Window.partitionBy($"lang_pred")), 6)
+          .as("share_of_pred"))
+  }
+
+  /** VOCABULARY-COVERAGE CURVE — the vocab-size tuning artifact a
+    * tokenizer decision is priced from: for vocab budgets V ∈ {1k, 4k,
+    * 16k}, what fraction of the corpus's BPE-ish token OCCURRENCES the
+    * top-V token types cover (rank by count desc, token asc — a total
+    * order, so the V-boundary cut is deterministic on both engines),
+    * and the residual OOV rate a subword fallback must absorb. Pairs
+    * with [[tokenFertility]] (cost per source) and [[zipfFit]] (the
+    * head's power law): this is the curve that says whether 4k types
+    * already cover 95% or the tail forces 16k.
+    *
+    * Shape at 100 TB: one explode + ONE token-keyed partial-agged
+    * count exchange (Zipf heads collapse map-side), then
+    * TakeOrderedAndProject keeps only the top max(V) = 16,384 types —
+    * the global "sort" never materializes beyond the bounded head —
+    * plus a 1-row total aggregate; the curve itself is arithmetic over
+    * a 16k-row frame. */
+  def vocabCoverage(s: SparkSession, dir: String,
+                    budgets: Seq[Int] = Seq(1024, 4096, 16384)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty && budgets == budgets.sorted,
+      "vocab budgets must be ascending")
+    val counts = Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower($"text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum($"n").as("total_tokens"),
+      count(lit(1)).as("n_types")).localCheckpoint(true)
+    val head = counts
+      .orderBy($"n".desc, $"tok".asc).limit(budgets.max)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"n".desc, $"tok".asc)))
+      .localCheckpoint(true) // <= max(V) rows, probed once per budget
+    budgets.map { v =>
+      head.filter($"rank" <= v)
+        .agg(sum($"n").as("covered_tokens"))
+        .crossJoin(broadcast(totals))
+        .select(lit(v.toLong).as("vocab_size"),
+          coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
+          $"total_tokens", $"n_types",
+          round(coalesce($"covered_tokens", lit(0L)).cast("double")
+            / $"total_tokens", 6).as("coverage"),
+          round(($"total_tokens" - coalesce($"covered_tokens", lit(0L)))
+            .cast("double") / $"total_tokens", 6).as("oov_rate"))
+    }.reduce(_ unionAll _)
+  }
+
   /** TF-IDF top terms: the classic corpus-statistics operator — document
     * frequencies via one explode+groupBy, idf broadcast back onto the
     * per-doc term counts, top-3 terms per doc by tf-idf with

@@ -1362,4 +1362,66 @@ class CurationOpsSpec extends SparkSpec {
     }.toMap
     assert(got === mirror, "engine diverges from the C-T mirror")
   }
+
+  test("langid confusion: cells equal a rollup of the per-doc router " +
+    "output; row shares sum to 1 per label") {
+    val pred = TextAnalysis.langIdNgram(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    val cells = pred.groupBy(identity).map { case ((l, p), xs) =>
+      (l, p) -> xs.length.toLong }
+    val labelTot = pred.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    val predTot = pred.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.langIdConfusion(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === cells.keySet)
+    got.foreach { case ((l, p), (n, shl, shp)) =>
+      assert(n === cells((l, p)), s"($l,$p) count")
+      assert(shl === r6(n.toDouble / labelTot(l)), s"($l,$p) label share")
+      assert(shp === r6(n.toDouble / predTot(p)), s"($l,$p) pred share")
+    }
+    // every label's row shares cover its mass (sum to 1 within rounding)
+    got.keys.toSeq.groupBy(_._1).foreach { case (l, ks) =>
+      val s = ks.map(k => got(k)._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"label $l shares sum to $s")
+    }
+    assert(got.values.map(_._1).sum === pred.length.toLong,
+      "confusion cells must cover every routed doc")
+  }
+
+  test("vocab coverage: every column equals a brute-force token-count " +
+    "mirror; coverage monotone in budget, oov its complement") {
+    val texts = Tables.documents(spark, Sf).select("text").collect()
+      .map(_.getString(0)).filter(_ != null)
+    val pat = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach { t =>
+      val m = pat.matcher(t.toLowerCase)
+      while (m.find()) {
+        val tok = m.group()
+        counts(tok) = counts.getOrElse(tok, 0L) + 1L
+      }
+    }
+    val total = counts.values.sum
+    val nTypes = counts.size.toLong
+    val ranked = counts.toSeq.sortBy { case (tok, n) => (-n, tok) }
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = Seq(1024, 4096, 16384).map { v =>
+      val cov = ranked.take(v).map(_._2).sum
+      (v.toLong, cov, total, nTypes,
+        r6(cov.toDouble / total), r6((total - cov).toDouble / total))
+    }.toSet
+    val got = TextAnalysis.vocabCoverage(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got === ref, "engine coverage curve diverges from the mirror")
+    val byV = got.toSeq.sortBy(_._1)
+    assert(byV.map(_._5) === byV.map(_._5).sorted, "coverage monotone in V")
+    byV.foreach { row =>
+      assert(math.abs(row._5 + row._6 - 1.0) < 1e-5, s"cov+oov != 1: $row")
+    }
+  }
 }
