@@ -127,7 +127,9 @@ object Plans {
       "events_burstiness" -> "burstiness: ONE event_type window exchange serves the lag; partial-agged integer/decimal moment rollup to |types| rows; mu/sigma/ratios computed once per row at the output",
       "graph_closeness_sketch" -> "closeness sketch: the hyperball register rounds (checkpointed, ExistingRDD iterates); per hop one bounded per-node estimate agg; a |V|-row 5-way node equi-join closes the telescoped sum — no per-pair state anywhere",
       "text_langid_ngram" -> "langid: trained rank-profile model is an ExistingRDD (checkpointed O(langs*300) rows) BROADCAST into the langs cross join and the rank lookup; doc profiles via the tfidf explode->partial-count->rank-window shape; one (doc_id,lang) partial agg + one bounded sort_array argmin agg — every exchange doc_id-keyed, constant rows per doc",
-      "text_langid_mix" -> "langid mix: the full langid scoring plan rolled to <= sources*langs rows in ONE partial-agged exchange + a window over the tiny rollup")
+      "text_langid_mix" -> "langid mix: the full langid scoring plan rolled to <= sources*langs rows in ONE partial-agged exchange + a window over the tiny rollup",
+      "text_langid_confusion" -> "langid confusion: the scoring plan rolled to <= langs^2 cells + two windows over the tiny rollup (row share = recall, column share = precision on the diagonal)",
+      "text_vocab_coverage" -> "vocab coverage: ONE token-keyed partial-agged count exchange, TakeOrderedAndProject bounds the global ranking at the 16k head, per-budget sums over the checkpointed head")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
