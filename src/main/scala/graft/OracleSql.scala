@@ -1239,27 +1239,34 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |FROM pred""".stripMargin,
     "text_langid_mix" ->
       // twin of TextAnalysis.langIdMix: the per-doc prediction CTE
-      // rolled up per (source, predicted lang) with label agreement and
-      // within-source share
+      // rolled up per (source, split, predicted lang) with label
+      // agreement and within-(source, split) share — split carried so
+      // the gate reads holdout rows (train diagonal is fit-inflated)
       s"""WITH $langidCtes
-         |SELECT source, lang_pred, n_docs, n_label_agree,
+         |SELECT source, split, lang_pred, n_docs, n_label_agree,
          |  round(CAST(n_docs AS DOUBLE)
-         |    / sum(n_docs) OVER (PARTITION BY source), 6) AS share
-         |FROM (SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |    / sum(n_docs) OVER (PARTITION BY source, split), 6) AS share
+         |FROM (SELECT source,
+         |    CASE WHEN doc_id % 5 = 0 THEN 'holdout' ELSE 'train' END AS split,
+         |    lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_label_agree
-         |  FROM pred GROUP BY 1, 2)""".stripMargin,
+         |  FROM pred GROUP BY 1, 2, 3)""".stripMargin,
     "text_langid_confusion" ->
       // twin of TextAnalysis.langIdConfusion: the per-doc prediction CTE
-      // rolled to <= langs^2 cells with row- and column-share windows
+      // rolled to <= 2·langs^2 cells (one matrix per split) with
+      // within-split row- and column-share windows; the holdout matrix
+      // is the model-quality gate
       s"""WITH $langidCtes
-         |SELECT lang_label, lang_pred, n_docs,
+         |SELECT split, lang_label, lang_pred, n_docs,
          |  round(CAST(n_docs AS DOUBLE)
-         |    / sum(n_docs) OVER (PARTITION BY lang_label), 6) AS share_of_label,
+         |    / sum(n_docs) OVER (PARTITION BY split, lang_label), 6) AS share_of_label,
          |  round(CAST(n_docs AS DOUBLE)
-         |    / sum(n_docs) OVER (PARTITION BY lang_pred), 6) AS share_of_pred
-         |FROM (SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
-         |  FROM pred GROUP BY 1, 2)""".stripMargin,
+         |    / sum(n_docs) OVER (PARTITION BY split, lang_pred), 6) AS share_of_pred
+         |FROM (SELECT
+         |    CASE WHEN doc_id % 5 = 0 THEN 'holdout' ELSE 'train' END AS split,
+         |    lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM pred GROUP BY 1, 2, 3)""".stripMargin,
     "text_vocab_coverage" -> {
       // twin of TextAnalysis.vocabCoverage: token counts -> bounded
       // top-16384 head under the (n desc, tok asc) total order ->
@@ -2098,7 +2105,8 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       s"list_min(list_transform(hb, x -> (x*${minhashA(i)} + ${minhashB(i)}) % $P)) AS mh$i"
     }.mkString(",\n  ")
     s"""ws AS (SELECT doc_id, ${wordSet("text")} AS w,
-       |  list_transform(${wordSet("text")}, t -> ${h60("t")} % $P) AS hb FROM $docs),
+       |  list_transform(${wordSet("text")}, t -> ${h60("t")} % $P) AS hb FROM $docs
+       |  WHERE len(${wordSet("text")}) > 0),
        |sig AS (SELECT doc_id,
        |  $mhCols
        |FROM ws),

@@ -428,14 +428,50 @@ case class SrpBandExpr(child: Expression, offset: Int, nBits: Int)
     copy(child = newChild)
 }
 
+/** Shared O(m) code-point n-gram slicer. `substringSQL(j+1, n)` locates
+  * its start by scanning from byte 0 for non-ASCII input, turning a
+  * per-document gram loop into O(m²); here ONE forward pass records the
+  * byte offset of every code point (advancing
+  * `UTF8String.numBytesForFirstByte` per step) and each gram is a
+  * byte-range slice — identical output (code-point semantics, bytewise
+  * equality), linear cost on any script. */
+private[functions] object Utf8Ngrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** All positional n-grams of `s`; empty array when numChars < n. */
+  def slices(s: UTF8String, n: Int): Array[UTF8String] = {
+    val m = s.numChars()
+    val cnt = m - n + 1
+    if (cnt <= 0) return Array.empty
+    val bytes = s.getBytes
+    val offs = new Array[Int](m + 1)
+    var i = 0
+    var off = 0
+    while (i < m) {
+      offs(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    offs(m) = off
+    val out = new Array[UTF8String](cnt)
+    var j = 0
+    while (j < cnt) {
+      out(j) = UTF8String.fromBytes(bytes, offs(j), offs(j + n) - offs(j))
+      j += 1
+    }
+    out
+  }
+}
+
 /** Positional character n-grams of a (pre-cleaned) string, as one
   * per-row loop. The naive HOF formulation — `transform(sequence(...),
   * j => cleaned.substr(j, n))` — re-evaluates every expression CAPTURED
   * in the lambda body per element, so the cleaning regex ran once per
   * gram instead of once per document (measured 10x slowdown on the
   * shingling pipeline). Here the cleaned string is the child (evaluated
-  * once per row) and slicing is a loop. CodegenFallback: one virtual
-  * call per row is noise; the per-element regex was not.
+  * once per row) and slicing is the linear [[Utf8Ngrams]] cursor walk.
+  * CodegenFallback: one virtual call per row is noise; the per-element
+  * regex was not.
   */
 case class CharNgramsExpr(child: Expression, n: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -456,15 +492,8 @@ case class CharNgramsExpr(child: Expression, n: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val len = s.numChars()
-    val m = len - n + 1
-    if (m <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    else {
-      val out = new Array[Any](m)
-      var j = 0
-      while (j < m) { out(j) = s.substringSQL(j + 1, n); j += 1 }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Utf8Ngrams.slices(s, n).asInstanceOf[Array[Any]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramsExpr =
@@ -588,6 +617,20 @@ case class LangIdScoreExpr(child: Expression,
 
   override def prettyName: String = "graft_langid_score"
 
+  // The trained model is |langs|·profK entries; the default TreeNode
+  // rendering would embed ALL of it in every explain/UI/error string,
+  // and the default case-class hashCode would walk it on every plan
+  // transform. Summarize the model in plan text and cache the hash.
+  private def modelSummary: String =
+    s"model(${profiles.length} langs, profK=$profK, docK=$docK)"
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, modelSummary)
+  override def flatArguments: Iterator[Any] =
+    Iterator(child, modelSummary)
+  override def toString: String = s"$prettyName($child, $modelSummary)"
+  override lazy val hashCode: Int =
+    scala.util.hashing.MurmurHash3.productHash(this)
+
   // languages in ascending BYTE order — the argmin tie-break order
   @transient private lazy val langNames: Array[UTF8String] =
     profiles.map(p => UTF8String.fromString(p._1)).sortWith(_.compareTo(_) < 0).toArray
@@ -607,11 +650,14 @@ case class LangIdScoreExpr(child: Expression,
     if (m <= 0)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](und, null, null))
-    // per-row trigram counts
+    // per-row trigram counts over the O(m) byte-cursor slices
+    // (substringSQL re-scans from byte 0 per gram on non-ASCII — O(m²)
+    // in this streaming hot path; see Utf8Ngrams)
+    val grams = Utf8Ngrams.slices(s, 3)
     val counts = new java.util.HashMap[UTF8String, Array[Int]](math.min(m, 256))
     var j = 0
-    while (j < m) {
-      val g = s.substringSQL(j + 1, 3)
+    while (j < grams.length) {
+      val g = grams(j)
       val c = counts.get(g)
       if (c == null) counts.put(g, Array(1)) else c(0) += 1
       j += 1

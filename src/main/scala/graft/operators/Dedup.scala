@@ -99,6 +99,9 @@ object Dedup {
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val hashed = Tables.documents(s, dir)
       .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb"))
+      // token-less docs → all-null minhashes → one shared degenerate
+      // band key per band; see minhashDocFeatures for the full account
+      .filter(size($"hb") > 0)
     val sig = hashed.select(
       col("doc_id") +: (0 until MinhashPerms).map { i =>
         array_min(transform($"hb", h => minhashPerm(h, i))).as(s"mh$i")
@@ -142,6 +145,16 @@ object Dedup {
   def minhashDocFeatures(docs: DataFrame): DataFrame = {
     val hashed = docs
       .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb0"))
+      // Empty/whitespace-only docs have no tokens → every `array_min`
+      // minhash is null → `concat_ws` skips nulls and EVERY band key
+      // degenerates to hash60("") — all empty docs land in one bucket in
+      // every band, i.e. O(N_empty²) candidate pairs and a single hot
+      // key (one straggler task at cluster scale). They carry no
+      // near-dup signal (J(∅,·) = 0 by SortedJaccardExpr's definition,
+      // so verify would drop them anyway); cut them before signatures.
+      // Same guard as lshTuningCurve's truth pass; DuckDB twins mirror
+      // it in minhashSigCte's ws CTE.
+      .filter(size($"hb0") > 0)
     val sig = hashed.select(
       col("doc_id") +: (0 until MinhashPerms).map { i =>
         array_min(transform($"hb0", h => minhashPerm(h, i))).as(s"mh$i")

@@ -288,12 +288,20 @@ object TextAnalysis {
   def langIdMix(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     langIdNgram(s, dir)
-      .groupBy($"source", $"lang_pred")
+      // The model was FIT on the train split (doc_id % 5 != 0), so
+      // label-agreement there is inflated by training accuracy. Carry
+      // the split so the contamination gate reads agreement on holdout
+      // rows while train rows stay visible (the train−holdout gap is
+      // itself the overfit signal). Shares are within (source, split)
+      // so each split's mix sums to 1 per source.
+      .withColumn("split",
+        when($"doc_id" % 5 === 0, "holdout").otherwise("train"))
+      .groupBy($"source", $"split", $"lang_pred")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"lang_label" === $"lang_pred", 1L).otherwise(0L))
           .as("n_label_agree"))
       .withColumn("share", round($"n_docs".cast("double") /
-        sum($"n_docs").over(Window.partitionBy($"source")), 6))
+        sum($"n_docs").over(Window.partitionBy($"source", $"split")), 6))
   }
 
   /** CONFUSION AUDIT of the trained router — per (label, prediction)
@@ -309,14 +317,21 @@ object TextAnalysis {
   def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     langIdNgram(s, dir)
-      .groupBy($"lang_label", $"lang_pred")
+      // Gate semantics: the trust decision MUST be read on the holdout
+      // split (doc_id % 5 == 0) — the model saw the other 80%, so that
+      // diagonal is inflated by training accuracy. Both splits are
+      // emitted (shares computed within-split) so the holdout matrix
+      // is the gate and the train−holdout diagonal gap prices overfit.
+      .withColumn("split",
+        when($"doc_id" % 5 === 0, "holdout").otherwise("train"))
+      .groupBy($"split", $"lang_label", $"lang_pred")
       .agg(count(lit(1)).as("n_docs"))
-      .select($"lang_label", $"lang_pred", $"n_docs",
+      .select($"split", $"lang_label", $"lang_pred", $"n_docs",
         round($"n_docs".cast("double") /
-          sum($"n_docs").over(Window.partitionBy($"lang_label")), 6)
+          sum($"n_docs").over(Window.partitionBy($"split", $"lang_label")), 6)
           .as("share_of_label"),
         round($"n_docs".cast("double") /
-          sum($"n_docs").over(Window.partitionBy($"lang_pred")), 6)
+          sum($"n_docs").over(Window.partitionBy($"split", $"lang_pred")), 6)
           .as("share_of_pred"))
   }
 

@@ -970,18 +970,29 @@ object Streams {
     import org.apache.spark.sql.graftbridge.Bridge
     import graft.operators.TextAnalysis.{DocProfK, LangProfK}
     val rows = langProf.collect() // static model: O(|langs|·K) rows
-    require(rows.nonEmpty, "langIdRouter: empty language profile model")
-    val profiles = rows.groupBy(_.getString(0)).toSeq
-      .map { case (l, rs) =>
-        l -> rs.map(r => r.getString(1) -> r.getInt(2)).toMap }
-      .sortBy(_._1)
-    val score = Bridge.column(graft.functions.LangIdScoreExpr(
-      Bridge.expression($"text"), profiles, LangProfK, DocProfK))
-    docs.toDF()
-      .select($"doc_id", $"ingest_ts", score.as("r"))
-      .select($"doc_id", $"ingest_ts",
-        coalesce($"r"("lang_pred"), lit("und")).as("lang_pred"),
-        $"r"("best_dist").as("best_dist"),
-        $"r"("margin").as("margin"))
+    if (rows.isEmpty) {
+      // An empty model (training split produced no profiles) must not
+      // be a restart-time crash seam: the BATCH scorer degrades to
+      // all-'und' predictions in the same situation, so the router
+      // mirrors that — every arriving doc routes to the abstention
+      // bucket until a retrained model is rolled out.
+      docs.toDF().select($"doc_id", $"ingest_ts",
+        lit("und").as("lang_pred"),
+        lit(null).cast("long").as("best_dist"),
+        lit(null).cast("long").as("margin"))
+    } else {
+      val profiles = rows.groupBy(_.getString(0)).toSeq
+        .map { case (l, rs) =>
+          l -> rs.map(r => r.getString(1) -> r.getInt(2)).toMap }
+        .sortBy(_._1)
+      val score = Bridge.column(graft.functions.LangIdScoreExpr(
+        Bridge.expression($"text"), profiles, LangProfK, DocProfK))
+      docs.toDF()
+        .select($"doc_id", $"ingest_ts", score.as("r"))
+        .select($"doc_id", $"ingest_ts",
+          coalesce($"r"("lang_pred"), lit("und")).as("lang_pred"),
+          $"r"("best_dist").as("best_dist"),
+          $"r"("margin").as("margin"))
+    }
   }
 }

@@ -170,4 +170,28 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got === expected, s"s=$s n=$n")
     }
   }
+
+  test("CharNgramsExpr n-grams are CODE-POINT windows on multi-byte " +
+    "input (the O(m) byte-cursor walk matches a code-point mirror)") {
+    val rnd = new Random(46)
+    // 1-byte ASCII, 2-byte Latin, 3-byte CJK, 4-byte astral — every
+    // UTF-8 width class the cursor must advance over
+    val alphabet = "ab éü中文日本語𝕏😀".toCharArray // includes surrogate pairs
+    val cps = new String(alphabet).codePoints().toArray
+    for (_ <- 1 to Trials) {
+      val len = rnd.nextInt(30)
+      val s = new String((0 until len).flatMap(_ =>
+        Character.toChars(cps(rnd.nextInt(cps.length)))).toArray)
+      val n = 1 + rnd.nextInt(4)
+      val e = CharNgramsExpr(Literal(UTF8String.fromString(s), StringType), n)
+      val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      val scps = s.codePoints().toArray
+      val expected =
+        if (scps.length < n) Seq.empty
+        else (0 to scps.length - n).map(i =>
+          new String(scps, i, n))
+      assert(got === expected, s"s=$s n=$n")
+    }
+  }
 }

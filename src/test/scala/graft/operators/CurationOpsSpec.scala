@@ -1363,29 +1363,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === mirror, "engine diverges from the C-T mirror")
   }
 
-  test("langid confusion: cells equal a rollup of the per-doc router " +
-    "output; row shares sum to 1 per label") {
+  test("langid confusion: cells equal a per-split rollup of the per-doc " +
+    "router output; the holdout matrix excludes every training doc; row " +
+    "shares sum to 1 per (split, label)") {
     val pred = TextAnalysis.langIdNgram(spark, Sf).collect()
-      .map(r => (r.getString(1), r.getString(3)))
-    val cells = pred.groupBy(identity).map { case ((l, p), xs) =>
-      (l, p) -> xs.length.toLong }
-    val labelTot = pred.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
-    val predTot = pred.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+      .map(r => (if (r.getLong(0) % 5 == 0) "holdout" else "train",
+        r.getString(1), r.getString(3)))
+    val cells = pred.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong }
+    val labelTot = pred.groupBy(t => (t._1, t._2))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val predTot = pred.groupBy(t => (t._1, t._3))
+      .map { case (k, xs) => k -> xs.length.toLong }
     def r6(d: Double) = BigDecimal(d)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val got = TextAnalysis.langIdConfusion(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
     assert(got.keySet === cells.keySet)
-    got.foreach { case ((l, p), (n, shl, shp)) =>
-      assert(n === cells((l, p)), s"($l,$p) count")
-      assert(shl === r6(n.toDouble / labelTot(l)), s"($l,$p) label share")
-      assert(shp === r6(n.toDouble / predTot(p)), s"($l,$p) pred share")
+    got.foreach { case ((sp, l, p), (n, shl, shp)) =>
+      assert(n === cells((sp, l, p)), s"($sp,$l,$p) count")
+      assert(shl === r6(n.toDouble / labelTot((sp, l))), s"($sp,$l,$p) label share")
+      assert(shp === r6(n.toDouble / predTot((sp, p))), s"($sp,$l,$p) pred share")
     }
-    // every label's row shares cover its mass (sum to 1 within rounding)
-    got.keys.toSeq.groupBy(_._1).foreach { case (l, ks) =>
-      val s = ks.map(k => got(k)._2).sum
-      assert(math.abs(s - 1.0) < 1e-4, s"label $l shares sum to $s")
+    // the gate matrix (holdout) must carry no fit-inflated training doc
+    val holdoutN = got.collect { case ((sp, _, _), (n, _, _)) if sp == "holdout" => n }.sum
+    assert(holdoutN === pred.count(_._1 == "holdout").toLong,
+      "holdout matrix must cover exactly the held-out docs")
+    assert(got.keys.exists(_._1 == "holdout") && got.keys.exists(_._1 == "train"),
+      "both splits must be present for the overfit-gap read")
+    // every (split, label)'s row shares cover its mass
+    got.keys.toSeq.groupBy(k => (k._1, k._2)).foreach { case (k, ks) =>
+      val s = ks.map(kk => got(kk)._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$k shares sum to $s")
     }
     assert(got.values.map(_._1).sum === pred.length.toLong,
       "confusion cells must cover every routed doc")

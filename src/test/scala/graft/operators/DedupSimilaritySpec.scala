@@ -1216,6 +1216,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("main minhash path: empty and whitespace-only docs produce no " +
+    "signature rows, no features, and no LSH pairs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mhempty").toString
+    val rows = Seq(
+      (1L, "", "en", "a", 0L), (2L, "   ", "en", "a", 3L),
+      (3L, "\t\n", "en", "b", 2L),
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "a", 35L),
+      (11L, "alpha beta gamma delta epsilon zeta", "en", "b", 35L),
+      (12L, "totally unrelated content here now", "en", "a", 34L))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // signatures view: the token-free docs (empty / space-only under the
+    // space-trim tokenizer contract) must not emit band rows — were they
+    // kept, all of them would share md5("") in every band. Doc 3
+    // ("\t\n") tokenizes to the singleton [""] under that contract
+    // (trim strips spaces only, twin-identical), so it IS kept — but a
+    // singleton unique token pairs with nothing.
+    val sigDocs = Dedup.minhashSignatures(spark, tmp)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(sigDocs === Set(3L, 10L, 11L, 12L),
+      "empty docs leaked into the banded-signature view")
+    // shared featurizer (batch pairs AND streaming near-dup both ride it)
+    val featDocs = Dedup.minhashDocFeatures(df.select($"doc_id", $"text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(featDocs === Set(3L, 10L, 11L, 12L),
+      "empty docs leaked into minhashDocFeatures")
+    // pair join: exactly the one genuine duplicate, zero empty-empty pairs
+    val pairs = Dedup.minhashLshPairs(spark, tmp)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 11L)),
+      "empty docs produced spurious LSH candidate pairs")
+  }
+
   test("ivf probe curve: every column equals a brute-force mirror; " +
     "candidates and recall are monotone in probe radius") {
     val vecs = Tables.embeddings(spark, Sf)

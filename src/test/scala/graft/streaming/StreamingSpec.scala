@@ -993,4 +993,33 @@ class StreamingSpec extends SparkSpec {
         "langid router must hold no state")
     } finally query.stop()
   }
+
+  test("langid router: an EMPTY trained model degrades to all-'und' " +
+    "abstention like the batch scorer, not a restart-time crash") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // training split that yields no profiles (no labeled rows at all)
+    val emptyModel = graft.operators.TextAnalysis
+      .langProfileOf(Tables.documents(spark, Sf).filter(lit(false)))
+    assert(emptyModel.isEmpty, "fixture: model must be empty")
+    val t0 = 1700000000000L
+    val docs = Seq(
+      Doc(1L, "the quick brown fox", new java.sql.Timestamp(t0)),
+      Doc(2L, "der schnelle fuchs", new java.sql.Timestamp(t0 + 1000)))
+    val stream = MemoryStream[Doc]
+    val query = Streams.langIdRouter(stream.toDS(), emptyModel)
+      .writeStream.format("memory").queryName("langid_empty_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("lid_empty"))
+      .start()
+    try {
+      stream.addData(docs); query.processAllAvailable()
+      val out = spark.table("langid_empty_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.isNullAt(3), r.isNullAt(4))))
+        .toMap
+      assert(out === Map(1L -> (("und", true, true)),
+        2L -> (("und", true, true))),
+        "empty model must route every doc to the abstention bucket")
+    } finally query.stop()
+  }
 }
