@@ -132,6 +132,7 @@ object Bench {
     "graph_closeness_sketch", // added r13: hyperball rounds + per-node telescoped sum
     "text_langid_ngram", // added r14: trained trigram rank profiles, broadcast-model scoring
     "text_vocab_coverage", // added r14: token-count exchange + bounded top-16k head
+    "text_bpe_merges", // added r15: one corpus token exchange + 32 type-table merge rounds
     "mm_meta_stats")
 
   /** Registered queries deliberately NOT in the headline bench, each
@@ -162,6 +163,7 @@ object Bench {
         "bounded aggregate")(
         "dedup_cluster_sizes", "dedup_survivors", "dedup_semantic_survivors",
         "dedup_rate_by_source", "text_langid_mix", "text_langid_confusion",
+        "text_bpe_compression",
         "sim_centroid_shift",
         "sim_pq_lloyd_shift", "sim_pq_lloyd_trajectory",
         "graph_pagerank_trajectory", "graph_degree_distribution",

@@ -1291,6 +1291,36 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  FROM tc ORDER BY n DESC, tok ASC LIMIT ${budgets.max})
          |$rows""".stripMargin
     },
+    "text_bpe_merges" ->
+      // twin of TextAnalysis.bpeMerges: k chained merge rounds. Round r:
+      // adjacent-pair counts over the MATERIALIZED word-type frame
+      // w{r-1}, argmax by (cnt desc, a asc, b asc), then the SAME
+      // three-replace greedy merge the Spark side applies (double
+      // spaces → replace " a  b " → collapse). An empty round (no pair
+      // >= minCount) no-ops via the chr(1) coalesce and emits no row —
+      // matching the trainer's early stop.
+      s"""WITH $bpeCtes
+         |${(1 to bpeK).map(r =>
+             s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
+             s"a || b AS merged, cnt AS pair_count FROM t$r")
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+    "text_bpe_compression" ->
+      // twin of TextAnalysis.bpeCompression: the same k-round chain,
+      // then symbol-occurrence totals before (w0) and after (w{k})
+      s"""WITH $bpeCtes
+         |SELECT
+         |  (SELECT count(*) FROM (${(1 to bpeK).map(r => s"SELECT a FROM t$r")
+             .mkString(" UNION ALL ")})) AS n_merges,
+         |  (SELECT count(*) FROM w0) AS n_word_types,
+         |  (SELECT CAST(sum(n) AS BIGINT) FROM w0) AS n_tokens,
+         |  (SELECT CAST(sum(n * len(string_split(trim(s), ' '))) AS BIGINT) FROM w0)
+         |    AS base_symbols,
+         |  (SELECT CAST(sum(n * len(string_split(trim(s), ' '))) AS BIGINT) FROM w$bpeK)
+         |    AS merged_symbols,
+         |  round(
+         |    (SELECT sum(n * len(string_split(trim(s), ' '))) FROM w$bpeK)::DOUBLE
+         |    / (SELECT sum(n * len(string_split(trim(s), ' '))) FROM w0), 6)
+         |    AS compression_ratio""".stripMargin,
     "text_tfidf_top_terms" ->
       s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
          |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM t),
@@ -2151,6 +2181,38 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |  FROM $docs doc
        |  LEFT JOIN (SELECT * FROM rankedl WHERE r = 1) b1 ON b1.doc_id = doc.doc_id
        |  LEFT JOIN (SELECT * FROM rankedl WHERE r = 2) b2 ON b2.doc_id = doc.doc_id)""".stripMargin
+
+  // def, not val: the query maps that reference this are vals that may
+  // initialize earlier in the class body (a val here would read as 0)
+  private def bpeK: Int = graft.operators.TextAnalysis.BpeK
+
+  /** Shared BPE trainer CTE chain — twin of TextAnalysis.bpeMergesFrom.
+    * w0 = the word-type frame (canonical space-fenced char-split symbol
+    * string + count); then per round r: p{r} adjacent-pair counts,
+    * t{r} the (cnt desc, a asc, b asc) argmax (MATERIALIZED, probed by
+    * both the merge application and the output union), w{r} the merged
+    * frame via the SAME double-space/replace/collapse greedy merge the
+    * Spark side applies. chr(1) coalesce makes an empty round a no-op. */
+  private def bpeCtes: String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(tok, '.'), ' ') || ' ' AS s,
+         |  count(*) AS n FROM (SELECT unnest(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM $docs) GROUP BY 1)""".stripMargin
+    val rounds = (1 to bpeK).map { r =>
+      s"""p$r AS (SELECT u.a AS a, u.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, unnest(list_transform(range(1, len(l)),
+         |      i -> struct_pack(a := l[i], b := l[i+1]))) AS u
+         |    FROM (SELECT n, string_split(trim(s), ' ') AS l FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |t$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r WHERE cnt >= 2
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT replace(replace(replace(s, ' ', '  '),
+         |    coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM t$r), chr(1)),
+         |    coalesce((SELECT ' ' || a || b || ' ' FROM t$r), chr(1))),
+         |  '  ', ' ') AS s, n FROM w${r - 1})""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
 
   /** 48-term SimHash sum, mirrored from Dedup.simhashCol. */
   private def simhashCte: String = {

@@ -381,6 +381,156 @@ object TextAnalysis {
     }.reduce(_ unionAll _)
   }
 
+  /** Number of BPE merge rounds the trainer runs (and the twin chains). */
+  private[graft] val BpeK = 32
+
+  /** Shared word-type frame for the BPE trainer: ONE corpus-scale
+    * exchange (token explode → groupBy(token) count) collapses the
+    * corpus to its TYPE table — bounded by Heaps' law, not corpus size —
+    * then every merge round works over types weighted by count. Each
+    * word is carried as its canonical symbol string: single characters
+    * joined and fenced by single spaces (" h e l l o "), the
+    * representation both the pair counting and the merge application
+    * read. Symbols never contain whitespace (the tokenizer splits on
+    * it), so the space-delimited form is unambiguous. */
+  private def bpeWordTypes(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower($"text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "),
+        concat_ws(" ", regexp_extract_all($"tok", lit("."), lit(0))),
+        lit(" ")).as("s"), $"n")
+
+  /** One BPE merge applied to a canonical symbol string — greedy
+    * left-to-right, non-overlapping, EXACTLY the classic algorithm —
+    * expressed as three literal `replace` scans shared verbatim with the
+    * DuckDB twin:
+    *  1. double every delimiter space, so each adjacent pair owns a
+    *     private "half" of each boundary gap (plain replace of " a b "
+    *     would consume the shared space and miss the next occurrence in
+    *     "a b a b");
+    *  2. replace " a  b " with " ab " — left-to-right non-overlapping is
+    *     precisely BPE's greedy merge order within a word;
+    *  3. collapse double spaces back to the canonical single-space form.
+    */
+  private def bpeApplyMerge(s: Column, a: String, b: String): Column = {
+    def rep(c: Column, find: String, repl: String): Column =
+      call_function("replace", c, lit(find), lit(repl))
+    rep(rep(rep(s, " ", "  "), s" $a  $b ", s" $a$b "), "  ", " ")
+  }
+
+  /** Adjacent symbol pairs of a word-type frame, weighted by type count:
+    * (a, b, cnt). Counts every adjacent occurrence (including
+    * overlapping, as BPE training does); one partial-agged exchange
+    * keyed on the pair. */
+  private def bpePairCounts(w: DataFrame): DataFrame =
+    w.select($"n", split(trim($"s"), " ").as("l"))
+      .filter(size($"l") >= 2)
+      .select($"n", explode(arrays_zip(
+        slice($"l", lit(1), size($"l") - 1).as("a"),
+        slice($"l", lit(2), size($"l") - 1).as("b"))).as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(sum($"n").as("cnt"))
+
+  /** DISTRIBUTED BPE MERGE TRAINER — the operator that turns the vocab
+    * pricing suite ([[vocabCoverage]] "is 4k or 16k enough",
+    * [[tokenFertility]] cost per source, [[zipfFit]] the head's power
+    * law) into an actual tokenizer decision: the learned merge table
+    * itself. Classic byte-pair encoding over word types: count adjacent
+    * symbol pairs weighted by word frequency, merge the most frequent
+    * pair, repeat — k rounds or until no pair reaches `minCount`.
+    * Output: (merge_rank, sym_a, sym_b, merged, pair_count), the merge
+    * list a tokenizer ships.
+    *
+    * Exactly twin-reproducible by the langid recipe: integer counts end
+    * to end, argmax tie-break (count desc, sym_a asc, sym_b asc) — a
+    * total order, so both engines pick the same merge every round — and
+    * the greedy merge application is three literal string replaces the
+    * twin chains verbatim (see [[bpeApplyMerge]]).
+    *
+    * Shape at 100 TB: the corpus is touched ONCE ([[bpeWordTypes]]'s
+    * token-count exchange — the same shape vocabCoverage already runs);
+    * every merge round after that is over the TYPE table (Heaps-bounded,
+    * ~|V| rows regardless of corpus size) — one pair-count partial agg +
+    * a TakeOrdered(1), with the chosen pair the only thing that ever
+    * reaches the driver (O(k) rows total, the k-means‖ driver-policy
+    * contract). Each round's type frame is eagerly checkpointed so round
+    * r never replays rounds 1..r-1's replaces (O(k) total work, not
+    * O(k²)). Caveat shared with the twin: characters are UTF-16 code
+    * units on Spark and code points in DuckDB — identical on the BMP;
+    * the corpus is ASCII (judge-verified at all sfs). */
+  def bpeMerges(s: SparkSession, dir: String,
+                k: Int = BpeK, minCount: Long = 2L): DataFrame =
+    bpeMergesFrom(Tables.documents(s, dir), k, minCount)._1
+
+  /** Core of [[bpeMerges]]: returns (merge table, final word-type frame)
+    * so [[bpeCompression]] can price the result without retraining. */
+  private[graft] def bpeMergesFrom(docs: DataFrame, k: Int, minCount: Long)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1, s"bpe: k must be >= 1, got $k")
+    require(minCount >= 1L, s"bpe: minCount must be >= 1, got $minCount")
+    val spark = docs.sparkSession
+    var w = bpeWordTypes(docs).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= k && !stop) {
+      // O(1) rows to the driver: the argmax pair of this round
+      val top = bpePairCounts(w)
+        .filter($"cnt" >= minCount)
+        .orderBy($"cnt".desc, $"a".asc, $"b".asc)
+        .limit(1).collect()
+      if (top.isEmpty) stop = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += ((r.toLong, a, b, a + b, top(0).getLong(2)))
+        w = w.select(bpeApplyMerge($"s", a, b).as("s"), $"n")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("sym_a", StringType, nullable = false),
+      StructField("sym_b", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    val rows = merges.toSeq.map { case (rk, a, b, m, c) =>
+      org.apache.spark.sql.Row(rk, a, b, m, c) }
+    (spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema),
+      w)
+  }
+
+  /** BPE COMPRESSION REPORT — the one-row pricing artifact next to the
+    * merge table: symbol occurrences before any merge (= corpus
+    * characters under the tokenizer), after all k merges, the
+    * compression ratio those merges buy, and the corpus scale they were
+    * fit on. This is the number a vocab-budget decision trades against
+    * [[vocabCoverage]]'s OOV curve. Cost: the trainer (above) + two
+    * single-row aggregates over type frames. */
+  def bpeCompression(s: SparkSession, dir: String,
+                     k: Int = BpeK, minCount: Long = 2L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (merges, wk) = bpeMergesFrom(docs, k, minCount)
+    val base = bpeWordTypes(docs)
+      .agg(sum($"n" * size(split(trim($"s"), " "))).as("base_symbols"),
+        sum($"n").as("n_tokens"), count(lit(1)).as("n_word_types"))
+    val fin = wk
+      .agg(sum($"n" * size(split(trim($"s"), " "))).as("merged_symbols"))
+    val nm = merges.agg(count(lit(1)).as("n_merges"))
+    base.crossJoin(fin).crossJoin(nm)
+      .select($"n_merges", $"n_word_types", $"n_tokens",
+        $"base_symbols", $"merged_symbols",
+        round($"merged_symbols".cast("double") / $"base_symbols", 6)
+          .as("compression_ratio"))
+  }
+
   /** TF-IDF top terms: the classic corpus-statistics operator — document
     * frequencies via one explode+groupBy, idf broadcast back onto the
     * per-doc term counts, top-3 terms per doc by tf-idf with

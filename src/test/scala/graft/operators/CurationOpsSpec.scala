@@ -1401,6 +1401,105 @@ class CurationOpsSpec extends SparkSpec {
       "confusion cells must cover every routed doc")
   }
 
+  // ---- BPE merge trainer mirror ---------------------------------------
+
+  /** Plain-Scala classic BPE: tokenize, type counts, then k rounds of
+    * (pair counts incl. overlapping occurrences, argmax by (cnt desc,
+    * a asc, b asc), greedy left-to-right non-overlapping merge). */
+  private def bpeMirror(texts: Seq[String], k: Int, minCount: Long)
+      : (Seq[(Long, String, String, String, Long)], Seq[(Vector[String], Long)]) = {
+    val pat = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    val wc = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach { t =>
+      val m = pat.matcher(t.toLowerCase)
+      while (m.find()) wc(m.group()) = wc.getOrElse(m.group(), 0L) + 1L
+    }
+    var types: Seq[(Vector[String], Long)] =
+      wc.toSeq.map { case (w, n) => w.map(_.toString).toVector -> n }
+    def applyMerge(v: Vector[String], a: String, b: String): Vector[String] = {
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { buf += (a + b); i += 2 }
+        else { buf += v(i); i += 1 }
+      }
+      buf.result()
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= k && !stop) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      types.foreach { case (v, n) =>
+        v.indices.dropRight(1).foreach { i =>
+          pairs((v(i), v(i + 1))) = pairs.getOrElse((v(i), v(i + 1)), 0L) + n
+        }
+      }
+      val top = pairs.toSeq.filter(_._2 >= minCount)
+        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      top match {
+        case None => stop = true
+        case Some(((a, b), c)) =>
+          out += ((r.toLong, a, b, a + b, c))
+          types = types.map { case (v, n) => applyMerge(v, a, b) -> n }
+          r += 1
+      }
+    }
+    (out.toSeq, types)
+  }
+
+  test("bpe merges: the canonical low/lower/lowest fixture learns the " +
+    "textbook merges and equals the plain-Scala mirror") {
+    import spark.implicits._
+    val texts = Seq(
+      "low low low low low lower lower lowest lowest newest newest",
+      "newest newest newest newest widest widest widest")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (mir, _) = bpeMirror(texts, 8, 2L)
+    val got = TextAnalysis.bpeMergesFrom(docs, 8, 2L)._1.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === mir, "engine merges diverge from the classic mirror")
+    // textbook behavior: 'est'/'low' family merges dominate
+    val merged = got.map(_._4)
+    assert(merged.exists(m => m.contains("es") || m.contains("st")),
+      s"expected an 'est'-family merge in $merged")
+    assert(merged.exists(_.contains("lo")), s"expected a 'low'-family merge in $merged")
+  }
+
+  test("bpe merges: sf fixture equals the mirror for all 32 rounds; " +
+    "selected pair counts are non-increasing; compression report matches") {
+    val texts = Tables.documents(spark, Sf).select("text").collect()
+      .map(_.getString(0)).filter(_ != null).toSeq
+    val (mir, finTypes) = bpeMirror(texts, TextAnalysis.BpeK, 2L)
+    val got = TextAnalysis.bpeMerges(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === mir, "engine merges diverge from the mirror at sf")
+    // the argmax count can never grow round over round: merging the top
+    // pair only shrinks other counts, and pairs it creates are bounded
+    // by its own count
+    got.map(_._5).sliding(2).foreach {
+      case Seq(prev, next) => assert(next <= prev,
+        s"pair counts must be non-increasing, got $prev -> $next")
+      case _ =>
+    }
+    // compression report vs the mirror's final types
+    val rep = TextAnalysis.bpeCompression(spark, Sf).collect()(0)
+    val baseSyms = bpeMirror(texts, 1, Long.MaxValue)._2
+      .map { case (v, n) => v.length * n }.sum
+    val finSyms = finTypes.map { case (v, n) => v.length * n }.sum
+    assert(rep.getLong(0) === mir.length.toLong, "n_merges")
+    assert(rep.getLong(3) === baseSyms, "base_symbols")
+    assert(rep.getLong(4) === finSyms, "merged_symbols")
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rep.getDouble(5) === r6(finSyms.toDouble / baseSyms))
+  }
+
   test("vocab coverage: every column equals a brute-force token-count " +
     "mirror; coverage monotone in budget, oov its complement") {
     val texts = Tables.documents(spark, Sf).select("text").collect()
