@@ -133,6 +133,7 @@ object Bench {
     "text_langid_ngram", // added r14: trained trigram rank profiles, broadcast-model scoring
     "text_vocab_coverage", // added r14: token-count exchange + bounded top-16k head
     "text_bpe_merges", // added r15: one corpus token exchange + 32 type-table merge rounds
+    "text_source_nb", // added r15: integer micro-nat NB, broadcast model scoring
     "mm_meta_stats")
 
   /** Registered queries deliberately NOT in the headline bench, each
@@ -163,7 +164,7 @@ object Bench {
         "bounded aggregate")(
         "dedup_cluster_sizes", "dedup_survivors", "dedup_semantic_survivors",
         "dedup_rate_by_source", "text_langid_mix", "text_langid_confusion",
-        "text_bpe_compression",
+        "text_bpe_compression", "text_source_nb_confusion",
         "sim_centroid_shift",
         "sim_pq_lloyd_shift", "sim_pq_lloyd_trajectory",
         "graph_pagerank_trajectory", "graph_degree_distribution",

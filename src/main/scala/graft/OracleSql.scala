@@ -1291,6 +1291,26 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  FROM tc ORDER BY n DESC, tok ASC LIMIT ${budgets.max})
          |$rows""".stripMargin
     },
+    "text_source_nb" ->
+      // twin of TextAnalysis.sourceNb: the integer micro-nat NB chain —
+      // model and scores are exact integers, so the argmax and margins
+      // agree bit-for-bit
+      s"""WITH $nbCtes
+         |SELECT doc_id, source_label, split, source_pred,
+         |  best_score_micro, margin_micro
+         |FROM nbpred""".stripMargin,
+    "text_source_nb_confusion" ->
+      // twin of TextAnalysis.sourceNbConfusion: nbpred rolled to
+      // per-(split, label, pred) cells with within-split shares
+      s"""WITH $nbCtes
+         |SELECT split, source_label, source_pred, n_docs,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    / sum(n_docs) OVER (PARTITION BY split, source_label), 6) AS share_of_label,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    / sum(n_docs) OVER (PARTITION BY split, source_pred), 6) AS share_of_pred
+         |FROM (SELECT split, source_label, source_pred,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM nbpred GROUP BY 1, 2, 3)""".stripMargin,
     "text_bpe_merges" ->
       // twin of TextAnalysis.bpeMerges: k chained merge rounds. Round r:
       // adjacent-pair counts over the MATERIALIZED word-type frame
@@ -2213,6 +2233,50 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     }
     (w0 +: rounds).mkString(",\n")
   }
+
+  /** Shared Naive-Bayes CTE chain — twin of TextAnalysis.sourceNbFrom.
+    * The model quantizes each log-likelihood ONCE to integer micro-nats
+    * (round(1e6·(ln(ntc+1) − ln(ncl+V)))), so every per-doc score is an
+    * exact, order-independent integer sum on both engines; `nbpred`
+    * ends the chain with one row per document. */
+  private def nbCtes: String = {
+    val tokRe = "'[a-z]+|[0-9]+|[^a-z0-9\\s]'"
+    s"""nbtrn AS (SELECT doc_id, source, text FROM $docs WHERE doc_id % 5 <> 0),
+       |nbtt AS (SELECT source, unnest(regexp_extract_all(lower(text), $tokRe)) AS tok FROM nbtrn),
+       |nbvoc AS MATERIALIZED (SELECT tok FROM (
+       |    SELECT tok, count(*) AS vn FROM nbtt GROUP BY 1)
+       |  ORDER BY vn DESC, tok ASC LIMIT $nbVocabK),
+       |nbvs AS (SELECT count(*) AS v FROM nbvoc),
+       |nbpri AS (SELECT source AS cls, count(*) AS ndc FROM nbtrn GROUP BY 1),
+       |nbn AS (SELECT CAST(sum(ndc) AS BIGINT) AS n_train FROM nbpri),
+       |nbntc AS MATERIALIZED (SELECT source AS cls, tok, count(*) AS ntc
+       |  FROM nbtt JOIN nbvoc USING (tok) GROUP BY 1, 2),
+       |nbncl AS (SELECT cls, CAST(sum(ntc) AS BIGINT) AS ncl FROM nbntc GROUP BY 1),
+       |nbdtc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), $tokRe)) AS tok FROM $docs)
+       |  JOIN nbvoc USING (tok) GROUP BY 1, 2),
+       |nbts AS (SELECT d.doc_id, m.cls,
+       |    CAST(sum(d.cnt * CAST(round((ln(coalesce(t.ntc, 0) + 1)
+       |      - ln(m.ncl + vs.v)) * 1000000, 0) AS BIGINT)) AS BIGINT) AS ts
+       |  FROM nbdtc d CROSS JOIN nbncl m CROSS JOIN nbvs vs
+       |  LEFT JOIN nbntc t ON t.cls = m.cls AND t.tok = d.tok
+       |  GROUP BY 1, 2),
+       |nbsc AS (SELECT doc.doc_id, doc.source AS source_label, p.cls,
+       |    CAST(round((ln(p.ndc::DOUBLE) - ln(n.n_train::DOUBLE)) * 1000000, 0) AS BIGINT)
+       |      + coalesce(t.ts, 0) AS score_micro
+       |  FROM $docs doc CROSS JOIN nbpri p CROSS JOIN nbn n
+       |  LEFT JOIN nbts t ON t.doc_id = doc.doc_id AND t.cls = p.cls),
+       |nbrk AS (SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score_micro DESC, cls ASC) AS r FROM nbsc),
+       |nbpred AS (SELECT b1.doc_id, b1.source_label,
+       |    CASE WHEN b1.doc_id % 5 = 0 THEN 'holdout' ELSE 'train' END AS split,
+       |    b1.cls AS source_pred, b1.score_micro AS best_score_micro,
+       |    b1.score_micro - b2.score_micro AS margin_micro
+       |  FROM (SELECT * FROM nbrk WHERE r = 1) b1
+       |  LEFT JOIN (SELECT * FROM nbrk WHERE r = 2) b2 ON b2.doc_id = b1.doc_id)""".stripMargin
+  }
+
+  private def nbVocabK: Int = graft.operators.TextAnalysis.NbVocabK
 
   /** 48-term SimHash sum, mirrored from Dedup.simhashCol. */
   private def simhashCte: String = {

@@ -507,6 +507,126 @@ object TextAnalysis {
       w)
   }
 
+  /** NB vocabulary budget: global top-K train-split tokens by
+    * (count desc, token asc) — a total order, so the cut is
+    * deterministic on both engines. */
+  private[graft] val NbVocabK = 2048
+
+  /** TRAINED SOURCE/QUALITY CLASSIFIER — multinomial Naive Bayes over
+    * integer token counts, the trained-classifier head the curation
+    * suite's heuristic gates (Gopher rules, CCNet buckets, DSIR weights)
+    * feed into in a real pipeline. This instance predicts `source` (the
+    * provenance-contamination question: "does this doc look like where
+    * it claims to come from?"); the same head distills any label column
+    * — e.g. gopherRules' pass bit — into a cheap scorer.
+    *
+    * Training (doc_id % 5 != 0, the langid split): the MODEL is exact
+    * integers end to end — class doc counts (prior), per-(class, token)
+    * counts over the top-[[NbVocabK]] train vocabulary, per-class token
+    * totals, and the vocab size V for +1 Laplace smoothing. Each model
+    * entry's log-likelihood is QUANTIZED ONCE to integer micro-nats:
+    * w(t,c) = round(10⁶·(ln(n_tc+1) − ln(n_c+V))), prior_µ(c) =
+    * round(10⁶·(ln n_docs_c − ln N)). From there scoring is exact
+    * integer arithmetic — score_µ(c,d) = prior_µ(c) + Σ_t cnt_dt·w(t,c)
+    * — so the per-doc sum is ORDER-INDEPENDENT (a raw double sum would
+    * differ across engines/partitionings in the last ULPs and round-6
+    * could straddle a boundary at this magnitude; integer sums cannot),
+    * and the argmax tie-break (score desc, class asc) is exact. The ln
+    * inputs are exact integers, so both engines quantize the same
+    * double (the zipf/PMI/KL libm precedent); ±0.5 µnat per term is
+    * noise against class gaps. Out-of-vocab tokens are ignored
+    * (deterministic); a doc with no in-vocab tokens scores prior-only
+    * on every class.
+    *
+    * Shape at 100 TB: the model aggregates are bounded by |classes| ×
+    * V, NOT corpus size — partial agg collapses the (class, token)
+    * exchange, and the model broadcasts to the scoring join. Document
+    * side: one (doc_id, token) count exchange, a broadcast fan-out of
+    * ≤ |classes| per token row, one (doc_id, class) partial-agged sum,
+    * and a bounded per-doc argmax (≤ |classes| structs) — the langid
+    * scoring shape exactly; nothing joins doc-to-doc. */
+  def sourceNb(s: SparkSession, dir: String): DataFrame =
+    sourceNbFrom(Tables.documents(s, dir))
+
+  /** Core of [[sourceNb]] over any (doc_id, text, source) frame. */
+  private[graft] def sourceNbFrom(docs: DataFrame): DataFrame = {
+    def nbToks(c: Column): Column =
+      regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val trainToks = train.select($"source", explode(nbToks($"text")).as("tok"))
+    // vocabulary: the train split's global head (the model must not see
+    // holdout tokens)
+    val vocab = trainToks.groupBy($"tok").agg(count(lit(1)).as("vn"))
+      .orderBy($"vn".desc, $"tok".asc).limit(NbVocabK)
+      .select($"tok").localCheckpoint(true)
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    // exact-integer model: priors, per-(class, token) counts, class totals
+    val priors = train.groupBy($"source".as("cls"))
+      .agg(count(lit(1)).as("ndc")).localCheckpoint(true)
+    val nTrain = priors.agg(sum($"ndc").as("n_train"))
+    val ntc = trainToks.join(broadcast(vocab), "tok")
+      .groupBy($"source".as("cls"), $"tok").agg(count(lit(1)).as("ntc"))
+      .localCheckpoint(true)
+    val ncl = ntc.groupBy($"cls").agg(sum($"ntc").as("ncl"))
+    // per-doc in-vocab token counts: ONE doc-keyed exchange
+    val dtc = docs.select($"doc_id", explode(nbToks($"text")).as("tok"))
+      .join(broadcast(vocab), "tok")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+    // token contribution per (doc, class): broadcast-model fan-out of
+    // integer micro-nat weights — the per-doc sum is exact
+    val model = ncl.crossJoin(broadcast(vsize)) // (cls, ncl, v)
+    val perClassTok = dtc
+      .crossJoin(broadcast(model))
+      .join(broadcast(ntc), Seq("cls", "tok"), "left")
+      .groupBy($"doc_id", $"cls")
+      .agg(sum($"cnt" *
+        round((log(coalesce($"ntc", lit(0L)) + lit(1L)) - log($"ncl" + $"v"))
+          * lit(1e6), 0).cast("long"))
+        .as("ts"))
+    // completion: every (doc, class) pair gets prior + token sum —
+    // docs with no in-vocab tokens still score prior-only
+    val scored = docs.select($"doc_id", $"source".as("source_label"))
+      .crossJoin(broadcast(priors.crossJoin(nTrain)))
+      .join(perClassTok.withColumnRenamed("cls", "cls_t")
+          .withColumnRenamed("doc_id", "doc_id_t"),
+        $"doc_id" === $"doc_id_t" && $"cls" === $"cls_t", "left")
+      .select($"doc_id", $"source_label", $"cls",
+        (round((log($"ndc".cast("double")) - log($"n_train".cast("double")))
+          * lit(1e6), 0).cast("long") +
+          coalesce($"ts", lit(0L))).as("score_micro"))
+    // bounded argmax: ≤ |classes| structs per doc; (-score asc, cls asc)
+    // == (score desc, cls asc), exact over integers
+    scored
+      .groupBy($"doc_id", $"source_label")
+      .agg(sort_array(collect_list(struct((-$"score_micro").as("ns"), $"cls")))
+        .as("sc"))
+      .select($"doc_id", $"source_label",
+        when($"doc_id" % 5 === 0, "holdout").otherwise("train").as("split"),
+        element_at($"sc", 1)("cls").as("source_pred"),
+        (-element_at($"sc", 1)("ns")).as("best_score_micro"),
+        (try_element_at($"sc", lit(2))("ns") -
+          element_at($"sc", 1)("ns")).as("margin_micro"))
+  }
+
+  /** CONFUSION AUDIT of the trained source classifier — the
+    * [[langIdConfusion]] shape on [[sourceNb]]'s predictions: per
+    * (split, label, prediction) cell with within-split row/column
+    * shares. The holdout matrix is the gate; the train−holdout diagonal
+    * gap prices overfit. */
+  def sourceNbConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sourceNb(s, dir)
+      .groupBy($"split", $"source_label", $"source_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .select($"split", $"source_label", $"source_pred", $"n_docs",
+        round($"n_docs".cast("double") /
+          sum($"n_docs").over(Window.partitionBy($"split", $"source_label")), 6)
+          .as("share_of_label"),
+        round($"n_docs".cast("double") /
+          sum($"n_docs").over(Window.partitionBy($"split", $"source_pred")), 6)
+          .as("share_of_pred"))
+  }
+
   /** BPE COMPRESSION REPORT — the one-row pricing artifact next to the
     * merge table: symbol occurrences before any merge (= corpus
     * characters under the tokenizer), after all k merges, the

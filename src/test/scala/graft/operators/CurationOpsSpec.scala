@@ -1500,6 +1500,102 @@ class CurationOpsSpec extends SparkSpec {
     assert(rep.getDouble(5) === r6(finSyms.toDouble / baseSyms))
   }
 
+  // ---- trained source NB mirror ----------------------------------------
+
+  /** Plain-Scala mirror of TextAnalysis.sourceNbFrom: integer micro-nat
+    * multinomial NB, identical vocab cut / smoothing / quantization /
+    * tie-breaks. */
+  private def nbMirror(rows: Seq[(Long, String, String)])
+      : Map[Long, (String, String, String, Long, Option[Long])] = {
+    val pat = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    def toks(t: String): Seq[String] = {
+      val m = pat.matcher(t.toLowerCase)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    def micro(d: Double): Long = BigDecimal(d * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val train = rows.filter(_._1 % 5 != 0)
+    val trainToks = train.flatMap { case (_, t, s) => toks(t).map(s -> _) }
+    val vocab = trainToks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (tok, n) => (-n, tok) }.take(TextAnalysis.NbVocabK)
+      .map(_._1).toSet
+    val v = vocab.size.toLong
+    val priors = train.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nTrain = train.size.toLong
+    val ntc = trainToks.filter(p => vocab(p._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val ncl = ntc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val classes = priors.keys.toSeq.sorted
+    rows.map { case (id, t, label) =>
+      val cnts = toks(t).filter(vocab).groupBy(identity)
+        .view.mapValues(_.size.toLong).toSeq
+      val scores = classes.map { c =>
+        val prior = micro(math.log(priors(c).toDouble) - math.log(nTrain.toDouble))
+        val ts = cnts.map { case (tok, cnt) =>
+          cnt * micro(math.log(ntc.getOrElse((c, tok), 0L).toDouble + 1.0) -
+            math.log((ncl(c) + v).toDouble))
+        }.sum
+        (prior + ts, c)
+      }.sortBy { case (s, c) => (-s, c) }
+      val split = if (id % 5 == 0) "holdout" else "train"
+      id -> ((label, split, scores.head._2, scores.head._1,
+        scores.lift(1).map(x => scores.head._1 - x._1)))
+    }.toMap
+  }
+
+  test("source nb: a separable two-source fixture routes every holdout " +
+    "doc to its source; output equals the integer micro-nat mirror") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "uno dos tres cuatro cinco seis siete ocho"
+    val rows = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, s"$a token${i % 3}", "srcA")
+      else (i, s"$b token${i % 3}", "srcB")
+    }
+    val docs = rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.sourceNbFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(got === nbMirror(rows), "engine diverges from the NB mirror")
+    // semantic claim: with genuinely disjoint vocabularies the trained
+    // head routes every HELD-OUT doc to its true source
+    rows.filter(_._1 % 5 == 0).foreach { case (id, _, label) =>
+      assert(got(id)._3 === label, s"holdout doc $id misrouted: ${got(id)}")
+      assert(got(id)._5.exists(_ > 0L), s"doc $id: margin must be positive")
+    }
+  }
+
+  test("source nb: sf fixture equals the mirror per doc; confusion cells " +
+    "equal a per-split rollup with within-split shares") {
+    val rows = Tables.documents(spark, Sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val mir = nbMirror(rows)
+    val got = TextAnalysis.sourceNb(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(got === mir, "engine diverges from the NB mirror at sf")
+    // confusion audit equals the rollup of the per-doc frame
+    val pred = got.values.toSeq.map(x => (x._2, x._1, x._3))
+    val cells = pred.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val labelTot = pred.groupBy(p => (p._1, p._2)).view.mapValues(_.size.toLong).toMap
+    val predTot = pred.groupBy(p => (p._1, p._3)).view.mapValues(_.size.toLong).toMap
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val conf = TextAnalysis.sourceNbConfusion(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(conf.keySet === cells.keySet)
+    conf.foreach { case ((sp, l, p), (n, shl, shp)) =>
+      assert(n === cells((sp, l, p)))
+      assert(shl === r6(n.toDouble / labelTot((sp, l))))
+      assert(shp === r6(n.toDouble / predTot((sp, p))))
+    }
+  }
+
   test("vocab coverage: every column equals a brute-force token-count " +
     "mirror; coverage monotone in budget, oov its complement") {
     val texts = Tables.documents(spark, Sf).select("text").collect()
