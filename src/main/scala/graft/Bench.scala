@@ -89,6 +89,7 @@ object Bench {
     "text_lexical_diversity", // added r11: two doc-keyed count exchanges
     "events_markov_stationary", // added r11: transition window + tiny matrix loop
     "sim_knn_descent", // added r12: 3 NN-descent rounds — the sub-quadratic kNN build
+    "sim_knn_descent_sq8", // added r15: descent rounds over 64-B SQ8 codes, exact rescore of survivors
     "dedup_lsh_append", // added r12: batch-incremental LSH maintenance (new-vs-all only)
     "dedup_editdist_passjoin", // added r12: PassJoin segment-blocked entity resolution
     "sim_hubness_descent", // added r12: in-degree histogram over the NN-descent graph

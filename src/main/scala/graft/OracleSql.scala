@@ -82,7 +82,27 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     * 5); assumes an `e(vec_id, v)` CTE in scope, the final graph CTE is
     * g3. Shared by the sim_knn_descent twin (k=5) and the descent-graph
     * ANN twin (k=8) so the two cannot drift. */
-  private def knnDescentChain(k: Int): String = {
+  private def knnDescentChain(k: Int, sq8: Boolean = false): String = {
+    // the frame scoring joins read: raw vectors, or (sq8 variant) the
+    // SQ8-decoded grid points — the oracle needs no code column, the
+    // decoded vector is a pure function of v and the grid
+    val sv = if (sq8) "kdec" else "e"
+    val gridCtes =
+      s"""ksp AS (SELECT vec_id, g.i, v[g.i+1] AS comp
+         |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS i) g),
+         |ksst AS (SELECT i, min(comp) AS mn,
+         |  (max(comp) - min(comp)) / CAST(255.0 AS DOUBLE) AS sc
+         |  FROM ksp GROUP BY i),
+         |kstl AS (SELECT list(mn ORDER BY i) AS mnl, list(sc ORDER BY i) AS scl
+         |  FROM ksst),
+         |kdec AS MATERIALIZED (SELECT vec_id, list_transform(range(64), i ->
+         |    CASE WHEN scl[i+1] = 0 THEN mnl[i+1]
+         |         ELSE mnl[i+1] + least(CAST(255.0 AS DOUBLE),
+         |           greatest(CAST(0.0 AS DOUBLE),
+         |             floor((v[i+1] - mnl[i+1]) / scl[i+1] + CAST(0.5 AS DOUBLE))))
+         |           * scl[i+1] END) AS v
+         |  FROM e CROSS JOIN kstl),
+         |""".stripMargin
     def topk(src: String) =
       s"""SELECT src_id, nbr_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src_id
@@ -103,10 +123,10 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  WHERE a.va <> b.ua)),
          |s$i AS (SELECT c.src_id, c.nbr_id,
          |  round(${cosSql("ev.v", "ew.v")}, 4) AS cos_sim
-         |  FROM cand$i c JOIN e ev ON ev.vec_id = c.src_id
-         |  JOIN e ew ON ew.vec_id = c.nbr_id),
+         |  FROM cand$i c JOIN $sv ev ON ev.vec_id = c.src_id
+         |  JOIN $sv ew ON ew.vec_id = c.nbr_id),
          |g$i AS (${topk(s"s$i")})""".stripMargin
-    s"""nbk AS (SELECT GREATEST(16, CAST(ceil(count(*) / 128.0) AS BIGINT)) AS nb
+    s"""${if (sq8) gridCtes else ""}nbk AS (SELECT GREATEST(16, CAST(ceil(count(*) / 128.0) AS BIGINT)) AS nb
        |  FROM e),
        |b AS (SELECT vec_id, unnest([
        |  ${h60("concat(CAST(vec_id AS VARCHAR), '#0')")} % (SELECT nb FROM nbk),
@@ -117,8 +137,8 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id <> b2.vec_id),
        |s0 AS (SELECT c0.src_id, c0.nbr_id,
        |  round(${cosSql("ev.v", "ew.v")}, 4) AS cos_sim
-       |  FROM c0 JOIN e ev ON ev.vec_id = c0.src_id
-       |  JOIN e ew ON ew.vec_id = c0.nbr_id),
+       |  FROM c0 JOIN $sv ev ON ev.vec_id = c0.src_id
+       |  JOIN $sv ew ON ew.vec_id = c0.nbr_id),
        |g0 AS (${topk("s0")}),
        |${iterCtes("g0", 1)},
        |${iterCtes("g1", 2)},
@@ -3384,6 +3404,18 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
          |${knnDescentChain(5)}
          |SELECT src_id, nbr_id, cos_sim FROM g3""".stripMargin,
+    "sim_knn_descent_sq8" ->
+      // twin of Similarity.knnDescentSq8: the same descent chain with
+      // rounds scored over SQ8-DECODED grid points (the oracle decodes
+      // straight from v — the code column is an engine-side width
+      // optimization, not a semantic), then the final graph's surviving
+      // pairs exact-rescored from the raw vectors
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |${knnDescentChain(5, sq8 = true)}
+         |SELECT g.src_id, g.nbr_id, g.cos_sim AS cos_sim_sq8,
+         |  round(${cosSql("ev.v", "ew.v")}, 4) AS cos_sim
+         |FROM g3 g JOIN e ev ON ev.vec_id = g.src_id
+         |JOIN e ew ON ew.vec_id = g.nbr_id""".stripMargin,
     "sim_graph_ann_descent" ->
       // twin of Similarity.graphAnnDescentTopK (nQ=5, k=10, beam=16,
       // hops=4, entryMod=16, knnK=8, maxEntries=64): the NN-descent

@@ -149,6 +149,91 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused SQ8-decode + cosine kernel over two `array<tinyint>` code
+  * columns: ONE whole-stage-codegen loop decodes both sides against the
+  * broadcast-in-plan affine grid (v = mn[i] + (c+128)·sc[i] — codes are
+  * stored −128-shifted to fit tinyint) and accumulates x·y, x·x, y·y in
+  * [[CosineSimExpr]]'s exact order, so the result is bit-identical to
+  * graft_cosine over the separately-decoded vectors (and to the DuckDB
+  * twin's decode-then-cosSql). Exists because the HOF formulation
+  * (`transform` decode feeding CosineSimExpr) materializes two fresh
+  * 64-double arrays per candidate row and falls out of whole-stage
+  * codegen — measured 4-5× slower end to end on the descent rounds.
+  * Grid arrays ride as IndexedSeq fields (structural equality) exposed
+  * to codegen via reference objects; plan strings carry a summary, not
+  * 128 doubles.
+  */
+case class Sq8CosineExpr(left: Expression, right: Expression,
+    mnl: IndexedSeq[Double], scl: IndexedSeq[Double])
+  extends BinaryExpression {
+
+  require(mnl.nonEmpty && mnl.length == scl.length,
+    "sq8 cosine: grid mins and scales must align")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<tinyint> code inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_sq8_cosine"
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(left, right, s"grid(${mnl.length} dims)")
+  override def flatArguments: Iterator[Any] =
+    Iterator(left, right, s"grid(${mnl.length} dims)")
+
+  @transient private lazy val mnA: Array[Double] = mnl.toArray
+  @transient private lazy val scA: Array[Double] = scl.toArray
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(math.min(x.numElements(), y.numElements()), mnA.length)
+    var xy = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = mnA(i) + (x.getByte(i) + 128.0) * scA(i)
+      val yv = mnA(i) + (y.getByte(i) + 128.0) * scA(i)
+      xy += xv * yv; xx += xv * xv; yy += yv * yv
+      i += 1
+    }
+    xy / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("sq8mn", mnA, "double[]")
+    val scRef = ctx.addReferenceObj("sq8sc", scA, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val xy = ctx.freshName("xy"); val xx = ctx.freshName("xx"); val yy = ctx.freshName("yy")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min(
+         |  java.lang.Math.min($a.numElements(), $b.numElements()), $mnRef.length);
+         |double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $mnRef[$i] + ($a.getByte($i) + 128.0) * $scRef[$i];
+         |  double $yv = $mnRef[$i] + ($b.getByte($i) + 128.0) * $scRef[$i];
+         |  $xy += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+         |}
+         |${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8CosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen set-Jaccard over two SORTED, DISTINCT `array<long>` columns:
   * a single merge loop counts the intersection, then
   * |A∩B| / (|A| + |B| - |A∩B|). No per-row hash-set allocation (the

@@ -2225,10 +2225,27 @@ object Similarity {
   /** Core of [[knnDescent]] over any (vec_id, v) frame. */
   def knnDescentFrom(e0: DataFrame, k: Int, iters: Int,
                      nInitBuckets: Int, revCap: Int): DataFrame = {
+    val e = e0.localCheckpoint(true)
+    def score(cand: DataFrame): DataFrame =
+      cand
+        .join(e.select($"vec_id".as("src_id"), $"v".as("src_v")), "src_id")
+        .join(e.select($"vec_id".as("nbr_id"), $"v".as("nbr_v")), "nbr_id")
+        .select($"src_id", $"nbr_id",
+          round(cosine($"src_v", $"nbr_v"), 4).as("cos_sim"))
+    knnDescentCore(e, k, iters, nInitBuckets, revCap, score)
+  }
+
+  /** Shared NN-descent skeleton: deterministic two-seeded bucket init,
+    * `iters` rounds of (reverse cap → sym ∪ sym∘sym candidates → score
+    * → bounded top-k heap), scorer pluggable so the exact-cosine and
+    * SQ8-coded variants share one body (identical init, candidates,
+    * tie-breaks). */
+  private def knnDescentCore(e: DataFrame, k: Int, iters: Int,
+                             nInitBuckets: Int, revCap: Int,
+                             score: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(k >= 1 && iters >= 1 && iters <= 4 && nInitBuckets >= 2 && revCap >= 1,
       s"need k >= 1, iters in [1,4], nInitBuckets >= 2, revCap >= 1")
-    val e = e0.localCheckpoint(true)
     def topkOf(scored: DataFrame): DataFrame = {
       val topk = Bridge.column(
         graft.functions.TopKAgg(
@@ -2239,12 +2256,6 @@ object Similarity {
         .select($"src_id", explode($"tk").as("t"))
         .select($"src_id", $"t.vec_id".as("nbr_id"), $"t.cos_sim".as("cos_sim"))
     }
-    def score(cand: DataFrame): DataFrame =
-      cand
-        .join(e.select($"vec_id".as("src_id"), $"v".as("src_v")), "src_id")
-        .join(e.select($"vec_id".as("nbr_id"), $"v".as("nbr_v")), "nbr_id")
-        .select($"src_id", $"nbr_id",
-          round(cosine($"src_v", $"nbr_v"), 4).as("cos_sim"))
     // nInitBuckets is a FLOOR: the actual bucket count grows with the
     // corpus (ceil(N/128) — ~128 vectors per bucket), a driver-side
     // policy off the already-checkpointed frame's count (the
@@ -2284,5 +2295,78 @@ object Similarity {
       g = topkOf(score(cand)).localCheckpoint(true)
     }
     g
+  }
+
+  /** SQ8-CODED NN-DESCENT — [[knnDescent]] with the round-14 scale
+    * hazard engineered out: the 100× rehearsal measured the exact
+    * descent at 110–134× base cost because every scoring join carried
+    * two 64-double arrays (~1 KB/candidate row) through the exchange,
+    * which starts spilling at scale — candidate COUNT stayed the
+    * designed O(N·(k+revCap)²); the WIDTH was the problem. Here the
+    * rounds move 64-byte SQ8 codes instead (the [[sq8TopK]] per-dim
+    * affine grid, one broadcast row): candidates join against a
+    * (vec_id, array<tinyint>) frame ~6× narrower, decode happens
+    * post-join in the codegen projection, and ONLY the final graph's
+    * surviving (src, nbr) pairs are exact-rescored against the raw
+    * vectors — O(N·k) full-width rows instead of O(N·(k+revCap)²) per
+    * round.
+    *
+    * Semantics: the descent ranks by round-4 cosine of DECODED grid
+    * points (deterministic on both engines — same IEEE ops, same
+    * (cos desc, id asc) tie-break), so the discovered graph is a pure
+    * function of the corpus; output carries the quantized score that
+    * chose each edge (`cos_sim_sq8`) AND the exact rescored cosine
+    * (`cos_sim`). SQ8's per-dimension grid sits far above the round-4
+    * quantization the exact variant already applies, so edge sets stay
+    * near-identical (priced in DedupSimilaritySpec). */
+  def knnDescentSq8(s: SparkSession, dir: String, k: Int = 5, iters: Int = 3,
+                    nInitBuckets: Int = 16, revCap: Int = 5): DataFrame =
+    knnDescentSq8From(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      k, iters, nInitBuckets, revCap)
+
+  /** Core of [[knnDescentSq8]] over any (vec_id, v) frame. */
+  def knnDescentSq8From(e0: DataFrame, k: Int, iters: Int,
+                        nInitBuckets: Int, revCap: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val e = e0.localCheckpoint(true)
+    // the grid is O(dims) doubles — a bounded driver-policy collect
+    // (the k-means‖ / langid-router contract), baked into the scoring
+    // kernel as plan constants
+    val gridRow = sq8Stats(e).collect()(0)
+    val mnl = gridRow.getSeq[Double](0).toIndexedSeq
+    val scl = gridRow.getSeq[Double](1).toIndexedSeq
+    // the narrow frame the descent rounds move: 64 int8 codes per
+    // vector (stored −128-shifted to fit tinyint), ~80 B vs ~520 B
+    val codes = e
+      .select($"vec_id", transform($"v", (x, i) => {
+        val mn = element_at(lit(mnl.toArray), i + 1)
+        val sc = element_at(lit(scl.toArray), i + 1)
+        (when(sc === 0.0, lit(0.0)).otherwise(
+          least(lit(255.0), greatest(lit(0.0),
+            floor((x - mn) / sc + lit(0.5)))))
+          - lit(128.0)).cast("byte")
+      }).as("code")).localCheckpoint(true)
+    // fused decode+cosine kernel: one codegen loop per candidate row,
+    // no intermediate decoded arrays — decode is mn + (c+128)·sc,
+    // identical doubles to sq8TopK's clamp-to-grid form (the clamp
+    // value IS c+128), so the twin's code-free decode matches ULP for
+    // ULP
+    def sq8cos(a: Column, b: Column): Column =
+      Bridge.column(graft.functions.Sq8CosineExpr(
+        Bridge.expression(a), Bridge.expression(b), mnl, scl))
+    def score(cand: DataFrame): DataFrame =
+      cand
+        .join(codes.select($"vec_id".as("src_id"), $"code".as("src_c")), "src_id")
+        .join(codes.select($"vec_id".as("nbr_id"), $"code".as("nbr_c")), "nbr_id")
+        .select($"src_id", $"nbr_id",
+          round(sq8cos($"src_c", $"nbr_c"), 4).as("cos_sim"))
+    val g = knnDescentCore(e, k, iters, nInitBuckets, revCap, score)
+    // exact rescore of the survivors only: O(N·k) full-width rows
+    g.join(e.select($"vec_id".as("src_id"), $"v".as("src_v")), "src_id")
+      .join(e.select($"vec_id".as("nbr_id"), $"v".as("nbr_v")), "nbr_id")
+      .select($"src_id", $"nbr_id", $"cos_sim".as("cos_sim_sq8"),
+        round(cosine($"src_v", $"nbr_v"), 4).as("cos_sim"))
   }
 }

@@ -171,6 +171,31 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Sq8CosineExpr equals CosineSimExpr over the separately-decoded " +
+    "vectors, bit for bit (random grids and codes, degenerate dims)") {
+    import org.apache.spark.sql.types.ByteType
+    val rnd = new Random(47)
+    for (_ <- 1 to Trials) {
+      val dims = 1 + rnd.nextInt(64)
+      val mnl = IndexedSeq.fill(dims)(rnd.nextDouble() * 4 - 2)
+      // include degenerate dimensions (scale 0 → decodes to the min)
+      val scl = IndexedSeq.fill(dims)(
+        if (rnd.nextInt(8) == 0) 0.0 else rnd.nextDouble() / 64)
+      def codes() = Array.fill(dims)((rnd.nextInt(256) - 128).toByte)
+      val ca = codes(); val cb = codes()
+      def decode(c: Array[Byte]): Seq[Double] =
+        c.indices.map(i => mnl(i) + (c(i) + 128.0) * scl(i))
+      val fused = Sq8CosineExpr(
+        Literal(new GenericArrayData(ca.map(x => x: Any)), ArrayType(ByteType)),
+        Literal(new GenericArrayData(cb.map(x => x: Any)), ArrayType(ByteType)),
+        mnl, scl).eval(null).asInstanceOf[Double]
+      val ref = CosineSimExpr(litD(decode(ca)), litD(decode(cb)))
+        .eval(null).asInstanceOf[Double]
+      assert(java.lang.Double.compare(fused, ref) === 0,
+        s"fused $fused != decode-then-cosine $ref (dims=$dims)")
+    }
+  }
+
   test("CharNgramsExpr n-grams are CODE-POINT windows on multi-byte " +
     "input (the O(m) byte-cursor walk matches a code-point mirror)") {
     val rnd = new Random(46)

@@ -110,6 +110,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"clustered-data recall@5 too low: $recall%.3f")
   }
 
+  test("sq8-coded nn-descent: same shape contract as the exact descent, " +
+    "near-identical edge set, exact rescored cosines, quantized score " +
+    "within SQ8 grid error of exact") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val k = 5
+    val n = e.count()
+    val sq8 = Similarity.knnDescentSq8From(e, k, iters = 3,
+      nInitBuckets = 16, revCap = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val exact = Similarity.knnDescentFrom(e, k, iters = 3,
+      nInitBuckets = 16, revCap = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // shape: k neighbors per node, no self-edges, no dups
+    val bySrc = sq8.groupBy(_._1)
+    assert(bySrc.size.toLong === n)
+    bySrc.foreach { case (src, ns) =>
+      assert(ns.length === k && !ns.exists(_._2 == src) &&
+        ns.map(_._2).distinct.length === k, s"shape violated at $src")
+    }
+    // cos_sim is the EXACT cosine of the surviving pair: recompute
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dd += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(d: Double) = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    sq8.foreach { case (s, nb, q, ex) =>
+      assert(ex === r4(cos(vecs(s), vecs(nb))), s"($s,$nb) exact rescore")
+      // SQ8's per-dim grid error is far under the similarity scale:
+      // the quantized score tracks the exact one closely
+      assert(math.abs(q - ex) < 0.05, s"($s,$nb) sq8 score drifted: $q vs $ex")
+    }
+    // the narrow-exchange variant discovers (near-)the same graph: SQ8
+    // grid noise can flip ties deep in a round, but overlap stays high
+    val exactEdges = exact.map(t => (t._1, t._2)).toSet
+    val overlap = sq8.count(t => exactEdges((t._1, t._2))).toDouble / exact.length
+    assert(overlap >= 0.9, f"edge overlap vs exact descent too low: $overlap%.3f")
+  }
+
   test("bucket centroids equal an independent BigDecimal reference, per component") {
     import spark.implicits._
     val e = Tables.embeddings(spark, Sf)
