@@ -513,6 +513,105 @@ case class SrpBandExpr(child: Expression, offset: Int, nBits: Int)
     copy(child = newChild)
 }
 
+/** Integer micro-nat Naive-Bayes scorer as ONE per-row kernel — the
+  * streaming half of [[graft.operators.TextAnalysis.sourceNb]], the
+  * same role [[LangIdScoreExpr]] plays for the langid batch operator.
+  * The trained model (ascending class list, per-class micro-nat priors,
+  * dense token → per-class micro-nat weight rows over the train
+  * vocabulary) rides in the plan; scoring is: lowercase, tokenize with
+  * the batch operator's exact regex, count IN-VOCAB tokens, then
+  * score(c) = prior_µ(c) + Σ cnt_t · w_µ(t,c) — exact integer
+  * arithmetic, so the argmax with (score desc, class asc strict-<)
+  * tie-break reproduces the batch join pipeline bit for bit (weights
+  * are quantized ONCE at model-build time, identically on both paths).
+  * A doc with no in-vocab tokens scores priors-only, like the batch
+  * completion join. CodegenFallback: per-row work is regex matching +
+  * a hash-count loop; one virtual call is noise against it.
+  */
+case class NbScoreExpr(child: Expression,
+    classes: IndexedSeq[String], priorsMicro: IndexedSeq[Long],
+    weights: Map[String, IndexedSeq[Long]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(classes.nonEmpty, "nb: empty class list")
+  require(classes.length == priorsMicro.length, "nb: priors misaligned")
+  require(classes == classes.sorted, "nb: classes must ascend (the tie-break order)")
+  require(weights.values.forall(_.length == classes.length),
+    "nb: weight rows misaligned with classes")
+
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("source_pred", StringType, nullable = false),
+    StructField("best_score_micro", LongType, nullable = false),
+    StructField("margin_micro", LongType, nullable = true)))
+
+  override def prettyName: String = "graft_nb_score"
+
+  // the model is V×C longs — summarize in plan strings, cache the hash
+  private def modelSummary: String =
+    s"model(${classes.length} classes, ${weights.size} vocab)"
+  override def stringArgs: Iterator[Any] = Iterator(child, modelSummary)
+  override def flatArguments: Iterator[Any] = Iterator(child, modelSummary)
+  override def toString: String = s"$prettyName($child, $modelSummary)"
+  override lazy val hashCode: Int =
+    scala.util.hashing.MurmurHash3.productHash(this)
+
+  @transient private lazy val tokenPattern =
+    java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+  @transient private lazy val weightIndex: java.util.HashMap[String, Array[Long]] = {
+    val hm = new java.util.HashMap[String, Array[Long]](weights.size * 2)
+    weights.foreach { case (t, ws) => hm.put(t, ws.toArray) }
+    hm
+  }
+  @transient private lazy val classNames: Array[UTF8String] =
+    classes.map(UTF8String.fromString).toArray
+  @transient private lazy val priorsA: Array[Long] = priorsMicro.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // UTF8String.toLowerCase = the lower() the batch path applies
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val scores = priorsA.clone()
+    val m = tokenPattern.matcher(s)
+    while (m.find()) {
+      val w = weightIndex.get(m.group())
+      if (w != null) {
+        var c = 0
+        while (c < scores.length) { scores(c) += w(c); c += 1 }
+      }
+    }
+    // argmax with strict >: classes ascend, so ties keep the lower class
+    var best = 0
+    var c = 1
+    while (c < scores.length) {
+      if (scores(c) > scores(best)) best = c
+      c += 1
+    }
+    var second = Long.MinValue
+    c = 0
+    while (c < scores.length) {
+      if (c != best && scores(c) > second) second = scores(c)
+      c += 1
+    }
+    val margin: Any =
+      if (scores.length > 1) java.lang.Long.valueOf(scores(best) - second)
+      else null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](classNames(best), java.lang.Long.valueOf(scores(best)), margin))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NbScoreExpr =
+    copy(child = newChild)
+}
+
 /** Shared O(m) code-point n-gram slicer. `substringSQL(j+1, n)` locates
   * its start by scanning from byte 0 for non-ASCII input, turning a
   * per-document gram loop into O(m²); here ONE forward pass records the

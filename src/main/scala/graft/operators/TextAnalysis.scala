@@ -608,6 +608,49 @@ object TextAnalysis {
           element_at($"sc", 1)("ns")).as("margin_micro"))
   }
 
+  /** Collected integer micro-nat NB model from a labeled train frame,
+    * for the streaming router ([[graft.streaming.Streams.nbRouter]]):
+    * (ascending classes, per-class prior_µ, dense token → per-class
+    * weight_µ rows over the train vocabulary). Bounded O(C + V·C)
+    * values — the model-rollout collect, the langid-router contract.
+    * Quantization mirrors the batch join pipeline EXACTLY:
+    * StrictMath.log (Spark's log() is StrictMath, bit-verified — it
+    * differs from Math.log by 1 ULP at e.g. x = 3.0) and
+    * BigDecimal HALF_UP at scale 0, Spark's round() semantics. */
+  private[graft] def sourceNbModelOf(train: DataFrame)
+      : (IndexedSeq[String], IndexedSeq[Long], Map[String, IndexedSeq[Long]]) = {
+    def nbToks(c: Column): Column =
+      regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    def micro(d: Double): Long = java.math.BigDecimal.valueOf(d * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def slog(d: Double): Double = java.lang.StrictMath.log(d)
+    val trainToks = train.select($"source", explode(nbToks($"text")).as("tok"))
+    val vocab = trainToks.groupBy($"tok").agg(count(lit(1)).as("vn"))
+      .orderBy($"vn".desc, $"tok".asc).limit(NbVocabK).select($"tok")
+      .localCheckpoint(true)
+    val vocabArr = vocab.collect().map(_.getString(0))
+    val v = vocabArr.length.toLong
+    val priorRows = train.groupBy($"source").agg(count(lit(1)).as("ndc")).collect()
+    if (priorRows.isEmpty)
+      return (IndexedSeq.empty, IndexedSeq.empty, Map.empty)
+    val classes = priorRows.map(_.getString(0)).sorted.toIndexedSeq
+    val ndc = priorRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTrain = ndc.values.sum
+    val ntc = trainToks.join(broadcast(vocab), "tok")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("ntc")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ncl = classes.map(c =>
+      c -> ntc.collect { case ((cc, _), n) if cc == c => n }.sum).toMap
+    val priors = classes.map(c =>
+      micro(slog(ndc(c).toDouble) - slog(nTrain.toDouble)))
+    val weights = vocabArr.map { t =>
+      t -> classes.map(c =>
+        micro(slog(ntc.getOrElse((c, t), 0L).toDouble + 1.0)
+          - slog((ncl(c) + v).toDouble)))
+    }.toMap
+    (classes, priors, weights)
+  }
+
   /** CONFUSION AUDIT of the trained source classifier — the
     * [[langIdConfusion]] shape on [[sourceNb]]'s predictions: per
     * (split, label, prediction) cell with within-split row/column

@@ -966,6 +966,46 @@ object Streams {
     * no watermark, no shuffle, append-mode, unbounded throughput. The
     * batch form's groupBy/window would drag watermark semantics and a
     * state store into what is per-row work on this seam. */
+  /** STREAMING SOURCE/QUALITY-CLASSIFIER ROUTER — the ingestion-time
+    * half of [[graft.operators.TextAnalysis.sourceNb]], the second
+    * instance of the [[langIdRouter]] pattern: arriving documents are
+    * scored against the STATIC trained integer micro-nat NB model
+    * (collected offline by [[graft.operators.TextAnalysis
+    * .sourceNbModelOf]], redeployed by restarting the query). Emits one
+    * row per arriving doc: (doc_id, ingest_ts, source_pred,
+    * best_score_micro, margin_micro) with the batch operator's exact
+    * integer arithmetic and (score desc, class asc) tie-break — a
+    * provenance/quality gate at the crawl's front door.
+    *
+    * Shape: the O(V·C)-long model rides inside
+    * [[graft.functions.NbScoreExpr]] as plan constants, so the stream
+    * is a STATELESS projection — no state store, no watermark, no
+    * shuffle, append mode, unbounded throughput (the langid-router
+    * 100 TB ingestion shape). An empty model degrades to an 'und'
+    * prediction with null scores, like an empty-train batch run has no
+    * classes to score. */
+  def nbRouter(docs: Dataset[Doc],
+               model: (IndexedSeq[String], IndexedSeq[Long],
+                 Map[String, IndexedSeq[Long]])): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val (classes, priors, weights) = model
+    if (classes.isEmpty) {
+      docs.toDF().select($"doc_id", $"ingest_ts",
+        lit("und").as("source_pred"),
+        lit(null).cast("long").as("best_score_micro"),
+        lit(null).cast("long").as("margin_micro"))
+    } else {
+      val score = Bridge.column(graft.functions.NbScoreExpr(
+        Bridge.expression($"text"), classes, priors, weights))
+      docs.toDF()
+        .select($"doc_id", $"ingest_ts", score.as("r"))
+        .select($"doc_id", $"ingest_ts",
+          $"r"("source_pred").as("source_pred"),
+          $"r"("best_score_micro").as("best_score_micro"),
+          $"r"("margin_micro").as("margin_micro"))
+    }
+  }
+
   def langIdRouter(docs: Dataset[Doc], langProf: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import graft.operators.TextAnalysis.{DocProfK, LangProfK}

@@ -1516,6 +1516,9 @@ class CurationOpsSpec extends SparkSpec {
     }
     def micro(d: Double): Long = BigDecimal(d * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // Spark's log() is StrictMath.log (bit-verified: they differ from
+    // Math.log by 1 ULP at e.g. x=3.0) — the mirror must match
+    def slog(d: Double): Double = java.lang.StrictMath.log(d)
     val train = rows.filter(_._1 % 5 != 0)
     val trainToks = train.flatMap { case (_, t, s) => toks(t).map(s -> _) }
     val vocab = trainToks.groupBy(_._2).view.mapValues(_.size).toSeq
@@ -1532,10 +1535,10 @@ class CurationOpsSpec extends SparkSpec {
       val cnts = toks(t).filter(vocab).groupBy(identity)
         .view.mapValues(_.size.toLong).toSeq
       val scores = classes.map { c =>
-        val prior = micro(math.log(priors(c).toDouble) - math.log(nTrain.toDouble))
+        val prior = micro(slog(priors(c).toDouble) - slog(nTrain.toDouble))
         val ts = cnts.map { case (tok, cnt) =>
-          cnt * micro(math.log(ntc.getOrElse((c, tok), 0L).toDouble + 1.0) -
-            math.log((ncl(c) + v).toDouble))
+          cnt * micro(slog(ntc.getOrElse((c, tok), 0L).toDouble + 1.0) -
+            slog((ncl(c) + v).toDouble))
         }.sum
         (prior + ts, c)
       }.sortBy { case (s, c) => (-s, c) }

@@ -994,6 +994,61 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("nb router: streamed predictions equal the batch source " +
+    "classifier per doc, stateless; empty model degrades to 'und'") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Tables.documents(spark, Sf)
+    // model trained offline on the SAME labeled 80% split the batch
+    // operator uses
+    val model = graft.operators.TextAnalysis
+      .sourceNbModelOf(corpus.filter($"doc_id" % 5 =!= 0))
+    val t0 = 1700000000000L
+    val docs = corpus.select("doc_id", "text").collect().zipWithIndex
+      .map { case (r, i) => Doc(r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(t0 + i * 1000L)) }.toSeq
+    val stream = MemoryStream[Doc]
+    val query = Streams.nbRouter(stream.toDS(), model)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("nbr"))
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val streamed = spark.table("nb_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      val batch = graft.operators.TextAnalysis.sourceNb(spark, Sf).collect()
+        .map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+      assert(streamed.size === docs.size, "every arriving doc must route")
+      assert(streamed === batch,
+        "streamed NB routing must equal the batch classifier per doc")
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "nb router must hold no state")
+    } finally query.stop()
+    // empty model: the degrade seam, not a crash
+    val emptyModel = graft.operators.TextAnalysis
+      .sourceNbModelOf(corpus.filter(lit(false)))
+    assert(emptyModel._1.isEmpty)
+    val stream2 = MemoryStream[Doc]
+    val q2 = Streams.nbRouter(stream2.toDS(), emptyModel)
+      .writeStream.format("memory").queryName("nb_empty_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("nbr_empty"))
+      .start()
+    try {
+      stream2.addData(Seq(Doc(1L, "anything at all",
+        new java.sql.Timestamp(t0))))
+      q2.processAllAvailable()
+      val out = spark.table("nb_empty_stream").collect()
+        .map(r => (r.getString(2), r.isNullAt(3), r.isNullAt(4)))
+      assert(out.toSeq === Seq(("und", true, true)))
+    } finally q2.stop()
+  }
+
   test("langid router: an EMPTY trained model degrades to all-'und' " +
     "abstention like the batch scorer, not a restart-time crash") {
     import spark.implicits._

@@ -129,7 +129,10 @@ object Plans {
       "text_langid_ngram" -> "langid: trained rank-profile model is an ExistingRDD (checkpointed O(langs*300) rows) BROADCAST into the langs cross join and the rank lookup; doc profiles via the tfidf explode->partial-count->rank-window shape; one (doc_id,lang) partial agg + one bounded sort_array argmin agg — every exchange doc_id-keyed, constant rows per doc",
       "text_langid_mix" -> "langid mix: the full langid scoring plan rolled to <= sources*langs rows in ONE partial-agged exchange + a window over the tiny rollup",
       "text_langid_confusion" -> "langid confusion: the scoring plan rolled to <= langs^2 cells + two windows over the tiny rollup (row share = recall, column share = precision on the diagonal)",
-      "text_vocab_coverage" -> "vocab coverage: ONE token-keyed partial-agged count exchange, TakeOrderedAndProject bounds the global ranking at the 16k head, per-budget sums over the checkpointed head")
+      "text_vocab_coverage" -> "vocab coverage: ONE token-keyed partial-agged count exchange, TakeOrderedAndProject bounds the global ranking at the 16k head, per-budget sums over the checkpointed head",
+      "text_bpe_merges" -> "bpe trainer: final merge table is a local relation built from 32 driver-policy argmax collects (one TakeOrderedAndProject row per round over the checkpointed word-TYPE frame); the corpus is touched once (token-count exchange), every round is type-table-sized",
+      "text_source_nb" -> "source NB: integer micro-nat model (priors + per-(class,token) counts) checkpointed and BROADCAST into the scoring fan-out; one (doc,token) partial-agged exchange, one (doc,class) partial-agged integer sum, bounded sort_array argmax — no doubles cross an exchange",
+      "sim_knn_descent_sq8" -> "sq8 descent: rounds join candidates against the checkpointed (vec_id, array<tinyint>) CODE frame (~6x narrower exchange than the raw vectors), graft_sq8_cosine fuses decode+cosine in one whole-stage-codegen loop, exact rescore only touches the final O(N*k) survivors")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
     sb.append("Generated from `queryExecution.explainString(FormattedMode)` at sf0.001\n")
