@@ -1361,6 +1361,23 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |    (SELECT sum(n * len(string_split(trim(s), ' '))) FROM w$bpeK)::DOUBLE
          |    / (SELECT sum(n * len(string_split(trim(s), ' '))) FROM w0), 6)
          |    AS compression_ratio""".stripMargin,
+    "text_bpe_fertility" ->
+      // twin of TextAnalysis.bpeFertility: the trainer chain, each
+      // token's trained piece count from the final type table, rolled
+      // up per source
+      s"""WITH $bpeCtes,
+         |pieces AS (SELECT tok,
+         |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS np FROM w$bpeK),
+         |st AS (SELECT source, tok, count(*) AS cnt FROM (
+         |    SELECT source, unnest(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM $docs)
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(cnt * len(tok)) AS BIGINT) AS n_chars,
+         |  CAST(sum(cnt * np) AS BIGINT) AS n_pieces,
+         |  round(sum(cnt * np)::DOUBLE / sum(cnt), 6) AS pieces_per_token,
+         |  round(sum(cnt * len(tok))::DOUBLE / sum(cnt * np), 6) AS chars_per_piece
+         |FROM st JOIN pieces USING (tok) GROUP BY source""".stripMargin,
     "text_tfidf_top_terms" ->
       s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
          |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM t),
@@ -2235,7 +2252,8 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     * Spark side applies. chr(1) coalesce makes an empty round a no-op. */
   private def bpeCtes: String = {
     val w0 =
-      s"""w0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(tok, '.'), ' ') || ' ' AS s,
+      s"""w0 AS MATERIALIZED (SELECT tok,
+         |  ' ' || array_to_string(regexp_extract_all(tok, '.'), ' ') || ' ' AS s,
          |  count(*) AS n FROM (SELECT unnest(regexp_extract_all(lower(text),
          |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM $docs) GROUP BY 1)""".stripMargin
     val rounds = (1 to bpeK).map { r =>
@@ -2246,7 +2264,7 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  GROUP BY 1, 2),
          |t$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r WHERE cnt >= 2
          |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         |w$r AS MATERIALIZED (SELECT replace(replace(replace(s, ' ', '  '),
+         |w$r AS MATERIALIZED (SELECT tok, replace(replace(replace(s, ' ', '  '),
          |    coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM t$r), chr(1)),
          |    coalesce((SELECT ' ' || a || b || ' ' FROM t$r), chr(1))),
          |  '  ', ' ') AS s, n FROM w${r - 1})""".stripMargin

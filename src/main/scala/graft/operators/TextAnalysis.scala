@@ -398,7 +398,10 @@ object TextAnalysis {
       .select(explode(regexp_extract_all(lower($"text"),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("n"))
-      .select(concat(lit(" "),
+      // tok is carried through every merge round so consumers
+      // (bpeFertility) can map a corpus token to its trained
+      // segmentation without re-deriving the chain
+      .select($"tok", concat(lit(" "),
         concat_ws(" ", regexp_extract_all($"tok", lit("."), lit(0))),
         lit(" ")).as("s"), $"n")
 
@@ -487,7 +490,7 @@ object TextAnalysis {
         val a = top(0).getString(0)
         val b = top(0).getString(1)
         merges += ((r.toLong, a, b, a + b, top(0).getLong(2)))
-        w = w.select(bpeApplyMerge($"s", a, b).as("s"), $"n")
+        w = w.select($"tok", bpeApplyMerge($"s", a, b).as("s"), $"n")
           .localCheckpoint(true)
         r += 1
       }
@@ -505,6 +508,40 @@ object TextAnalysis {
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema),
       w)
+  }
+
+  /** FERTILITY UNDER THE TRAINED TOKENIZER — per source: how many BPE
+    * pieces the [[bpeMerges]]-trained segmentation actually spends per
+    * token and per character. [[tokenFertility]] prices cost with a
+    * regex PROXY; this is the same decision number under the merges the
+    * trainer just learned — the artifact that says "source X costs 1.4×
+    * the pieces of source Y under OUR tokenizer", which is what a
+    * token-budget mix is actually priced in.
+    *
+    * Shape: the trainer (type-table bounded, see [[bpeMerges]]) + one
+    * (source, token) count exchange + a token-keyed join against the
+    * final type table (each token's piece count is `size(split(s))` on
+    * its trained segmentation) + a per-source rollup. */
+  def bpeFertility(s: SparkSession, dir: String,
+                   k: Int = BpeK, minCount: Long = 2L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, wk) = bpeMergesFrom(docs, k, minCount)
+    val pieces = wk.select($"tok",
+      size(split(trim($"s"), " ")).cast("long").as("np"))
+    val st = docs
+      .select($"source", explode(regexp_extract_all(lower($"text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+    st.join(pieces, "tok")
+      .groupBy($"source")
+      .agg(sum($"cnt").as("n_tokens"),
+        sum($"cnt" * length($"tok")).as("n_chars"),
+        sum($"cnt" * $"np").as("n_pieces"))
+      .select($"source", $"n_tokens", $"n_chars", $"n_pieces",
+        round($"n_pieces".cast("double") / $"n_tokens", 6)
+          .as("pieces_per_token"),
+        round($"n_chars".cast("double") / $"n_pieces", 6)
+          .as("chars_per_piece"))
   }
 
   /** NB vocabulary budget: global top-K train-split tokens by

@@ -1498,6 +1498,32 @@ class CurationOpsSpec extends SparkSpec {
     def r6(d: Double) = BigDecimal(d)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(rep.getDouble(5) === r6(finSyms.toDouble / baseSyms))
+    // fertility under the trained merges: per-source rollup vs the
+    // mirror's final segmentation (piece count per word = final symbols)
+    val segLen = finTypes.map { case (v, n) => v.mkString -> v.length }.toMap
+    val pat = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    val perSource = scala.collection.mutable.HashMap
+      .empty[String, (Long, Long, Long)]
+    Tables.documents(spark, Sf).select("source", "text").collect()
+      .foreach { r =>
+        val src = r.getString(0)
+        val m = pat.matcher(r.getString(1).toLowerCase)
+        while (m.find()) {
+          val t = m.group()
+          val (nt, nc, np) = perSource.getOrElse(src, (0L, 0L, 0L))
+          perSource(src) = (nt + 1, nc + t.length, np + segLen(t))
+        }
+      }
+    val fert = TextAnalysis.bpeFertility(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(fert.keySet === perSource.keySet)
+    fert.foreach { case (src, (nt, nc, np, ppt, cpp)) =>
+      val (mt, mc, mp) = perSource(src)
+      assert((nt, nc, np) === ((mt, mc, mp)), s"$src counts")
+      assert(ppt === r6(mp.toDouble / mt), s"$src pieces_per_token")
+      assert(cpp === r6(mc.toDouble / mp), s"$src chars_per_piece")
+    }
   }
 
   // ---- trained source NB mirror ----------------------------------------
