@@ -93,6 +93,7 @@ object Bench {
     "dedup_lsh_append", // added r12: batch-incremental LSH maintenance (new-vs-all only)
     "dedup_editdist_passjoin", // added r12: PassJoin segment-blocked entity resolution
     "sim_hubness_descent", // added r12: in-degree histogram over the NN-descent graph
+    "sim_hubness_descent_sq8", // added r15: the same histogram over the narrow-exchange sq8 build
     "sim_kmeanspp_seeds", // added r12: 3 k-means|| Bernoulli rounds, driver-policy centers
     "rel_histogram_quantiles", // added r12: 2-scan fixed-bin percentile estimation
     "text_dsir_weights", // added r12: hashed-unigram importance weights, broadcast LM

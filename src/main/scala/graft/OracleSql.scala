@@ -3615,6 +3615,15 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT coalesce(i.k_occ, 0) AS k_occurrence, count(*) AS n_vecs
          |FROM e LEFT JOIN indeg i ON i.nbr_id = e.vec_id
          |GROUP BY 1""".stripMargin,
+    "sim_hubness_descent_sq8" ->
+      // twin of Similarity.hubnessDescentSq8: the sq8 descent chain,
+      // then the same in-degree histogram with the antihub zero bucket
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |${knnDescentChain(5, sq8 = true)},
+         |indeg AS (SELECT nbr_id, count(*) AS k_occ FROM g3 GROUP BY nbr_id)
+         |SELECT coalesce(i.k_occ, 0) AS k_occurrence, count(*) AS n_vecs
+         |FROM e LEFT JOIN indeg i ON i.nbr_id = e.vec_id
+         |GROUP BY 1""".stripMargin,
     "sim_graph_ann_topk" ->
       // twin of Similarity.graphAnnTopK (nQ=5, k=10, beam=16, hops=4,
       // entryMod=16, knnK=8, maxEntries=64): the knn-graph CTE is the

@@ -2115,6 +2115,20 @@ object Similarity {
       .groupBy($"k_occurrence").agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** [[hubnessDescent]] over the SQ8-coded descent build — the narrow-
+    * exchange production path (see [[knnDescentSq8]]: the exact build's
+    * 100× record was width-bound at 134× for this op; the code-framed
+    * rounds close it). Same in-degree histogram, same zero bucket. */
+  def hubnessDescentSq8(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val indeg = knnDescentSq8From(e, k, iters = 3, nInitBuckets = 16, revCap = 5)
+      .groupBy($"nbr_id").agg(count(lit(1)).as("k_occ"))
+    e.select($"vec_id").join(indeg, $"vec_id" === $"nbr_id", "left")
+      .select(coalesce($"k_occ", lit(0L)).as("k_occurrence"))
+      .groupBy($"k_occurrence").agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** SILHOUETTE REPORT — per-cluster simplified silhouette (Rousseeuw,
     * J. Comput. Appl. Math. 20, 1987; centroid-based variant) over the
     * SRP coarse clustering the IVF/k-means family is built on: for each

@@ -150,6 +150,15 @@ class DedupSimilaritySpec extends SparkSpec {
     val exactEdges = exact.map(t => (t._1, t._2)).toSet
     val overlap = sq8.count(t => exactEdges((t._1, t._2))).toDouble / exact.length
     assert(overlap >= 0.9, f"edge overlap vs exact descent too low: $overlap%.3f")
+    // the hubness histogram over the sq8 build equals a rollup of the
+    // sq8 graph's in-degrees (antihub zero bucket included)
+    val indeg = sq8.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val allIds = e.select("vec_id").collect().map(_.getLong(0))
+    val refHist = allIds.map(id => indeg.getOrElse(id, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gotHist = Similarity.hubnessDescentSq8(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotHist === refHist, "sq8 hubness histogram diverges from rollup")
   }
 
   test("bucket centroids equal an independent BigDecimal reference, per component") {
