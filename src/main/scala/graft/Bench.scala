@@ -166,7 +166,8 @@ object Bench {
         "bounded aggregate")(
         "dedup_cluster_sizes", "dedup_survivors", "dedup_semantic_survivors",
         "dedup_rate_by_source", "text_langid_mix", "text_langid_confusion",
-        "text_bpe_compression", "text_bpe_fertility", "text_source_nb_confusion",
+        "text_bpe_compression", "text_bpe_fertility", "text_bpe_doc_pieces",
+        "text_source_nb_confusion",
         "sim_centroid_shift",
         "sim_pq_lloyd_shift", "sim_pq_lloyd_trajectory",
         "graph_pagerank_trajectory", "graph_degree_distribution",

@@ -1378,6 +1378,23 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round(sum(cnt * np)::DOUBLE / sum(cnt), 6) AS pieces_per_token,
          |  round(sum(cnt * len(tok))::DOUBLE / sum(cnt * np), 6) AS chars_per_piece
          |FROM st JOIN pieces USING (tok) GROUP BY source""".stripMargin,
+    "text_bpe_doc_pieces" ->
+      // twin of TextAnalysis.bpeDocPieces: the trainer chain, per-doc
+      // token explode joined to the final type table's piece counts,
+      // completion left join (token-less docs price zero / null ratio)
+      s"""WITH $bpeCtes,
+         |pieces AS (SELECT tok,
+         |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS np FROM w$bpeK),
+         |dt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM $docs),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         |    CAST(sum(np) AS BIGINT) AS npc
+         |  FROM dt JOIN pieces USING (tok) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ag.nt, 0) AS n_tokens,
+         |  coalesce(ag.npc, 0) AS n_pieces,
+         |  CASE WHEN coalesce(ag.nt, 0) > 0
+         |    THEN round(ag.npc::DOUBLE / ag.nt, 6) END AS pieces_per_token
+         |FROM $docs d LEFT JOIN ag ON ag.doc_id = d.doc_id""".stripMargin,
     "text_tfidf_top_terms" ->
       s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
          |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM t),

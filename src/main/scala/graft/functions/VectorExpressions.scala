@@ -513,6 +513,98 @@ case class SrpBandExpr(child: Expression, offset: Int, nBits: Int)
     copy(child = newChild)
 }
 
+/** Trained-BPE piece counter as ONE per-row kernel — the streaming half
+  * of [[graft.operators.TextAnalysis.bpeDocPieces]]. The learned merge
+  * list ([[graft.operators.TextAnalysis.bpeMerges]]' output, in rank
+  * order) rides in the plan; per row: lowercase, tokenize with the
+  * trainer's regex, and for each token apply every merge in rank order
+  * as ONE greedy left-to-right non-overlapping pass — exactly the
+  * trainer's per-round replace discipline, so a token's piece count
+  * here equals `size(split(s))` of its row in the trainer's final type
+  * table (for ANY token, seen in training or not; the encode rule is a
+  * pure function of the merge list). Output: (n_tokens, n_pieces) per
+  * document. Word-level memoization inside a row batches repeated
+  * tokens (Zipf makes most tokens repeats). CodegenFallback: regex +
+  * per-token list walks dominate.
+  */
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_bpe_count"
+
+  private def modelSummary: String = s"merges(${merges.length})"
+  override def stringArgs: Iterator[Any] = Iterator(child, modelSummary)
+  override def flatArguments: Iterator[Any] = Iterator(child, modelSummary)
+  override def toString: String = s"$prettyName($child, $modelSummary)"
+  override lazy val hashCode: Int =
+    scala.util.hashing.MurmurHash3.productHash(this)
+
+  @transient private lazy val tokenPattern =
+    java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+  @transient private lazy val mergesA: Array[(String, String)] = merges.toArray
+
+  /** Piece count of one token under the merge list: char-split, then
+    * one greedy pass per merge in rank order (the trainer's exact
+    * application order). */
+  private def pieceCount(tok: String): Long = {
+    var syms = new Array[String](tok.length)
+    var i = 0
+    while (i < tok.length) { syms(i) = String.valueOf(tok.charAt(i)); i += 1 }
+    var n = syms.length
+    var m = 0
+    while (m < mergesA.length && n > 1) {
+      val (a, b) = mergesA(m)
+      var r = 0 // read
+      var w = 0 // write
+      while (r < n) {
+        if (r + 1 < n && syms(r) == a && syms(r + 1) == b) {
+          syms(w) = a + b; r += 2
+        } else {
+          syms(w) = syms(r); r += 1
+        }
+        w += 1
+      }
+      n = w
+      m += 1
+    }
+    n.toLong
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val memo = new java.util.HashMap[String, java.lang.Long](64)
+    var nTok = 0L
+    var nPieces = 0L
+    val m = tokenPattern.matcher(s)
+    while (m.find()) {
+      val t = m.group()
+      var p = memo.get(t)
+      if (p == null) { p = java.lang.Long.valueOf(pieceCount(t)); memo.put(t, p) }
+      nTok += 1
+      nPieces += p.longValue()
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](java.lang.Long.valueOf(nTok), java.lang.Long.valueOf(nPieces)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
 /** Integer micro-nat Naive-Bayes scorer as ONE per-row kernel — the
   * streaming half of [[graft.operators.TextAnalysis.sourceNb]], the
   * same role [[LangIdScoreExpr]] plays for the langid batch operator.

@@ -544,6 +544,40 @@ object TextAnalysis {
           .as("chars_per_piece"))
   }
 
+  /** PER-DOCUMENT PIECE PRICING UNDER THE TRAINED TOKENIZER — the
+    * document-grain companion of [[bpeFertility]]: for every doc, how
+    * many tokens the trainer's regex sees and how many BPE pieces the
+    * learned merges spend on them — the number a per-document token
+    * budget (packing, truncation, billing) is actually priced in.
+    * Declarative path: one (doc_id, token) explode joined to the final
+    * type table's piece counts, one doc-keyed partial agg, completion
+    * left-join so token-less docs price as zero. The streaming twin
+    * ([[graft.streaming.Streams.bpeRouter]]) prices the SAME number at
+    * ingestion via the [[graft.functions.BpeCountExpr]] per-row kernel
+    * — parity is exact because the kernel applies each merge as one
+    * greedy pass in rank order, the trainer's application discipline. */
+  def bpeDocPieces(s: SparkSession, dir: String,
+                   k: Int = BpeK, minCount: Long = 2L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, wk) = bpeMergesFrom(docs, k, minCount)
+    val pieces = wk.select($"tok",
+      size(split(trim($"s"), " ")).cast("long").as("np"))
+    val ag = docs
+      .select($"doc_id", explode(regexp_extract_all(lower($"text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
+      .join(pieces, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nt"), sum($"np").as("npc"))
+    docs.select($"doc_id")
+      .join(ag, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"nt", lit(0L)).as("n_tokens"),
+        coalesce($"npc", lit(0L)).as("n_pieces"),
+        when(coalesce($"nt", lit(0L)) > 0L,
+          round($"npc".cast("double") / $"nt", 6))
+          .otherwise(lit(null).cast("double")).as("pieces_per_token"))
+  }
+
   /** NB vocabulary budget: global top-K train-split tokens by
     * (count desc, token asc) — a total order, so the cut is
     * deterministic on both engines. */

@@ -1006,6 +1006,32 @@ object Streams {
     }
   }
 
+  /** STREAMING BPE PIECE PRICER — the ingestion-time half of
+    * [[graft.operators.TextAnalysis.bpeDocPieces]], the third instance
+    * of the stateless trained-model-router pattern: arriving documents
+    * are priced against the STATIC learned merge list via
+    * [[graft.functions.BpeCountExpr]] (each merge applied as one greedy
+    * left-to-right pass in rank order — the trainer's discipline, so
+    * batch and stream price every token identically). Emits
+    * (doc_id, ingest_ts, n_tokens, n_pieces, pieces_per_token) per
+    * arriving doc — the number packing/truncation/billing decisions
+    * read at the crawl's front door. No state store, no shuffle,
+    * append mode. */
+  def bpeRouter(docs: Dataset[Doc],
+                merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cnt = Bridge.column(graft.functions.BpeCountExpr(
+      Bridge.expression($"text"), merges))
+    docs.toDF()
+      .select($"doc_id", $"ingest_ts", cnt.as("r"))
+      .select($"doc_id", $"ingest_ts",
+        $"r"("n_tokens").as("n_tokens"),
+        $"r"("n_pieces").as("n_pieces"),
+        when($"r"("n_tokens") > 0L,
+          round($"r"("n_pieces").cast("double") / $"r"("n_tokens"), 6))
+          .otherwise(lit(null).cast("double")).as("pieces_per_token"))
+  }
+
   def langIdRouter(docs: Dataset[Doc], langProf: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import graft.operators.TextAnalysis.{DocProfK, LangProfK}

@@ -1514,6 +1514,25 @@ class CurationOpsSpec extends SparkSpec {
           perSource(src) = (nt + 1, nc + t.length, np + segLen(t))
         }
       }
+    // per-doc piece pricing equals the mirror's segmentation, doc by doc
+    val docPieces = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+    Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .foreach { r =>
+        val m = pat.matcher(r.getString(1).toLowerCase)
+        var nt = 0L; var np = 0L
+        while (m.find()) { nt += 1; np += segLen(m.group()) }
+        docPieces(r.getLong(0)) = (nt, np)
+      }
+    val gotDoc = TextAnalysis.bpeDocPieces(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(gotDoc.keySet === docPieces.keySet.toSet)
+    gotDoc.foreach { case (id, (nt, np, ppt)) =>
+      val (mt, mp) = docPieces(id)
+      assert((nt, np) === ((mt, mp)), s"doc $id counts")
+      assert(ppt === (if (mt > 0) Some(r6(mp.toDouble / mt)) else None),
+        s"doc $id ratio")
+    }
     val fert = TextAnalysis.bpeFertility(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5)))).toMap

@@ -1049,6 +1049,42 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("bpe router: streamed per-doc piece pricing equals the batch " +
+    "operator per doc, stateless") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val merges = graft.operators.TextAnalysis.bpeMerges(spark, Sf).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty, "fixture: trained merge list must be non-empty")
+    val t0 = 1700000000000L
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+      .collect().zipWithIndex
+      .map { case (r, i) => Doc(r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(t0 + i * 1000L)) }.toSeq
+    val stream = MemoryStream[Doc]
+    val query = Streams.bpeRouter(stream.toDS(), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("bper"))
+      .start()
+    try {
+      stream.addData(docs); query.processAllAvailable()
+      val streamed = spark.table("bpe_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      val batch = graft.operators.TextAnalysis.bpeDocPieces(spark, Sf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(streamed.size === docs.size, "every arriving doc must price")
+      assert(streamed === batch,
+        "streamed piece pricing must equal the batch operator per doc")
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "bpe router must hold no state")
+    } finally query.stop()
+  }
+
   test("langid router: an EMPTY trained model degrades to all-'und' " +
     "abstention like the batch scorer, not a restart-time crash") {
     import spark.implicits._
