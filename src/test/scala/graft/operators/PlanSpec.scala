@@ -360,4 +360,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"shortlist should broadcast against the vector table:\n$p")
   }
+
+  test("sq8 descent: the final plan is the rescore over the checkpointed " +
+    "graph — ExistingRDD in, exactly one raw-vector cosine, no corpus " +
+    "re-scan (the rounds ran behind the eager checkpoints)") {
+    val df = Similarity.knnDescentSq8(spark, Sf)
+    val p = plan(df)
+    assert(p.contains("ExistingRDD"),
+      s"final plan does not read the checkpointed graph:\n$p")
+    // only the exact-rescore projection touches raw 64-double vectors
+    val cosines = "graft_cosine\\(".r.findAllIn(p).size
+    assert(cosines == 1, s"expected exactly the rescore cosine, got $cosines:\n$p")
+    assert(!p.contains("graft_sq8_cosine"),
+      s"round-scoring leaked past the checkpoint into the final plan:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"descent re-derives the corpus scan instead of the checkpoint:\n$p")
+    assert(df.columns.toSeq ===
+      Seq("src_id", "nbr_id", "cos_sim_sq8", "cos_sim"))
+  }
+
+  test("source nb: the model joins broadcast into the scoring fan-out; " +
+    "every shuffle join is doc-keyed — no doc-to-doc or cartesian join") {
+    val df = TextAnalysis.sourceNb(spark, Sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"model should broadcast into the scoring fan-out:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian in NB scoring:\n$p")
+    // the per-class fan-out IS a cross join — but its build side must
+    // always be the broadcast (tiny) model frame, never the corpus
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("BuildRight") && l.contains("Cross"),
+        s"class fan-out must broadcast-build the model side:\n$l")
+    }
+    // any sort-merge join must key on doc_id (the completion join's
+    // legitimate co-partitioned exchange) — never on nothing or on a
+    // corpus-sized non-doc key
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("doc_id"), s"non-doc-keyed shuffle join:\n$l\n$p")
+    }
+  }
+
+  test("bpe trainer: the merge table is a driver-policy local relation; " +
+    "the compression report never re-scans the corpus per round") {
+    val m = TextAnalysis.bpeMerges(spark, Sf)
+    // the trained merge list is O(k) rows assembled from k bounded
+    // argmax collects — its plan is a LocalTableScan, no lineage back
+    // into the corpus
+    val p = plan(m)
+    assert(p.contains("LocalTableScan"), s"merge table not local:\n$p")
+    assert(!p.contains("Scan parquet"), s"merge table drags corpus lineage:\n$p")
+  }
 }
