@@ -136,6 +136,7 @@ object Bench {
     "text_vocab_coverage", // added r14: token-count exchange + bounded top-16k head
     "text_bpe_merges", // added r15: one corpus token exchange + 32 type-table merge rounds
     "text_source_nb", // added r15: integer micro-nat NB, broadcast model scoring
+    "text_quality_nb", // added r15: the same NB head distilling the gopher gate's verdicts
     "mm_meta_stats")
 
   /** Registered queries deliberately NOT in the headline bench, each
@@ -167,7 +168,7 @@ object Bench {
         "dedup_cluster_sizes", "dedup_survivors", "dedup_semantic_survivors",
         "dedup_rate_by_source", "text_langid_mix", "text_langid_confusion",
         "text_bpe_compression", "text_bpe_fertility", "text_bpe_doc_pieces",
-        "text_source_nb_confusion",
+        "text_source_nb_confusion", "text_quality_nb_confusion",
         "sim_centroid_shift",
         "sim_pq_lloyd_shift", "sim_pq_lloyd_trajectory",
         "graph_pagerank_trajectory", "graph_degree_distribution",

@@ -1137,36 +1137,12 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round(CAST(10000.0 AS DOUBLE) * CAST(sum_cnt_sq - n_tokens AS DOUBLE)
          |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k
          |FROM d""".stripMargin,
-    "text_gopher_rules" -> {
+    "text_gopher_rules" ->
       // twin of TextAnalysis.gopherRules: every ratio rounded to 6
       // BEFORE its threshold compare — the flags compare identical
-      // doubles on both engines; replace() mirrors the literal-'#'
-      // regexp_replace, string_split(chr(10)) the '\n' split
-      val tk = toks("lower(text)")
-      val nW = s"CAST(len($tk) AS BIGINT)"
-      val meanLen = s"round(CASE WHEN $nW > 0 THEN " +
-        s"list_sum(list_transform($tk, t -> length(t)))::DOUBLE / $nW::DOUBLE " +
-        "ELSE CAST(0 AS DOUBLE) END, 6)"
-      val nHash = "(length(text) - length(replace(text, '#', '')))::DOUBLE"
-      val nEll = s"len(regexp_extract_all(text, '\\.\\.\\.|…'))::DOUBLE"
-      val symR = s"round(CASE WHEN $nW > 0 THEN greatest($nHash, $nEll) / $nW::DOUBLE " +
-        "ELSE CAST(0 AS DOUBLE) END, 6)"
-      val lines = "string_split(text, chr(10))"
-      val nLines = s"len($lines)::DOUBLE"
-      val bullet = s"round(len(list_filter($lines, " +
-        s"l -> regexp_matches(l, '^\\s*[-•*]')))::DOUBLE / $nLines, 6)"
-      val ellLine = s"round(len(list_filter($lines, " +
-        s"l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))::DOUBLE / $nLines, 6)"
-      val alpha = s"round(CASE WHEN $nW > 0 THEN len(list_filter($tk, " +
-        s"t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / $nW::DOUBLE " +
-        "ELSE CAST(0 AS DOUBLE) END, 6)"
-      val stopKinds = s"CAST(len(list_distinct(list_filter($tk, t -> t IN " +
-        "('the','be','to','of','and','that','have','with')))) AS BIGINT)"
-      s"""WITH g AS (SELECT doc_id, source, $nW AS n_words,
-         |  $meanLen AS mean_word_len, $symR AS symbol_ratio,
-         |  $bullet AS bullet_frac, $ellLine AS ellipsis_line_frac,
-         |  $alpha AS alpha_word_frac, $stopKinds AS n_stop_kinds
-         |FROM $docs)
+      // doubles on both engines; feature select shared with the
+      // quality-NB label CTE (gopherFeaturesSql)
+      s"""WITH g AS (${gopherFeaturesSql("source")})
          |SELECT *,
          |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
          |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
@@ -1175,13 +1151,8 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  (ellipsis_line_frac <= 0.3) AS r_ellipsis,
          |  (alpha_word_frac >= 0.8) AS r_alpha,
          |  (n_stop_kinds >= 2) AS r_stop,
-         |  (n_words >= 50 AND n_words <= 100000
-         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-         |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-         |    AND n_stop_kinds >= 2) AS gopher_pass
-         |FROM g""".stripMargin
-    },
+         |  ($gopherPassSql) AS gopher_pass
+         |FROM g""".stripMargin,
     "text_ngram_counts" ->
       // twin of TextAnalysis.ngramCounts(n=2, k=20): DuckDB 1-based list
       // indexing, range(1, len) = positions of every bigram start; the
@@ -1315,20 +1286,39 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin of TextAnalysis.sourceNb: the integer micro-nat NB chain —
       // model and scores are exact integers, so the argmax and margins
       // agree bit-for-bit
-      s"""WITH $nbCtes
-         |SELECT doc_id, source_label, split, source_pred,
+      s"""WITH ${nbCtes(nbSourceLabeled)}
+         |SELECT doc_id, label AS source_label, split, pred AS source_pred,
          |  best_score_micro, margin_micro
          |FROM nbpred""".stripMargin,
     "text_source_nb_confusion" ->
       // twin of TextAnalysis.sourceNbConfusion: nbpred rolled to
       // per-(split, label, pred) cells with within-split shares
-      s"""WITH $nbCtes
+      s"""WITH ${nbCtes(nbSourceLabeled)}
          |SELECT split, source_label, source_pred, n_docs,
          |  round(CAST(n_docs AS DOUBLE)
          |    / sum(n_docs) OVER (PARTITION BY split, source_label), 6) AS share_of_label,
          |  round(CAST(n_docs AS DOUBLE)
          |    / sum(n_docs) OVER (PARTITION BY split, source_pred), 6) AS share_of_pred
-         |FROM (SELECT split, source_label, source_pred,
+         |FROM (SELECT split, label AS source_label, pred AS source_pred,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM nbpred GROUP BY 1, 2, 3)""".stripMargin,
+    "text_quality_nb" ->
+      // twin of TextAnalysis.qualityNb: the SAME NB chain trained on
+      // the gopher gate's own pass/fail verdicts (label CTE shares the
+      // gopher feature SQL, so teacher and gate can never drift)
+      s"""WITH ${nbCtes(nbQualityLabeled)}
+         |SELECT doc_id, label AS quality_label, split, pred AS quality_pred,
+         |  best_score_micro, margin_micro
+         |FROM nbpred""".stripMargin,
+    "text_quality_nb_confusion" ->
+      // twin of TextAnalysis.qualityNbConfusion
+      s"""WITH ${nbCtes(nbQualityLabeled)}
+         |SELECT split, quality_label, quality_pred, n_docs,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    / sum(n_docs) OVER (PARTITION BY split, quality_label), 6) AS share_of_label,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    / sum(n_docs) OVER (PARTITION BY split, quality_pred), 6) AS share_of_pred
+         |FROM (SELECT split, label AS quality_label, pred AS quality_pred,
          |    CAST(count(*) AS BIGINT) AS n_docs
          |  FROM nbpred GROUP BY 1, 2, 3)""".stripMargin,
     "text_bpe_merges" ->
@@ -2289,26 +2279,68 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     (w0 +: rounds).mkString(",\n")
   }
 
+  /** Gopher feature select over $docs (ratios rounded to 6 BEFORE
+    * threshold compares; replace() mirrors the literal-'#'
+    * regexp_replace, string_split(chr(10)) the '\n' split) — shared by
+    * the gopher-rules twin and the quality-NB label CTE so the teacher
+    * can never drift from the gate. `extraCols` are carried verbatim. */
+  private def gopherFeaturesSql(extraCols: String): String = {
+    val tk = toks("lower(text)")
+    val nW = s"CAST(len($tk) AS BIGINT)"
+    val meanLen = s"round(CASE WHEN $nW > 0 THEN " +
+      s"list_sum(list_transform($tk, t -> length(t)))::DOUBLE / $nW::DOUBLE " +
+      "ELSE CAST(0 AS DOUBLE) END, 6)"
+    val nHash = "(length(text) - length(replace(text, '#', '')))::DOUBLE"
+    val nEll = s"len(regexp_extract_all(text, '\\.\\.\\.|…'))::DOUBLE"
+    val symR = s"round(CASE WHEN $nW > 0 THEN greatest($nHash, $nEll) / $nW::DOUBLE " +
+      "ELSE CAST(0 AS DOUBLE) END, 6)"
+    val lines = "string_split(text, chr(10))"
+    val nLines = s"len($lines)::DOUBLE"
+    val bullet = s"round(len(list_filter($lines, " +
+      s"l -> regexp_matches(l, '^\\s*[-•*]')))::DOUBLE / $nLines, 6)"
+    val ellLine = s"round(len(list_filter($lines, " +
+      s"l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))::DOUBLE / $nLines, 6)"
+    val alpha = s"round(CASE WHEN $nW > 0 THEN len(list_filter($tk, " +
+      s"t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / $nW::DOUBLE " +
+      "ELSE CAST(0 AS DOUBLE) END, 6)"
+    val stopKinds = s"CAST(len(list_distinct(list_filter($tk, t -> t IN " +
+      "('the','be','to','of','and','that','have','with')))) AS BIGINT)"
+    s"""SELECT doc_id, $extraCols, $nW AS n_words,
+       |  $meanLen AS mean_word_len, $symR AS symbol_ratio,
+       |  $bullet AS bullet_frac, $ellLine AS ellipsis_line_frac,
+       |  $alpha AS alpha_word_frac, $stopKinds AS n_stop_kinds
+       |FROM $docs""".stripMargin
+  }
+
+  /** The Gopher composite pass predicate over the feature columns. */
+  private def gopherPassSql: String =
+    """n_words >= 50 AND n_words <= 100000
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+      |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+      |    AND n_stop_kinds >= 2""".stripMargin
+
   /** Shared Naive-Bayes CTE chain — twin of TextAnalysis.sourceNbFrom.
     * The model quantizes each log-likelihood ONCE to integer micro-nats
     * (round(1e6·(ln(ntc+1) − ln(ncl+V)))), so every per-doc score is an
     * exact, order-independent integer sum on both engines; `nbpred`
     * ends the chain with one row per document. */
-  private def nbCtes: String = {
+  private def nbCtes(labeledSql: String): String = {
     val tokRe = "'[a-z]+|[0-9]+|[^a-z0-9\\s]'"
-    s"""nbtrn AS (SELECT doc_id, source, text FROM $docs WHERE doc_id % 5 <> 0),
-       |nbtt AS (SELECT source, unnest(regexp_extract_all(lower(text), $tokRe)) AS tok FROM nbtrn),
+    s"""nbl AS MATERIALIZED ($labeledSql),
+       |nbtrn AS (SELECT doc_id, label, text FROM nbl WHERE doc_id % 5 <> 0),
+       |nbtt AS (SELECT label, unnest(regexp_extract_all(lower(text), $tokRe)) AS tok FROM nbtrn),
        |nbvoc AS MATERIALIZED (SELECT tok FROM (
        |    SELECT tok, count(*) AS vn FROM nbtt GROUP BY 1)
        |  ORDER BY vn DESC, tok ASC LIMIT $nbVocabK),
        |nbvs AS (SELECT count(*) AS v FROM nbvoc),
-       |nbpri AS (SELECT source AS cls, count(*) AS ndc FROM nbtrn GROUP BY 1),
+       |nbpri AS (SELECT label AS cls, count(*) AS ndc FROM nbtrn GROUP BY 1),
        |nbn AS (SELECT CAST(sum(ndc) AS BIGINT) AS n_train FROM nbpri),
-       |nbntc AS MATERIALIZED (SELECT source AS cls, tok, count(*) AS ntc
+       |nbntc AS MATERIALIZED (SELECT label AS cls, tok, count(*) AS ntc
        |  FROM nbtt JOIN nbvoc USING (tok) GROUP BY 1, 2),
        |nbncl AS (SELECT cls, CAST(sum(ntc) AS BIGINT) AS ncl FROM nbntc GROUP BY 1),
        |nbdtc AS (SELECT doc_id, tok, count(*) AS cnt FROM (
-       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), $tokRe)) AS tok FROM $docs)
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), $tokRe)) AS tok FROM nbl)
        |  JOIN nbvoc USING (tok) GROUP BY 1, 2),
        |nbts AS (SELECT d.doc_id, m.cls,
        |    CAST(sum(d.cnt * CAST(round((ln(coalesce(t.ntc, 0) + 1)
@@ -2316,20 +2348,34 @@ private[graft] final class OracleSqlGen(sfDir: String) {
        |  FROM nbdtc d CROSS JOIN nbncl m CROSS JOIN nbvs vs
        |  LEFT JOIN nbntc t ON t.cls = m.cls AND t.tok = d.tok
        |  GROUP BY 1, 2),
-       |nbsc AS (SELECT doc.doc_id, doc.source AS source_label, p.cls,
+       |nbsc AS (SELECT doc.doc_id, doc.label, p.cls,
        |    CAST(round((ln(p.ndc::DOUBLE) - ln(n.n_train::DOUBLE)) * 1000000, 0) AS BIGINT)
        |      + coalesce(t.ts, 0) AS score_micro
-       |  FROM $docs doc CROSS JOIN nbpri p CROSS JOIN nbn n
+       |  FROM nbl doc CROSS JOIN nbpri p CROSS JOIN nbn n
        |  LEFT JOIN nbts t ON t.doc_id = doc.doc_id AND t.cls = p.cls),
        |nbrk AS (SELECT *, row_number() OVER (
        |    PARTITION BY doc_id ORDER BY score_micro DESC, cls ASC) AS r FROM nbsc),
-       |nbpred AS (SELECT b1.doc_id, b1.source_label,
+       |nbpred AS (SELECT b1.doc_id, b1.label,
        |    CASE WHEN b1.doc_id % 5 = 0 THEN 'holdout' ELSE 'train' END AS split,
-       |    b1.cls AS source_pred, b1.score_micro AS best_score_micro,
+       |    b1.cls AS pred, b1.score_micro AS best_score_micro,
        |    b1.score_micro - b2.score_micro AS margin_micro
        |  FROM (SELECT * FROM nbrk WHERE r = 1) b1
        |  LEFT JOIN (SELECT * FROM nbrk WHERE r = 2) b2 ON b2.doc_id = b1.doc_id)""".stripMargin
   }
+
+  /** Labeled-docs SQL for the two NB instances. */
+  private def nbSourceLabeled: String =
+    s"SELECT doc_id, text, source AS label FROM $docs"
+  private def nbQualityLabeled: String =
+    // the median quality gate's keep/cut verdict as the label — the
+    // text_quality_filter twin's scored/median expressions verbatim,
+    // unfiltered so every doc is labeled
+    s"""SELECT doc_id, text,
+       |  CASE WHEN quality >= median_q THEN 'pass' ELSE 'fail' END AS label
+       |FROM (SELECT doc_id, text, quality,
+       |    round(quantile_cont(quality, 0.5) OVER (PARTITION BY source), 6) AS median_q
+       |  FROM (SELECT doc_id, text, source, round($qualitySql, 6) AS quality
+       |    FROM $docs))""".stripMargin
 
   private def nbVocabK: Int = graft.operators.TextAnalysis.NbVocabK
 

@@ -620,11 +620,20 @@ object TextAnalysis {
     sourceNbFrom(Tables.documents(s, dir))
 
   /** Core of [[sourceNb]] over any (doc_id, text, source) frame. */
-  private[graft] def sourceNbFrom(docs: DataFrame): DataFrame = {
+  private[graft] def sourceNbFrom(docs: DataFrame): DataFrame =
+    nbClassifyFrom(docs.select($"doc_id", $"text", $"source".as("label")))
+      .withColumnRenamed("label", "source_label")
+      .withColumnRenamed("pred", "source_pred")
+
+  /** Generic integer micro-nat NB head over any (doc_id, text, label)
+    * frame — [[sourceNb]] and [[qualityNb]] are this with different
+    * label columns. Output: (doc_id, label, split, pred,
+    * best_score_micro, margin_micro). */
+  private def nbClassifyFrom(docs: DataFrame): DataFrame = {
     def nbToks(c: Column): Column =
       regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
     val train = docs.filter($"doc_id" % 5 =!= 0)
-    val trainToks = train.select($"source", explode(nbToks($"text")).as("tok"))
+    val trainToks = train.select($"label", explode(nbToks($"text")).as("tok"))
     // vocabulary: the train split's global head (the model must not see
     // holdout tokens)
     val vocab = trainToks.groupBy($"tok").agg(count(lit(1)).as("vn"))
@@ -632,11 +641,11 @@ object TextAnalysis {
       .select($"tok").localCheckpoint(true)
     val vsize = vocab.agg(count(lit(1)).as("v"))
     // exact-integer model: priors, per-(class, token) counts, class totals
-    val priors = train.groupBy($"source".as("cls"))
+    val priors = train.groupBy($"label".as("cls"))
       .agg(count(lit(1)).as("ndc")).localCheckpoint(true)
     val nTrain = priors.agg(sum($"ndc").as("n_train"))
     val ntc = trainToks.join(broadcast(vocab), "tok")
-      .groupBy($"source".as("cls"), $"tok").agg(count(lit(1)).as("ntc"))
+      .groupBy($"label".as("cls"), $"tok").agg(count(lit(1)).as("ntc"))
       .localCheckpoint(true)
     val ncl = ntc.groupBy($"cls").agg(sum($"ntc").as("ncl"))
     // per-doc in-vocab token counts: ONE doc-keyed exchange
@@ -656,24 +665,24 @@ object TextAnalysis {
         .as("ts"))
     // completion: every (doc, class) pair gets prior + token sum —
     // docs with no in-vocab tokens still score prior-only
-    val scored = docs.select($"doc_id", $"source".as("source_label"))
+    val scored = docs.select($"doc_id", $"label")
       .crossJoin(broadcast(priors.crossJoin(nTrain)))
       .join(perClassTok.withColumnRenamed("cls", "cls_t")
           .withColumnRenamed("doc_id", "doc_id_t"),
         $"doc_id" === $"doc_id_t" && $"cls" === $"cls_t", "left")
-      .select($"doc_id", $"source_label", $"cls",
+      .select($"doc_id", $"label", $"cls",
         (round((log($"ndc".cast("double")) - log($"n_train".cast("double")))
           * lit(1e6), 0).cast("long") +
           coalesce($"ts", lit(0L))).as("score_micro"))
     // bounded argmax: ≤ |classes| structs per doc; (-score asc, cls asc)
     // == (score desc, cls asc), exact over integers
     scored
-      .groupBy($"doc_id", $"source_label")
+      .groupBy($"doc_id", $"label")
       .agg(sort_array(collect_list(struct((-$"score_micro").as("ns"), $"cls")))
         .as("sc"))
-      .select($"doc_id", $"source_label",
+      .select($"doc_id", $"label",
         when($"doc_id" % 5 === 0, "holdout").otherwise("train").as("split"),
-        element_at($"sc", 1)("cls").as("source_pred"),
+        element_at($"sc", 1)("cls").as("pred"),
         (-element_at($"sc", 1)("ns")).as("best_score_micro"),
         (try_element_at($"sc", lit(2))("ns") -
           element_at($"sc", 1)("ns")).as("margin_micro"))
@@ -738,6 +747,77 @@ object TextAnalysis {
           .as("share_of_label"),
         round($"n_docs".cast("double") /
           sum($"n_docs").over(Window.partitionBy($"split", $"source_pred")), 6)
+          .as("share_of_pred"))
+  }
+
+  /** DISTILLED QUALITY CLASSIFIER — the second instance of the trained
+    * NB head ([[sourceNb]] is the first): train on the MEDIAN QUALITY
+    * GATE'S OWN VERDICTS (pass = above the per-source quality median,
+    * the [[qualityFilter]] keep/cut decision — a balanced teacher by
+    * construction), score every document. This is how real pipelines
+    * distill a composite quality stack into a cheap token-level scorer
+    * (fastText-style quality classifiers are trained exactly this way).
+    * The holdout diagonal is the distillation audit: high holdout
+    * recall means the NB head can stand in for the full score-and-rank
+    * gate at ingestion (via [[graft.streaming.Streams.nbRouter]], which
+    * is label-agnostic); a smeared holdout matrix means token counts
+    * can't reproduce the gate and it must stay feature-based. Same
+    * integer micro-nat arithmetic, split column, and scale shape as
+    * [[sourceNb]] — see there; the teacher adds [[qualityFilter]]'s
+    * per-source rank window, one exchange. */
+  def qualityNb(s: SparkSession, dir: String): DataFrame =
+    qualityNbFrom(Tables.documents(s, dir))
+
+  /** Core of [[qualityNb]]: labels derived from the same
+    * quality-vs-per-source-median decision [[qualityFilterFrom]]
+    * applies (identical expressions, no drift), kept unfiltered so
+    * every doc is labeled. */
+  private[graft] def qualityNbFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, _, quality) = qualitySignals
+    val byQ = Window.partitionBy($"source").orderBy($"quality".asc, $"doc_id".asc)
+    val whole = Window.partitionBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lo = floor(($"n" + lit(1L)) / lit(2.0)).cast("long")
+    val hi = floor(($"n" + lit(2L)) / lit(2.0)).cast("long")
+    // label side stays NARROW (doc_id, source, quality — the
+    // qualityFilterFrom discipline): the per-source rank window must
+    // never sort full document text through its exchange; text joins
+    // back doc-keyed afterwards
+    val verdicts = docs
+      .select($"doc_id", $"source", round(quality, 6).as("quality"))
+      .withColumn("rn", row_number().over(byQ))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("median_q",
+        round(avg(when($"rn" === lo || $"rn" === hi, $"quality")).over(whole), 6))
+      .select($"doc_id",
+        when($"quality" >= $"median_q", "pass").otherwise("fail").as("label"))
+    // the NB head scans its labeled input ~5 times (vocab, priors,
+    // (class, token) counts, doc counts, completion) — checkpoint so
+    // the teacher (score + rank window + join) runs ONCE, not per scan
+    val labeled = docs.select($"doc_id", $"text")
+      .join(verdicts, "doc_id")
+      .select($"doc_id", $"text", $"label")
+      .localCheckpoint(true)
+    nbClassifyFrom(labeled)
+      .withColumnRenamed("label", "quality_label")
+      .withColumnRenamed("pred", "quality_pred")
+  }
+
+  /** CONFUSION AUDIT of the distilled quality classifier — per
+    * (split, label, pred) cell; holdout is the gate; on the diagonal,
+    * share_of_label is the distillation recall per class. */
+  def qualityNbConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qualityNb(s, dir)
+      .groupBy($"split", $"quality_label", $"quality_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .select($"split", $"quality_label", $"quality_pred", $"n_docs",
+        round($"n_docs".cast("double") /
+          sum($"n_docs").over(Window.partitionBy($"split", $"quality_label")), 6)
+          .as("share_of_label"),
+        round($"n_docs".cast("double") /
+          sum($"n_docs").over(Window.partitionBy($"split", $"quality_pred")), 6)
           .as("share_of_pred"))
   }
 

@@ -1644,6 +1644,26 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality nb: labels are exactly the median gate's keep/cut " +
+    "verdicts; output equals the integer micro-nat NB mirror") {
+    val docs = Tables.documents(spark, Sf)
+    // the teacher: qualityFilterFrom's kept set (its own spec pins it
+    // against the quantile mirror) — pass = kept, fail = cut
+    val kept = TextAnalysis.qualityFilterFrom(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (kept(r.getLong(0))) "pass" else "fail")).toSeq
+    // a meaningful teacher: both classes present in the training split
+    assert(rows.filter(_._1 % 5 != 0).map(_._3).distinct.length === 2,
+      "median-gate teacher must be two-class on the train split")
+    val mir = nbMirror(rows)
+    val got = TextAnalysis.qualityNb(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(got === mir, "engine diverges from the quality-NB mirror")
+  }
+
   test("vocab coverage: every column equals a brute-force token-count " +
     "mirror; coverage monotone in budget, oov its complement") {
     val texts = Tables.documents(spark, Sf).select("text").collect()
