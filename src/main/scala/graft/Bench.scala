@@ -136,7 +136,7 @@ object Bench {
     "text_vocab_coverage", // added r14: token-count exchange + bounded top-16k head
     "text_bpe_merges", // added r15: one corpus token exchange + 32 type-table merge rounds
     "text_source_nb", // added r15: integer micro-nat NB, broadcast model scoring
-    "text_quality_nb", // added r15: the same NB head distilling the gopher gate's verdicts
+    "text_quality_nb", // added r15: the same NB head distilling the per-source quality-median gate's verdicts
     "mm_meta_stats")
 
   /** Registered queries deliberately NOT in the headline bench, each

@@ -1304,8 +1304,10 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  FROM nbpred GROUP BY 1, 2, 3)""".stripMargin,
     "text_quality_nb" ->
       // twin of TextAnalysis.qualityNb: the SAME NB chain trained on
-      // the gopher gate's own pass/fail verdicts (label CTE shares the
-      // gopher feature SQL, so teacher and gate can never drift)
+      // the per-source quality-MEDIAN gate's pass/fail verdicts (the
+      // label CTE re-derives qualityFilterFrom's scored/median
+      // expressions verbatim — see nbQualityLabeled — so teacher and
+      // gate can never drift)
       s"""WITH ${nbCtes(nbQualityLabeled)}
          |SELECT doc_id, label AS quality_label, split, pred AS quality_pred,
          |  best_score_micro, margin_micro
@@ -2281,9 +2283,10 @@ private[graft] final class OracleSqlGen(sfDir: String) {
 
   /** Gopher feature select over $docs (ratios rounded to 6 BEFORE
     * threshold compares; replace() mirrors the literal-'#'
-    * regexp_replace, string_split(chr(10)) the '\n' split) — shared by
-    * the gopher-rules twin and the quality-NB label CTE so the teacher
-    * can never drift from the gate. `extraCols` are carried verbatim. */
+    * regexp_replace, string_split(chr(10)) the '\n' split) — used by
+    * the gopher-rules twin. (The quality-NB teacher is NOT this gate:
+    * its labels come from the per-source quality-median verdict — see
+    * nbQualityLabeled.) `extraCols` are carried verbatim. */
   private def gopherFeaturesSql(extraCols: String): String = {
     val tk = toks("lower(text)")
     val nW = s"CAST(len($tk) AS BIGINT)"

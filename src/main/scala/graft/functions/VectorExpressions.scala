@@ -557,13 +557,16 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
     java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
   @transient private lazy val mergesA: Array[(String, String)] = merges.toArray
 
-  /** Piece count of one token under the merge list: char-split, then
-    * one greedy pass per merge in rank order (the trainer's exact
-    * application order). */
+  /** Piece count of one token under the merge list: code-point split
+    * (NOT charAt — the batch trainer's canonical split is regex '.'
+    * over CODE POINTS on both engines, so a non-BMP token must not get
+    * surrogate-halved here), then one greedy pass per merge in rank
+    * order (the trainer's exact application order). */
   private def pieceCount(tok: String): Long = {
-    var syms = new Array[String](tok.length)
+    val cps = tok.codePoints().toArray
+    var syms = new Array[String](cps.length)
     var i = 0
-    while (i < tok.length) { syms(i) = String.valueOf(tok.charAt(i)); i += 1 }
+    while (i < cps.length) { syms(i) = new String(Character.toChars(cps(i))); i += 1 }
     var n = syms.length
     var m = 0
     while (m < mergesA.length && n > 1) {

@@ -2344,7 +2344,18 @@ object Similarity {
   def knnDescentSq8From(e0: DataFrame, k: Int, iters: Int,
                         nInitBuckets: Int, revCap: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
+    // validate up front (knnDescentCore re-checks, but the grid collect
+    // below must not run first — bad params should never cost a job)
+    require(k >= 1 && iters >= 1 && iters <= 4 && nInitBuckets >= 2 && revCap >= 1,
+      s"need k >= 1, iters in [1,4], nInitBuckets >= 2, revCap >= 1")
     val e = e0.localCheckpoint(true)
+    // empty corpus → empty graph, mirroring the exact variant: sq8Stats
+    // over zero rows yields an empty per-dim grid that the scoring
+    // kernel would (correctly) reject, so short-circuit before it
+    if (e.isEmpty) {
+      return e.limit(0).select($"vec_id".as("src_id"), $"vec_id".as("nbr_id"),
+        round(lit(0.0), 4).as("cos_sim_sq8"), round(lit(0.0), 4).as("cos_sim"))
+    }
     // the grid is O(dims) doubles — a bounded driver-policy collect
     // (the k-means‖ / langid-router contract), baked into the scoring
     // kernel as plan constants

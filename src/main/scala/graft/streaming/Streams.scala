@@ -949,23 +949,6 @@ object Streams {
         $"f_ellipsis", $"f_alpha", $"f_stop")
   }
 
-  /** STREAMING LANGUAGE ROUTER — the ingestion-time half of
-    * [[graft.operators.TextAnalysis.langIdNgram]]: arriving documents
-    * scored against a STATIC trained rank-profile model (the
-    * (lang, gram, lrank) frame [[graft.operators.TextAnalysis
-    * .langProfileOf]] builds — retrained offline, redeployed by
-    * restarting the query, the standard model-rollout seam). Emits one
-    * row per arriving doc: (doc_id, ingest_ts, lang_pred, best_dist,
-    * margin) with the batch operator's exact integer arithmetic and
-    * tie-breaks — the routing/quarantine decision at the crawl's front
-    * door rather than in the nightly batch.
-    *
-    * Shape: the O(|langs|·K)-row model collapses into the
-    * [[graft.functions.LangIdScoreExpr]] per-row kernel carried by the
-    * plan, so the stream is a STATELESS projection — no state store,
-    * no watermark, no shuffle, append-mode, unbounded throughput. The
-    * batch form's groupBy/window would drag watermark semantics and a
-    * state store into what is per-row work on this seam. */
   /** STREAMING SOURCE/QUALITY-CLASSIFIER ROUTER — the ingestion-time
     * half of [[graft.operators.TextAnalysis.sourceNb]], the second
     * instance of the [[langIdRouter]] pattern: arriving documents are
@@ -1032,6 +1015,23 @@ object Streams {
           .otherwise(lit(null).cast("double")).as("pieces_per_token"))
   }
 
+  /** STREAMING LANGUAGE ROUTER — the ingestion-time half of
+    * [[graft.operators.TextAnalysis.langIdNgram]]: arriving documents
+    * scored against a STATIC trained rank-profile model (the
+    * (lang, gram, lrank) frame [[graft.operators.TextAnalysis
+    * .langProfileOf]] builds — retrained offline, redeployed by
+    * restarting the query, the standard model-rollout seam). Emits one
+    * row per arriving doc: (doc_id, ingest_ts, lang_pred, best_dist,
+    * margin) with the batch operator's exact integer arithmetic and
+    * tie-breaks — the routing/quarantine decision at the crawl's front
+    * door rather than in the nightly batch.
+    *
+    * Shape: the O(|langs|·K)-row model collapses into the
+    * [[graft.functions.LangIdScoreExpr]] per-row kernel carried by the
+    * plan, so the stream is a STATELESS projection — no state store,
+    * no watermark, no shuffle, append-mode, unbounded throughput. The
+    * batch form's groupBy/window would drag watermark semantics and a
+    * state store into what is per-row work on this seam. */
   def langIdRouter(docs: Dataset[Doc], langProf: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import graft.operators.TextAnalysis.{DocProfK, LangProfK}

@@ -161,6 +161,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(gotHist === refHist, "sq8 hubness histogram diverges from rollup")
   }
 
+  test("sq8 nn-descent: empty input yields an empty graph (not a grid " +
+    "crash) and bad params fail fast, mirroring the exact variant") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val g = Similarity.knnDescentSq8From(empty, k = 5, iters = 3,
+      nInitBuckets = 16, revCap = 5)
+    assert(g.columns.toSeq ===
+      Seq("src_id", "nbr_id", "cos_sim_sq8", "cos_sim"))
+    assert(g.count() === 0L)
+    // parameter validation fires BEFORE any job (grid collect included)
+    intercept[IllegalArgumentException] {
+      Similarity.knnDescentSq8From(empty, k = 0, iters = 3,
+        nInitBuckets = 16, revCap = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnDescentSq8From(empty, k = 5, iters = 9,
+        nInitBuckets = 16, revCap = 5)
+    }
+  }
+
   test("bucket centroids equal an independent BigDecimal reference, per component") {
     import spark.implicits._
     val e = Tables.embeddings(spark, Sf)
