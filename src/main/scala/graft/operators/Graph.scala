@@ -1290,44 +1290,81 @@ object Graph {
         .otherwise(lit(HbRemBits + 1) - length(bin(rem))).cast("long"))
   }
 
-  /** Per-node HLL ball estimate of one register frame (node, reg, mj):
-    * harmonic denominator carried as the exact integer Σ 2^(55−mj)
-    * (+ 2^55 per empty register — the [[Dedup.hllEstFrom]] discipline
-    * at the 64-register grid), raw-vs-linear-counting branch per the
-    * paper, per-node estimate rounded to 4 dp and summed in DECIMAL
-    * (order-independent) into the hop's reachable-pair mass. */
-  private def hbHopRow(regs: DataFrame, hop: Int): DataFrame = {
-    val grouped = regs.groupBy($"node")
-      .agg(count(lit(1)).as("n_regs"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HbRemBits + 1} - mj AS INT))"))
-          .as("s_present"))
-    val vZero = lit(HbRegs) - $"n_regs"
-    val sScaled = $"s_present" + vZero * lit(1L << (HbRemBits + 1))
-    val raw = lit(HbAlphaM2) * lit(HbPow) / sScaled.cast("double")
-    val m = HbRegs.toDouble
-    val est = when(raw <= lit(2.5 * m) && vZero > 0,
-      lit(m) * log(lit(m) / vZero.cast("double"))).otherwise(raw)
-    grouped.select(round(est, 4).cast("decimal(20,4)").as("ball"))
-      .agg(count(lit(1)).as("n_nodes"), sum($"ball").as("pairs_dec"))
-      .select(lit(hop.toLong).as("hops"), $"n_nodes", $"pairs_dec")
+  /** Register iterate in PACKED form — the exchange-width fix (r16).
+    *
+    * The iterate is LOGICALLY a (node, reg, mj) frame, and through r15
+    * it was carried that way: every hop's adjacency join + re-max moved
+    * 64·(E+V) rows, which made hyperball/closeness_sketch ~45% of the
+    * whole 10× bench leg. Packed, each node carries ONE 64-byte
+    * BinaryType blob (byte[reg] = mj, 0 = absent —
+    * [[graft.functions.PackRegExpr]]); the hop join moves (E+V) rows of
+    * ~80 B and the merge is a bytewise-MAX aggregate
+    * ([[graft.functions.RegMaxAgg]], map-side combinable, so the
+    * exchange is bounded by V·partitions rows whatever E is). Register
+    * CONTENT is identical to the row form — [[hbSummary]] reads back
+    * the exact integers (n_regs, Σ 2^(55−mj)) the estimator consumed
+    * before, so estimates (and the DuckDB twin, which still iterates
+    * the logical row frame) are bit-identical. Init-blob and hop frames
+    * are localCheckpoint'ed like every iterate in this file. */
+  private def hbInitBlobs(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val (reg, rho) = hbParts(graft.functions.EngineNeutral.hash60(
+      concat(lit("hb|"), $"node".cast("string"))))
+    val blob = Bridge.column(graft.functions.PackRegExpr(
+      Bridge.expression(reg), Bridge.expression(rho), HbRegs.toInt))
+    degrees(e).select($"node").select($"node", blob.as("blob"))
   }
 
-  /** Per-node HLL ball estimate (node, ball) of one register frame —
-    * the per-node view of [[hbHopRow]], same denominator/branch/round-4
-    * discipline, ball carried as DECIMAL(20,4). */
-  private def hbNodeEst(regs: DataFrame): DataFrame = {
-    val grouped = regs.groupBy($"node")
-      .agg(count(lit(1)).as("n_regs"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HbRemBits + 1} - mj AS INT))"))
-          .as("s_present"))
+  /** One HyperBall hop over packed registers: neighbors' blobs union
+    * the node's own, register-wise MAX per node. */
+  private def hbHopBlobs(adj: DataFrame, regs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val regMax = Bridge.column(graft.functions.RegMaxAgg(
+      Bridge.expression($"blob")).toAggregateExpression())
+    adj.join(regs, $"node" === $"src")
+      .select($"dst".as("node"), $"blob")
+      .unionAll(regs)
+      .groupBy($"node").agg(regMax.as("blob"))
+  }
+
+  /** (node, n_regs, s_present) readout of a packed frame — the exact
+    * integers the row form aggregated per (node, reg) group. */
+  private def hbSummary(regs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val st = Bridge.column(graft.functions.RegSummaryExpr(
+      Bridge.expression($"blob"), HbRemBits + 1))
+    regs.select($"node", st.as("st"))
+      .select($"node", $"st"("n_regs").as("n_regs"),
+        $"st"("s_present").as("s_present"))
+  }
+
+  /** HLL ball estimate from the (n_regs, s_present) readout: harmonic
+    * denominator carried as the exact integer Σ 2^(55−mj) (+ 2^55 per
+    * empty register — the [[Dedup.hllEstFrom]] discipline at the
+    * 64-register grid), raw-vs-linear-counting branch per the paper,
+    * rounded to 4 dp as DECIMAL(20,4). */
+  private def hbBallCol: org.apache.spark.sql.Column = {
     val vZero = lit(HbRegs) - $"n_regs"
     val sScaled = $"s_present" + vZero * lit(1L << (HbRemBits + 1))
     val raw = lit(HbAlphaM2) * lit(HbPow) / sScaled.cast("double")
     val m = HbRegs.toDouble
     val est = when(raw <= lit(2.5 * m) && vZero > 0,
       lit(m) * log(lit(m) / vZero.cast("double"))).otherwise(raw)
-    grouped.select($"node", round(est, 4).cast("decimal(20,4)").as("ball"))
+    round(est, 4).cast("decimal(20,4)")
   }
+
+  /** One curve row per hop: per-node estimates summed in DECIMAL
+    * (order-independent) into the hop's reachable-pair mass. */
+  private def hbHopRow(regs: DataFrame, hop: Int): DataFrame =
+    hbSummary(regs).select(hbBallCol.as("ball"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"ball").as("pairs_dec"))
+      .select(lit(hop.toLong).as("hops"), $"n_nodes", $"pairs_dec")
+
+  /** Per-node HLL ball estimate (node, ball) of one packed frame —
+    * the per-node view of [[hbHopRow]], same denominator/branch/round-4
+    * discipline, ball carried as DECIMAL(20,4). */
+  private def hbNodeEst(regs: DataFrame): DataFrame =
+    hbSummary(regs).select($"node", hbBallCol.as("ball"))
 
   /** SKETCHED CLOSENESS (HyperBall's headline use) — HARMONIC
     * centrality for EVERY node, estimated from the per-node ball
@@ -1355,19 +1392,11 @@ object Graph {
     require(maxHops >= 1 && maxHops <= 8, s"maxHops must be in [1, 8], got $maxHops")
     val e = edges(s, dir).localCheckpoint(true)
     val adj = adjacency(e).localCheckpoint(true)
-    val (reg, rho) = hbParts(graft.functions.EngineNeutral.hash60(
-      concat(lit("hb|"), $"node".cast("string"))))
-    var regsNow = degrees(e).select($"node")
-      .select($"node", reg.as("reg"), rho.as("mj"))
-      .localCheckpoint(true)
+    var regsNow = hbInitBlobs(e).localCheckpoint(true)
     val balls = scala.collection.mutable.ArrayBuffer(
       hbNodeEst(regsNow).select($"node", $"ball".as("b0")))
     for (h <- 1 to maxHops) {
-      regsNow = adj.join(regsNow, $"node" === $"src")
-        .select($"dst".as("node"), $"reg", $"mj")
-        .unionAll(regsNow)
-        .groupBy($"node", $"reg").agg(max($"mj").as("mj"))
-        .localCheckpoint(true)
+      regsNow = hbHopBlobs(adj, regsNow).localCheckpoint(true)
       balls += hbNodeEst(regsNow).select($"node", $"ball".as(s"b$h"))
     }
     val joined = balls.reduce((a, b) => a.join(b, "node"))
@@ -1413,18 +1442,10 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val e = edges(s, dir).localCheckpoint(true)
     val adj = adjacency(e).localCheckpoint(true)
-    val (reg, rho) = hbParts(graft.functions.EngineNeutral.hash60(
-      concat(lit("hb|"), $"node".cast("string"))))
-    var regsNow = degrees(e).select($"node")
-      .select($"node", reg.as("reg"), rho.as("mj"))
-      .localCheckpoint(true)
+    var regsNow = hbInitBlobs(e).localCheckpoint(true)
     val hops = scala.collection.mutable.ArrayBuffer(hbHopRow(regsNow, 0))
     for (h <- 1 to maxHops) {
-      regsNow = adj.join(regsNow, $"node" === $"src")
-        .select($"dst".as("node"), $"reg", $"mj")
-        .unionAll(regsNow)
-        .groupBy($"node", $"reg").agg(max($"mj").as("mj"))
-        .localCheckpoint(true)
+      regsNow = hbHopBlobs(adj, regsNow).localCheckpoint(true)
       hops += hbHopRow(regsNow, h)
     }
     val win = Window.partitionBy()
