@@ -311,35 +311,77 @@ object Bench {
       case None => headline
     }
 
-  private def run(spark: SparkSession, sfDir: String, reps: Int)
-  : (Seq[(String, Double)], Seq[(String, String)]) = {
-    val times = Seq.newBuilder[(String, Double)]
-    val errors = Seq.newBuilder[(String, String)]
+  /** Mutable per-leg progress, shared with the shutdown hook: the hook
+    * composes a partial-but-parseable record from whatever is in here
+    * when the driver's external timeout kills the JVM (r15's rc=124
+    * landed "parsed": null — that class of loss is now structurally
+    * impossible). All access synchronized on the instance. */
+  private final class LegProgress {
+    val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def snapshot: (Seq[(String, Double)], Seq[(String, String)], Seq[String]) =
+      synchronized { (times.toSeq, errors.toSeq, skipped.toSeq) }
+  }
+
+  /** Session holder with rebuild-on-death: r15's bench loss mode was one
+    * cancelled graph_hyperball job killing the shared SparkContext and
+    * "failing" the 13 queries behind it with "Cannot call methods on a
+    * stopped SparkContext" (target/bench_last.json). `current` now
+    * detects a stopped context and rebuilds the session, so a
+    * cancellation is attributed ONLY to its true victim. */
+  private final class SessionHolder(build: () => SparkSession) {
+    private var spark: SparkSession = build()
+    def current: SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[bench] SparkContext stopped — rebuilding session")
+        spark = build()
+      }
+      spark
+    }
+    def stop(): Unit = if (!spark.sparkContext.isStopped) spark.stop()
+  }
+
+  private def run(sessions: SessionHolder, sfDir: String, reps: Int,
+                  deadlineNanos: Long, progress: LegProgress): Unit = {
     active.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      try {
-        val best = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          // toRdd.count(), NOT Dataset.count(): a bare count() lets the
-          // optimizer PRUNE work that cannot change the row count — e.g.
-          // graph_local_clustering's final left join has unique right
-          // keys, so count() dropped the whole triangle pipeline and
-          // recorded 3.5 s for a computation whose true cost was 68 s
-          // (discovered round 12). toRdd executes the plan exactly as a
-          // consumer of the ROWS would pay for it; for non-prunable
-          // queries (everything ending in an aggregate/join that shapes
-          // the count) the timing is unchanged.
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        times += name -> best
-      } catch {
-        case e: Throwable =>
-          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      if (System.nanoTime() > deadlineNanos) {
+        // Budget guard: a query start past the wall-clock budget is
+        // SKIPPED (declared, not silently dropped, never an "error") so
+        // the record stays parseable and complete-by-declaration even
+        // when the registry outgrows the driver window again.
+        progress.synchronized { progress.skipped += name }
+      } else {
+        val fn = SparkEntry.queries(name)
+        try {
+          val best = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            // toRdd.count(), NOT Dataset.count(): a bare count() lets the
+            // optimizer PRUNE work that cannot change the row count — e.g.
+            // graph_local_clustering's final left join has unique right
+            // keys, so count() dropped the whole triangle pipeline and
+            // recorded 3.5 s for a computation whose true cost was 68 s
+            // (discovered round 12). toRdd executes the plan exactly as a
+            // consumer of the ROWS would pay for it; for non-prunable
+            // queries (everything ending in an aggregate/join that shapes
+            // the count) the timing is unchanged.
+            fn(sessions.current, sfDir).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          progress.synchronized { progress.times += name -> best }
+        } catch {
+          case e: Throwable =>
+            progress.synchronized {
+              progress.errors += name ->
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            }
+            // a dying context must fail only its victim — rebuild now so
+            // the NEXT query runs on a live session
+            sessions.current
+        }
       }
       System.gc()
     }
-    (times.result(), errors.result())
   }
 
   /** 3-decimal (millisecond) rendering for the stdout line — the driver
@@ -362,16 +404,17 @@ object Bench {
   }
 
   private def section(times: Seq[(String, Double)], errors: Seq[(String, String)],
-      rounded: Boolean = false): String = {
+      skipped: Seq[String] = Nil, rounded: Boolean = false): String = {
     val qs = times.map { case (k, v) =>
       jstr(k) + ":" + (if (rounded) ms(v) else v.toString)
     }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val sk = skipped.map(jstr).mkString("[", ",", "]")
     val total = times.map(_._2).sum
     // n_queries makes cross-round total comparisons self-describing —
     // the headline SET grows across rounds, so totals are not comparable
     // without it (r6: 19 queries, r7: 23)
-    s""""value":${if (rounded) ms(total) else total.toString},"n_queries":${times.size},"queries":$qs,"errors":$es,"n_failed":${errors.size}"""
+    s""""value":${if (rounded) ms(total) else total.toString},"n_queries":${times.size},"queries":$qs,"errors":$es,"n_failed":${errors.size},"skipped":$sk,"n_skipped":${skipped.size}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -392,83 +435,137 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scaleK = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // The 10x leg defaults to REPS=1 (r16): at 112 headline queries the
+    // best-of-2 double leg outgrew the driver's window (BENCH_r15.json
+    // rc=124). Best-of-N matters most where JIT/GC noise is large
+    // relative to the timing — the sub-second base queries — and least
+    // on the 10x leg's tens-of-seconds plans; one rep there halves the
+    // leg's wall-clock for ~run-spread-sized noise. Override with
+    // SPARK_GRAFT_SCALE_REPS for a definitive double-rep record.
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
+    // Wall-clock budget (seconds, from bench-main start): queries that
+    // would START past it are declared "skipped" rather than dropped by
+    // an external kill. 2400 s sits well inside the driver window that
+    // r14's ~2600 s run fit and r15's overran.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "2400").toInt
+    val t0 = System.nanoTime()
+    val deadline = t0 + budgetSec * 1000L * 1000L * 1000L
     // Shuffle partitions default to the core count (the sf0.1 posture);
     // the 100x rehearsal overrides via SPARK_GRAFT_PARTITIONS — on a real
     // cluster partition count scales with data volume, and at 100x a
     // 32-partition sort of the census adjacency traffic concentrates
     // ~100x base state per task (measured SparkOutOfMemory).
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS) — loader contract, see Tables.events
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.session.timeZone", "UTC")
+        // events.parquet stores TIMESTAMP(NANOS) — loader contract, see Tables.events
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    val sessions = new SessionHolder(buildSession)
+
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/target/bench_last.json")
+    val base = new LegProgress
+    val scaleLeg = new LegProgress
+    @volatile var scalePrepSec = -1.0
+    @volatile var scaleStarted = false
+    @volatile var done = false
+
+    // Record composition shared by the normal exit and the shutdown
+    // hook. `partial` marks a record cut short by an external kill —
+    // parseable either way (the r15 rc=124 fix).
+    def compose(partial: Boolean): (String, String) = {
+      val (bt, be, bs) = base.snapshot
+      val (st, se, ss) = scaleLeg.snapshot
+      val partialC = if (partial) ""","partial":true""" else ""
+      val (fullScale, stdoutScale) =
+        if (scaleK <= 1 || !scaleStarted) ("null", "null")
+        else {
+          val head = s""""factor":$scaleK,"reps":$scaleReps,"base":${jstr(sfDir)},"prep_sec":${ms(math.max(scalePrepSec, 0.0))}"""
+          (s"""{$head,${section(st, se, ss)}$partialC}""",
+            s"""{"factor":$scaleK,"reps":$scaleReps,"value":${cs(st.map(_._2).sum)},"n_queries":${st.size},"n_failed":${se.size},"n_skipped":${ss.size}}""")
+        }
+      val fileLine =
+        s"""{"metric":"total","reps":$reps,${section(bt, be, bs)}$partialC,"unit":"sec","sf":${jstr(sfDir)},"scale":$fullScale}"""
+      // Compact stdout line: SUMMARY FIELDS ONLY plus a "detail" pointer
+      // to the full file record — never the per-query map. BENCH_r8/r9/
+      // r13 all landed "parsed": null because a 105-query map is ~3.5 KB
+      // and the driver keeps only a ~2,000-char stdout tail (r13's tail
+      // visibly starts mid-JSON). The per-query map lives exclusively in
+      // the file record; this line stays a few hundred bytes with an
+      // explicit 1,400-char ceiling (errors truncated first) so it can
+      // never be decapitated again.
+      def stdoutLineOf(withErrors: Boolean): String = {
+        val esC =
+          if (be.isEmpty || !withErrors) ""
+          else be.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+            .mkString(""","errors":{""", ",", "}")
+        s"""{"metric":"total","reps":$reps,"value":${cs(bt.map(_._2).sum)},"n_queries":${bt.size},"n_failed":${be.size},"n_skipped":${bs.size}$esC$partialC,"unit":"sec","sf":${jstr(new java.io.File(sfDir).getName)},"scale":$stdoutScale,"detail":${jstr(outPath)}}"""
+      }
+      val stdoutLine = Seq(stdoutLineOf(withErrors = true))
+        .find(_.length <= 1400)
+        .getOrElse(stdoutLineOf(withErrors = false))
+      (fileLine, stdoutLine)
+    }
+
+    def flush(partial: Boolean): Unit = {
+      val (fileLine, stdoutLine) = compose(partial)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileLine + "\n")
+      System.err.println(s"[bench] stdout line ${stdoutLine.length} chars; full record: $outPath")
+      realOut.println(stdoutLine)
+      realOut.flush()
+    }
+
+    // External timeouts deliver SIGTERM; shutdown hooks run on it. If
+    // the final record was not written, flush a partial one so rc=124
+    // can never again mean "parsed": null.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!done) flush(partial = true)
+    }, "graft-bench-partial-flush"))
+
     // JVM/codegen warm-up on the smallest SF so headline timings measure
     // the plan, not first-query class loading — one representative per
     // kernel family (relational agg, vector codegen + heap agg, minhash
     // banding): cold sim_brute_force_topk measured 7x its warm time
     // purely from first-touch codegen/class loading.
     Seq("rel_pricing_summary", "sim_brute_force_topk", "dedup_minhash_lsh_pairs")
-      .foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
+      .foreach(q => SparkEntry.queries(q)(sessions.current, "/root/testdata/sf0.001").count())
 
-    val (times, errors) = run(spark, sfDir, reps)
+    run(sessions, sfDir, reps, deadline, base)
 
-    // (fullScale, stdoutScale): the file record keeps the per-query scale
-    // map at full precision; the stdout record summarizes scale to totals
-    // only, because the driver captures a 2,000-char stdout tail and the
-    // full two-map line (~3.5 KB) gets decapitated → "parsed": null in
-    // BENCH_r8/r9.json. The stdout line stays ~1.3 KB with headroom.
-    val (fullScale, stdoutScale) =
-      if (scaleK <= 1) ("null", "null")
-      else try {
+    if (scaleK > 1) {
+      try {
         val target = "/root/repo/target/graft-scale" + scaleK + "-" +
           new java.io.File(sfDir).getName
         val tPrep0 = System.nanoTime()
-        graft.sources.ScaledCorpus.ensure(spark, sfDir, target, scaleK)
-        val prepSec = (System.nanoTime() - tPrep0) / 1e9
-        val (st, se) = run(spark, target, reps)
-        val head = s""""factor":$scaleK,"base":${jstr(sfDir)},"prep_sec":${ms(prepSec)}"""
-        (s"""{$head,${section(st, se)}}""",
-          s"""{"factor":$scaleK,"value":${cs(st.map(_._2).sum)},"n_queries":${st.size},"n_failed":${se.size}}""")
+        graft.sources.ScaledCorpus.ensure(sessions.current, sfDir, target, scaleK)
+        scalePrepSec = (System.nanoTime() - tPrep0) / 1e9
+        scaleStarted = true
+        run(sessions, target, scaleReps, deadline, scaleLeg)
       } catch {
+        // ensure() failure (the per-query loop catches its own): record
+        // it as the first scale "error" so the leg is visibly red
         case e: Throwable =>
-          val err = s"""{"factor":$scaleK,"error":${jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
-          (err, err)
+          scaleStarted = true
+          scaleLeg.synchronized {
+            scaleLeg.errors += "_scale_prep" ->
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          }
       }
-
-    // full-precision, both query maps — the canonical record, always
-    // written to a file (env-overridable path) so sbt log noise can
-    // never bury it
-    val fileLine =
-      s"""{"metric":"total","reps":$reps,${section(times, errors)},"unit":"sec","sf":${jstr(sfDir)},"scale":$fullScale}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/target/bench_last.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileLine + "\n")
-    // Compact stdout line: SUMMARY FIELDS ONLY plus a "detail" pointer
-    // to the full file record — never the per-query map. BENCH_r8/r9/
-    // r13 all landed "parsed": null because a 105-query map is ~3.5 KB
-    // and the driver keeps only a ~2,000-char stdout tail (r13's tail
-    // visibly starts mid-JSON). The per-query map lives exclusively in
-    // the file record above; this line stays a few hundred bytes with
-    // an explicit 1,400-char ceiling (errors truncated first) so it can
-    // never be decapitated again.
-    def stdoutLineOf(withErrors: Boolean): String = {
-      val esC =
-        if (errors.isEmpty || !withErrors) ""
-        else errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
-          .mkString(""","errors":{""", ",", "}")
-      s"""{"metric":"total","reps":$reps,"value":${cs(times.map(_._2).sum)},"n_queries":${times.size},"n_failed":${errors.size}$esC,"unit":"sec","sf":${jstr(new java.io.File(sfDir).getName)},"scale":$stdoutScale,"detail":${jstr(outPath)}}"""
     }
-    val stdoutLine = Seq(stdoutLineOf(withErrors = true))
-      .find(_.length <= 1400)
-      .getOrElse(stdoutLineOf(withErrors = false))
-    System.err.println(s"[bench] stdout line ${stdoutLine.length} chars; full record: $outPath")
-    realOut.println(stdoutLine)
-    realOut.flush()
-    spark.stop()
+
+    // flush BEFORE setting done: if TERM lands mid-final-flush the hook
+    // still emits a (parseable, partial-flagged) backup line; the
+    // reverse order has a window with no line at all — r15's exact loss
+    flush(partial = false)
+    done = true
+    sessions.stop()
   }
 }
