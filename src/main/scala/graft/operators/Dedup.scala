@@ -98,10 +98,15 @@ object Dedup {
     * single-evaluation (it is referenced by all 16 mins). */
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val hashed = Tables.documents(s, dir)
-      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb"))
       // token-less docs → all-null minhashes → one shared degenerate
-      // band key per band; see minhashDocFeatures for the full account
-      .filter(size($"hb") > 0)
+      // band key per band; see minhashDocFeatures for the full account.
+      // Guard on the RAW text (trim-nonempty ⟺ wsTokens nonempty, so
+      // exactly the twins' len(ws)>0): a size()-of-the-projection guard
+      // gets pushed below the project and re-evaluates the whole
+      // md5-per-token chain once per doc just to test emptiness
+      // (measured as the r15 1.13× drift on this derivation).
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb"))
     val sig = hashed.select(
       col("doc_id") +: (0 until MinhashPerms).map { i =>
         array_min(transform($"hb", h => minhashPerm(h, i))).as(s"mh$i")
@@ -144,7 +149,6 @@ object Dedup {
     * the two paths is therefore structural, not re-implemented. */
   def minhashDocFeatures(docs: DataFrame): DataFrame = {
     val hashed = docs
-      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb0"))
       // Empty/whitespace-only docs have no tokens → every `array_min`
       // minhash is null → `concat_ws` skips nulls and EVERY band key
       // degenerates to hash60("") — all empty docs land in one bucket in
@@ -153,8 +157,11 @@ object Dedup {
       // near-dup signal (J(∅,·) = 0 by SortedJaccardExpr's definition,
       // so verify would drop them anyway); cut them before signatures.
       // Same guard as lshTuningCurve's truth pass; DuckDB twins mirror
-      // it in minhashSigCte's ws CTE.
-      .filter(size($"hb0") > 0)
+      // it in minhashSigCte's ws CTE. Guard on the RAW text
+      // (trim-nonempty ⟺ wsTokens nonempty): a size()-of-the-projection
+      // guard re-evaluates the md5-per-token chain after pushdown.
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb0"))
     val sig = hashed.select(
       col("doc_id") +: (0 until MinhashPerms).map { i =>
         array_min(transform($"hb0", h => minhashPerm(h, i))).as(s"mh$i")
@@ -276,13 +283,15 @@ object Dedup {
     def sortedJaccard(a: Column, b: Column): Column =
       Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
     val hashed = Tables.documents(s, dir)
-      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb0"))
       // empty/whitespace-only docs have no tokens → every minhash null →
       // concat_ws collapses ALL of them to one shared band key in every
       // banding = O(N_empty²) candidate pairs, the exact quadratic
       // bucket this curve exists to price away. They carry no near-dup
       // signal; drop them before signatures (twin mirrors the filter).
-      .filter(size($"hb0") > 0)
+      // Raw-text guard (trim-nonempty ⟺ wsTokens nonempty) — see
+      // minhashDocFeatures for the pushdown double-eval account.
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", transform(wordSet($"text"), t => hash31(t)).as("hb0"))
     val sig = hashed.select(
       col("doc_id") +: (0 until MinhashPerms).map { i =>
         array_min(transform($"hb0", h => minhashPerm(h, i))).as(s"mh$i")
