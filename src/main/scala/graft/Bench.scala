@@ -137,6 +137,7 @@ object Bench {
     "text_bpe_merges", // added r15: one corpus token exchange + 32 type-table merge rounds
     "text_source_nb", // added r15: integer micro-nat NB, broadcast model scoring
     "text_quality_nb", // added r15: the same NB head distilling the per-source quality-median gate's verdicts
+    "sim_ivf_append", // added r16: batch-incremental IVF maintenance — standing index never retrained
     "mm_meta_stats")
 
   /** Registered queries deliberately NOT in the headline bench, each
@@ -179,7 +180,7 @@ object Bench {
         "baseline join is deliberate and output-bound")(
         "sim_recall_report", "sim_ivfadc_recall", "sim_pq_recall",
         "sim_pq_trained_recall", "sim_sq8_recall", "sim_range_search",
-        "sim_pq_recon_error") ++
+        "sim_pq_recon_error", "sim_ivf_append_recall") ++
       family("build stage of a benched end-to-end pipeline: the chained " +
         "siblings (sim_kmeanspp_seeds, sim_pq_lloyd_chain, " +
         "sim_adc_trained_topk, sim_ivfpq_topk) time these kernels " +

@@ -3655,6 +3655,106 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |SELECT vec_id, bucket, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
          |  FROM scored) WHERE rn <= 1""".stripMargin,
+    "sim_ivf_append" ->
+      // twin of Similarity.ivfAppend(batchMod=8, nBits=8): standing/new
+      // split on the engine-neutral coin, standing-only decimal-exact
+      // centroids, nearest-existing-centroid assignment of the batch
+      // ((cos DESC, bucket ASC) — the heap's argmax order), merged
+      // post-append means, growth + centroid-drift report per bucket
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |st AS (SELECT * FROM e WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 8 <> 0),
+         |fr AS (SELECT * FROM e WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 8 = 0),
+         |sg AS (SELECT CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket, v FROM st),
+         |x0 AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sg),
+         |a0 AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+         |  FROM x0 GROUP BY bucket, pos),
+         |cv0 AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv,
+         |  max(cnt) AS n_standing FROM a0 GROUP BY bucket),
+         |scored AS (SELECT fr.vec_id, cv0.bucket,
+         |  round(${cosSql("fr.v", "cv0.cv")}, 4) AS cos_sim FROM fr, cv0),
+         |asg AS (SELECT vec_id, bucket FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
+         |  FROM scored) WHERE rn <= 1),
+         |mem AS (SELECT bucket, v FROM sg
+         |  UNION ALL SELECT asg.bucket, fr.v FROM fr JOIN asg ON fr.vec_id = asg.vec_id),
+         |x1 AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM mem),
+         |a1 AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+         |  FROM x1 GROUP BY bucket, pos),
+         |cv1 AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv1
+         |  FROM a1 GROUP BY bucket),
+         |app AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_appended FROM asg GROUP BY bucket)
+         |SELECT cv0.bucket, cv0.n_standing,
+         |  coalesce(app.n_appended, 0) AS n_appended,
+         |  round(CAST(coalesce(app.n_appended, 0) AS DOUBLE) / cv0.n_standing, 6) AS growth,
+         |  round(${cosSql("cv0.cv", "cv1.cv1")}, 4) AS cos_drift
+         |FROM cv0 LEFT JOIN app ON app.bucket = cv0.bucket
+         |JOIN cv1 ON cv1.bucket = cv0.bucket""".stripMargin,
+    "sim_ivf_append_recall" -> {
+      // twin of Similarity.ivfAppendRecall(batchMod=8, nBits=8, nQ=5,
+      // k=10, nProbe=2): the stale post-append index (standing
+      // centroids, batch routed to nearest existing bucket) and the
+      // full retrain (centroids + routing recomputed over e), both
+      // probed nearest-centroid top-2 and both recalled against the
+      // exact brute-force top-k; candidate volume reported per variant
+      def variantCtes(tag: String, cvT: String, memT: String): String =
+        s"""sc$tag AS (SELECT q0.q_id, c.bucket,
+           |  round(${cosSql("q0.q_v", "c.cv")}, 4) AS cos_sim FROM q0, $cvT c),
+           |ps$tag AS (SELECT q_id, bucket FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, bucket ASC) AS rn
+           |  FROM sc$tag) WHERE rn <= 2),
+           |cand$tag AS (SELECT q0.q_id, m.vec_id,
+           |  round(${cosSql("q0.q_v", "m.v")}, 4) AS cos_sim
+           |  FROM $memT m JOIN ps$tag p ON p.bucket = m.bucket
+           |  JOIN q0 ON q0.q_id = p.q_id WHERE m.vec_id <> q0.q_id),
+           |ncand$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand$tag),
+           |top$tag AS (SELECT q_id, vec_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+           |  FROM cand$tag) WHERE rn <= 10),
+           |rec$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(t.vec_id) AS BIGINT) AS n_overlap
+           |  FROM bf LEFT JOIN top$tag t ON t.q_id = bf.q_id AND t.vec_id = bf.vec_id)""".stripMargin
+      def variantRow(tag: String, name: String): String =
+        s"""SELECT '$name' AS variant,
+           |  round(CAST(n_overlap AS DOUBLE) / n_exact, 6) AS recall_at_k,
+           |  n_candidates,
+           |  round(CAST(n_candidates AS DOUBLE)
+           |    / (5.0 * CAST(n_corpus - 1 AS DOUBLE)), 6) AS scan_frac
+           |FROM rec$tag CROSS JOIN ncand$tag CROSS JOIN nc""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |st AS (SELECT * FROM e WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 8 <> 0),
+         |fr AS (SELECT * FROM e WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 8 = 0),
+         |sg AS (SELECT CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket, vec_id, v FROM st),
+         |x0 AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sg),
+         |a0 AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+         |  FROM x0 GROUP BY bucket, pos),
+         |cvS AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
+         |  FROM a0 GROUP BY bucket),
+         |sgr AS (SELECT CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket, vec_id, v FROM e),
+         |xr AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sgr),
+         |ar AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+         |  FROM xr GROUP BY bucket, pos),
+         |cvR AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
+         |  FROM ar GROUP BY bucket),
+         |scA AS (SELECT fr.vec_id, c.bucket,
+         |  round(${cosSql("fr.v", "c.cv")}, 4) AS cos_sim FROM fr, cvS c),
+         |asg AS (SELECT vec_id, bucket FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
+         |  FROM scA) WHERE rn <= 1),
+         |memS AS (SELECT bucket, vec_id, v FROM sg
+         |  UNION ALL SELECT asg.bucket, fr.vec_id, fr.v FROM fr JOIN asg ON fr.vec_id = asg.vec_id),
+         |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 5),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e),
+         |bf AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |  SELECT q0.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q0.q_id
+         |      ORDER BY round(${cosSql("q0.q_v", "e.v")}, 4) DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN q0 ON e.vec_id <> q0.q_id) WHERE rn <= 10),
+         |${variantCtes("s", "cvS", "memS")},
+         |${variantCtes("r", "cvR", "sgr")}
+         |${variantRow("s", "stale_append")}
+         |UNION ALL
+         |${variantRow("r", "retrained")}""".stripMargin
+    },
     "sim_hubness" ->
       // twin of Similarity.hubnessAudit (k=5): all-pairs knn rank (the
       // block grid covers the pair space exactly), in-degree count,

@@ -212,6 +212,184 @@ object Similarity {
       .select($"q_id", $"vec_id", $"cos_sim")
   }
 
+  /** APPENDABLE IVF INDEX — batch-incremental maintenance of the coarse
+    * IVF layer, the [[graft.operators.Dedup.lshIndexAppend]] discipline
+    * applied to the vector index: a real 100 TB corpus ingests daily,
+    * and retraining the index per batch (what every `sim_ivf*` query
+    * does inline, correctly, for a one-shot report) would be an
+    * O(corpus) nightly rebuild. Here the index is a PERSISTED artifact:
+    * per-bucket decimal-exact centroids trained on the STANDING corpus
+    * only, and an arriving batch (the engine-neutral coin
+    * hash60(vec_id) % batchMod == 0, a deterministic stand-in for the
+    * ingestion-date predicate) is ASSIGNED to its nearest existing
+    * centroid — FAISS `add()` semantics: new vectors never move the
+    * codebook, never open a bucket, never touch standing rows.
+    *
+    * Output, one row per index bucket: standing membership, appended
+    * count, growth ratio, and `cos_drift` — the cosine between the
+    * standing centroid and the post-append recomputed mean, i.e. the
+    * displacement a periodic retrain WOULD apply. That column is the
+    * retrain trigger a production index watches (the [[centroidShift]]
+    * convergence discipline pointed at ingestion drift); buckets
+    * receiving no vectors report growth 0 and drift cos 1.
+    *
+    * Shape: standing×standing is NEVER joined — the index build is one
+    * bounded posexplode aggregate over the standing rows, the
+    * assignment is batch × broadcast-centroid-table (O(batch·buckets)
+    * scored rows, argmax via the k=1 bounded heap with the (cos desc,
+    * bucket asc) tie-break), and the merged means are one more bounded
+    * aggregate. All arithmetic is the proven twin-exact discipline
+    * (DECIMAL component sums, round-6 means, round-4 cosines). */
+  def ivfAppend(s: SparkSession, dir: String, batchMod: Int = 8,
+                nBits: Int = 8): DataFrame =
+    ivfAppendFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      batchMod, nBits)
+
+  /** Core of [[ivfAppend]] over any (vec_id, v) frame. */
+  def ivfAppendFrom(e0: DataFrame, batchMod: Int, nBits: Int): DataFrame = {
+    require(batchMod >= 2, s"batchMod must be >= 2, got $batchMod")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val isNew = graft.functions.EngineNeutral.hash60(
+      $"vec_id".cast("string")) % batchMod === 0
+    val e = e0.localCheckpoint(true)
+    val standing = e.filter(!isNew)
+    val fresh = e.filter(isNew)
+    // the persisted index artifact: decimal-exact per-bucket means of
+    // the standing corpus under the SRP coarse quantizer
+    val cv0 = bucketCentroidsFrom(standing, nBits)
+      .groupBy($"bucket")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"),
+        max($"n_vecs").as("n_standing"))
+    val top1 = Bridge.column(
+      graft.functions.TopKAgg(
+        Bridge.expression($"cos_sim"), Bridge.expression($"bucket"), 1)
+        .toAggregateExpression())
+    // append assignment: nearest EXISTING centroid — never a retrain
+    val assigned = fresh.join(broadcast(cv0.select($"bucket", $"cv")))
+      .withColumn("cos_sim", round(cosine($"v", $"cv"), 4))
+      .groupBy($"vec_id").agg(top1.as("tk"))
+      .select($"vec_id", explode($"tk").as("t"))
+      .select($"vec_id", $"t.vec_id".as("bucket"))
+    // post-append member set: standing rows keep their signature route,
+    // batch rows enter by assignment; the recomputed mean prices what a
+    // retrain would move
+    val members = standing
+      .select(srpSignature($"v", nBits).cast("long").as("bucket"), $"v")
+      .unionAll(fresh.join(assigned, "vec_id").select($"bucket", $"v"))
+    val cv1 = members
+      .select($"bucket", posexplode($"v").as(Seq("pos", "comp")))
+      .groupBy($"bucket", $"pos")
+      .agg(sum($"comp".cast("decimal(27,10)")).as("s2"), count(lit(1)).as("n2"))
+      .select($"bucket", $"pos",
+        round($"s2".cast("double") / $"n2", 6).as("mc1"))
+      .groupBy($"bucket")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mc1"))),
+        x => x.getField("mc1")).as("cv1"))
+    val appended = assigned.groupBy($"bucket").agg(count(lit(1)).as("n_appended"))
+    cv0.join(appended, Seq("bucket"), "left")
+      .join(cv1, "bucket")
+      .select($"bucket", $"n_standing",
+        coalesce($"n_appended", lit(0L)).as("n_appended"),
+        round(coalesce($"n_appended", lit(0L)).cast("double") / $"n_standing", 6)
+          .as("growth"),
+        round(cosine($"cv", $"cv1"), 4).as("cos_drift"))
+  }
+
+  /** APPEND RECALL DRIFT — the retrieval price of serving the STALE
+    * appended index ([[ivfAppend]]'s post-append state: standing
+    * centroids, batch vectors routed to their nearest existing bucket)
+    * measured against a FULL RETRAIN (centroids recomputed over the
+    * whole corpus, every vector re-routed), both probed with the same
+    * nearest-centroid top-`nProbe` discipline and both scored for
+    * recall@k against the exact brute-force top-k. THE go/no-go number
+    * of incremental index maintenance: appending is free until this
+    * report says the stale geometry is costing recall — then a retrain
+    * is scheduled, priced, and this same query verifies it paid off.
+    *
+    * Shape: the exact baseline is the [[bruteForceTopKAggFrom]]
+    * bounded-heap pass, run once; each variant is one corpus scan
+    * pruned to probed buckets by a broadcast (q_id, bucket) equi-join
+    * (candidate volume reported as `scan_frac` — the recall is
+    * meaningless without its cost). Output: 2 rows. */
+  def ivfAppendRecall(s: SparkSession, dir: String, batchMod: Int = 8,
+                      nBits: Int = 8, nQueries: Int = 5, k: Int = 10,
+                      nProbe: Int = 2): DataFrame =
+    ivfAppendRecallFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      batchMod, nBits, nQueries, k, nProbe)
+
+  /** Core of [[ivfAppendRecall]] over any (vec_id, v) frame. */
+  def ivfAppendRecallFrom(e0: DataFrame, batchMod: Int, nBits: Int,
+                          nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    require(batchMod >= 2, s"batchMod must be >= 2, got $batchMod")
+    require(nQueries >= 1 && k >= 1 && nProbe >= 1,
+      s"need nQueries >= 1, k >= 1, nProbe >= 1")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val isNew = graft.functions.EngineNeutral.hash60(
+      $"vec_id".cast("string")) % batchMod === 0
+    val e = e0.localCheckpoint(true)
+    val standing = e.filter(!isNew)
+    val fresh = e.filter(isNew)
+    def cvOf(src: DataFrame): DataFrame = bucketCentroidsFrom(src, nBits)
+      .groupBy($"bucket")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"))
+    def topBuckets(vecs: DataFrame, cents: DataFrame, p: Int): DataFrame = {
+      val topP = Bridge.column(
+        graft.functions.TopKAgg(
+          Bridge.expression($"cos_sim"), Bridge.expression($"bucket"), p)
+          .toAggregateExpression())
+      vecs.join(broadcast(cents))
+        .withColumn("cos_sim", round(cosine($"v", $"cv"), 4))
+        .groupBy($"vec_id").agg(topP.as("tk"))
+        .select($"vec_id", explode($"tk").as("t"))
+        .select($"vec_id", $"t.vec_id".as("bucket"))
+    }
+    val cvStale = cvOf(standing)
+    val cvRetrained = cvOf(e)
+    // post-append routing (the ivfAppend state) vs full-rebuild routing
+    val memStale = standing
+      .select(srpSignature($"v", nBits).cast("long").as("bucket"), $"vec_id", $"v")
+      .unionAll(fresh.join(topBuckets(fresh, cvStale, 1), "vec_id")
+        .select($"bucket", $"vec_id", $"v"))
+    val memRetrained = e
+      .select(srpSignature($"v", nBits).cast("long").as("bucket"), $"vec_id", $"v")
+    val exact = bruteForceTopKAggFrom(e, nQueries, k)
+      .select($"q_id", $"vec_id").localCheckpoint(true)
+    val nCorpus = e.groupBy().agg(count(lit(1)).as("n_corpus"))
+    def variantRow(name: String, cents: DataFrame, mems: DataFrame): DataFrame = {
+      val qs = e.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("q_id"), $"v".as("q_v"))
+      val probes = topBuckets(
+        qs.select($"q_id".as("vec_id"), $"q_v".as("v")), cents, nProbe)
+        .select($"vec_id".as("q_id"), $"bucket")
+      val cand = mems.join(broadcast(probes), "bucket")
+        .filter($"vec_id" =!= $"q_id")
+        .join(broadcast(qs), "q_id")
+        .withColumn("cos_sim", round(cosine($"q_v", $"v"), 4))
+        .select($"q_id", $"vec_id", $"cos_sim")
+        .localCheckpoint(true)
+      val nCand = cand.groupBy().agg(count(lit(1)).as("n_candidates"))
+      val top = topKTwoPhase(cand, k, nBuckets = 8)
+        .select($"q_id".as("aq"), $"vec_id".as("av"))
+      exact
+        .join(top, $"q_id" === $"aq" && $"vec_id" === $"av", "left")
+        .groupBy()
+        .agg(count(lit(1)).as("n_exact"), count($"av").as("n_overlap"))
+        .crossJoin(nCand).crossJoin(nCorpus)
+        .select(lit(name).as("variant"),
+          round($"n_overlap".cast("double") / $"n_exact", 6).as("recall_at_k"),
+          $"n_candidates",
+          round($"n_candidates".cast("double")
+            / (lit(nQueries.toDouble) * ($"n_corpus" - 1).cast("double")), 6)
+            .as("scan_frac"))
+    }
+    variantRow("stale_append", cvStale, memStale)
+      .unionAll(variantRow("retrained", cvRetrained, memRetrained))
+  }
+
   /** MMR DIVERSIFIED RE-RANK — greedy Maximal Marginal Relevance
     * (Carbonell & Goldstein, SIGIR'98) over each query's exact top-m
     * shortlist: pick k results maximizing

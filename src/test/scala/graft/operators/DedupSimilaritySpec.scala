@@ -161,6 +161,64 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(gotHist === refHist, "sq8 hubness histogram diverges from rollup")
   }
 
+  test("ivf append: append-only contract — buckets are exactly the " +
+    "standing index's, every batch vector routes to its nearest existing " +
+    "centroid, untouched buckets report zero growth and unit drift") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val out = Similarity.ivfAppendFrom(e, batchMod = 8, nBits = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // driver-side mirror of the split and the standing index
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val (fresh, standing) = vecs.partition { case (id, _) => h60(id.toString) % 8 == 0 }
+    assert(fresh.nonEmpty && standing.nonEmpty, "split degenerate — fixture issue")
+    def srpSig(v: Array[Double], nBits: Int): Long =
+      (0 until nBits).map { b =>
+        val p = graft.functions.SrpPlanes.plane(b)
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * p(i); i += 1 }
+        if (d >= 0) 1L << b else 0L
+      }.sum
+    val sigOf = standing.map { case (id, v) => id -> srpSig(v, 8) }.toMap
+    val standingBuckets = sigOf.values.toSet
+    // 1. append NEVER opens or closes a bucket
+    assert(out.keySet === standingBuckets,
+      "output buckets differ from the standing index's buckets")
+    // 2. every batch vector lands somewhere: appended counts sum to |batch|
+    assert(out.values.map(_._2).sum === fresh.length.toLong)
+    // 3. growth is the exact ratio; untouched buckets report 0 growth
+    //    and unit drift (recomputed mean of the same members)
+    out.foreach { case (b, (nS, nA, growth, drift)) =>
+      assert(nS === sigOf.count(_._2 == b).toLong, s"bucket $b standing count")
+      assert(growth === BigDecimal(nA.toDouble / nS)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"bucket $b growth")
+      if (nA == 0L) assert(drift === 1.0, s"untouched bucket $b must have drift 1")
+      else assert(drift <= 1.0 && drift > 0.0, s"bucket $b drift out of range")
+    }
+  }
+
+  test("ivf append recall: two variants, recall and scan_frac consistent " +
+    "with their candidate volumes") {
+    val r = Similarity.ivfAppendRecall(spark, Sf).collect()
+      .map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.keySet === Set("stale_append", "retrained"))
+    val n = Tables.embeddings(spark, Sf).count()
+    r.foreach { case (v, (recall, nCand, frac)) =>
+      assert(recall >= 0.0 && recall <= 1.0, s"$v recall")
+      assert(nCand >= 0L && nCand <= 5L * (n - 1), s"$v candidate volume")
+      assert(frac === BigDecimal(nCand.toDouble / (5.0 * (n - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$v scan_frac")
+    }
+  }
+
   test("sq8 nn-descent: empty input yields an empty graph (not a grid " +
     "crash) and bad params fail fast, mirroring the exact variant") {
     import spark.implicits._

@@ -401,6 +401,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivf append: the batch assignment broadcast-builds the centroid " +
+    "table; no cartesian, no corpus-to-corpus join (standing x standing " +
+    "is never joined)") {
+    val p = plan(Similarity.ivfAppend(spark, Sf))
+    assert(!p.contains("CartesianProduct"),
+      s"append assignment degenerated to a cartesian product:\n$p")
+    // the batch x centroid fan-out is a cross join by construction, but
+    // its build side must be the bounded centroid table, never a
+    // corpus-sized frame
+    // (planned Inner with a broadcast hint — the build side is what
+    // matters, never the corpus)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("BuildRight"),
+        s"assignment must broadcast-build the centroid side:\n$l")
+    }
+    // any shuffle join keys on vec_id or bucket (bounded frames) —
+    // never an unkeyed corpus join
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("vec_id") || l.contains("bucket"),
+        s"non-keyed shuffle join in append plan:\n$l\n$p")
+    }
+  }
+
   test("bpe trainer: the merge table is a driver-policy local relation; " +
     "the compression report never re-scans the corpus per round") {
     val m = TextAnalysis.bpeMerges(spark, Sf)
