@@ -275,9 +275,31 @@ object Dedup {
     * construction, never all-pairs) + one left-semi probe against the
     * checkpointed truth set; the exact Jaccard verify runs ONLY for
     * the finest config's truth pass. */
+  /** Pairs-per-pass bar for [[lshTuningCurve]]'s (8,2) truth pass: under
+    * it the exact-Jaccard verify runs as one join; above it the
+    * checkpointed candidate frame is verified in ceil(n / bar)
+    * SEQUENTIAL hash-disjoint chunks (pmod(xxhash64(doc_a, doc_b), k)),
+    * each reduced to its (doc_a, doc_b) truth rows before the next
+    * starts — the [[graft.operators.Graph.CensusPassEdges]] scratch
+    * policy applied to the verify join, whose live shuffle (candidates
+    * × token-hash arrays) is what OOM'd the one-shot plan at the 100×
+    * rehearsal. Every candidate lands in exactly one chunk, so the
+    * unioned truth set — and the oracle hash — cannot depend on the
+    * split. Calibration: the 10× rehearsal's ~113M-candidate verify is
+    * measured-safe as ONE pass (93 s standalone, r13 record) while the
+    * 100× ~1.1B-candidate one-shot OOM'd, so 150M/pass keeps every
+    * previously-passing scale single-pass and cuts the 100× verify
+    * into ~8 bounded chunks; on a real cluster scratch scales with the
+    * fleet and the bar rises — a capacity policy, never a result
+    * change. */
+  val TuningVerifyPairsPerPass: Long = 150000000L
+
   def lshTuningCurve(s: SparkSession, dir: String,
-                     threshold: Double = 0.9): DataFrame = {
+                     threshold: Double = 0.9,
+                     verifyPairsPerPass: Long = TuningVerifyPairsPerPass): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    require(verifyPairsPerPass >= 1,
+      s"verifyPairsPerPass must be >= 1, got $verifyPairsPerPass")
     import graft.functions.SortedJaccardExpr
     import org.apache.spark.sql.graftbridge.Bridge
     def sortedJaccard(a: Column, b: Column): Column =
@@ -324,12 +346,29 @@ object Dedup {
       (b, r) -> candsOf(b, r).localCheckpoint(true)
     }.toMap
     val hb = sig.select($"doc_id", $"hb")
-    val truth = candFrames((8, 2))
+    def verifyTruth(cands: DataFrame): DataFrame = cands
       .join(hb.select($"doc_id".as("doc_a"), $"hb".as("hb_a")), "doc_a")
       .join(hb.select($"doc_id".as("doc_b"), $"hb".as("hb_b")), "doc_b")
       .filter(sortedJaccard($"hb_a", $"hb_b") >= threshold)
       .select($"doc_a", $"doc_b")
-      .localCheckpoint(true)
+    val cand82 = candFrames((8, 2))
+    // sequential chunked verify above the pass bar (see
+    // [[TuningVerifyPairsPerPass]]); the checkpoint materializes each
+    // chunk's truth rows and the gc lets the ContextCleaner drop the
+    // chunk's shuffle files before the next chunk claims the disk
+    val nCand82 = cand82.count()
+    val nPasses = math.max(1L,
+      (nCand82 + verifyPairsPerPass - 1) / verifyPairsPerPass).toInt
+    val truth = (
+      if (nPasses == 1) verifyTruth(cand82)
+      else (0 until nPasses).map { i =>
+        val t = verifyTruth(cand82.filter(
+          pmod(xxhash64($"doc_a", $"doc_b"), lit(nPasses)) === i))
+          .localCheckpoint(true)
+        System.gc()
+        t
+      }.reduce(_ unionAll _)
+    ).localCheckpoint(true)
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     def r6(d: Double): Double = BigDecimal(d)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -1320,6 +1320,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture corpus must contain verified near-dups")
   }
 
+  test("lsh tuning curve: the chunked truth pass is split-invariant — " +
+    "forcing multiple sequential verify passes changes nothing") {
+    val one = Dedup.lshTuningCurve(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    // the fixture's (8,2) candidate set is ~113k pairs, so 40k/pass
+    // forces 3 sequential verify chunks
+    val chunked = Dedup.lshTuningCurve(spark, Sf, verifyPairsPerPass = 40000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(chunked === one, "chunked verify diverged from the one-shot plan")
+  }
+
   test("lsh tuning curve: empty and whitespace-only docs are dropped " +
     "before signatures (no shared all-null band bucket)") {
     import spark.implicits._
