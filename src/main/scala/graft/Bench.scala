@@ -377,8 +377,14 @@ object Bench {
                 s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             }
             // a dying context must fail only its victim — rebuild now so
-            // the NEXT query runs on a live session
-            sessions.current
+            // the NEXT query runs on a live session; a rebuild failure
+            // (e.g. disk full) must not escape the loop either, or it
+            // takes the whole record down with it
+            try sessions.current
+            catch {
+              case e2: Throwable =>
+                System.err.println(s"[bench] session rebuild failed: $e2")
+            }
         }
       }
       System.gc()
@@ -518,10 +524,18 @@ object Bench {
 
     def flush(partial: Boolean): Unit = {
       val (fileLine, stdoutLine) = compose(partial)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileLine + "\n")
-      System.err.println(s"[bench] stdout line ${stdoutLine.length} chars; full record: $outPath")
+      // stdout FIRST: the file write can fail on a full disk (the
+      // r16 lsh-tuning 100x rehearsal died exactly there, and the
+      // original ordering would have eaten the stdout line with it)
       realOut.println(stdoutLine)
       realOut.flush()
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath), fileLine + "\n")
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] file record write failed: $e")
+      }
+      System.err.println(s"[bench] stdout line ${stdoutLine.length} chars; full record: $outPath")
     }
 
     // External timeouts deliver SIGTERM; shutdown hooks run on it. If
