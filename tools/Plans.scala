@@ -117,21 +117,22 @@ object Plans {
       "text_dedup_impact" -> "dedup impact: fingerprint exchange + semi join, two partial-agged token counts, broadcast 1-row totals, DECIMAL KL partials to a single row",
       "graph_rich_club" -> "rich club: degrees checkpointed once; per threshold two filtered membership joins on the edge list + two single-row counts — |ks| bounded passes",
       "sim_ivf_bq_topk" -> "IVF-BQ: broadcast threshold row + probe set + query codes against ONE bucket-pruned code scan; XOR+bit_count in codegen; two-phase ASC shortlist; exact dot only on <=50 rows/query",
-      "graph_hyperball" -> "hyperball: adjacency checkpointed once; per hop ONE register equi-join + partial-agged (node,reg) MAX, iterates checkpointed (ExistingRDD) — shuffle <=64*V rows/round post-combine whatever E; per-hop estimates are bounded DECIMAL aggs over the stored registers; curve windows run on 5 rows",
+      "graph_hyperball" -> "hyperball: adjacency checkpointed once; per hop ONE PACKED-register equi-join + map-side-combinable graft_reg_max over the 64-byte blob (one row per node — r16: 64x fewer exchange rows than the logical (node,reg,mj) frame), iterates checkpointed (ExistingRDD); per-hop estimates read the blob via graft_reg_summary into the same bounded DECIMAL aggs; curve windows run on 5 rows",
       "graph_harmonic" -> "harmonic: 3 per-seed frontier DISTINCT equi-joins + per-level anti-joins over checkpointed layers (the betweenness forward sweep minus sigma); per-layer literal 1/h partials in DECIMAL, one bounded agg, left-join totality",
       "sim_ivf_probe_curve" -> "probe curve: corpus bucketed + checkpointed ONCE; per radius one probe-pruned scan (checkpointed) feeds BOTH the candidate count and the two-phase rank; exact baseline = one partial_graft_topk heap pass, run once",
       "mm_phash_clusters" -> "phash clusters: the banded phash pair join (leftmost-block dedup) + frontier min-propagation CC over checkpointed labels, then two bounded rollup aggregates — nothing wider than the pair set",
       "text_token_fertility" -> "token fertility: one codegen projection + ONE partial-agged source exchange (<=|sources| rows); exact BIGINT totals, three rounded divisions",
-      "dedup_lsh_tuning" -> "LSH tuning: 16-perm signature table checkpointed ONCE; per banding one leftmost-band-deduped equi-join (candidates unique by construction); exact jaccard verify ONLY on the finest (8,2) truth pass; coarser configs probe the checkpointed truth with left-semi joins",
+      "dedup_lsh_tuning" -> "LSH tuning: 16-perm signature table checkpointed ONCE; per banding one leftmost-band-deduped equi-join (candidates unique by construction); exact jaccard verify ONLY on the finest (8,2) truth pass — size-band prefiltered (lossless: J <= min/max sizes) and chunked into sequential hash-disjoint passes above 150M pairs; coarser configs probe the checkpointed truth with left-semi joins",
       "sim_ivfpq_probe_curve" -> "IVF-PQ probe curve: codes/buckets/LUT built once (checkpointed, LUT broadcast); per radius ONE code-only scan pruned by the broadcast probe set + a (q,vec) DECIMAL partial agg (checkpointed — count and rank share it); exact float baseline runs once",
       "events_burstiness" -> "burstiness: ONE event_type window exchange serves the lag; partial-agged integer/decimal moment rollup to |types| rows; mu/sigma/ratios computed once per row at the output",
-      "graph_closeness_sketch" -> "closeness sketch: the hyperball register rounds (checkpointed, ExistingRDD iterates); per hop one bounded per-node estimate agg; a |V|-row 5-way node equi-join closes the telescoped sum — no per-pair state anywhere",
+      "graph_closeness_sketch" -> "closeness sketch: the hyperball PACKED-register rounds (checkpointed, ExistingRDD iterates — one 64-byte blob per node through every hop exchange); per hop one bounded per-node estimate agg off graft_reg_summary; a |V|-row 5-way node equi-join closes the telescoped sum — no per-pair state anywhere",
       "text_langid_ngram" -> "langid: trained rank-profile model is an ExistingRDD (checkpointed O(langs*300) rows) BROADCAST into the langs cross join and the rank lookup; doc profiles via the tfidf explode->partial-count->rank-window shape; one (doc_id,lang) partial agg + one bounded sort_array argmin agg — every exchange doc_id-keyed, constant rows per doc",
       "text_langid_mix" -> "langid mix: the full langid scoring plan rolled to <= sources*langs rows in ONE partial-agged exchange + a window over the tiny rollup",
       "text_langid_confusion" -> "langid confusion: the scoring plan rolled to <= langs^2 cells + two windows over the tiny rollup (row share = recall, column share = precision on the diagonal)",
       "text_vocab_coverage" -> "vocab coverage: ONE token-keyed partial-agged count exchange, TakeOrderedAndProject bounds the global ranking at the 16k head, per-budget sums over the checkpointed head",
       "text_bpe_merges" -> "bpe trainer: final merge table is a local relation built from 32 driver-policy argmax collects (one TakeOrderedAndProject row per round over the checkpointed word-TYPE frame); the corpus is touched once (token-count exchange), every round is type-table-sized",
       "text_source_nb" -> "source NB: integer micro-nat model (priors + per-(class,token) counts) checkpointed and BROADCAST into the scoring fan-out; one (doc,token) partial-agged exchange, one (doc,class) partial-agged integer sum, bounded sort_array argmax — no doubles cross an exchange",
+      "sim_ivf_append" -> "ivf append: standing-only centroid table (bounded posexplode agg) BROADCAST into the batch assignment (BuildRight nested-loop over 256 centroids, k=1 heap argmax); merged post-append means are one more bounded agg; standing x standing never joined",
       "sim_knn_descent_sq8" -> "sq8 descent: rounds join candidates against the checkpointed (vec_id, array<tinyint>) CODE frame (~6x narrower exchange than the raw vectors), graft_sq8_cosine fuses decode+cosine in one whole-stage-codegen loop, exact rescore only touches the final O(N*k) survivors")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
