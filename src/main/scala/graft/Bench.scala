@@ -138,6 +138,7 @@ object Bench {
     "text_source_nb", // added r15: integer micro-nat NB, broadcast model scoring
     "text_quality_nb", // added r15: the same NB head distilling the per-source quality-median gate's verdicts
     "sim_ivf_append", // added r16: batch-incremental IVF maintenance — standing index never retrained
+    "sim_pq_append", // added r16: the fine-quantizer half — batch encoded against the standing PQ codebook, MSE drift vs retrain
     "mm_meta_stats")
 
   /** Registered queries deliberately NOT in the headline bench, each
@@ -471,6 +472,19 @@ object Bench {
         // events.parquet stores TIMESTAMP(NANOS) — loader contract, see Tables.events
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        // Local-mode self-preservation: a full-GC storm on a large-heap
+        // backfill leg can starve the executor heartbeat thread past
+        // spark.network.timeout (120 s default), and the
+        // HeartbeatReceiver then expires the in-process executor — which
+        // in local mode shuts down the whole SparkContext mid-query (the
+        // r16 lsh-tuning 100x posture died exactly this way: "Cannot
+        // determine whether executor driver is alive", then "Job
+        // cancelled because SparkContext was shut down"). Under memory
+        // pressure the run should get SLOW, not DEAD — give heartbeat
+        // expiry backfill-scale headroom. On a real cluster the same
+        // knob covers long executor GC pauses.
+        .config("spark.network.timeout",
+          sys.env.getOrElse("SPARK_GRAFT_NET_TIMEOUT", "600s"))
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

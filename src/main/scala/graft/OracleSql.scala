@@ -3104,20 +3104,22 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     * smaller code = the heap's tiebreak) → decimal-exact refined means
     * `lcb`. Twin of Similarity.pqLloydCodebooksFrom; shared by
     * sim_pq_lloyd and the trained-ADC twins to prevent drift. */
-  /** One Lloyd step as CTEs: every `pq` subvector reassigned to its
-    * nearest entry of `inV` (sub, code, cv) — same d² composition,
+  /** One Lloyd step as CTEs: every `src` subvector (default: the full
+    * decomposition `pq`) reassigned to its nearest entry of `inV`
+    * (sub, code, cv) — same d² composition,
     * 6-decimal round and smaller-code tiebreak as
     * Similarity.nearestCodeIn (the assigned d2 rides along for the
     * trajectory's MSE) — then per-(sub, code, pos) DECIMAL means and
     * reassembled entry vectors. Emits `<p>scored`, `<p>assigned`,
     * `<p>x`, `<p>a`, `<p>cb`, `<p>cbv`; chain steps by feeding
     * `<p>cbv` to the next step's `inV`. */
-  private def lloydStepCtes(inV: String, p: String): String =
+  private def lloydStepCtes(inV: String, p: String,
+                            src: String = "pq"): String =
     s"""${p}scored AS (SELECT p.vec_id, p.sub, $inV.code, p.sv,
        |  round(list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (p.sv)[i+1]))
        |    - 2.0 * list_sum(list_transform(range(8), i -> (p.sv)[i+1] * (cv)[i+1]))
        |    + list_sum(list_transform(range(8), i -> (cv)[i+1] * (cv)[i+1])), 6) AS d2
-       |  FROM pq p JOIN $inV ON p.sub = $inV.sub),
+       |  FROM $src p JOIN $inV ON p.sub = $inV.sub),
        |${p}assigned AS (SELECT vec_id, sub, code, sv, d2 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
        |    ORDER BY d2 ASC, code ASC) AS rn FROM ${p}scored) WHERE rn <= 1),
@@ -3171,6 +3173,19 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       |  count(*) AS n_vecs FROM x GROUP BY sub, code, pos),
       |cb AS (SELECT sub, code, pos,
       |  round(CAST(s AS DOUBLE) / n_vecs, 6) AS mean_comp, n_vecs FROM a)""".stripMargin
+
+  /** Seed (SRP-mean) codebook vectors over a decomposition CTE `src`,
+    * emitted as `<p>x0`/`<p>a0`/`<p>cbv0` — the parameterized form of
+    * the shared [[pqCodebookCtes]]+cbv pair, for twins that train a
+    * codebook on a ROW SUBSET (the append twin's standing-only
+    * trainer). */
+  private def seedCbvCtes(src: String, p: String): String =
+    s"""${p}x0 AS (SELECT sub, code, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS pos,
+       |  unnest(sv) AS comp FROM $src),
+       |${p}a0 AS (SELECT sub, code, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s,
+       |  count(*) AS n_vecs FROM ${p}x0 GROUP BY sub, code, pos),
+       |${p}cbv0 AS (SELECT sub, code, list(round(CAST(s AS DOUBLE) / n_vecs, 6) ORDER BY pos) AS cv
+       |  FROM ${p}a0 GROUP BY sub, code)""".stripMargin
 
   /** Shared IVF-PQ ADC chain — twin of Similarity.ivfPqTopKFrom's
     * scoring stage, ending at `scored(q_id, vec_id, adc_score)`: the
@@ -3755,6 +3770,41 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |UNION ALL
          |${variantRow("r", "retrained")}""".stripMargin
     },
+    "sim_pq_append" ->
+      // twin of Similarity.pqAppend(batchMod=8): standing/new split on
+      // the engine-neutral coin; STALE codebook = one Lloyd step over
+      // the standing decomposition only (seed SRP-mean codebook →
+      // reassign → means — seedCbvCtes + the parameterized step);
+      // RETRAINED codebook = the shared pqLloydCtes chain over the full
+      // corpus (literally sim_pq_lloyd's lcbv, so trainer drift is
+      // impossible); the batch encodes against each (nearest entry by
+      // rounded d², ties to the smaller code — the step CTE's assigned
+      // d2 IS the reconstruction SSE); per-subspace DECIMAL MSE report
+      s"""WITH $pqLloydCtes,
+         |es AS (SELECT * FROM e WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 8 <> 0),
+         |ef AS (SELECT * FROM e WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 8 = 0),
+         |${pqDecompCte("es", "pqs")},
+         |${pqDecompCte("ef", "pqf")},
+         |${seedCbvCtes("pqs", "st")},
+         |${lloydStepCtes("stcbv0", "st", "pqs")},
+         |${lloydStepCtes("stcbv", "fs", "pqf")},
+         |${lloydStepCtes("lcbv", "fr2", "pqf")},
+         |ne AS (SELECT sub, CAST(count(*) AS BIGINT) AS n_entries
+         |  FROM stcbv GROUP BY sub),
+         |sa2 AS (SELECT sub, CAST(count(*) AS BIGINT) AS n_appended,
+         |  sum(CAST(d2 AS DECIMAL(27,10))) AS sse_s FROM fsassigned GROUP BY sub),
+         |ra2 AS (SELECT sub, sum(CAST(d2 AS DECIMAL(27,10))) AS sse_r
+         |  FROM fr2assigned GROUP BY sub),
+         |cc AS (SELECT sub, max(nc) AS max_code, sum(nc) AS n_tot FROM (
+         |  SELECT sub, code, count(*) AS nc FROM fsassigned GROUP BY sub, code)
+         |  GROUP BY sub)
+         |SELECT ne.sub, ne.n_entries, sa2.n_appended,
+         |  round(CAST(sse_s AS DOUBLE) / n_appended, 6) AS mse_stale,
+         |  round(CAST(sse_r AS DOUBLE) / n_appended, 6) AS mse_retrained,
+         |  round(CAST(sse_s - sse_r AS DOUBLE) / n_appended, 6) AS mse_excess,
+         |  round(CAST(max_code AS DOUBLE) / n_tot, 6) AS top_code_share
+         |FROM ne JOIN sa2 ON sa2.sub = ne.sub JOIN ra2 ON ra2.sub = ne.sub
+         |JOIN cc ON cc.sub = ne.sub""".stripMargin,
     "sim_hubness" ->
       // twin of Similarity.hubnessAudit (k=5): all-pairs knn rank (the
       // block grid covers the pair space exactly), in-degree count,

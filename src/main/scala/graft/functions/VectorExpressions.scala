@@ -707,6 +707,92 @@ case class NbScoreExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Nearest-standing-centroid assignment as ONE per-row kernel — the
+  * streaming half of [[graft.operators.Similarity.ivfAppend]]'s batch
+  * assignment, the fourth instance of the stateless
+  * trained-model-router pattern (after [[LangIdScoreExpr]],
+  * [[NbScoreExpr]], [[BpeCountExpr]]). The persisted index's centroid
+  * table (ascending bucket ids, one mean vector each — ≤2^nBits
+  * entries) rides in the plan; per arriving vector the kernel computes
+  * [[CosineSimExpr]]'s exact fused single-pass cosine against every
+  * entry, rounds to 4 like the batch path, and takes the argmax with
+  * the batch heap's (cos desc, bucket asc) tie-break — strict > over
+  * ascending buckets — so stream routing is bit-identical to the batch
+  * assignment. CodegenFallback: per-row work is buckets × dim fused
+  * multiply-adds; one virtual call is noise against it. */
+case class NearestCentroidExpr(child: Expression,
+    buckets: IndexedSeq[Long], cents: IndexedSeq[IndexedSeq[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(buckets.nonEmpty, "nearest-centroid: empty centroid table")
+  require(buckets.length == cents.length, "nearest-centroid: table misaligned")
+  require(buckets == buckets.sorted,
+    "nearest-centroid: buckets must ascend (the tie-break order)")
+
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("cos_sim", DoubleType, nullable = false)))
+
+  override def prettyName: String = "graft_nearest_centroid"
+
+  // the model is buckets × dim doubles — summarize in plan strings
+  private def modelSummary: String =
+    s"index(${buckets.length} centroids)"
+  override def stringArgs: Iterator[Any] = Iterator(child, modelSummary)
+  override def flatArguments: Iterator[Any] = Iterator(child, modelSummary)
+  override def toString: String = s"$prettyName($child, $modelSummary)"
+  override lazy val hashCode: Int =
+    scala.util.hashing.MurmurHash3.productHash(this)
+
+  @transient private lazy val centArrays: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val bucketArray: Array[Long] = buckets.toArray
+
+  /** Spark Round semantics on a double (HALF_UP; NaN/Inf pass through). */
+  private def round4(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var j = 0
+    while (j < centArrays.length) {
+      val c = centArrays(j)
+      val n = math.min(v.numElements(), c.length)
+      var xy = 0.0; var xx = 0.0; var yy = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = v.getDouble(i); val yv = c(i)
+        xy += xv * yv; xx += xv * xv; yy += yv * yv
+        i += 1
+      }
+      val cos = round4(xy / (math.sqrt(xx) * math.sqrt(yy)))
+      // strict >: buckets ascend, so ties keep the lower bucket — the
+      // batch heap's (cos desc, bucket asc) order
+      if (cos > bestCos) { bestCos = cos; best = j }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](java.lang.Long.valueOf(bucketArray(best)),
+        java.lang.Double.valueOf(bestCos)))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
 /** Shared O(m) code-point n-gram slicer. `substringSQL(j+1, n)` locates
   * its start by scanning from byte 0 for non-ASCII input, turning a
   * per-document gram loop into O(m²); here ONE forward pass records the

@@ -246,10 +246,42 @@ object Similarity {
       .select($"vec_id", $"embedding".cast("array<double>").as("v")),
       batchMod, nBits)
 
+  /** The persisted coarse-index artifact over any (vec_id, v) frame:
+    * per-bucket decimal-exact centroid vectors (bucket, cv, n_vecs)
+    * under the SRP coarse quantizer — what [[ivfAppend]] trains on the
+    * standing corpus and what the streaming ingestion router
+    * ([[graft.streaming.Streams.ivfRouter]]) loads as its static model.
+    * ≤2^nBits rows whatever the corpus size. */
+  def ivfCentroidVecs(e: DataFrame, nBits: Int): DataFrame =
+    bucketCentroidsFrom(e, nBits)
+      .groupBy($"bucket")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
+        x => x.getField("mean_comp")).as("cv"),
+        max($"n_vecs").as("n_vecs"))
+
+  /** Nearest-existing-centroid assignment of `vecs` (vec_id, v) against
+    * a centroid table (bucket, cv, …): rounded cosine, argmax via the
+    * k=1 bounded heap with the (cos desc, bucket asc) tie-break — FAISS
+    * `add()`'s routing. Shared by [[ivfAppend]]'s batch path and
+    * asserted bit-identical to the streaming router's
+    * [[graft.functions.NearestCentroidExpr]] kernel in StreamingSpec.
+    * Output: (vec_id, bucket, cos_sim). */
+  def assignToCentroids(vecs: DataFrame, cv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val top1 = Bridge.column(
+      graft.functions.TopKAgg(
+        Bridge.expression($"cos_sim"), Bridge.expression($"bucket"), 1)
+        .toAggregateExpression())
+    vecs.join(broadcast(cv.select($"bucket", $"cv")))
+      .withColumn("cos_sim", round(cosine($"v", $"cv"), 4))
+      .groupBy($"vec_id").agg(top1.as("tk"))
+      .select($"vec_id", explode($"tk").as("t"))
+      .select($"vec_id", $"t.vec_id".as("bucket"), $"t.cos_sim".as("cos_sim"))
+  }
+
   /** Core of [[ivfAppend]] over any (vec_id, v) frame. */
   def ivfAppendFrom(e0: DataFrame, batchMod: Int, nBits: Int): DataFrame = {
     require(batchMod >= 2, s"batchMod must be >= 2, got $batchMod")
-    import org.apache.spark.sql.graftbridge.Bridge
     val isNew = graft.functions.EngineNeutral.hash60(
       $"vec_id".cast("string")) % batchMod === 0
     val e = e0.localCheckpoint(true)
@@ -257,21 +289,11 @@ object Similarity {
     val fresh = e.filter(isNew)
     // the persisted index artifact: decimal-exact per-bucket means of
     // the standing corpus under the SRP coarse quantizer
-    val cv0 = bucketCentroidsFrom(standing, nBits)
-      .groupBy($"bucket")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"mean_comp"))),
-        x => x.getField("mean_comp")).as("cv"),
-        max($"n_vecs").as("n_standing"))
-    val top1 = Bridge.column(
-      graft.functions.TopKAgg(
-        Bridge.expression($"cos_sim"), Bridge.expression($"bucket"), 1)
-        .toAggregateExpression())
+    val cv0 = ivfCentroidVecs(standing, nBits)
+      .withColumnRenamed("n_vecs", "n_standing")
     // append assignment: nearest EXISTING centroid — never a retrain
-    val assigned = fresh.join(broadcast(cv0.select($"bucket", $"cv")))
-      .withColumn("cos_sim", round(cosine($"v", $"cv"), 4))
-      .groupBy($"vec_id").agg(top1.as("tk"))
-      .select($"vec_id", explode($"tk").as("t"))
-      .select($"vec_id", $"t.vec_id".as("bucket"))
+    val assigned = assignToCentroids(fresh, cv0)
+      .select($"vec_id", $"bucket")
     // post-append member set: standing rows keep their signature route,
     // batch rows enter by assignment; the recomputed mean prices what a
     // retrain would move
@@ -388,6 +410,74 @@ object Similarity {
     }
     variantRow("stale_append", cvStale, memStale)
       .unionAll(variantRow("retrained", cvRetrained, memRetrained))
+  }
+
+  /** APPENDABLE PQ CODEBOOK — the [[ivfAppend]] discipline applied to
+    * the FINE quantizer: the persisted artifact here is the trained PQ
+    * codebook (one Lloyd refinement over the STANDING corpus, the
+    * [[pqLloydCodebooks]] trainer), and an arriving batch is ENCODED
+    * against it — FAISS `add()` on the code table: new vectors take the
+    * nearest EXISTING entry per subspace, the codebook never moves,
+    * standing codes are never re-derived. The report prices exactly what
+    * that staleness costs: per subspace, the batch's reconstruction MSE
+    * under the stale codebook vs under a full retrain (codebook
+    * re-trained over standing+batch), `mse_excess` being the quantization
+    * error the deployment accepts per appended vector by NOT retraining —
+    * the fine-quantizer retrain trigger, the codebook-drift companion to
+    * [[ivfAppend]]'s coarse `cos_drift` and [[pqReconError]]'s
+    * whole-corpus MSE. `top_code_share` (largest fraction of the batch
+    * landing in one code cell) flags distribution shift the MSE can't:
+    * a drifted batch collapses into few cells long before its error
+    * rises.
+    *
+    * Shape: standing×standing is never joined — both codebooks are
+    * bounded aggregates over one decomposed scan each (≤128 rows, the
+    * proven DECIMAL-mean discipline); both batch encodes are
+    * batch × broadcast-codebook with the k=1 bounded-heap argmin
+    * ([[nearestCodeIn]] — d², rounded 6, ties to the smaller code, and
+    * the winning d² IS the per-subvector reconstruction SSE, so the MSE
+    * aggregate needs no second scoring pass); the report is one bounded
+    * groupBy per variant. Output: m = 8 rows. */
+  def pqAppend(s: SparkSession, dir: String, batchMod: Int = 8): DataFrame =
+    pqAppendFrom(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")), batchMod)
+
+  /** Core of [[pqAppend]] over any (vec_id, v) frame. */
+  def pqAppendFrom(e0: DataFrame, batchMod: Int): DataFrame = {
+    require(batchMod >= 2, s"batchMod must be >= 2, got $batchMod")
+    val isNew = graft.functions.EngineNeutral.hash60(
+      $"vec_id".cast("string")) % batchMod === 0
+    val e = e0.localCheckpoint(true)
+    val standing = e.filter(!isNew)
+    val fresh = e.filter(isNew)
+    // the persisted artifact: the standing-trained Lloyd codebook; the
+    // comparator: the same trainer over standing+batch (what a retrain
+    // would ship). Both ≤128 rows.
+    val cbvStale = cbVecsOf(pqLloydCodebooksFrom(standing))
+    val cbvRetrained = pqLloydCodebookVecs(e)
+    // batch encode against each codebook: nearest existing entry per
+    // subspace; the argmin's d2 is the reconstruction SSE of that choice
+    val decFresh = pqDecomposed(fresh).select($"vec_id", $"sub", $"sv")
+      .localCheckpoint(true)
+    val staleAsg = nearestCodeIn(decFresh, cbvStale)
+    val retrAsg = nearestCodeIn(decFresh, cbvRetrained)
+    val nEntries = cbvStale.groupBy($"sub")
+      .agg(count(lit(1)).as("n_entries"))
+    val staleAgg = staleAsg.groupBy($"sub").agg(
+      count(lit(1)).as("n_appended"),
+      sum($"d2".cast("decimal(27,10)")).as("sse_stale"))
+    val retrAgg = retrAsg.groupBy($"sub")
+      .agg(sum($"d2".cast("decimal(27,10)")).as("sse_retr"))
+    val conc = staleAsg.groupBy($"sub", $"code")
+      .agg(count(lit(1)).as("nc"))
+      .groupBy($"sub").agg(max($"nc").as("max_code"), sum($"nc").as("n_tot"))
+    nEntries.join(staleAgg, "sub").join(retrAgg, "sub").join(conc, "sub")
+      .select($"sub", $"n_entries", $"n_appended",
+        round($"sse_stale".cast("double") / $"n_appended", 6).as("mse_stale"),
+        round($"sse_retr".cast("double") / $"n_appended", 6).as("mse_retrained"),
+        round(($"sse_stale" - $"sse_retr").cast("double") / $"n_appended", 6)
+          .as("mse_excess"),
+        round($"max_code".cast("double") / $"n_tot", 6).as("top_code_share"))
   }
 
   /** MMR DIVERSIFIED RE-RANK — greedy Maximal Marginal Relevance

@@ -23,6 +23,12 @@ final case class SessionOut(user_id: Long, session_start: Long, session_end: Lon
   * column for ingestion-window dedup — documents carry no event time). */
 final case class Doc(doc_id: Long, text: String, ingest_ts: java.sql.Timestamp)
 
+/** One embedding vector on the streaming ingestion seam: the payload a
+  * vector index ingests continuously, stamped with processing time on
+  * arrival (like [[Doc]], vectors carry no event time). */
+final case class Vec(vec_id: Long, embedding: Seq[Double],
+                     ingest_ts: java.sql.Timestamp)
+
 /** Per-user funnel progress carried across micro-batches: the first
   * completion timestamp of each stage reached so far (a k-element
   * prefix — bounded at k longs per user regardless of event volume),
@@ -1059,6 +1065,52 @@ object Streams {
           coalesce($"r"("lang_pred"), lit("und")).as("lang_pred"),
           $"r"("best_dist").as("best_dist"),
           $"r"("margin").as("margin"))
+    }
+  }
+
+  /** STREAMING IVF INGESTION ROUTER — the ingestion-time half of
+    * [[graft.operators.Similarity.ivfAppend]], the fourth instance of
+    * the stateless trained-model-router pattern: arriving vectors are
+    * assigned to their nearest STANDING centroid (the persisted index
+    * artifact [[graft.operators.Similarity.ivfCentroidVecs]] builds —
+    * retrained offline when [[graft.operators.Similarity.ivfAppend]]'s
+    * `cos_drift` or the recall-drift audit says so, redeployed by
+    * restarting the query, the standard model-rollout seam). This IS
+    * what "the index ingests daily" means at 100 TB: the batch append
+    * report prices staleness nightly; this seam routes each vector the
+    * moment it arrives. Emits (vec_id, ingest_ts, bucket, cos_sim) per
+    * arriving vector, bit-identical to the batch assignment
+    * ([[graft.operators.Similarity.assignToCentroids]] — same fused
+    * cosine, same round-4, same (cos desc, bucket asc) tie-break;
+    * parity asserted in StreamingSpec).
+    *
+    * Shape: the ≤2^nBits-row centroid table rides inside
+    * [[graft.functions.NearestCentroidExpr]] as plan constants, so the
+    * stream is a STATELESS projection — no state store, no watermark,
+    * no shuffle, append mode, unbounded throughput. An EMPTY centroid
+    * table (no standing index yet) degrades to null routing — vectors
+    * pass through unrouted until an index is rolled out, never a
+    * restart-time crash. */
+  def ivfRouter(vecs: Dataset[Vec], centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // static model: ≤2^nBits rows, ascending buckets (the tie-break order)
+    val rows = centroids.select($"bucket", $"cv").collect()
+    if (rows.isEmpty) {
+      vecs.toDF().select($"vec_id", $"ingest_ts",
+        lit(null).cast("long").as("bucket"),
+        lit(null).cast("double").as("cos_sim"))
+    } else {
+      val model = rows
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+        .sortBy(_._1)
+      val nearest = Bridge.column(graft.functions.NearestCentroidExpr(
+        Bridge.expression($"embedding".cast("array<double>")),
+        model.map(_._1).toIndexedSeq, model.map(_._2).toIndexedSeq))
+      vecs.toDF()
+        .select($"vec_id", $"ingest_ts", nearest.as("r"))
+        .select($"vec_id", $"ingest_ts",
+          $"r"("bucket").as("bucket"),
+          $"r"("cos_sim").as("cos_sim"))
     }
   }
 }

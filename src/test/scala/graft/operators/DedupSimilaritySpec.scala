@@ -219,6 +219,43 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq append: per-subspace report — every subspace prices the whole " +
+    "batch, entry counts stay inside the 4-bit code space, and the " +
+    "excess column is exactly the stale-minus-retrained MSE") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val out = Similarity.pqAppendFrom(e, batchMod = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // one row per subspace, exactly
+    assert(out.keySet === (0L until 8L).toSet, "subspace coverage")
+    // driver-side mirror of the engine-neutral coin: the batch size
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val nFresh = e.select("vec_id").collect().map(_.getLong(0))
+      .count(id => h60(id.toString) % 8 == 0).toLong
+    assert(nFresh > 0, "split degenerate — fixture issue")
+    out.foreach { case (sub, (nEntries, nApp, mseS, mseR, mseX, share)) =>
+      // the stale codebook lives in the 4-bit code space; Lloyd can
+      // only close cells, never open them
+      assert(nEntries >= 1L && nEntries <= 16L, s"sub $sub entry count")
+      // every subspace encodes the WHOLE batch (PQ decomposes, never drops)
+      assert(nApp === nFresh, s"sub $sub appended count")
+      assert(mseS >= 0.0 && mseR >= 0.0, s"sub $sub negative MSE")
+      // mse_excess is computed from the exact decimal SSEs, so it must
+      // agree with the independently-rounded difference to rounding slack
+      assert(math.abs(mseX - (mseS - mseR)) <= 2e-6,
+        s"sub $sub excess $mseX vs ${mseS - mseR}")
+      // the largest cell holds at least the mean share and is a share
+      assert(share > 0.0 && share <= 1.0, s"sub $sub share range")
+      assert(share >= 1.0 / 16.0 - 1e-6, s"sub $sub share below uniform floor")
+    }
+  }
+
   test("sq8 nn-descent: empty input yields an empty graph (not a grid " +
     "crash) and bad params fail fast, mirroring the exact variant") {
     import spark.implicits._

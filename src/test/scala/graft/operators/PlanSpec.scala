@@ -424,6 +424,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq append: both batch encodes broadcast-build the bounded " +
+    "codebook; no cartesian, standing x standing is never joined") {
+    val p = plan(Similarity.pqAppend(spark, Sf))
+    assert(!p.contains("CartesianProduct"),
+      s"pq append degenerated to a cartesian product:\n$p")
+    // the (subvector x codebook-entry) fan-out joins on `sub` via
+    // broadcast — the build side must always be the <=128-row codebook
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("BuildRight"),
+        s"encode must broadcast-build the codebook side:\n$l")
+    }
+    // any shuffle join keys on (vec_id, sub) / sub — bounded argmin and
+    // report frames — never an unkeyed corpus join
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("vec_id") || l.contains("sub"),
+        s"non-keyed shuffle join in pq append plan:\n$l\n$p")
+    }
+  }
+
   test("bpe trainer: the merge table is a driver-policy local relation; " +
     "the compression report never re-scans the corpus per round") {
     val m = TextAnalysis.bpeMerges(spark, Sf)

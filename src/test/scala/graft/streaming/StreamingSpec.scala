@@ -1085,6 +1085,77 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ivf router: streamed routing equals the batch nearest-centroid " +
+    "assignment per vector, stateless (no state operators)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the persisted index: standing-only centroids, the same coin split
+    // ivfAppend uses (batchMod=8)
+    val e = Tables.embeddings(spark, Sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val isNew = graft.functions.EngineNeutral.hash60(
+      $"vec_id".cast("string")) % 8 === 0
+    val centroids = graft.operators.Similarity
+      .ivfCentroidVecs(e.filter(!isNew), nBits = 8)
+    // EVERY corpus vector arrives on the stream (standing re-ingest and
+    // fresh batch alike — routing is defined for both)
+    val t0 = 1700000000000L
+    val vecs = e.collect().zipWithIndex.map { case (r, i) =>
+      Vec(r.getLong(0), r.getSeq[Double](1),
+        new java.sql.Timestamp(t0 + i * 1000L)) }.toSeq
+    val stream = MemoryStream[Vec]
+    val query = Streams.ivfRouter(stream.toDS(), centroids)
+      .writeStream.format("memory").queryName("ivf_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("ivfr"))
+      .start()
+    try {
+      val (b1, b2) = vecs.splitAt(vecs.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val streamed = spark.table("ivf_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val batch = graft.operators.Similarity
+        .assignToCentroids(e, centroids).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.size === vecs.size, "every arriving vector must route")
+      assert(streamed === batch,
+        "streamed routing must equal the batch assignment per vector")
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "ivf router must hold no state")
+    } finally query.stop()
+  }
+
+  test("ivf router: an EMPTY centroid table degrades to null routing, " +
+    "not a restart-time crash") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val empty = graft.operators.Similarity.ivfCentroidVecs(
+      Tables.embeddings(spark, Sf)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .filter(lit(false)), nBits = 8)
+    assert(empty.isEmpty, "fixture: centroid table must be empty")
+    val t0 = 1700000000000L
+    val stream = MemoryStream[Vec]
+    val query = Streams.ivfRouter(stream.toDS(), empty)
+      .writeStream.format("memory").queryName("ivf_empty_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("ivfr_empty"))
+      .start()
+    try {
+      stream.addData(Seq(
+        Vec(1L, Seq.fill(64)(0.5), new java.sql.Timestamp(t0)),
+        Vec(2L, Seq.fill(64)(-0.5), new java.sql.Timestamp(t0 + 1000))))
+      query.processAllAvailable()
+      val rows = spark.table("ivf_empty_stream").collect()
+      assert(rows.length === 2, "both vectors must pass through")
+      rows.foreach { r =>
+        assert(r.isNullAt(2) && r.isNullAt(3),
+          "unrouted vectors must carry null bucket and score")
+      }
+    } finally query.stop()
+  }
+
   test("langid router: an EMPTY trained model degrades to all-'und' " +
     "abstention like the batch scorer, not a restart-time crash") {
     import spark.implicits._
