@@ -1140,8 +1140,10 @@ private[graft] final class OracleSqlGen(sfDir: String) {
     "text_gopher_rules" ->
       // twin of TextAnalysis.gopherRules: every ratio rounded to 6
       // BEFORE its threshold compare — the flags compare identical
-      // doubles on both engines; feature select shared with the
-      // quality-NB label CTE (gopherFeaturesSql)
+      // doubles on both engines; gopherFeaturesSql is this twin's
+      // feature select (the quality-NB teacher does NOT share it — its
+      // labels are the per-source quality-median verdict, see
+      // nbQualityLabeled)
       s"""WITH g AS (${gopherFeaturesSql("source")})
          |SELECT *,
          |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,

@@ -793,6 +793,119 @@ case class NearestCentroidExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** PQ encode as ONE per-row kernel — the streaming half of
+  * [[graft.operators.Similarity.pqEncode]], the fine-quantizer
+  * companion to [[NearestCentroidExpr]]'s coarse routing: the trained
+  * PQ codebook (per subspace: ascending code ids and their entry
+  * vectors) rides in the plan; per arriving vector the kernel slices
+  * each subspace's subvector, computes the batch path's exact d²
+  * composition (⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩, sequential left-to-right like
+  * [[DotProductExpr]], rounded to 6) against every entry of that
+  * subspace, and takes the argmin with the batch heap's (d² asc, code
+  * asc) tie-break. Output: (codes array, per-subspace d² array) — the
+  * stored compressed row plus its reconstruction-SSE audit trail.
+  * CodegenFallback: per-row work is Σ_sub entries × subDim fused
+  * multiply-adds; one virtual call is noise against it. */
+case class PqEncodeExpr(child: Expression,
+    subs: IndexedSeq[Int], codes: IndexedSeq[IndexedSeq[Long]],
+    entries: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], subDim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(subs.nonEmpty, "pq-encode: empty codebook")
+  require(subs == subs.sorted, "pq-encode: subspaces must ascend")
+  require(subs.length == codes.length && subs.length == entries.length,
+    "pq-encode: codebook misaligned")
+  require(codes.zip(entries).forall { case (c, e) =>
+    c.nonEmpty && c.length == e.length && c == c.sorted },
+    "pq-encode: per-subspace codes must ascend (the tie-break order)")
+  require(subDim >= 1, s"pq-encode: subDim must be >= 1, got $subDim")
+
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("d2s", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  override def prettyName: String = "graft_pq_encode"
+
+  private def modelSummary: String =
+    s"codebook(${subs.length} subspaces, ${codes.map(_.length).sum} entries)"
+  override def stringArgs: Iterator[Any] = Iterator(child, modelSummary)
+  override def flatArguments: Iterator[Any] = Iterator(child, modelSummary)
+  override def toString: String = s"$prettyName($child, $modelSummary)"
+  override lazy val hashCode: Int =
+    scala.util.hashing.MurmurHash3.productHash(this)
+
+  @transient private lazy val codeArrays: Array[Array[Long]] =
+    codes.map(_.toArray).toArray
+  @transient private lazy val entryArrays: Array[Array[Array[Double]]] =
+    entries.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val subArray: Array[Int] = subs.toArray
+
+  /** Spark Round semantics on a double (HALF_UP; NaN/Inf pass through). */
+  private def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nV = v.numElements()
+    val outCodes = new Array[Long](subArray.length)
+    val outD2 = new Array[Double](subArray.length)
+    var s = 0
+    while (s < subArray.length) {
+      val off = subArray(s) * subDim
+      // the batch slice: components [off, off+subDim) of the vector,
+      // truncated at the vector's own length like slice()
+      val n0 = math.max(0, math.min(subDim, nV - off))
+      val es = entryArrays(s)
+      var best = 0
+      var bestD2 = Double.PositiveInfinity
+      var j = 0
+      while (j < es.length) {
+        val c = es(j)
+        // ⟨x,x⟩, ⟨x,c⟩, ⟨c,c⟩ in three sequential accumulations — the
+        // batch path composes three DotProductExpr kernels, so each
+        // product's accumulation ORDER and LENGTH are mirrored exactly:
+        // x·x over the slice, x·c over min(slice, entry), c·c over the
+        // full entry (DotProductExpr scans min(|a|,|b|) per pair)
+        var xx = 0.0; var i = 0
+        while (i < n0) { val x = v.getDouble(off + i); xx += x * x; i += 1 }
+        val nxc = math.min(n0, c.length)
+        var xc = 0.0; i = 0
+        while (i < nxc) { xc += v.getDouble(off + i) * c(i); i += 1 }
+        var cc = 0.0; i = 0
+        while (i < c.length) { cc += c(i) * c(i); i += 1 }
+        val d2 = round6(xx - 2.0 * xc + cc)
+        // strict <: codes ascend, so ties keep the lower code — the
+        // batch heap's (d² asc, code asc) order
+        if (d2 < bestD2) { bestD2 = d2; best = j }
+        j += 1
+      }
+      outCodes(s) = codeArrays(s)(best)
+      outD2(s) = bestD2
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(outCodes),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(outD2)))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
 /** Shared O(m) code-point n-gram slicer. `substringSQL(j+1, n)` locates
   * its start by scanning from byte 0 for non-ASCII input, turning a
   * per-document gram loop into O(m²); here ONE forward pass records the

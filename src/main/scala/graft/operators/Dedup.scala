@@ -275,24 +275,32 @@ object Dedup {
     * construction, never all-pairs) + one left-semi probe against the
     * checkpointed truth set; the exact Jaccard verify runs ONLY for
     * the finest config's truth pass. */
-  /** Pairs-per-pass bar for [[lshTuningCurve]]'s (8,2) truth pass: under
-    * it the exact-Jaccard verify runs as one join; above it the
-    * checkpointed candidate frame is verified in ceil(n / bar)
-    * SEQUENTIAL hash-disjoint chunks (pmod(xxhash64(doc_a, doc_b), k)),
-    * each reduced to its (doc_a, doc_b) truth rows before the next
-    * starts — the [[graft.operators.Graph.CensusPassEdges]] scratch
-    * policy applied to the verify join, whose live shuffle (candidates
-    * × token-hash arrays) is what OOM'd the one-shot plan at the 100×
-    * rehearsal. Every candidate lands in exactly one chunk, so the
-    * unioned truth set — and the oracle hash — cannot depend on the
-    * split. Calibration: the 10× rehearsal's ~113M-candidate verify is
-    * measured-safe as ONE pass (93 s standalone, r13 record) while the
-    * 100× ~1.1B-candidate one-shot OOM'd, so 150M/pass keeps every
-    * previously-passing scale single-pass and cuts the 100× verify
-    * into ~8 bounded chunks; on a real cluster scratch scales with the
+  /** Pair-mass-per-pass bar for [[lshTuningCurve]]'s (8,2) truth pass.
+    * The posture is decided by a cheap UPPER BOUND on the truth
+    * config's candidate count — Σ_buckets C(n,2) over (band, key) group
+    * sizes, a bounded aggregate over band rows that never touches the
+    * pairs themselves. Under the bar the whole curve runs as the proven
+    * single-plan shape (all three candidate frames checkpointed, one
+    * verify join). Above it candidate GENERATION is chunked: each of
+    * ceil(bound / bar) sequential passes re-runs the band join, keeps
+    * only its hash-slice (pmod(xxhash64(doc_a, doc_b), k)), verifies it
+    * and reduces to truth rows before the next pass — so neither the
+    * candidate frame nor its verify ever exists whole. (The r16 100×
+    * rehearsal proved BOTH are hazards: the one-shot verify OOM'd in
+    * r15, and after chunking only the verify, the ~1.1B-row candidate
+    * CHECKPOINT alone filled this box's scratch disk.) Every candidate
+    * lands in exactly one chunk, so the summed counts and unioned truth
+    * — and the oracle hash — cannot depend on the split.
+    * Calibration: measured pre-dedup pair mass is 41.9M at sf0.1 and
+    * scales linearly in the replica count (disjoint token sets →
+    * band-key collisions are hash-random), so the 10× leg's
+    * measured-safe single pass (93 s standalone, r13; ~113M actual
+    * pairs) is ~419M of bound mass. 450M/pass keeps 10× single-pass
+    * and cuts 100× (~4.2B bound) into ~10 chunks, each the size of
+    * that proven 10× pass; on a real cluster scratch scales with the
     * fleet and the bar rises — a capacity policy, never a result
     * change. */
-  val TuningVerifyPairsPerPass: Long = 150000000L
+  val TuningVerifyPairsPerPass: Long = 450000000L
 
   def lshTuningCurve(s: SparkSession, dir: String,
                      threshold: Double = 0.9,
@@ -320,16 +328,19 @@ object Dedup {
       } :+ sort_array(array_distinct($"hb0")).as("hb"): _*)
       .localCheckpoint(true)
     val configs = Seq((8, 2), (4, 4), (2, 8))
-    def candsOf(b: Int, r: Int): DataFrame = {
+    def bandRowsOf(b: Int, r: Int): DataFrame = {
       val keys = (0 until b).map { bi =>
         val cols = (0 until r).map(ri => col(s"mh${bi * r + ri}").cast("string"))
         hash60(concat_ws("|", cols: _*))
       }
       val withKeys = sig.select($"doc_id", array(keys: _*).as("bks"))
-      val bandRows = withKeys.select($"doc_id", $"bks",
+      withKeys.select($"doc_id", $"bks",
         explode(array((0 until b).map(bi =>
           struct(lit(bi).as("band_id"), element_at($"bks", bi + 1).as("bk"))): _*)).as("x"))
         .select($"doc_id", $"bks", $"x.band_id".as("band_id"), $"x.bk".as("bk"))
+    }
+    def candsOf(b: Int, r: Int): DataFrame = {
+      val bandRows = bandRowsOf(b, r)
       val l = bandRows.select($"band_id", $"bk", $"doc_id".as("doc_a"), $"bks".as("bks_a"))
       val rr = bandRows.select($"band_id".as("band_id_r"), $"bk".as("bk_r"),
         $"doc_id".as("doc_b"), $"bks".as("bks_b"))
@@ -342,9 +353,12 @@ object Dedup {
           $"doc_a" < $"doc_b" && noEarlierMatch)
         .select($"doc_a", $"doc_b")
     }
-    val candFrames = configs.map { case (b, r) =>
-      (b, r) -> candsOf(b, r).localCheckpoint(true)
-    }.toMap
+    // Below the pass bar all three candidate frames are checkpointed
+    // (consumed twice each: count + truth/semi-join). Above it the
+    // TRUTH config's frame is never materialized whole — see the
+    // chunked path below — so only the two swept configs cache here.
+    def checkpointed(b: Int, r: Int): DataFrame =
+      candsOf(b, r).localCheckpoint(true)
     val hb = sig.select($"doc_id", $"hb")
     val szs = sig.select($"doc_id", size($"hb").cast("long").as("sz"))
     // LOSSLESS size-band prefilter before the array join: J(a,b) =
@@ -366,44 +380,99 @@ object Dedup {
       .join(hb.select($"doc_id".as("doc_b"), $"hb".as("hb_b")), "doc_b")
       .filter(sortedJaccard($"hb_a", $"hb_b") >= threshold)
       .select($"doc_a", $"doc_b")
-    val cand82 = candFrames((8, 2))
-    // sequential chunked verify above the pass bar (see
-    // [[TuningVerifyPairsPerPass]]); the checkpoint materializes each
-    // chunk's truth rows and the gc lets the ContextCleaner drop the
-    // chunk's shuffle files before the next chunk claims the disk
-    val nCand82 = cand82.count()
+    // The posture decision reads a cheap UPPER BOUND on the truth
+    // config's candidate count: Σ_buckets C(n,2) over (band, key) group
+    // sizes — the pre-leftmost-dedup pair mass, a tiny aggregate over
+    // the band-row frame (never the pairs themselves). The bound only
+    // ever OVERestimates (dedup removes pairs), so the chunked posture
+    // can engage early but the proven single-plan shape below the bar
+    // is never silently lost to an estimate.
+    val bound82 = bandRowsOf(8, 2)
+      .groupBy($"band_id", $"bk").agg(count(lit(1)).as("n"))
+      // Column `/` is DOUBLE division — cast each integer-valued term
+      // back to long before the sum so the bound is exact
+      .agg(coalesce(sum(($"n" * ($"n" - 1) / 2).cast("long")), lit(0L)).as("ub"))
+      .head.getLong(0)
     val nPasses = math.max(1L,
-      (nCand82 + verifyPairsPerPass - 1) / verifyPairsPerPass).toInt
-    val truth = (
-      if (nPasses == 1) verifyTruth(cand82)
-      else (0 until nPasses).map { i =>
-        val t = verifyTruth(cand82.filter(
-          pmod(xxhash64($"doc_a", $"doc_b"), lit(nPasses)) === i))
-          .localCheckpoint(true)
-        System.gc()
-        t
-      }.reduce(_ unionAll _)
-    ).localCheckpoint(true)
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      (bound82 + verifyPairsPerPass - 1) / verifyPairsPerPass).toInt
     def r6(d: Double): Double = BigDecimal(d)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    configs.map { case (b, r) =>
-      val c = candFrames((b, r))
-      val nc = c.agg(count(lit(1)).as("n_candidates"))
-      val pDetect = r6(1.0 - math.pow(1.0 - math.pow(threshold, r), b))
-      c.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("n_detected"))
-        .crossJoin(broadcast(nc)).crossJoin(broadcast(nTruth))
-        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
-          lit(pDetect).as("p_detect_at_threshold"),
-          $"n_candidates", $"n_detected",
-          when($"n_candidates" > 0,
-            round($"n_detected".cast("double") / $"n_candidates".cast("double"), 6))
-            .as("detect_precision"),
-          when($"n_truth" > 0,
-            round($"n_detected".cast("double") / $"n_truth".cast("double"), 6))
-            .as("recall_vs_union"))
-    }.reduce(_ unionAll _)
+    def pDetectOf(b: Int, r: Int): Double =
+      r6(1.0 - math.pow(1.0 - math.pow(threshold, r), b))
+    if (nPasses == 1) {
+      // under the bar: the proven single-plan shape — all three frames
+      // checkpointed, truth verified in one join, plan-side rollups
+      val candFrames = configs.map { case (b, r) =>
+        (b, r) -> checkpointed(b, r)
+      }.toMap
+      val truth = verifyTruth(candFrames((8, 2))).localCheckpoint(true)
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      configs.map { case (b, r) =>
+        val c = candFrames((b, r))
+        val nc = c.agg(count(lit(1)).as("n_candidates"))
+        c.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_detected"))
+          .crossJoin(broadcast(nc)).crossJoin(broadcast(nTruth))
+          .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+            lit(pDetectOf(b, r)).as("p_detect_at_threshold"),
+            $"n_candidates", $"n_detected",
+            when($"n_candidates" > 0,
+              round($"n_detected".cast("double") / $"n_candidates".cast("double"), 6))
+              .as("detect_precision"),
+            when($"n_truth" > 0,
+              round($"n_detected".cast("double") / $"n_truth".cast("double"), 6))
+              .as("recall_vs_union"))
+      }.reduce(_ unionAll _)
+    } else {
+      // ABOVE the bar (the backfill posture): the (8,2) frame is never
+      // materialized whole — the r16 100× rehearsal showed its
+      // checkpoint alone (~1.1B rows of block cache) plus the one-shot
+      // verify exhausts this box's scratch disk. Instead candidate
+      // GENERATION is chunked: each pass re-runs the band join (input
+      // shuffle is band-row-sized, the output streams), keeps only its
+      // hash-slice of candidates (a bounded per-chunk checkpoint that
+      // also supplies the true per-chunk candidate count), verifies it,
+      // and reduces to truth rows before the next pass starts — peak
+      // scratch is one chunk, not the whole candidate set. Every
+      // candidate lands in exactly one chunk, so the summed counts and
+      // unioned truth — and the oracle hash — cannot depend on the
+      // split (split-invariance spec-pinned).
+      var nCand82 = 0L
+      val truth = (0 until nPasses).map { i =>
+        val ci = candsOf(8, 2).filter(
+          pmod(xxhash64($"doc_a", $"doc_b"), lit(nPasses)) === i)
+          .localCheckpoint(true)
+        nCand82 += ci.count()
+        val t = verifyTruth(ci).localCheckpoint(true)
+        System.gc()
+        t
+      }.reduce(_ unionAll _).localCheckpoint(true)
+      System.gc()
+      val nTruthL = truth.count()
+      val rows = configs.map { case (b, r) =>
+        val (ncL, ndetL) =
+          if ((b, r) == (8, 2))
+            // truth ⊆ cand82 by construction — the semi-join is the
+            // identity on the truth config; reuse the summed counts
+            (nCand82, nTruthL)
+          else {
+            // swept configs stay ~linear in corpus scale (that is what
+            // the curve demonstrates) — a bounded checkpoint each
+            val c = checkpointed(b, r)
+            val n = c.count()
+            val d = c.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+            (n, d)
+          }
+        (b.toLong, r.toLong, pDetectOf(b, r), ncL, ndetL,
+          if (ncL > 0) Some(r6(ndetL.toDouble / ncL.toDouble)) else None,
+          if (nTruthL > 0) Some(r6(ndetL.toDouble / nTruthL.toDouble)) else None)
+      }
+      // driver-assembled report (7 tuples): same schema, same HALF_UP
+      // rounding as the plan-side rollup — values are hash-identical
+      truth.sparkSession.createDataFrame(rows)
+        .toDF("n_bands", "rows_per_band", "p_detect_at_threshold",
+          "n_candidates", "n_detected", "detect_precision", "recall_vs_union")
+    }
   }
 
   /** CROSS-SOURCE duplication matrix — which sources duplicate which:

@@ -962,6 +962,10 @@ object Similarity {
   private val PqBitsPerCode = 4
   private def pqSubDim: Int = graft.functions.SrpPlanes.Dim / PqSubspaces
 
+  /** Subvector width of the PQ geometry — public so the streaming
+    * encode router builds its kernel on the same slicing. */
+  def pqSubspaceDim: Int = pqSubDim
+
   /** Per-row (sub, code, subvector) decomposition shared by the three PQ
     * operators: subspace j's code is the SRP band of the 8-dim SUBVECTOR
     * over planes [j*nBits, (j+1)*nBits) (the fused codegen kernel
@@ -1492,6 +1496,25 @@ object Similarity {
     * left to the training loop). */
   private def pqLloydCodebookVecs(e: DataFrame): DataFrame =
     cbVecsOf(pqLloydCodebooksFrom(e))
+
+  /** The persisted FINE-quantizer artifact over any (vec_id, v) frame:
+    * the Lloyd-trained PQ codebook reassembled to entry vectors
+    * (sub, code, cv) — what [[pqAppend]] trains on the standing corpus
+    * and what the streaming encode router
+    * ([[graft.streaming.Streams.pqRouter]]) loads as its static model.
+    * ≤ m·2^bits = 128 rows whatever the corpus size. */
+  def pqCodebookTable(e: DataFrame): DataFrame =
+    cbVecsOf(pqLloydCodebooksFrom(e))
+
+  /** PQ encode of `vecs` (vec_id, v) against a trained codebook table
+    * (sub, code, cv): per (vector, subspace), the nearest entry by
+    * rounded d² with ties to the smaller code ([[nearestCodeIn]] — the
+    * argmin d² IS that subspace's reconstruction SSE). The batch half
+    * the streaming encode router mirrors bit for bit (parity asserted
+    * in StreamingSpec). Output: (vec_id, sub, code, d2). */
+  def pqEncode(vecs: DataFrame, cbv: DataFrame): DataFrame =
+    nearestCodeIn(pqDecomposed(vecs).select($"vec_id", $"sub", $"sv"),
+      cbv.select($"sub", $"code", $"cv"))
 
   /** Codebook rows (sub, code, pos, mean_comp, …) reassembled to entry
     * vectors (sub, code, cv) — ≤128 rows, always broadcast-sized. */

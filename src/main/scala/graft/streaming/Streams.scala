@@ -1113,4 +1113,58 @@ object Streams {
           $"r"("cos_sim").as("cos_sim"))
     }
   }
+
+  /** STREAMING PQ ENCODE ROUTER — the fine-quantizer companion to
+    * [[ivfRouter]], fifth instance of the stateless
+    * trained-model-router pattern: arriving vectors are ENCODED on
+    * arrival against the STANDING trained PQ codebook (the persisted
+    * artifact [[graft.operators.Similarity.pqCodebookTable]] builds;
+    * retrained offline when [[graft.operators.Similarity.pqAppend]]'s
+    * MSE-drift report says so, redeployed by restarting the query).
+    * Together the two routers are the full write path of a 100 TB
+    * vector index: coarse bucket + compressed codes assigned the
+    * moment a vector arrives, so the stored row is index-ready and the
+    * nightly batch only prices drift. Emits (vec_id, ingest_ts, codes,
+    * d2s) — the 4-bit code per subspace plus each subspace's
+    * reconstruction SSE (the per-row audit trail the MSE report
+    * aggregates), bit-identical to the batch encode
+    * ([[graft.operators.Similarity.pqEncode]]; parity asserted in
+    * StreamingSpec).
+    *
+    * Shape: the ≤128-row codebook rides inside
+    * [[graft.functions.PqEncodeExpr]] as plan constants — STATELESS
+    * projection, no state store, no shuffle, append mode. An EMPTY
+    * codebook (no trained index yet) degrades to null codes — vectors
+    * pass through unencoded until a codebook is rolled out, never a
+    * restart-time crash. */
+  def pqRouter(vecs: Dataset[Vec], codebook: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // static model: ≤128 rows grouped per subspace, ascending codes
+    val rows = codebook.select($"sub", $"code", $"cv").collect()
+    if (rows.isEmpty) {
+      vecs.toDF().select($"vec_id", $"ingest_ts",
+        lit(null).cast("array<long>").as("codes"),
+        lit(null).cast("array<double>").as("d2s"))
+    } else {
+      val bySub = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, es) =>
+          val sorted = es.sortBy(_._2)
+          (s.toInt, sorted.map(_._2).toIndexedSeq,
+            sorted.map(_._3).toIndexedSeq)
+        }
+      val enc = Bridge.column(graft.functions.PqEncodeExpr(
+        Bridge.expression($"embedding".cast("array<double>")),
+        bySub.map(_._1).toIndexedSeq,
+        bySub.map(_._2).toIndexedSeq,
+        bySub.map(_._3).toIndexedSeq,
+        graft.operators.Similarity.pqSubspaceDim))
+      vecs.toDF()
+        .select($"vec_id", $"ingest_ts", enc.as("r"))
+        .select($"vec_id", $"ingest_ts",
+          $"r"("codes").as("codes"),
+          $"r"("d2s").as("d2s"))
+    }
+  }
 }

@@ -1362,8 +1362,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val one = Dedup.lshTuningCurve(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
         r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
-    // the fixture's (8,2) candidate set is ~113k pairs, so 40k/pass
-    // forces 3 sequential verify chunks
+    // the fixture's (8,2) pre-dedup pair mass is well above 40k, so
+    // 40k/pass forces several sequential generate+verify chunks (the
+    // driver-assembled report path)
     val chunked = Dedup.lshTuningCurve(spark, Sf, verifyPairsPerPass = 40000L)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),

@@ -1156,6 +1156,80 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("pq router: streamed encoding equals the batch pq encode per " +
+    "vector and subspace, stateless (no state operators)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the persisted fine-quantizer: the Lloyd codebook trained on the
+    // STANDING corpus (pqAppend's coin split, batchMod=8)
+    val e = Tables.embeddings(spark, Sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val isNew = graft.functions.EngineNeutral.hash60(
+      $"vec_id".cast("string")) % 8 === 0
+    val cb = graft.operators.Similarity.pqCodebookTable(e.filter(!isNew))
+    val t0 = 1700000000000L
+    val vecs = e.collect().zipWithIndex.map { case (r, i) =>
+      Vec(r.getLong(0), r.getSeq[Double](1),
+        new java.sql.Timestamp(t0 + i * 1000L)) }.toSeq
+    val stream = MemoryStream[Vec]
+    val query = Streams.pqRouter(stream.toDS(), cb)
+      .writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("pqr"))
+      .start()
+    try {
+      val (b1, b2) = vecs.splitAt(vecs.size / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val streamed = spark.table("pq_stream").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getSeq[Long](2), r.getSeq[Double](3)))).toMap
+      // batch mirror: (vec_id, sub, code, d2) rolled up per vector in
+      // ascending-subspace order
+      val batch = graft.operators.Similarity.pqEncode(e, cb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).view.mapValues { rs =>
+          val s = rs.sortBy(_._2)
+          (s.map(_._3).toSeq, s.map(_._4).toSeq)
+        }.toMap
+      assert(streamed.size === vecs.size, "every arriving vector must encode")
+      assert(streamed === batch,
+        "streamed encoding must equal the batch pq encode per vector")
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "pq router must hold no state")
+    } finally query.stop()
+  }
+
+  test("pq router: an EMPTY codebook degrades to null codes, not a " +
+    "restart-time crash") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val empty = graft.operators.Similarity.pqCodebookTable(
+      Tables.embeddings(spark, Sf)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .filter(lit(false)))
+    assert(empty.isEmpty, "fixture: codebook must be empty")
+    val t0 = 1700000000000L
+    val stream = MemoryStream[Vec]
+    val query = Streams.pqRouter(stream.toDS(), empty)
+      .writeStream.format("memory").queryName("pq_empty_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt("pqr_empty"))
+      .start()
+    try {
+      stream.addData(Seq(
+        Vec(1L, Seq.fill(64)(0.5), new java.sql.Timestamp(t0)),
+        Vec(2L, Seq.fill(64)(-0.5), new java.sql.Timestamp(t0 + 1000))))
+      query.processAllAvailable()
+      val rows = spark.table("pq_empty_stream").collect()
+      assert(rows.length === 2, "both vectors must pass through")
+      rows.foreach { r =>
+        assert(r.isNullAt(2) && r.isNullAt(3),
+          "unencoded vectors must carry null codes and d2s")
+      }
+    } finally query.stop()
+  }
+
   test("langid router: an EMPTY trained model degrades to all-'und' " +
     "abstention like the batch scorer, not a restart-time crash") {
     import spark.implicits._
