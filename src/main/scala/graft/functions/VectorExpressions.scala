@@ -716,9 +716,12 @@ case class NbScoreExpr(child: Expression,
   * entries) rides in the plan; per arriving vector the kernel computes
   * [[CosineSimExpr]]'s exact fused single-pass cosine against every
   * entry, rounds to 4 like the batch path, and takes the argmax with
-  * the batch heap's (cos desc, bucket asc) tie-break — strict > over
-  * ascending buckets — so stream routing is bit-identical to the batch
-  * assignment. CodegenFallback: per-row work is buckets × dim fused
+  * the batch heap's TOTAL order — java.lang.Double.compare (so a NaN
+  * cosine, e.g. from a zero-norm centroid or a NaN component, ranks
+  * ABOVE every finite score exactly as [[TopKHeap]] ranks it) with
+  * ties to the lower bucket — so stream routing is bit-identical to
+  * the batch assignment on every input, degenerate vectors included.
+  * CodegenFallback: per-row work is buckets × dim fused
   * multiply-adds; one virtual call is noise against it. */
 case class NearestCentroidExpr(child: Expression,
     buckets: IndexedSeq[Long], cents: IndexedSeq[IndexedSeq[Double]])
@@ -778,9 +781,13 @@ case class NearestCentroidExpr(child: Expression,
         i += 1
       }
       val cos = round4(xy / (math.sqrt(xx) * math.sqrt(yy)))
-      // strict >: buckets ascend, so ties keep the lower bucket — the
-      // batch heap's (cos desc, bucket asc) order
-      if (cos > bestCos) { bestCos = cos; best = j }
+      // Double.compare, not >: the batch heap ranks by
+      // java.lang.Double.compare, under which NaN sits ABOVE +Inf — so
+      // a NaN cosine must WIN here too or a zero-norm centroid routes a
+      // streamed vector differently than the batch assignment. Ties
+      // (compare == 0, including NaN vs NaN) keep the lower bucket —
+      // the heap's id-asc tie-break over ascending buckets.
+      if (java.lang.Double.compare(cos, bestCos) > 0) { bestCos = cos; best = j }
       j += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -814,6 +821,13 @@ case class PqEncodeExpr(child: Expression,
 
   require(subs.nonEmpty, "pq-encode: empty codebook")
   require(subs == subs.sorted, "pq-encode: subspaces must ascend")
+  // Output arrays are POSITIONAL over the subspace list: position i of
+  // codes/d2s means subspace i. A codebook missing a subspace would
+  // silently shrink the output and shift every later position (the
+  // batch pqEncode carries an explicit `sub` column and cannot), so a
+  // gap is a constructor error, never a silent misalignment.
+  require(subs == subs.indices,
+    s"pq-encode: subspaces must be contiguous from 0 (positional output), got $subs")
   require(subs.length == codes.length && subs.length == entries.length,
     "pq-encode: codebook misaligned")
   require(codes.zip(entries).forall { case (c, e) =>
@@ -886,9 +900,13 @@ case class PqEncodeExpr(child: Expression,
         var cc = 0.0; i = 0
         while (i < c.length) { cc += c(i) * c(i); i += 1 }
         val d2 = round6(xx - 2.0 * xc + cc)
-        // strict <: codes ascend, so ties keep the lower code — the
-        // batch heap's (d² asc, code asc) order
-        if (d2 < bestD2) { bestD2 = d2; best = j }
+        // The batch argmin is TopKHeap on score = −d², ranked by
+        // java.lang.Double.compare — under which a NaN d² WINS the
+        // argmin (−NaN is NaN, above every finite −d²). Mirror that
+        // exact total order; ties (including NaN vs NaN) keep the
+        // lower code — the heap's id-asc tie-break over ascending
+        // codes.
+        if (java.lang.Double.compare(-d2, -bestD2) > 0) { bestD2 = d2; best = j }
         j += 1
       }
       outCodes(s) = codeArrays(s)(best)

@@ -387,14 +387,25 @@ object Dedup {
     // ever OVERestimates (dedup removes pairs), so the chunked posture
     // can engage early but the proven single-plan shape below the bar
     // is never silently lost to an estimate.
+    // Per-bucket C(n,2) in DECIMAL: the long*long product can overflow
+    // for a pathological bucket and Column `/` is double division (exact
+    // only below 2^53) — decimal keeps the bound exact at any bucket
+    // size; n·(n−1) is even so the halving is exact too. The driver-side
+    // ceil-divide stays in BigDecimal for the same reason, clamped to
+    // Int.MaxValue (a bound that asks for 2^31 passes is a capacity
+    // refusal, not an arithmetic exception).
     val bound82 = bandRowsOf(8, 2)
       .groupBy($"band_id", $"bk").agg(count(lit(1)).as("n"))
-      // Column `/` is DOUBLE division — cast each integer-valued term
-      // back to long before the sum so the bound is exact
-      .agg(coalesce(sum(($"n" * ($"n" - 1) / 2).cast("long")), lit(0L)).as("ub"))
-      .head.getLong(0)
-    val nPasses = math.max(1L,
-      (bound82 + verifyPairsPerPass - 1) / verifyPairsPerPass).toInt
+      .agg(coalesce(
+        sum($"n".cast("decimal(38,0)") * ($"n" - 1)),
+        lit(0).cast("decimal(38,0)")).as("ub2"))
+      .head.getDecimal(0).toBigInteger.shiftRight(1)
+    val nPasses = bound82
+      .add(java.math.BigInteger.valueOf(verifyPairsPerPass - 1))
+      .divide(java.math.BigInteger.valueOf(verifyPairsPerPass))
+      .max(java.math.BigInteger.ONE)
+      .min(java.math.BigInteger.valueOf(Int.MaxValue))
+      .intValueExact()
     def r6(d: Double): Double = BigDecimal(d)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def pDetectOf(b: Int, r: Int): Double =

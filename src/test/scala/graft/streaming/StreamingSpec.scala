@@ -1230,6 +1230,73 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("router kernels: NaN scores (zero-norm centroid, NaN component) " +
+    "rank exactly like the batch heap — NaN wins, ties to lower id") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val Sim = graft.operators.Similarity
+    // model with a zero-norm centroid: every cosine against bucket 3 is
+    // 0/0 = NaN, which the batch heap (java.lang.Double.compare) ranks
+    // ABOVE every finite score — so bucket 3 must win in BOTH paths
+    val cents = IndexedSeq(
+      0L -> IndexedSeq(1.0, 1.0, 1.0, 1.0),
+      3L -> IndexedSeq(0.0, 0.0, 0.0, 0.0))
+    val cvDf = cents.map { case (b, c) => (b, c.toSeq) }.toDF("bucket", "cv")
+    val vecs = Seq(
+      10L -> Seq(1.0, 2.0, 3.0, 4.0),
+      11L -> Seq(0.0, 0.0, 0.0, 0.0), // zero-norm INPUT: NaN vs both → tie → bucket 0
+      12L -> Seq(Double.NaN, 1.0, 1.0, 1.0)).toDF("vec_id", "v")
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    val batch = Sim.assignToCentroids(vecs, cvDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), bits(r.getDouble(2))))).toMap
+    val kernel = Bridge.column(graft.functions.NearestCentroidExpr(
+      Bridge.expression($"v"), cents.map(_._1), cents.map(_._2)))
+    val streamed = vecs.select($"vec_id", kernel.as("r")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), bits(r.getStruct(1).getDouble(1))))).toMap
+    assert(streamed === batch,
+      "kernel routing must equal the batch assignment on NaN/zero-norm inputs")
+    assert(batch(10L)._1 === 3L && batch(11L)._1 === 0L,
+      "fixture must exercise both a NaN win and an all-NaN tie")
+    // fine quantizer: a NaN vector component makes every d² NaN — the
+    // batch argmin (heap on −d²) lets NaN WIN, ties to the lower code
+    val cb = Sim.pqCodebookTable(
+      Tables.embeddings(spark, Sf)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+    val nanVec = Seq(20L -> Seq.tabulate(64)(i =>
+      if (i == 0) Double.NaN else 0.1 * i)).toDF("vec_id", "v")
+    val batchEnc = Sim.pqEncode(nanVec, cb).collect()
+      .map(r => (r.getLong(1), r.getLong(2), bits(r.getDouble(3)))).sortBy(_._1)
+    val rows = cb.select($"sub", $"code", $"cv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, es) =>
+        val sorted = es.sortBy(_._2)
+        (s.toInt, sorted.map(_._2).toIndexedSeq, sorted.map(_._3).toIndexedSeq)
+      }
+    val enc = Bridge.column(graft.functions.PqEncodeExpr(
+      Bridge.expression($"v"),
+      rows.map(_._1).toIndexedSeq, rows.map(_._2).toIndexedSeq,
+      rows.map(_._3).toIndexedSeq, Sim.pqSubspaceDim))
+    val kernelEnc = nanVec.select(enc.as("r")).collect().head.getStruct(0)
+    val kCodes = kernelEnc.getSeq[Long](0)
+    val kD2s = kernelEnc.getSeq[Double](1).map(bits)
+    assert(batchEnc.map(_._2) === kCodes.toSeq &&
+      batchEnc.map(_._3) === kD2s.toSeq,
+      "kernel encode must equal the batch encode on a NaN-component vector")
+    assert(bits(Double.NaN) === batchEnc.head._3,
+      "fixture must exercise a NaN d² (sub 0 sliced the NaN component)")
+    // positional-output guard: a codebook with a subspace gap must be a
+    // constructor error, never a silently shrunken codes array
+    val gap = intercept[IllegalArgumentException] {
+      graft.functions.PqEncodeExpr(Bridge.expression($"v"),
+        IndexedSeq(0, 2), IndexedSeq(rows(0)._2, rows(2)._2),
+        IndexedSeq(rows(0)._3, rows(2)._3), Sim.pqSubspaceDim)
+    }
+    assert(gap.getMessage.contains("contiguous"),
+      "the gap error must name the contiguity contract")
+  }
+
   test("langid router: an EMPTY trained model degrades to all-'und' " +
     "abstention like the batch scorer, not a restart-time crash") {
     import spark.implicits._
