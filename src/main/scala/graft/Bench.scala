@@ -139,6 +139,7 @@ object Bench {
     "text_quality_nb", // added r15: the same NB head distilling the per-source quality-median gate's verdicts
     "sim_ivf_append", // added r16: batch-incremental IVF maintenance — standing index never retrained
     "sim_pq_append", // added r16: the fine-quantizer half — batch encoded against the standing PQ codebook, MSE drift vs retrain
+    "sim_index_roundtrip", // added r17: write+load both standing artifacts to/from parquet, serve the batch from the LOADED tables
     "mm_meta_stats")
 
   /** Registered queries deliberately NOT in the headline bench, each

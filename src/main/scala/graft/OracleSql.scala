@@ -3807,6 +3807,38 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  round(CAST(max_code AS DOUBLE) / n_tot, 6) AS top_code_share
          |FROM ne JOIN sa2 ON sa2.sub = ne.sub JOIN ra2 ON ra2.sub = ne.sub
          |JOIN cc ON cc.sub = ne.sub""".stripMargin,
+    "sim_index_roundtrip" ->
+      // twin of Similarity.indexRoundtrip(batchMod=8, nBits=8): the
+      // Spark side trains the standing artifacts, WRITES them to
+      // parquet, LOADS them back and serves the batch from the loaded
+      // tables; this twin re-derives the identical serve from the raw
+      // corpus with no persistence step at all — a hash match is the
+      // load-equivalence proof. Coarse half = sim_ivf_append's
+      // standing-centroid + argmax CTEs (cos_sim carried through);
+      // fine half = sim_pq_append's standing-codebook chain
+      // (seedCbvCtes + one Lloyd step) with the batch encoded against
+      // it (the step CTE's assigned d2 IS the reconstruction SSE).
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs),
+         |st AS (SELECT * FROM e WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 8 <> 0),
+         |fr AS (SELECT * FROM e WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 8 = 0),
+         |sg AS (SELECT CAST(${srpBand("v", 0, 8)} AS BIGINT) AS bucket, v FROM st),
+         |x0 AS (SELECT bucket, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS comp FROM sg),
+         |a0 AS (SELECT bucket, pos, sum(CAST(comp AS DECIMAL(27,10))) AS s, count(*) AS cnt
+         |  FROM x0 GROUP BY bucket, pos),
+         |cv0 AS (SELECT bucket, list(round(CAST(s AS DOUBLE) / cnt, 6) ORDER BY pos) AS cv
+         |  FROM a0 GROUP BY bucket),
+         |scored AS (SELECT fr.vec_id, cv0.bucket,
+         |  round(${cosSql("fr.v", "cv0.cv")}, 4) AS cos_sim FROM fr, cv0),
+         |asg AS (SELECT vec_id, bucket, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bucket ASC) AS rn
+         |  FROM scored) WHERE rn <= 1),
+         |${pqDecompCte("st", "pqs")},
+         |${pqDecompCte("fr", "pqf")},
+         |${seedCbvCtes("pqs", "st")},
+         |${lloydStepCtes("stcbv0", "st", "pqs")},
+         |${lloydStepCtes("stcbv", "fs", "pqf")}
+         |SELECT a.vec_id, a.bucket, a.cos_sim, f.sub, f.code, f.d2
+         |FROM asg a JOIN fsassigned f ON f.vec_id = a.vec_id""".stripMargin,
     "sim_hubness" ->
       // twin of Similarity.hubnessAudit (k=5): all-pairs knn rank (the
       // block grid covers the pair space exactly), in-degree count,

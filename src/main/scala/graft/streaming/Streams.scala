@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.syntax._
@@ -1090,7 +1090,16 @@ object Streams {
     * no shuffle, append mode, unbounded throughput. An EMPTY centroid
     * table (no standing index yet) degrades to null routing — vectors
     * pass through unrouted until an index is rolled out, never a
-    * restart-time crash. */
+    * restart-time crash. The production deployment passes the
+    * PERSISTED artifact path (the parquet
+    * [[graft.operators.Similarity.writeIvfIndex]] wrote at train time)
+    * via the path overload — every restart re-loads the standing index
+    * from storage, never from a live upstream plan. */
+  def ivfRouter(vecs: Dataset[Vec], spark: SparkSession,
+                indexPath: String): DataFrame =
+    ivfRouter(vecs,
+      graft.operators.Similarity.loadIvfIndex(spark, indexPath))
+
   def ivfRouter(vecs: Dataset[Vec], centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     // static model: ≤2^nBits rows, ascending buckets (the tie-break order)
@@ -1136,7 +1145,15 @@ object Streams {
     * projection, no state store, no shuffle, append mode. An EMPTY
     * codebook (no trained index yet) degrades to null codes — vectors
     * pass through unencoded until a codebook is rolled out, never a
-    * restart-time crash. */
+    * restart-time crash. Like [[ivfRouter]], the production deployment
+    * passes the PERSISTED artifact path
+    * ([[graft.operators.Similarity.writePqCodebook]]'s parquet) via
+    * the path overload. */
+  def pqRouter(vecs: Dataset[Vec], spark: SparkSession,
+               codebookPath: String): DataFrame =
+    pqRouter(vecs,
+      graft.operators.Similarity.loadPqCodebook(spark, codebookPath))
+
   def pqRouter(vecs: Dataset[Vec], codebook: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     // static model: ≤128 rows grouped per subspace, ascending codes

@@ -256,6 +256,68 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index roundtrip: parquet write→load round-trips both artifacts " +
+    "bit for bit, and the serve from the LOADED artifacts equals the " +
+    "in-plan serve frame by frame") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val isNew = graft.functions.EngineNeutral.hash60(
+      col("vec_id").cast("string")) % 8 === 0
+    val standing = e.filter(!isNew)
+    val fresh = e.filter(isNew)
+    val builtCv = Similarity.ivfCentroidVecs(standing, nBits = 8)
+    val builtCbv = Similarity.pqCodebookTable(standing)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-idx-spec-").toString
+    def bits(xs: Seq[Double]): Seq[Long] =
+      xs.map(java.lang.Double.doubleToLongBits)
+    try {
+      Similarity.writeIvfIndex(builtCv, s"$root/ivf")
+      Similarity.writePqCodebook(builtCbv, s"$root/pq")
+      // 1. artifact-table equality, IEEE-bit-exact per vector component
+      val cvB = builtCv.collect()
+        .map(r => r.getLong(0) -> bits(r.getSeq[Double](1))).toMap
+      val cvL = Similarity.loadIvfIndex(spark, s"$root/ivf").collect()
+        .map(r => r.getLong(0) -> bits(r.getSeq[Double](1))).toMap
+      assert(cvL === cvB, "loaded ivf centroids differ from the built table")
+      val cbB = builtCbv.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> bits(r.getSeq[Double](2))).toMap
+      val cbL = Similarity.loadPqCodebook(spark, s"$root/pq").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> bits(r.getSeq[Double](2))).toMap
+      assert(cbL === cbB, "loaded pq codebook differs from the built table")
+      // 2. the registered query's serve (loaded artifacts, its own
+      //    write) equals the serve composed from the in-plan builds
+      def frame(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(3)) ->
+          ((r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)),
+            r.getLong(4), java.lang.Double.doubleToLongBits(r.getDouble(5)))))
+        .toMap
+      val inPlan = frame(
+        Similarity.assignToCentroids(fresh, builtCv)
+          .join(Similarity.pqEncode(fresh, builtCbv), "vec_id")
+          .select(col("vec_id"), col("bucket"), col("cos_sim"),
+            col("sub"), col("code"), col("d2")))
+      val served = frame(Similarity.indexRoundtrip(spark, Sf))
+      assert(served.nonEmpty, "roundtrip serve is empty — fixture issue")
+      assert(served === inPlan,
+        "serve from the loaded artifacts diverges from the in-plan serve")
+      // 3. a non-artifact parquet fails the load loudly, naming the path
+      e.limit(2).write.mode("overwrite").parquet(s"$root/bogus")
+      val err = intercept[IllegalArgumentException] {
+        Similarity.loadIvfIndex(spark, s"$root/bogus")
+      }
+      assert(err.getMessage.contains("bogus"),
+        "load error must name the offending path")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("sq8 nn-descent: empty input yields an empty graph (not a grid " +
     "crash) and bad params fail fast, mirroring the exact variant") {
     import spark.implicits._

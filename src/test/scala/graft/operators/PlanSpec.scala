@@ -443,6 +443,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("index roundtrip: the serve from the LOADED artifacts keeps the " +
+    "append plans' shape — artifacts broadcast-build, no cartesian, no " +
+    "corpus-to-corpus join") {
+    val p = plan(Similarity.indexRoundtrip(spark, Sf))
+    assert(!p.contains("CartesianProduct"),
+      s"roundtrip serve degenerated to a cartesian product:\n$p")
+    // both (batch x artifact) fan-outs must broadcast-build the bounded
+    // loaded table, never the batch side
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("BuildRight"),
+        s"serve must broadcast-build the loaded artifact side:\n$l")
+    }
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("vec_id") || l.contains("sub") || l.contains("bucket"),
+        s"non-keyed shuffle join in roundtrip plan:\n$l\n$p")
+    }
+  }
+
   test("bpe trainer: the merge table is a driver-policy local relation; " +
     "the compression report never re-scans the corpus per round") {
     val m = TextAnalysis.bpeMerges(spark, Sf)

@@ -1097,6 +1097,11 @@ class StreamingSpec extends SparkSpec {
       $"vec_id".cast("string")) % 8 === 0
     val centroids = graft.operators.Similarity
       .ivfCentroidVecs(e.filter(!isNew), nBits = 8)
+    // the router consumes the PERSISTED artifact (the production
+    // restart seam): write the standing index to parquet and start the
+    // stream from the path overload, never from the live build plan
+    val idxPath = ckpt("ivf-artifact")
+    graft.operators.Similarity.writeIvfIndex(centroids, idxPath)
     // EVERY corpus vector arrives on the stream (standing re-ingest and
     // fresh batch alike — routing is defined for both)
     val t0 = 1700000000000L
@@ -1104,7 +1109,7 @@ class StreamingSpec extends SparkSpec {
       Vec(r.getLong(0), r.getSeq[Double](1),
         new java.sql.Timestamp(t0 + i * 1000L)) }.toSeq
     val stream = MemoryStream[Vec]
-    val query = Streams.ivfRouter(stream.toDS(), centroids)
+    val query = Streams.ivfRouter(stream.toDS(), spark, idxPath)
       .writeStream.format("memory").queryName("ivf_stream")
       .outputMode("append")
       .option("checkpointLocation", ckpt("ivfr"))
@@ -1167,12 +1172,16 @@ class StreamingSpec extends SparkSpec {
     val isNew = graft.functions.EngineNeutral.hash60(
       $"vec_id".cast("string")) % 8 === 0
     val cb = graft.operators.Similarity.pqCodebookTable(e.filter(!isNew))
+    // persisted-artifact seam, like the ivf router test: the stream
+    // encodes against the parquet-loaded codebook
+    val cbPath = ckpt("pq-artifact")
+    graft.operators.Similarity.writePqCodebook(cb, cbPath)
     val t0 = 1700000000000L
     val vecs = e.collect().zipWithIndex.map { case (r, i) =>
       Vec(r.getLong(0), r.getSeq[Double](1),
         new java.sql.Timestamp(t0 + i * 1000L)) }.toSeq
     val stream = MemoryStream[Vec]
-    val query = Streams.pqRouter(stream.toDS(), cb)
+    val query = Streams.pqRouter(stream.toDS(), spark, cbPath)
       .writeStream.format("memory").queryName("pq_stream")
       .outputMode("append")
       .option("checkpointLocation", ckpt("pqr"))
