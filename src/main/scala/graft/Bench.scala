@@ -140,6 +140,7 @@ object Bench {
     "sim_ivf_append", // added r16: batch-incremental IVF maintenance — standing index never retrained
     "sim_pq_append", // added r16: the fine-quantizer half — batch encoded against the standing PQ codebook, MSE drift vs retrain
     "sim_index_roundtrip", // added r17: write+load both standing artifacts to/from parquet, serve the batch from the LOADED tables
+    "graph_clustering_approx", // added r17: DOULION p=1/2 per-node estimate — the ~4x cheaper local_cc default
     "mm_meta_stats")
 
   /** Registered queries deliberately NOT in the headline bench, each
@@ -182,7 +183,8 @@ object Bench {
         "baseline join is deliberate and output-bound")(
         "sim_recall_report", "sim_ivfadc_recall", "sim_pq_recall",
         "sim_pq_trained_recall", "sim_sq8_recall", "sim_range_search",
-        "sim_pq_recon_error", "sim_ivf_append_recall") ++
+        "sim_pq_recon_error", "sim_ivf_append_recall",
+        "graph_clustering_approx_err") ++
       family("build stage of a benched end-to-end pipeline: the chained " +
         "siblings (sim_kmeanspp_seeds, sim_pq_lloyd_chain, " +
         "sim_adc_trained_topk, sim_ivfpq_topk) time these kernels " +

@@ -5017,6 +5017,99 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |    THEN CAST(2.0 AS DOUBLE) * coalesce(p.t, 0) / (n.deg * (n.deg - 1))
          |    ELSE CAST(0 AS DOUBLE) END, 6) AS local_cc
          |FROM nm n LEFT JOIN pernode p ON p.node = n.node""".stripMargin,
+    "graph_clustering_approx" ->
+      // twin of Graph.clusteringApprox (keepMod=2): DOULION
+      // sparsification by the deterministic hash60 coin (the
+      // graph_triangle_sample discipline), the SAME per-node triangle
+      // charge on the kept edges, each count scaled by 2^3, normalized
+      // by the TRUE degree from the full graph's node table
+      s"""WITH $graphCtes,
+         |sedges AS MATERIALIZED (SELECT a, b FROM edges
+         |  WHERE ${h60("concat(CAST(a AS VARCHAR), '|', CAST(b AS VARCHAR))")} % 2 = 0),
+         |sadj AS (SELECT a AS src, b AS dst FROM sedges
+         |  UNION ALL SELECT b AS src, a AS dst FROM sedges),
+         |snodes AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM sadj GROUP BY src),
+         |soriented AS MATERIALIZED (SELECT
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+         |  FROM (SELECT e.a, e.b, na.deg AS da, nb.deg AS db FROM sedges e
+         |    JOIN snodes na ON na.node = e.a JOIN snodes nb ON nb.node = e.b)),
+         |stris AS MATERIALIZED (SELECT w.u, w.x, w.y FROM (
+         |  SELECT o1.u AS u, o1.v AS x, o2.v AS y FROM soriented o1
+         |  JOIN soriented o2 ON o1.u = o2.u AND o1.v < o2.v) w
+         |  JOIN sedges e ON e.a = w.x AND e.b = w.y),
+         |spernode AS (SELECT node, count(*) AS t FROM (
+         |  SELECT u AS node FROM stris
+         |  UNION ALL SELECT x AS node FROM stris
+         |  UNION ALL SELECT y AS node FROM stris) GROUP BY node)
+         |SELECT n.node AS doc_id, n.deg AS degree,
+         |  coalesce(p.t, 0) * CAST(8 AS BIGINT) AS est_triangles,
+         |  round(CASE WHEN n.deg >= 2
+         |    THEN CAST(2.0 AS DOUBLE) * coalesce(p.t, 0) * CAST(8.0 AS DOUBLE)
+         |      / (n.deg * (n.deg - 1))
+         |    ELSE CAST(0 AS DOUBLE) END, 6) AS est_cc
+         |FROM nodes n LEFT JOIN spernode p ON p.node = n.node""".stripMargin,
+    "graph_clustering_approx_err" ->
+      // twin of Graph.clusteringApproxError: exact per-node local_cc
+      // (the graph_local_clustering chain) joined against the
+      // DOULION-scaled estimate (the graph_clustering_approx chain),
+      // error moments in DECIMAL(27,10) per fixed integer degree band
+      s"""WITH $graphCtes,
+         |em AS MATERIALIZED (SELECT a, b FROM edges),
+         |nm AS MATERIALIZED (SELECT node, deg FROM nodes),
+         |oriented AS MATERIALIZED (SELECT
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+         |  FROM (SELECT e.a, e.b, na.deg AS da, nb.deg AS db FROM em e
+         |    JOIN nm na ON na.node = e.a JOIN nm nb ON nb.node = e.b)),
+         |tris AS MATERIALIZED (SELECT w.u, w.x, w.y FROM (
+         |  SELECT o1.u AS u, o1.v AS x, o2.v AS y FROM oriented o1
+         |  JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v) w
+         |  JOIN em e ON e.a = w.x AND e.b = w.y),
+         |pernode AS (SELECT node, count(*) AS t FROM (
+         |  SELECT u AS node FROM tris
+         |  UNION ALL SELECT x AS node FROM tris
+         |  UNION ALL SELECT y AS node FROM tris) GROUP BY node),
+         |exact AS (SELECT n.node AS doc_id, n.deg AS degree,
+         |  round(CASE WHEN n.deg >= 2
+         |    THEN CAST(2.0 AS DOUBLE) * coalesce(p.t, 0) / (n.deg * (n.deg - 1))
+         |    ELSE CAST(0 AS DOUBLE) END, 6) AS local_cc
+         |  FROM nm n LEFT JOIN pernode p ON p.node = n.node),
+         |sedges AS MATERIALIZED (SELECT a, b FROM em
+         |  WHERE ${h60("concat(CAST(a AS VARCHAR), '|', CAST(b AS VARCHAR))")} % 2 = 0),
+         |sadj AS (SELECT a AS src, b AS dst FROM sedges
+         |  UNION ALL SELECT b AS src, a AS dst FROM sedges),
+         |snodes AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM sadj GROUP BY src),
+         |soriented AS MATERIALIZED (SELECT
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+         |  FROM (SELECT e.a, e.b, na.deg AS da, nb.deg AS db FROM sedges e
+         |    JOIN snodes na ON na.node = e.a JOIN snodes nb ON nb.node = e.b)),
+         |stris AS MATERIALIZED (SELECT w.u, w.x, w.y FROM (
+         |  SELECT o1.u AS u, o1.v AS x, o2.v AS y FROM soriented o1
+         |  JOIN soriented o2 ON o1.u = o2.u AND o1.v < o2.v) w
+         |  JOIN sedges e ON e.a = w.x AND e.b = w.y),
+         |spernode AS (SELECT node, count(*) AS t FROM (
+         |  SELECT u AS node FROM stris
+         |  UNION ALL SELECT x AS node FROM stris
+         |  UNION ALL SELECT y AS node FROM stris) GROUP BY node),
+         |approx AS (SELECT n.node AS doc_id,
+         |  round(CASE WHEN n.deg >= 2
+         |    THEN CAST(2.0 AS DOUBLE) * coalesce(p.t, 0) * CAST(8.0 AS DOUBLE)
+         |      / (n.deg * (n.deg - 1))
+         |    ELSE CAST(0 AS DOUBLE) END, 6) AS est_cc
+         |  FROM nm n LEFT JOIN spernode p ON p.node = n.node),
+         |err AS (SELECT
+         |  CAST(CASE WHEN e.degree < 4 THEN 0 WHEN e.degree < 16 THEN 1
+         |    WHEN e.degree < 64 THEN 2 ELSE 3 END AS BIGINT) AS deg_band,
+         |  CAST(a.est_cc - e.local_cc AS DECIMAL(27,10)) AS err,
+         |  CAST(abs(a.est_cc - e.local_cc) AS DECIMAL(27,10)) AS abs_err
+         |  FROM exact e JOIN approx a ON a.doc_id = e.doc_id)
+         |SELECT deg_band, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS bias,
+         |  round(CAST(sum(abs_err) AS DOUBLE) / count(*), 6) AS mae,
+         |  round(CAST(max(abs_err) AS DOUBLE), 6) AS max_abs_err
+         |FROM err GROUP BY deg_band""".stripMargin,
     "graph_eigencentrality" -> {
       // twin of Graph.eigenCentrality (iters=3): power iteration with
       // DECIMAL neighbor sums, a DECIMAL L1 normalizer over those sums,

@@ -230,8 +230,24 @@ object Graph {
     * frame. `passEdges` exposes the pass bar for tests. */
   def localClusteringFrom(e: DataFrame,
                           passEdges: Long = CensusPassEdges): DataFrame = {
-    require(passEdges >= 1, s"passEdges must be >= 1, got $passEdges")
     val deg = degrees(e)
+    val perNode = perNodeTriangles(e, deg, passEdges)
+    deg.join(perNode, Seq("node"), "left")
+      .select($"node".as("doc_id"), $"deg".as("degree"),
+        coalesce($"t", lit(0L)).as("n_triangles"),
+        round(when($"deg" >= 2,
+          lit(2.0) * coalesce($"t", lit(0L)) / ($"deg" * ($"deg" - 1)))
+          .otherwise(lit(0.0)), 6).as("local_cc"))
+  }
+
+  /** Per-node triangle counts (node, t) over a materialized edge frame —
+    * the charge pipeline shared by the exact [[localClusteringFrom]] and
+    * the DOULION-sparsified [[clusteringApproxFrom]] so the two cannot
+    * drift. `deg` must be `degrees(e)` (passed in so a caller that also
+    * needs the degree table derives it once). */
+  private def perNodeTriangles(e: DataFrame, deg: DataFrame,
+                               passEdges: Long): DataFrame = {
+    require(passEdges >= 1, s"passEdges must be >= 1, got $passEdges")
     val (oriented, adj, bcast, nEdges) = triangleSetup(e, deg)
     // ONE consumption of the triangle frame per pass: explode to a row
     // per triangle (s, t, w), then charge each corner +1 from a second
@@ -257,19 +273,88 @@ object Graph {
     // disk (the Bench inter-query discipline — without it cleanup
     // waits for an arbitrary GC).
     val passes = orientedPasses(oriented, nEdges, passEdges)
-    val perNode =
-      if (passes.size == 1) charges(passes.head)
-      else passes.map { p =>
-        val part = charges(p).localCheckpoint(true)
-        System.gc()
-        part
-      }.reduce(_ unionAll _).groupBy($"node").agg(sum($"t").as("t"))
-    deg.join(perNode, Seq("node"), "left")
+    if (passes.size == 1) charges(passes.head)
+    else passes.map { p =>
+      val part = charges(p).localCheckpoint(true)
+      System.gc()
+      part
+    }.reduce(_ unionAll _).groupBy($"node").agg(sum($"t").as("t"))
+  }
+
+  /** APPROXIMATE local clustering — the DOULION estimator
+    * ([[triangleSample]]'s discipline, Tsourakakis et al. KDD'09)
+    * applied PER NODE: sparsify the edge set with the deterministic
+    * hash60 coin (keep (a,b) iff hash60(a ⧺ '|' ⧺ b) % keepMod == 0,
+    * p = 1/keepMod), run the SAME exact per-node triangle charge on the
+    * kept edges, scale each node's count by keepMod³ (a triangle
+    * survives with probability p³ — unbiased), and normalize by the
+    * node's TRUE degree from the full edge set. est_cc is the raw
+    * unbiased estimator — it can exceed 1 for low-degree nodes (the
+    * variance lives in the keepMod³ scale-up); [[clusteringApproxError]]
+    * prices that variance per degree band against the exact
+    * coefficient.
+    *
+    * Why it exists: [[localClustering]]'s Σ outdeg² intersection join is
+    * the measured floor (the r16 record — a weighted-charge rewrite was
+    * 1.4× WORSE) and the single heaviest 10× bench entry. Sparsifying at
+    * p = 1/2 cuts the wedge work ~p² ≈ 4× and the orientation/adjacency
+    * build ~2× for a concentration-bounded estimate — the 10× cheaper
+    * default a curation pipeline ranks on when exact counts are not the
+    * point. The coin is engine-neutral, so the twin is a hash match,
+    * not a tolerance match. */
+  def clusteringApprox(s: SparkSession, dir: String, keepMod: Int = 2): DataFrame =
+    clusteringApproxFrom(edges(s, dir).localCheckpoint(true), keepMod)
+
+  /** Core of [[clusteringApprox]] over any materialized (a, b) a<b edge
+    * frame. The kept subset is re-materialized so the charge pipeline's
+    * several references (degrees, orientation, adjacency) scan stored
+    * rows, not the filter chain ([[triangleSample]]'s measured split). */
+  def clusteringApproxFrom(full: DataFrame, keepMod: Int = 2,
+                           passEdges: Long = CensusPassEdges): DataFrame = {
+    require(keepMod >= 2, s"keepMod must be >= 2, got $keepMod")
+    val kept = full.filter(
+      graft.functions.EngineNeutral.hash60(
+        concat($"a".cast("string"), lit("|"), $"b".cast("string")))
+        % keepMod === 0)
+      .localCheckpoint(true)
+    val perNode = perNodeTriangles(kept, degrees(kept), passEdges)
+    val scale = keepMod.toLong * keepMod * keepMod
+    degrees(full).join(perNode, Seq("node"), "left")
       .select($"node".as("doc_id"), $"deg".as("degree"),
-        coalesce($"t", lit(0L)).as("n_triangles"),
+        (coalesce($"t", lit(0L)) * lit(scale)).as("est_triangles"),
         round(when($"deg" >= 2,
-          lit(2.0) * coalesce($"t", lit(0L)) / ($"deg" * ($"deg" - 1)))
-          .otherwise(lit(0.0)), 6).as("local_cc"))
+          lit(2.0) * coalesce($"t", lit(0L)) * lit(scale.toDouble)
+            / ($"deg" * ($"deg" - 1)))
+          .otherwise(lit(0.0)), 6).as("est_cc"))
+  }
+
+  /** Error audit of [[clusteringApprox]] vs the exact
+    * [[localClustering]], per degree band — the artifact that tells a
+    * pipeline whether the 4× cheaper estimate is usable at its degree
+    * profile. Bands are fixed integer cuts (deg < 4 / 16 / 64 / else),
+    * so banding is engine-exact; the error moments aggregate in
+    * DECIMAL(27,10) over the 6-rounded coefficients (order-invariant
+    * sums), divided once in double. Deliberately NOT benched: it runs
+    * the exact operator as its baseline — the audit is an offline
+    * calibration pass, the production scan is [[clusteringApprox]]. */
+  def clusteringApproxError(s: SparkSession, dir: String,
+                            keepMod: Int = 2): DataFrame = {
+    val e = edges(s, dir).localCheckpoint(true)
+    val exact = localClusteringFrom(e)
+    val approx = clusteringApproxFrom(e, keepMod)
+      .select($"doc_id", $"est_cc")
+    val dec = "decimal(27,10)"
+    exact.join(approx, Seq("doc_id"))
+      .select(
+        when($"degree" < 4, lit(0L)).when($"degree" < 16, lit(1L))
+          .when($"degree" < 64, lit(2L)).otherwise(lit(3L)).as("deg_band"),
+        ($"est_cc" - $"local_cc").cast(dec).as("err"),
+        abs($"est_cc" - $"local_cc").cast(dec).as("abs_err"))
+      .groupBy($"deg_band")
+      .agg(count(lit(1)).as("n_nodes"),
+        round(sum($"err").cast("double") / count(lit(1)), 6).as("bias"),
+        round(sum($"abs_err").cast("double") / count(lit(1)), 6).as("mae"),
+        round(max($"abs_err").cast("double"), 6).as("max_abs_err"))
   }
 
   /** SAMPLED TRIANGLE CENSUS — the DOULION estimator (Tsourakakis,

@@ -530,6 +530,61 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._2).sum === 3L * census.getAs[Long]("n_triangles"))
   }
 
+  test("approximate local clustering: matches brute force on the coin-kept " +
+    "subgraph scaled by keepMod^3, normalized by TRUE degree; deterministic; " +
+    "error-audit bands partition the node set with consistent moments") {
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val e = edgeSet()
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val degFull = und.groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet.size.toLong }
+    // brute-force triangles of the deterministically sparsified subgraph
+    val kept = e.filter { case (a, b) => h60(s"$a|$b") % 2 == 0 }
+    val kund = kept ++ kept.map { case (a, b) => (b, a) }
+    val kadj = kund.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val triOf = kadj.map { case (n, ns) =>
+      n -> ns.toSeq.sorted.combinations(2).count {
+        case Seq(x, y) => kadj(x).contains(y)
+        case _ => false
+      }.toLong
+    }
+    def run() = Graph.clusteringApprox(spark, Sf).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("est_triangles"),
+          r.getAs[Double]("est_cc")))
+    }.toMap
+    val got = run()
+    assert(got.keySet === degFull.keySet, "every FULL-graph node must appear")
+    got.foreach { case (n, (d, est, cc)) =>
+      assert(d === degFull(n), s"node $n must carry its TRUE degree")
+      val t = triOf.getOrElse(n, 0L)
+      assert(est === t * 8L, s"node $n estimate must be kept-count * 8")
+      val expCc = if (d >= 2) BigDecimal(2.0 * t * 8.0 / (d * (d - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      assert(math.abs(cc - expCc) < 1e-9, s"node $n est_cc $cc vs $expCc")
+    }
+    assert(run() === got, "hash-keyed sparsification must be deterministic")
+    // aggregate unbiasedness signal: total estimate lands near the exact
+    // 3x triangle mass (the DOULION concentration bound on this
+    // triangle-rich fixture; 30% is the honest envelope)
+    val exact3T = 3L * Graph.triangleCensus(spark, Sf).collect()
+      .head.getAs[Long]("n_triangles")
+    val estTot = got.values.map(_._2).sum
+    assert(math.abs(estTot - exact3T.toDouble) <= 0.3 * exact3T,
+      s"total estimate $estTot too far from exact $exact3T")
+    // error audit: bands partition the node set, moments are consistent
+    val err = Graph.clusteringApproxError(spark, Sf).collect()
+    assert(err.map(_.getAs[Long]("deg_band")).distinct.length === err.length)
+    assert(err.map(_.getAs[Long]("n_nodes")).sum === degFull.size.toLong)
+    err.foreach { r =>
+      assert(r.getAs[Double]("mae") >= math.abs(r.getAs[Double]("bias")) - 1e-9)
+      assert(r.getAs[Double]("max_abs_err") >= r.getAs[Double]("mae") - 1e-9)
+    }
+  }
+
   test("eigenvector centrality: matches brute-force power iteration; " +
     "mass normalized; concentrates above uniform on the densest family") {
     val e = edgeSet()
