@@ -339,8 +339,13 @@ object Dedup {
           struct(lit(bi).as("band_id"), element_at($"bks", bi + 1).as("bk"))): _*)).as("x"))
         .select($"doc_id", $"bks", $"x.band_id".as("band_id"), $"x.bk".as("bk"))
     }
-    def candsOf(b: Int, r: Int): DataFrame = {
-      val bandRows = bandRowsOf(b, r)
+    // Candidate join over ANY band-row frame (the full banding, or one
+    // bucket slice of it — pairs exist only within a (band, key) bucket,
+    // so the join body is slice-agnostic). The leftmost-band dedup
+    // predicate reads the carried bks arrays — row-local, so it holds on
+    // any bucket subset: a pair colliding in several bands survives only
+    // at its earliest one, whichever slice owns that bucket.
+    def candsOfRows(bandRows: DataFrame, b: Int): DataFrame = {
       val l = bandRows.select($"band_id", $"bk", $"doc_id".as("doc_a"), $"bks".as("bks_a"))
       val rr = bandRows.select($"band_id".as("band_id_r"), $"bk".as("bk_r"),
         $"doc_id".as("doc_b"), $"bks".as("bks_b"))
@@ -353,6 +358,7 @@ object Dedup {
           $"doc_a" < $"doc_b" && noEarlierMatch)
         .select($"doc_a", $"doc_b")
     }
+    def candsOf(b: Int, r: Int): DataFrame = candsOfRows(bandRowsOf(b, r), b)
     // Below the pass bar all three candidate frames are checkpointed
     // (consumed twice each: count + truth/semi-join). Above it the
     // TRUTH config's frame is never materialized whole — see the
@@ -438,26 +444,57 @@ object Dedup {
       // ABOVE the bar (the backfill posture): the (8,2) frame is never
       // materialized whole — the r16 100× rehearsal showed its
       // checkpoint alone (~1.1B rows of block cache) plus the one-shot
-      // verify exhausts this box's scratch disk. Instead candidate
-      // GENERATION is chunked: each pass re-runs the band join (input
-      // shuffle is band-row-sized, the output streams), keeps only its
-      // hash-slice of candidates (a bounded per-chunk checkpoint that
-      // also supplies the true per-chunk candidate count), verifies it,
-      // and reduces to truth rows before the next pass starts — peak
-      // scratch is one chunk, not the whole candidate set. Every
-      // candidate lands in exactly one chunk, so the summed counts and
-      // unioned truth — and the oracle hash — cannot depend on the
-      // split (split-invariance spec-pinned).
+      // verify exhausts this box's scratch disk. Candidate GENERATION
+      // is chunked BY BUCKET, not by pair hash: pairs exist only within
+      // a (band, key) bucket, so slicing the BAND-ROW frame by bucket
+      // hash partitions the pair stream exactly — each pass joins only
+      // its buckets and the full pair stream is produced ONCE across
+      // all passes. (The r16 shape re-ran the band join per pass over
+      // ALL buckets and kept 1/k of the pairs — k× pair generation, the
+      // measured bulk of the 2009 s 100× record.) The band-row frame is
+      // checkpointed once (narrow, pre-pair: 8 rows/doc) so passes scan
+      // stored rows; each pass's candidates checkpoint (the true
+      // per-chunk count), verify through the size-band prefilter,
+      // reduce to truth rows, and FREE their blocks synchronously
+      // before the next pass claims the disk. Every candidate lands in
+      // exactly one chunk (the leftmost-band dedup is row-local — see
+      // candsOfRows), so the summed counts and unioned truth — and the
+      // oracle hash — cannot depend on the split (spec-pinned).
+      val bandRows82 = bandRowsOf(8, 2).localCheckpoint(true)
+      def sliceCol(k: Int) = pmod(xxhash64($"band_id", $"bk"), lit(k))
+      // Bucket slices can skew (a slice owns whole buckets): start at
+      // the bound-driven count and double while any slice's pair-mass
+      // bound exceeds 1.5× the bar (one bounded DECIMAL aggregate per
+      // probe). A single bucket above the bar is atomic to a slice, so
+      // the doubling is capped at 8× — a pathological bucket then costs
+      // one oversized pass, which is exactly the r16 posture's peak,
+      // never worse.
+      def sliceMassMax(k: Int): java.math.BigInteger = bandRows82
+        .groupBy(sliceCol(k).as("slice"), $"band_id", $"bk")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"slice")
+        .agg(sum($"n".cast("decimal(38,0)") * ($"n" - 1)).as("m2"))
+        .agg(coalesce(max($"m2"), lit(0).cast("decimal(38,0)")).as("mx"))
+        .head.getDecimal(0).toBigInteger.shiftRight(1)
+      val kCap = math.min(nPasses.toLong * 8L, Int.MaxValue.toLong).toInt
+      val barX = java.math.BigInteger.valueOf(verifyPairsPerPass)
+        .multiply(java.math.BigInteger.valueOf(3)).shiftRight(1)
+      var nSlices = nPasses
+      while (sliceMassMax(nSlices).compareTo(barX) > 0 && nSlices < kCap)
+        nSlices = math.min(nSlices.toLong * 2L, kCap.toLong).toInt
       var nCand82 = 0L
-      val truth = (0 until nPasses).map { i =>
-        val ci = candsOf(8, 2).filter(
-          pmod(xxhash64($"doc_a", $"doc_b"), lit(nPasses)) === i)
+      val parts = (0 until nSlices).map { i =>
+        val ci = candsOfRows(bandRows82.filter(sliceCol(nSlices) === i), 8)
           .localCheckpoint(true)
         nCand82 += ci.count()
         val t = verifyTruth(ci).localCheckpoint(true)
+        graft.operators.Iterates.free(ci, blocking = true)
         System.gc()
         t
-      }.reduce(_ unionAll _).localCheckpoint(true)
+      }
+      val truth = parts.reduce(_ unionAll _).localCheckpoint(true)
+      parts.foreach(graft.operators.Iterates.free(_, blocking = true))
+      graft.operators.Iterates.free(bandRows82, blocking = true)
       System.gc()
       val nTruthL = truth.count()
       val rows = configs.map { case (b, r) =>
@@ -468,10 +505,12 @@ object Dedup {
             (nCand82, nTruthL)
           else {
             // swept configs stay ~linear in corpus scale (that is what
-            // the curve demonstrates) — a bounded checkpoint each
+            // the curve demonstrates) — a bounded checkpoint each,
+            // freed once both counts are read
             val c = checkpointed(b, r)
             val n = c.count()
             val d = c.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+            graft.operators.Iterates.free(c, blocking = true)
             (n, d)
           }
         (b.toLong, r.toLong, pDetectOf(b, r), ncL, ndetL,
@@ -538,6 +577,12 @@ object Dedup {
     var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
       .localCheckpoint(true)
     var frontier = labels // round 1: every node announces
+    // the round's live checkpoint (init labels, then each `updated`):
+    // superseded the moment the next round's frame materializes —
+    // freed eagerly so a long propagation never accumulates dead
+    // label generations in the block manager (the graph-iterate
+    // posture fix; see operators.Iterates)
+    var prevCp = labels
     var iter = 0
     while (frontier.limit(1).count() > 0 && iter < frontierRounds) {
       val neighborMin = edges
@@ -551,6 +596,8 @@ object Dedup {
         .localCheckpoint(true)
       frontier = updated.filter($"chg" === true).select($"doc_id", $"cluster_id")
       labels = updated.select($"doc_id", $"cluster_id")
+      graft.operators.Iterates.free(prevCp)
+      prevCp = updated
       iter += 1
     }
     if (frontier.limit(1).count() > 0) starClusters(nodes, pairs)
@@ -603,7 +650,11 @@ object Dedup {
       // of exceptAll's full multiset-difference aggregation per round.
       converged = small.count() == edges.count() &&
         small.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      val prev = edges
       edges = small
+      // the fixpoint probe above was the last read of the superseded
+      // round's edge set — drop its blocks before the next contraction
+      graft.operators.Iterates.free(prev)
       iter += 1
     }
     require(converged, s"starClusters did not converge in $maxIters rounds")

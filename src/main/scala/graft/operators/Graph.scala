@@ -421,8 +421,11 @@ object Graph {
   def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val (adj, nodes, n) = prSetup(s, dir)
     var ranks = prStart(nodes, n)
-    for (_ <- 1 to iters)
-      ranks = prStep(adj, nodes, n, ranks).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val prev = ranks
+      ranks = prStep(adj, nodes, n, prev).localCheckpoint(true)
+      Iterates.free(prev) // superseded iterate; no-op on the prStart frame
+    }
     ranks.select($"node".as("doc_id"), $"deg".as("degree"), $"pr")
   }
 
@@ -492,8 +495,14 @@ object Graph {
     val rows = (1 to iters).map { i =>
       val prev = ranks
       ranks = prStep(adj, nodes, n, prev).localCheckpoint(true)
-      prDelta(prev, ranks)
+      // the delta row is materialized eagerly (one row) so the
+      // superseded iterate's blocks can be dropped immediately instead
+      // of staying referenced until the final union's action
+      val row = prDelta(prev, ranks)
         .select(lit(i.toLong).as("iter"), $"max_delta", $"l1_delta")
+        .localCheckpoint(true)
+      Iterates.free(prev)
+      row
     }
     rows.reduce(_ unionAll _)
   }
@@ -524,6 +533,7 @@ object Graph {
       ranks = prStep(adj, nodes, n, prev).localCheckpoint(true)
       iter += 1
       maxDelta = prDelta(prev, ranks).head.getDouble(0)
+      Iterates.free(prev) // probe done — the superseded iterate is dead
     }
     ranks.select($"node".as("doc_id"), $"deg".as("degree"), $"pr",
       lit(iter.toLong).as("n_iters"),
@@ -559,9 +569,12 @@ object Graph {
         .groupBy($"src").agg(count(lit(1)).as("d"))
         .select($"src".as("node"), $"d")
     var members = adj.select($"src".as("node")).distinct()
-    for (_ <- 1 to rounds)
-      members = coreDeg(members).filter($"d" >= k)
+    for (_ <- 1 to rounds) {
+      val prev = members
+      members = coreDeg(prev).filter($"d" >= k)
         .select($"node").localCheckpoint(true)
+      Iterates.free(prev) // no-op on the round-0 distinct projection
+    }
     coreDeg(members).select($"node".as("doc_id"), $"d".as("core_deg"))
   }
 
@@ -627,10 +640,15 @@ object Graph {
         .groupBy($"a", $"b").agg(sum($"c").as("support"))
     }
     var e = e0
-    for (_ <- 1 to rounds)
-      e = e.join(support(e), Seq("a", "b"))
+    for (_ <- 1 to rounds) {
+      val prev = e
+      e = prev.join(support(prev), Seq("a", "b"))
         .filter($"support" >= k - 2)
         .select($"a", $"b").localCheckpoint(true)
+      // free only iterates THIS loop created — e0 is the caller's frame
+      // (spec callers reuse it across calls)
+      if (prev ne e0) Iterates.free(prev)
+    }
     e.join(support(e), Seq("a", "b"), "left")
       .select($"a".as("doc_a"), $"b".as("doc_b"),
         coalesce($"support", lit(0L)).as("support"))
@@ -673,11 +691,13 @@ object Graph {
         .unionAll(labels)
       val w = Window.partitionBy($"node")
         .orderBy($"cnt".desc, $"label".asc)
+      val prev = labels
       labels = votes.groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"node", $"label")
         .localCheckpoint(true)
+      Iterates.free(prev) // no-op on the round-0 self-label projection
     }
     labels.select($"node".as("doc_id"), $"label".as("community"))
   }
@@ -877,12 +897,14 @@ object Graph {
     var c = deg.select($"node", $"deg".cast("long").as("cv"))
     for (_ <- 1 to rounds) {
       val w = Window.partitionBy($"dst").orderBy($"nv".desc, $"src".asc)
-      c = adj.join(c.select($"node".as("src"), $"cv".as("nv")), "src")
+      val prev = c
+      c = adj.join(prev.select($"node".as("src"), $"cv".as("nv")), "src")
         .withColumn("rn", row_number().over(w))
         .groupBy($"dst")
         .agg(max(least($"rn".cast("long"), $"nv")).as("cv"))
         .select($"dst".as("node"), $"cv")
         .localCheckpoint(true)
+      Iterates.free(prev) // no-op on the round-0 degree projection
     }
     deg.join(c, "node")
       .select($"node".as("doc_id"), $"deg".as("degree"), $"cv".as("coreness"))
@@ -985,6 +1007,7 @@ object Graph {
           $"src" === $"node")
         .select($"dst", $"c".cast("decimal(27,10)").as("c"))
       val sums = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+      val prev = ranks
       ranks = seeded.crossJoin(broadcast(ns))
         .join(sums, $"node" === $"dst", "left")
         .select($"node", $"deg",
@@ -993,6 +1016,7 @@ object Graph {
               lit(0.85) * coalesce($"sc".cast("double"), lit(0.0)), 8)
             .as("pr"))
         .localCheckpoint(true)
+      Iterates.free(prev) // no-op on the start projection
     }
     ranks.filter($"pr" > 0.0)
       .join(seeded.select($"node", $"is_seed"), "node")
@@ -1041,6 +1065,14 @@ object Graph {
               $"dst".cast("string"))).as("h"),
           $"dst".as("d"))).as("pick"))
         .select($"start", lit(t).as("step"), $"pick.d".as("node"))
+        // materialize each step once: step t's plan is referenced TWICE
+        // (the output union and step t+1's frontier), and the lazy
+        // unroll leaves the dedup to exchange reuse — which the r16
+        // driver bench measured failing under a tight heap (7.4x). A
+        // stored |V|-row frame per step is the bounded-plan form; the
+        // superseded frontiers stay referenced by the output union, so
+        // nothing is freed here.
+        .localCheckpoint(true)
       acc = acc.unionByName(nxt)
       cur = nxt
     }
@@ -1084,11 +1116,13 @@ object Graph {
           $"src" === $"node")
         .groupBy($"dst").agg(sum($"c").as("sc"))
       val norm = sums.agg(sum($"sc").as("tot"))
+      val prev = x
       x = nodes.join(sums, $"node" === $"dst")
         .crossJoin(broadcast(norm))
         .select($"node", $"deg",
           round($"sc".cast("double") / $"tot".cast("double"), 8).as("pr"))
         .localCheckpoint(true)
+      Iterates.free(prev) // no-op on the constant-1 start projection
     }
     x.select($"node".as("doc_id"), $"deg".as("degree"),
       $"pr".as("centrality"))
@@ -1132,8 +1166,10 @@ object Graph {
     var hub = nodes.select($"node", lit(1.0).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      val prevHub = hub
+      val prevAuth = auth
       val asums = e
-        .join(hub.select($"node", $"h".cast("decimal(27,10)").as("c")),
+        .join(prevHub.select($"node", $"h".cast("decimal(27,10)").as("c")),
           $"src" === $"node")
         .groupBy($"dst").agg(sum($"c").as("sa"))
       val anorm = asums.agg(sum($"sa").as("tot"))
@@ -1141,6 +1177,7 @@ object Graph {
         .select($"dst".as("node"),
           round($"sa".cast("double") / $"tot".cast("double"), 8).as("au"))
         .localCheckpoint(true)
+      if (prevAuth != null) Iterates.free(prevAuth) // superseded half-step
       val hsums = e
         .join(auth.select($"node", $"au".cast("decimal(27,10)").as("c")),
           $"dst" === $"node")
@@ -1150,6 +1187,7 @@ object Graph {
         .select($"src".as("node"),
           round($"sh".cast("double") / $"tot".cast("double"), 8).as("h"))
         .localCheckpoint(true)
+      Iterates.free(prevHub) // no-op on the constant-1 start projection
     }
     nodes
       .join(hub, Seq("node"), "left")
@@ -1250,8 +1288,12 @@ object Graph {
           $"start" === $"vs" && $"dst" === $"vn", "left_anti")
         .select($"start", $"dst".as("node"), $"sigma")
         .localCheckpoint(true)
-      visited = visited.unionByName(nxt.select($"start", $"node"))
+      val prevVisited = visited
+      visited = prevVisited.unionByName(nxt.select($"start", $"node"))
         .localCheckpoint(true)
+      // the layer frames stay (the backward sweep reads them); only the
+      // superseded visited accumulator is dead. No-op on the f0 start.
+      Iterates.free(prevVisited)
       layers += nxt
     }
     // backward: δ per layer, deepest first (δ of the deepest layer = 0)
