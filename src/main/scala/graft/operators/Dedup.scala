@@ -333,11 +333,15 @@ object Dedup {
         val cols = (0 until r).map(ri => col(s"mh${bi * r + ri}").cast("string"))
         hash60(concat_ws("|", cols: _*))
       }
-      val withKeys = sig.select($"doc_id", array(keys: _*).as("bks"))
-      withKeys.select($"doc_id", $"bks",
+      // sz rides along (one long) so the chunked path's generation can
+      // apply the size-band prefilter INLINE; every other consumer
+      // (the bound aggregate, the single-plan candsOf) prunes it
+      val withKeys = sig.select($"doc_id",
+        size($"hb").cast("long").as("sz"), array(keys: _*).as("bks"))
+      withKeys.select($"doc_id", $"sz", $"bks",
         explode(array((0 until b).map(bi =>
           struct(lit(bi).as("band_id"), element_at($"bks", bi + 1).as("bk"))): _*)).as("x"))
-        .select($"doc_id", $"bks", $"x.band_id".as("band_id"), $"x.bk".as("bk"))
+        .select($"doc_id", $"sz", $"bks", $"x.band_id".as("band_id"), $"x.bk".as("bk"))
     }
     // Candidate join over ANY band-row frame (the full banding, or one
     // bucket slice of it — pairs exist only within a (band, key) bucket,
@@ -345,10 +349,13 @@ object Dedup {
     // predicate reads the carried bks arrays — row-local, so it holds on
     // any bucket subset: a pair colliding in several bands survives only
     // at its earliest one, whichever slice owns that bucket.
-    def candsOfRows(bandRows: DataFrame, b: Int): DataFrame = {
-      val l = bandRows.select($"band_id", $"bk", $"doc_id".as("doc_a"), $"bks".as("bks_a"))
-      val rr = bandRows.select($"band_id".as("band_id_r"), $"bk".as("bk_r"),
-        $"doc_id".as("doc_b"), $"bks".as("bks_b"))
+    def candsOfRows(bandRows: DataFrame, b: Int,
+                    withSz: Boolean = false): DataFrame = {
+      val l = bandRows.select(Seq($"band_id", $"bk", $"doc_id".as("doc_a"),
+        $"bks".as("bks_a")) ++ (if (withSz) Seq($"sz".as("sz_a")) else Nil): _*)
+      val rr = bandRows.select(Seq($"band_id".as("band_id_r"), $"bk".as("bk_r"),
+        $"doc_id".as("doc_b"),
+        $"bks".as("bks_b")) ++ (if (withSz) Seq($"sz".as("sz_b")) else Nil): _*)
       val noEarlierMatch =
         if (b == 1) lit(true)
         else (0 until b - 1).map { e =>
@@ -356,7 +363,8 @@ object Dedup {
         }.reduce(_ && _)
       l.join(rr, $"band_id" === $"band_id_r" && $"bk" === $"bk_r" &&
           $"doc_a" < $"doc_b" && noEarlierMatch)
-        .select($"doc_a", $"doc_b")
+        .select(Seq($"doc_a", $"doc_b") ++
+          (if (withSz) Seq($"sz_a", $"sz_b") else Nil): _*)
     }
     def candsOf(b: Int, r: Int): DataFrame = candsOfRows(bandRowsOf(b, r), b)
     // Below the pass bar all three candidate frames are checkpointed
@@ -377,15 +385,20 @@ object Dedup {
     // (extra survivors are re-verified exactly; dropped pairs are
     // dropped by theorem), so the truth set — and the oracle hash —
     // are unchanged.
-    def verifyTruth(cands: DataFrame): DataFrame = cands
-      .join(szs.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
-      .join(szs.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
-      .filter(least($"sz_a", $"sz_b").cast("double")
-        >= (lit(threshold - 1e-9)) * greatest($"sz_a", $"sz_b").cast("double"))
+    val sizeOk = least($"sz_a", $"sz_b").cast("double") >=
+      (lit(threshold - 1e-9)) * greatest($"sz_a", $"sz_b").cast("double")
+    // exact verify of pairs that already passed the size prefilter:
+    // the two token-hash-ARRAY joins + the merge-intersect Jaccard
+    def verifyExact(pairs: DataFrame): DataFrame = pairs
       .join(hb.select($"doc_id".as("doc_a"), $"hb".as("hb_a")), "doc_a")
       .join(hb.select($"doc_id".as("doc_b"), $"hb".as("hb_b")), "doc_b")
       .filter(sortedJaccard($"hb_a", $"hb_b") >= threshold)
       .select($"doc_a", $"doc_b")
+    def verifyTruth(cands: DataFrame): DataFrame = verifyExact(cands
+      .join(szs.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
+      .join(szs.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+      .filter(sizeOk)
+      .select($"doc_a", $"doc_b"))
     // The posture decision reads a cheap UPPER BOUND on the truth
     // config's candidate count: Σ_buckets C(n,2) over (band, key) group
     // sizes — the pre-leftmost-dedup pair mass, a tiny aggregate over
@@ -482,13 +495,26 @@ object Dedup {
       var nSlices = nPasses
       while (sliceMassMax(nSlices).compareTo(barX) > 0 && nSlices < kCap)
         nSlices = math.min(nSlices.toLong * 2L, kCap.toLong).toInt
+      // Per chunk, ONE streamed generation pass: the candidate count is
+      // an observed metric (CollectMetrics rides the plan — no full
+      // candidate checkpoint, the 100× phase profile priced that write
+      // at ~3 GB/chunk), the size-band prefilter is an inline column
+      // comparison on the carried sizes (NOT two 100M-row joins against
+      // the size table — the r16 shape ran those per chunk and the
+      // profile measured its verify at 150 s of each 208 s chunk), and
+      // only the ~1/3 surviving pairs are stored. The exact verify then
+      // joins the token-hash arrays against the bounded survivor frame.
       var nCand82 = 0L
       val parts = (0 until nSlices).map { i =>
-        val ci = candsOfRows(bandRows82.filter(sliceCol(nSlices) === i), 8)
+        val obs = org.apache.spark.sql.Observation(s"lsh_cand_$i")
+        val surv = candsOfRows(bandRows82.filter(sliceCol(nSlices) === i), 8,
+          withSz = true)
+          .observe(obs, count(lit(1)).as("n"))
+          .filter(sizeOk).select($"doc_a", $"doc_b")
           .localCheckpoint(true)
-        nCand82 += ci.count()
-        val t = verifyTruth(ci).localCheckpoint(true)
-        graft.operators.Iterates.free(ci, blocking = true)
+        nCand82 += obs.get("n").asInstanceOf[Long]
+        val t = verifyExact(surv).localCheckpoint(true)
+        graft.operators.Iterates.free(surv, blocking = true)
         System.gc()
         t
       }
