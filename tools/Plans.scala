@@ -74,12 +74,13 @@ object Plans {
       "sim_pca_power" -> "PCA: sampled scan explodes d^2 centered products into a (i,j) partial agg; cov checkpointed once; each matvec a 4096-row join — final plan reads ExistingRDD iterates",
       "rel_scd2_snapshot_diff" -> "snapshot diff: ONE pass — single interval-build window exchange, coverage-flag filter at scan speed, per-key max-of-struct agg rides the window partitioning (no second exchange, no join), churn-bounded output",
       "text_cms_estimate" -> "CMS: d-way explode into a (j,bucket) partial agg — exchange bounded at d*w rows/partition; heavy-hitter probes join the tiny sketch (broadcast), min-over-rows rollup",
-      "graph_random_walks" -> "random walks: adjacency localCheckpoint'd once; per step one frontier equi-join + partial-agged struct-min per walk — fixed unroll, no re-derived LSH chain",
+      "graph_random_walks" -> "random walks: adjacency localCheckpoint'd once; per step one frontier equi-join + partial-agged struct-min per walk, each step CHECKPOINTED (the output union reads stored frames — step plans were referenced twice and exchange-reuse dedup measured failing under a tight heap)",
       "graph_ppr" -> "PPR: pagerank's checkpointed-iterate shape with a LEFT sum join (orbit nodes only receive mass) and broadcast 1-row seed count; final plan reads ExistingRDD ranks",
       "text_zipf_fit" -> "zipf fit: one partial-agged token count, TakeOrderedAndProject 200-row head (vocabulary never sorts globally), single-partition window+agg over <=200 rows",
       "mm_phash_pairs" -> "phash pairs: codegen char-ngram simhash scan, (mime,block,value) bucket join with leftmost-block dedup — candidates unique by construction, exact bit_count verify",
       "events_top_paths" -> "top paths: ONE user_id exchange serves the sort and both lead()s (single window spec), partial-agged path count, TakeOrderedAndProject top-20",
       "graph_local_clustering" -> "local clustering: the census's forward-algorithm triangle edges (SortedIntersectExpr per oriented edge, broadcast adjacency) consumed ONCE — explode to a row per triangle, then a 3-corner explode + partial-agged count; degrees LEFT-joined for cc=0 totality",
+      "graph_clustering_approx" -> "approx clustering: hash60 edge coin (p=1/2) filters the MATERIALIZED pair set, the SAME per-node charge on the kept edges (ExistingRDD — never re-derives the LSH chain), keepMod^3 scale-up, TRUE-degree left join",
       "graph_eigencentrality" -> "eigencentrality: per iteration one adjacency equi-join + decimal agg + broadcast 1-row L1 normalizer; iterates checkpointed — final plan reads ExistingRDD",
       "sim_silhouette" -> "silhouette: O(2^nBits)-row centroid table broadcast against ONE corpus scan; conditional-MIN a/b collapse in a single partial agg; decimal per-bucket means",
       "rel_join_delta_view" -> "IVM join view: all three delta terms join a BROADCAST small side (delta batch / changed dim keys); only shuffles are the signed delta agg + the full-outer apply on the view key — cost ∝ delta + view keys",
