@@ -140,6 +140,8 @@ object Bench {
     "sim_ivf_append", // added r16: batch-incremental IVF maintenance — standing index never retrained
     "sim_pq_append", // added r16: the fine-quantizer half — batch encoded against the standing PQ codebook, MSE drift vs retrain
     "sim_index_roundtrip", // added r17: write+load both standing artifacts to/from parquet, serve the batch from the LOADED tables
+    "dedup_index_roundtrip", // added r17: the dedup half — standing LSH index persisted to parquet, batch probes the LOADED artifact
+    "text_model_roundtrip", // added r17: the text half — all three router models persisted to parquet, holdout served from the LOADED artifacts
     "graph_clustering_approx", // added r17: DOULION p=1/2 per-node estimate — the ~4x cheaper local_cc default
     "mm_meta_stats")
 

@@ -1389,6 +1389,35 @@ private[graft] final class OracleSqlGen(sfDir: String) {
          |  CASE WHEN coalesce(ag.nt, 0) > 0
          |    THEN round(ag.npc::DOUBLE / ag.nt, 6) END AS pieces_per_token
          |FROM $docs d LEFT JOIN ag ON ag.doc_id = d.doc_id""".stripMargin,
+    "text_model_roundtrip" ->
+      // twin of TextAnalysis.modelRoundtrip: the Spark side trains all
+      // three router models, PERSISTS them to parquet, loads them back
+      // and serves the holdout split through the router kernels; this
+      // twin re-derives the identical serve from raw text with no
+      // persistence step and no kernels — the three batch CTE chains
+      // (langid rank profiles, integer micro-nat NB, the BPE trainer +
+      // per-doc pricing) joined per holdout doc. A hash match proves
+      // both load-equivalence and kernel-vs-batch parity at once.
+      s"""WITH $langidCtes,
+         |${nbCtes(nbSourceLabeled)},
+         |$bpeCtes,
+         |mrpieces AS (SELECT tok,
+         |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS np FROM w$bpeK),
+         |mrdt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM $docs),
+         |mrag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         |    CAST(sum(np) AS BIGINT) AS npc
+         |  FROM mrdt JOIN mrpieces USING (tok) GROUP BY 1)
+         |SELECT d.doc_id, p.lang_pred, p.best_dist, p.margin,
+         |  n.pred AS source_pred, n.best_score_micro, n.margin_micro,
+         |  coalesce(mrag.nt, 0) AS n_tokens, coalesce(mrag.npc, 0) AS n_pieces,
+         |  CASE WHEN coalesce(mrag.nt, 0) > 0
+         |    THEN round(mrag.npc::DOUBLE / mrag.nt, 6) END AS pieces_per_token
+         |FROM $docs d
+         |JOIN pred p ON p.doc_id = d.doc_id
+         |JOIN nbpred n ON n.doc_id = d.doc_id
+         |LEFT JOIN mrag ON mrag.doc_id = d.doc_id
+         |WHERE d.doc_id % 5 = 0""".stripMargin,
     "text_tfidf_top_terms" ->
       s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $docs),
          |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM t),
@@ -2614,6 +2643,26 @@ private[graft] final class OracleSqlGen(sfDir: String) {
       // twin restricted to pairs with at least one NEW endpoint
       // (hash60(doc_id) % 8 == 0) — incrementality is a cost contract,
       // not a result change, so the oracle is the filtered full join
+      s"""WITH $minhashSigCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |j AS (SELECT doc_a, doc_b, ${jac("wa.hb", "wb.hb")} AS jacc
+         |  FROM cand JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM j
+         |WHERE jacc >= 0.9
+         |  AND (${h60("CAST(doc_a AS VARCHAR)")} % 8 = 0
+         |    OR ${h60("CAST(doc_b AS VARCHAR)")} % 8 = 0)""".stripMargin,
+    "dedup_index_roundtrip" ->
+      // twin of Dedup.lshIndexRoundtrip(batchMod=8): the Spark side
+      // PERSISTS the standing band index to parquet, loads it back and
+      // probes the batch against the LOADED artifact; the output
+      // contract is lshIndexAppend's verbatim (incrementality AND
+      // persistence are cost contracts, not result changes), so the
+      // twin is the append twin — re-derived from raw text with no
+      // write/load step at all. A hash match is the load-equivalence
+      // proof: parquet round-tripped BIGINT[] band keys and token-hash
+      // sets probe bit-identically to the in-plan build.
       s"""WITH $minhashSigCte,
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |  FROM bands l JOIN bands r

@@ -1608,19 +1608,38 @@ object Dedup {
     require(batchMod >= 2, s"batchMod must be >= 2, got $batchMod")
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
-    import graft.functions.SortedJaccardExpr
-    import org.apache.spark.sql.graftbridge.Bridge
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
     val isNew = hash60($"doc_id".cast("string")) % batchMod === 0
     val feats = minhashDocFeatures(docs).localCheckpoint(true)
-    def explodeBands(f: DataFrame): DataFrame = f.select(
-      $"doc_id", $"bks", $"hb",
-      explode(array((0 until Bands).map(b =>
-        struct(lit(b).as("band_id"), element_at($"bks", b + 1).as("bk"))): _*)).as("b"))
-      .select($"doc_id", $"bks", $"hb", $"b.band_id".as("band_id"), $"b.bk".as("bk"))
-    val newFeats = feats.filter(isNew)
-    val arriving = explodeBands(newFeats)
-    val standing = explodeBands(feats.filter(!isNew)).select(
+    lshProbePairs(feats.filter(isNew), feats.filter(!isNew), threshold)
+      .unionByName(minhashLshPairsFrom(docs.filter(isNew), threshold))
+  }
+
+  /** One (band_id, bk) row per band per doc of an LSH feature frame —
+    * the probe/build rows of the incremental band join. `bks` and `hb`
+    * ride along so first-shared-band dedup and the exact verify need no
+    * extra lookup join. */
+  private def explodeBandRows(f: DataFrame): DataFrame = f.select(
+    $"doc_id", $"bks", $"hb",
+    explode(array((0 until Bands).map(b =>
+      struct(lit(b).as("band_id"), element_at($"bks", b + 1).as("bk"))): _*)).as("b"))
+    .select($"doc_id", $"bks", $"hb", $"b.band_id".as("band_id"), $"b.bk".as("bk"))
+
+  /** The arriving×standing half of the incremental LSH maintenance
+    * contract, over any two [[minhashDocFeatures]]-shaped frames:
+    * band-key equi-join with first-shared-band dedup, exact
+    * sorted-Jaccard verify, canonical doc_a < doc_b. Shared verbatim by
+    * [[lshIndexAppend]] (standing derived in-plan) and
+    * [[lshIndexRoundtrip]] (standing loaded from the parquet artifact),
+    * so persisted-vs-in-plan equivalence is a property of ONE join, not
+    * two implementations. */
+  private def lshProbePairs(arrivingFeats: DataFrame,
+                            standingFeats: DataFrame,
+                            threshold: Double): DataFrame = {
+    import graft.functions.SortedJaccardExpr
+    import org.apache.spark.sql.graftbridge.Bridge
+    val arriving = explodeBandRows(arrivingFeats)
+    val standing = explodeBandRows(standingFeats).select(
       $"doc_id".as("dup_doc_id"), $"bks".as("bks_s"), $"hb".as("hb_s"),
       $"band_id".as("band_id_s"), $"bk".as("bk_s"))
     val noEarlierMatch = (0 until Bands - 1).map { e =>
@@ -1628,7 +1647,7 @@ object Dedup {
     }.reduce(_ && _)
     def sortedJaccard(a: Column, b: Column): Column =
       Bridge.column(SortedJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
-    val newVsStanding = arriving.join(standing,
+    arriving.join(standing,
         $"band_id" === $"band_id_s" && $"bk" === $"bk_s" &&
           noEarlierMatch)
       .withColumn("jaccard", sortedJaccard($"hb", $"hb_s"))
@@ -1637,8 +1656,84 @@ object Dedup {
         least($"doc_id", $"dup_doc_id").as("doc_a"),
         greatest($"doc_id", $"dup_doc_id").as("doc_b"),
         round($"jaccard", 6).as("jaccard"))
-    val newVsNew = minhashLshPairsFrom(
-      docs.filter(isNew), threshold)
-    newVsStanding.unionByName(newVsNew)
+  }
+
+  /** DEDUP-INDEX PERSISTENCE — the dedup half of the persisted-artifact
+    * story ([[graft.operators.Similarity.writeIvfIndex]] is the vector
+    * half): [[lshIndexAppend]]'s docstring calls the standing banded
+    * index "the persisted artifact", and these functions make that
+    * literal. The artifact is the [[minhashDocFeatures]] frame —
+    * (doc_id, bks[Bands] band keys, hb sorted token-hash set), i.e. the
+    * candidate-generation keys AND the exact-verify sets — which is
+    * everything the nightly increment needs: a batch probes it without
+    * ever re-reading the standing corpus TEXT. Unlike the KB-sized
+    * IVF/PQ artifacts this one is corpus-PROPORTIONAL (one row per
+    * standing doc, ~tokens-sized), so it is written with the writer's
+    * partitioning intact (a fleet writes it sharded) — never
+    * coalesce(1). Parquet stores BIGINT and BIGINT[] bit-exactly, so a
+    * probe against the loaded artifact is bit-identical to a probe
+    * against the in-plan build; [[lshIndexRoundtrip]] is the
+    * registered, oracle-checked proof. */
+  def writeLshIndex(feats: DataFrame, path: String): Unit = {
+    val cols = feats.columns.toSet
+    require(Set("doc_id", "bks", "hb").subsetOf(cols),
+      s"lsh index artifact needs (doc_id, bks, hb) columns, got $cols")
+    feats.select($"doc_id", $"bks", $"hb")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load the standing LSH index [[writeLshIndex]] persisted. A 0-row
+    * artifact is a valid "empty standing corpus" state (the probe join
+    * finds nothing); a MISSING path is a deployment error and fails
+    * loudly with the parquet read error. */
+  def loadLshIndex(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val cols = df.columns.toSet
+    require(Set("doc_id", "bks", "hb").subsetOf(cols),
+      s"not an lsh index artifact at $path: columns $cols")
+    df.select($"doc_id",
+      $"bks".cast("array<bigint>").as("bks"),
+      $"hb".cast("array<bigint>").as("hb"))
+  }
+
+  /** Scratch root for [[lshIndexRoundtrip]]'s artifact: one directory
+    * per corpus dir (md5-tagged so base and scaled legs never collide),
+    * under java.io.tmpdir. */
+  private def lshScratch(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-lsh-index"),
+      new java.io.File(dir).getName + "-" + tag).getPath
+  }
+
+  /** LSH-INDEX PERSISTENCE ROUND-TRIP — registered and oracle-checked:
+    * featurize the standing split ([[lshIndexAppend]]'s coin), PERSIST
+    * the standing index to parquet ([[writeLshIndex]]), load it back,
+    * and probe the arriving batch entirely against the LOADED artifact
+    * — plus the batch's internal pairs — through the SAME
+    * [[lshProbePairs]] join the in-plan append uses. Output contract ==
+    * [[lshIndexAppend]] (spec-pinned frame equality), and the DuckDB
+    * twin is the append twin verbatim (it re-derives everything from
+    * raw text with no persistence step), so a hash match IS the
+    * load-equivalence proof. This closes the incremental-dedup loop the
+    * append op simulates: at 100 TB the standing index is written once
+    * per full dedup and every nightly batch loads THIS artifact instead
+    * of re-featurizing the corpus — the probe's cost is O(batch +
+    * matched buckets), with the corpus text never re-read. */
+  def lshIndexRoundtrip(s: SparkSession, dir: String, batchMod: Int = 8,
+                        threshold: Double = 0.9): DataFrame = {
+    require(batchMod >= 2, s"batchMod must be >= 2, got $batchMod")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val isNew = hash60($"doc_id".cast("string")) % batchMod === 0
+    val path = lshScratch(dir)
+    writeLshIndex(minhashDocFeatures(docs.filter(!isNew)), path)
+    val standing = loadLshIndex(s, path)
+    val newDocs = docs.filter(isNew)
+    lshProbePairs(minhashDocFeatures(newDocs).localCheckpoint(true), standing,
+      threshold)
+      .unionByName(minhashLshPairsFrom(newDocs, threshold))
   }
 }

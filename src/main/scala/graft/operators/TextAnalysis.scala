@@ -2220,4 +2220,191 @@ object TextAnalysis {
         $"r_word_count" && $"r_mean_word_len" && $"r_symbol" && $"r_bullet"
           && $"r_ellipsis" && $"r_alpha" && $"r_stop")
   }
+
+  /** TEXT-MODEL PERSISTENCE — the text third of the persisted-artifact
+    * story ([[graft.operators.Similarity.writeIvfIndex]] is the vector
+    * index, [[graft.operators.Dedup.writeLshIndex]] the dedup index):
+    * the three trained text models the streaming routers serve — the
+    * Cavnar–Trenkle rank profiles ([[langProfileOf]]), the integer
+    * micro-nat NB model ([[sourceNbModelOf]]) and the BPE merge list
+    * ([[bpeMerges]]) — each get a write/load pair so a router restart
+    * loads the model from storage, never from a live upstream plan. All
+    * three are BOUNDED tables whatever the corpus (≤|langs|·K profile
+    * rows, ≤|classes|·(V+1) model entries, ≤K merges), so each is one
+    * tiny single-file parquet written once per (re)train. Every value
+    * is BIGINT/INT/VARCHAR — no floating point anywhere in the
+    * artifacts — so the round-trip is trivially bit-exact;
+    * [[modelRoundtrip]] is the registered, oracle-checked proof. */
+  def writeLangProfile(prof: DataFrame, path: String): Unit = {
+    val cols = prof.columns.toSet
+    require(Set("lang", "gram", "lrank").subsetOf(cols),
+      s"langid artifact needs (lang, gram, lrank) columns, got $cols")
+    prof.select($"lang", $"gram", $"lrank")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load the rank-profile artifact [[writeLangProfile]] persisted. A
+    * 0-row artifact is a valid "no model trained yet" state (the router
+    * degrades to 'und' routing); a MISSING path is a deployment error
+    * and fails loudly with the parquet read error. */
+  def loadLangProfile(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val cols = df.columns.toSet
+    require(Set("lang", "gram", "lrank").subsetOf(cols),
+      s"not a langid profile artifact at $path: columns $cols")
+    df.select($"lang".cast("string").as("lang"),
+      $"gram".cast("string").as("gram"), $"lrank".cast("int").as("lrank"))
+  }
+
+  /** Persist the NB model tuple as one long-format table: per class a
+    * ('prior', cls, NULL, prior_micro) row, per (token, class) a
+    * ('w', cls, tok, weight_micro) row — the complete |classes|·(V+1)
+    * entry set, no sparsity (absent pairs carry the Laplace floor, a
+    * REAL weight the scorer needs). */
+  def writeNbModel(model: (IndexedSeq[String], IndexedSeq[Long],
+                     Map[String, IndexedSeq[Long]]),
+                   s: SparkSession, path: String): Unit = {
+    val (classes, priors, weights) = model
+    require(classes.length == priors.length,
+      s"nb model: ${classes.length} classes vs ${priors.length} priors")
+    require(weights.values.forall(_.length == classes.length),
+      "nb model: weight rows misaligned with classes")
+    import s.implicits._
+    val rows: Seq[(String, String, String, Long)] =
+      classes.indices.map(i =>
+        ("prior", classes(i), null: String, priors(i))) ++
+        weights.toSeq.flatMap { case (t, ws) =>
+          classes.indices.map(i => ("w", classes(i), t, ws(i))) }
+    rows.toDF("entry", "cls", "tok", "micro")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load the NB artifact back into [[sourceNbModelOf]]'s tuple shape —
+    * classes re-derived in sorted order from the prior rows (the
+    * tie-break order [[graft.functions.NbScoreExpr]] requires), weights
+    * re-assembled positionally against it. An incomplete weight row
+    * (token missing a class) fails loudly: positional weights against
+    * a wrong class list would mis-score silently. */
+  def loadNbModel(s: SparkSession, path: String)
+      : (IndexedSeq[String], IndexedSeq[Long], Map[String, IndexedSeq[Long]]) = {
+    val df = s.read.parquet(path)
+    val cols = df.columns.toSet
+    require(Set("entry", "cls", "tok", "micro").subsetOf(cols),
+      s"not an nb model artifact at $path: columns $cols")
+    val rows = df.select($"entry".cast("string"), $"cls".cast("string"),
+      $"tok".cast("string"), $"micro".cast("long")).collect()
+    val pri = rows.filter(_.getString(0) == "prior")
+      .map(r => r.getString(1) -> r.getLong(3)).sortBy(_._1)
+    val classes = pri.map(_._1).toIndexedSeq
+    val priors = pri.map(_._2).toIndexedSeq
+    val idx = classes.zipWithIndex.toMap
+    val weights = rows.filter(_.getString(0) == "w").groupBy(_.getString(2))
+      .map { case (t, rs) =>
+        require(rs.length == classes.length,
+          s"nb model artifact at $path: token has ${rs.length} weight rows " +
+            s"for ${classes.length} classes")
+        val arr = new Array[Long](classes.length)
+        rs.foreach(r => arr(idx(r.getString(1))) = r.getLong(3))
+        t -> (arr.toIndexedSeq: IndexedSeq[Long])
+      }
+    (classes, priors, weights)
+  }
+
+  def writeBpeMerges(merges: DataFrame, path: String): Unit = {
+    val cols = merges.columns.toSet
+    require(Set("merge_rank", "sym_a", "sym_b").subsetOf(cols),
+      s"bpe artifact needs (merge_rank, sym_a, sym_b) columns, got $cols")
+    merges.select($"merge_rank", $"sym_a", $"sym_b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load the merge-list artifact back into the rank-ordered pair list
+    * [[graft.streaming.Streams.bpeRouter]] consumes. Order is restored
+    * from the persisted ranks, never from file order. */
+  def loadBpeMerges(s: SparkSession, path: String): Seq[(String, String)] = {
+    val df = s.read.parquet(path)
+    val cols = df.columns.toSet
+    require(Set("merge_rank", "sym_a", "sym_b").subsetOf(cols),
+      s"not a bpe merge artifact at $path: columns $cols")
+    df.select($"merge_rank".cast("long"), $"sym_a".cast("string"),
+      $"sym_b".cast("string")).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** Scratch root for [[modelRoundtrip]]'s artifacts: one directory per
+    * corpus dir (md5-tagged so base and scaled legs never collide),
+    * under java.io.tmpdir — the artifacts are KB-sized whatever the
+    * corpus. */
+  private def modelScratch(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-text-models"),
+      new java.io.File(dir).getName + "-" + tag).getPath
+  }
+
+  /** TEXT-MODEL PERSISTENCE ROUND-TRIP — registered and oracle-checked:
+    * train all three router models on their batch training splits
+    * (langid/NB on doc_id % 5 != 0 — the batch operators' split; BPE on
+    * the full corpus — the trainer's contract), PERSIST each to
+    * parquet, load them back, and serve the HOLDOUT split (doc_id % 5
+    * == 0, the docs the models never saw) entirely from the LOADED
+    * artifacts through the routers' own per-row kernels
+    * ([[graft.functions.LangIdScoreExpr]]/[[graft.functions
+    * .NbScoreExpr]]/[[graft.functions.BpeCountExpr]]). One row per
+    * holdout doc: language routing, provenance scoring and piece
+    * pricing — the complete front-door verdict a 100 TB ingestion
+    * pipeline stamps on every arriving document. The DuckDB twin
+    * re-derives all three scorings from raw text with no persistence
+    * step and no kernels (the batch CTE chains), so a hash match proves
+    * BOTH contracts at once: parquet round-tripped models serve
+    * bit-identically, and the kernels match the batch operators on the
+    * served split. */
+  def modelRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val root = modelScratch(dir)
+    writeLangProfile(langProfileOf(train), s"$root/langid")
+    writeNbModel(sourceNbModelOf(train), s, s"$root/nb")
+    writeBpeMerges(bpeMergesFrom(docs, BpeK, 2L)._1, s"$root/bpe")
+    val profRows = loadLangProfile(s, s"$root/langid").collect()
+    val profiles = profRows.groupBy(_.getString(0)).toSeq
+      .map { case (l, rs) =>
+        l -> rs.map(r => r.getString(1) -> r.getInt(2)).toMap }
+      .sortBy(_._1)
+    val (classes, priors, weights) = loadNbModel(s, s"$root/nb")
+    val merges = loadBpeMerges(s, s"$root/bpe")
+    // the routers' degraded shapes for empty models, as literal structs
+    val lid =
+      if (profiles.isEmpty) struct(
+        lit(null).cast("string").as("lang_pred"),
+        lit(null).cast("long").as("best_dist"),
+        lit(null).cast("long").as("margin"))
+      else Bridge.column(graft.functions.LangIdScoreExpr(
+        Bridge.expression($"text"), profiles, LangProfK, DocProfK))
+    val nb =
+      if (classes.isEmpty) struct(
+        lit("und").as("source_pred"),
+        lit(null).cast("long").as("best_score_micro"),
+        lit(null).cast("long").as("margin_micro"))
+      else Bridge.column(graft.functions.NbScoreExpr(
+        Bridge.expression($"text"), classes, priors, weights))
+    val bp = Bridge.column(graft.functions.BpeCountExpr(
+      Bridge.expression($"text"), merges))
+    docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", lid.as("lid"), nb.as("nb"), bp.as("bp"))
+      .select($"doc_id",
+        coalesce($"lid"("lang_pred"), lit("und")).as("lang_pred"),
+        $"lid"("best_dist").as("best_dist"),
+        $"lid"("margin").as("margin"),
+        $"nb"("source_pred").as("source_pred"),
+        $"nb"("best_score_micro").as("best_score_micro"),
+        $"nb"("margin_micro").as("margin_micro"),
+        $"bp"("n_tokens").as("n_tokens"),
+        $"bp"("n_pieces").as("n_pieces"),
+        when($"bp"("n_tokens") > 0L,
+          round($"bp"("n_pieces").cast("double") / $"bp"("n_tokens"), 6))
+          .otherwise(lit(null).cast("double")).as("pieces_per_token"))
+  }
 }

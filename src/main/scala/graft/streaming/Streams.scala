@@ -973,6 +973,11 @@ object Streams {
     * 100 TB ingestion shape). An empty model degrades to an 'und'
     * prediction with null scores, like an empty-train batch run has no
     * classes to score. */
+  def nbRouter(docs: Dataset[Doc], spark: SparkSession,
+               modelPath: String): DataFrame =
+    nbRouter(docs,
+      graft.operators.TextAnalysis.loadNbModel(spark, modelPath))
+
   def nbRouter(docs: Dataset[Doc],
                model: (IndexedSeq[String], IndexedSeq[Long],
                  Map[String, IndexedSeq[Long]])): DataFrame = {
@@ -1006,6 +1011,11 @@ object Streams {
     * arriving doc — the number packing/truncation/billing decisions
     * read at the crawl's front door. No state store, no shuffle,
     * append mode. */
+  def bpeRouter(docs: Dataset[Doc], spark: SparkSession,
+                mergesPath: String): DataFrame =
+    bpeRouter(docs,
+      graft.operators.TextAnalysis.loadBpeMerges(spark, mergesPath))
+
   def bpeRouter(docs: Dataset[Doc],
                 merges: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
@@ -1038,6 +1048,11 @@ object Streams {
     * no watermark, no shuffle, append-mode, unbounded throughput. The
     * batch form's groupBy/window would drag watermark semantics and a
     * state store into what is per-row work on this seam. */
+  def langIdRouter(docs: Dataset[Doc], spark: SparkSession,
+                   profilePath: String): DataFrame =
+    langIdRouter(docs,
+      graft.operators.TextAnalysis.loadLangProfile(spark, profilePath))
+
   def langIdRouter(docs: Dataset[Doc], langProf: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import graft.operators.TextAnalysis.{DocProfK, LangProfK}

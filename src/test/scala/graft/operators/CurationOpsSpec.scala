@@ -1697,4 +1697,77 @@ class CurationOpsSpec extends SparkSpec {
       assert(math.abs(row._5 + row._6 - 1.0) < 1e-5, s"cov+oov != 1: $row")
     }
   }
+
+  test("text model roundtrip: all three artifacts round-trip bit-exactly; " +
+    "the loaded-model serve equals the batch operators on holdout") {
+    val tmp = java.nio.file.Files.createTempDirectory("tmr").toString
+    try {
+      val docs = Tables.documents(spark, Sf)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      // 1. each artifact loads back exactly what was written
+      val builtProf = TextAnalysis.langProfileOf(train)
+      TextAnalysis.writeLangProfile(builtProf, s"$tmp/langid")
+      def profSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(profSet(TextAnalysis.loadLangProfile(spark, s"$tmp/langid"))
+        === profSet(builtProf), "langid profile artifact drifted")
+      val builtNb = TextAnalysis.sourceNbModelOf(train)
+      TextAnalysis.writeNbModel(builtNb, spark, s"$tmp/nb")
+      assert(TextAnalysis.loadNbModel(spark, s"$tmp/nb") === builtNb,
+        "nb model artifact drifted")
+      val builtMerges = TextAnalysis.bpeMerges(spark, Sf)
+      TextAnalysis.writeBpeMerges(builtMerges, s"$tmp/bpe")
+      val mergesSeq = builtMerges.collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(TextAnalysis.loadBpeMerges(spark, s"$tmp/bpe") === mergesSeq,
+        "bpe merge artifact drifted (or lost rank order)")
+      // 2. the registered query (its own write/load under tmpdir)
+      //    equals the three BATCH operators on the holdout split —
+      //    persistence AND kernel-vs-batch parity in one frame
+      val served = TextAnalysis.modelRoundtrip(spark, Sf).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(served.nonEmpty, "roundtrip serve is empty — fixture issue")
+      def optL(r: org.apache.spark.sql.Row, i: Int) =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def optD(r: org.apache.spark.sql.Row, i: Int) =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val lang = TextAnalysis.langIdNgram(spark, Sf)
+        .filter(col("doc_id") % 5 === 0).collect()
+        .map(r => r.getLong(0) -> ((r.getString(3), optL(r, 4), optL(r, 5)))).toMap
+      val nb = TextAnalysis.sourceNb(spark, Sf)
+        .filter(col("split") === "holdout").collect()
+        .map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4), optL(r, 5)))).toMap
+      val bpe = TextAnalysis.bpeDocPieces(spark, Sf)
+        .filter(col("doc_id") % 5 === 0).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), optD(r, 3)))).toMap
+      assert(served.keySet === lang.keySet)
+      assert(served.keySet === nb.keySet)
+      assert(served.keySet === bpe.keySet)
+      served.foreach { case (id, r) =>
+        assert((r.getString(1), optL(r, 2), optL(r, 3)) === lang(id),
+          s"doc $id: langid serve != batch")
+        assert((r.getString(4), r.getLong(5), optL(r, 6)) === nb(id),
+          s"doc $id: nb serve != batch")
+        assert((r.getLong(7), r.getLong(8), optD(r, 9)) === bpe(id),
+          s"doc $id: bpe serve != batch")
+      }
+      // 3. a non-artifact parquet fails each load loudly, naming the path
+      docs.select("doc_id").limit(2).write.mode("overwrite")
+        .parquet(s"$tmp/bogus")
+      Seq[(String, String) => Any](
+        (p, _) => TextAnalysis.loadLangProfile(spark, p),
+        (p, _) => TextAnalysis.loadNbModel(spark, p),
+        (p, _) => TextAnalysis.loadBpeMerges(spark, p)).foreach { f =>
+        val err = intercept[IllegalArgumentException] { f(s"$tmp/bogus", "") }
+        assert(err.getMessage.contains("bogus"),
+          "load error must name the offending path")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }

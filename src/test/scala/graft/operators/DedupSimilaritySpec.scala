@@ -2174,6 +2174,49 @@ class DedupSimilaritySpec extends SparkSpec {
       "standing-only pairs must be excluded (incrementality)")
   }
 
+  test("lsh index roundtrip: parquet-persisted standing index probes " +
+    "bit-identically to the in-plan append; bad artifacts fail loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("lshrt").toString
+    try {
+      val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+      val standingDocs = docs.filter(
+        hash60(col("doc_id").cast("string")) % 8 =!= 0)
+      // 1. the artifact round-trips bit-exactly: written standing
+      //    features == loaded standing features, row by row
+      def feats(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) ->
+          ((r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))).toMap
+      val built = Dedup.minhashDocFeatures(standingDocs)
+      Dedup.writeLshIndex(built, s"$tmp/lsh")
+      val loaded = feats(Dedup.loadLshIndex(spark, s"$tmp/lsh"))
+      assert(loaded === feats(built),
+        "loaded lsh index differs from the built feature frame")
+      // 2. the registered query (its own write/load under tmpdir)
+      //    equals the in-plan append — persistence is invisible in
+      //    the result
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      val served = pairs(Dedup.lshIndexRoundtrip(spark, Sf))
+      assert(served.nonEmpty, "roundtrip probe is empty — fixture issue")
+      assert(served === pairs(Dedup.lshIndexAppend(spark, Sf)),
+        "probe against the loaded artifact diverges from in-plan append")
+      // 3. a non-artifact parquet fails the load loudly, naming the path
+      docs.limit(2).write.mode("overwrite").parquet(s"$tmp/bogus")
+      val err = intercept[IllegalArgumentException] {
+        Dedup.loadLshIndex(spark, s"$tmp/bogus")
+      }
+      assert(err.getMessage.contains("bogus"),
+        "load error must name the offending path")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("passjoin edit-distance pairs equal the length-banded operator " +
     "(segment blocking is exact-complete), incl. synthetic short names") {
     // corpus equality: PassJoin must produce the SAME pair set as the
