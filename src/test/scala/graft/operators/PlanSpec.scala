@@ -461,6 +461,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("lsh index roundtrip: the probe against the LOADED artifact keeps " +
+    "the append plan's shape — band-keyed equi-joins only, no cartesian") {
+    val p = plan(Dedup.lshIndexRoundtrip(spark, Sf))
+    assert(!p.contains("CartesianProduct"),
+      s"lsh roundtrip probe degenerated to a cartesian product:\n$p")
+    // the non-equi first-shared-band conjunct must ride as a join
+    // filter on the band-key equi-join, never force a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"lsh roundtrip probe lost its equi-join keys:\n$p")
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("band_id") || l.contains("bk") ||
+        l.contains("doc_a") || l.contains("doc_b") || l.contains("doc_id"),
+        s"non-keyed shuffle join in lsh roundtrip plan:\n$l\n$p")
+    }
+  }
+
   test("bpe trainer: the merge table is a driver-policy local relation; " +
     "the compression report never re-scans the corpus per round") {
     val m = TextAnalysis.bpeMerges(spark, Sf)

@@ -135,6 +135,9 @@ object Plans {
       "text_source_nb" -> "source NB: integer micro-nat model (priors + per-(class,token) counts) checkpointed and BROADCAST into the scoring fan-out; one (doc,token) partial-agged exchange, one (doc,class) partial-agged integer sum, bounded sort_array argmax — no doubles cross an exchange",
       "sim_ivf_append" -> "ivf append: standing-only centroid table (bounded posexplode agg) BROADCAST into the batch assignment (BuildRight nested-loop over 256 centroids, k=1 heap argmax); merged post-append means are one more bounded agg; standing x standing never joined",
       "sim_pq_append" -> "pq append: both trained codebooks are <=128-row bounded aggs, BROADCAST (BuildRight) into the two batch encodes (k=1 heap argmin per (vector, subspace)); the report is a join of four <=8-row aggregates; standing x standing never joined",
+      "sim_index_roundtrip" -> "index roundtrip: both LOADED artifacts are parquet Scans of KB-sized single files, BROADCAST (BuildRight) into the batch serve — the append plans' shape with storage in place of the in-plan trainer; vec_id-keyed join unifies coarse+fine rows",
+      "dedup_index_roundtrip" -> "lsh index roundtrip: the standing probe side is a parquet Scan of the persisted feature frame (no text re-read, no signature re-derivation) band-key equi-joined by the arriving batch; first-shared-band filter rides the join, exact verify on candidates only",
+      "text_model_roundtrip" -> "text model roundtrip: three LOADED bounded models ride as plan constants inside the router kernels (LangIdScoreExpr/NbScoreExpr/BpeCountExpr) — the holdout serve is ONE stateless projection over the doc scan, zero joins, zero shuffles",
       "sim_knn_descent_sq8" -> "sq8 descent: rounds join candidates against the checkpointed (vec_id, array<tinyint>) CODE frame (~6x narrower exchange than the raw vectors), graft_sq8_cosine fuses decode+cosine in one whole-stage-codegen loop, exact rescore only touches the final O(N*k) survivors")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
