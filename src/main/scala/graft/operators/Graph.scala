@@ -71,9 +71,17 @@ object Graph {
     * the edge list; above it the two adjacency joins fall back to SMJ —
     * two |E|-row shuffles carrying one bounded adjacency array each,
     * still never a Θ(Σ outdeg²) wedge exchange. The adjacency table
-    * holds Σ outdeg = |E| longs ≈ 8 B/edge, so 8M edges ≈ 64 MB —
-    * inside a production executor's broadcast budget. */
-  private val BcastMaxEdges = 8000000L
+    * holds Σ outdeg = |E| longs ≈ 8 B/edge, so 16M edges ≈ 128 MB —
+    * inside a production executor's broadcast budget (guide §3.1: "a
+    * few hundred MB is usually fine"; the hard broadcast cap is 8 GB).
+    * r17 raised the bar from 8M after measuring the cliff it created:
+    * the 10x bench graph (9.6M edges) fell just past 8M onto the SMJ
+    * fallback — whose array-heavy sort was BOTH ~4x slower than the
+    * fused broadcast stage AND the stage that heap-OOMed the 10x leg
+    * at the driver posture (spill-reader buffers in
+    * UnsafeExternalSorter.getSortedIterator). 100x graphs (~96M
+    * edges) stay on the honest SMJ+pass path. */
+  private val BcastMaxEdges = 16000000L
 
   /** Census body over any (a, b) edge frame — shared by the exact census
     * and the DOULION-sampled estimator so the two cannot drift. Callers
