@@ -80,8 +80,13 @@ object Graph {
     * fused broadcast stage AND the stage that heap-OOMed the 10x leg
     * at the driver posture (spill-reader buffers in
     * UnsafeExternalSorter.getSortedIterator). 100x graphs (~96M
-    * edges) stay on the honest SMJ+pass path. */
-  private val BcastMaxEdges = 16000000L
+    * edges) stay on the honest SMJ+pass path. Env-overridable
+    * (SPARK_GRAFT_TRI_BCAST_EDGES) so a deployment sizes it to its
+    * executor broadcast budget — the choice is a join-strategy policy,
+    * never a result change. */
+  private val BcastMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_TRI_BCAST_EDGES").map(_.toLong)
+      .getOrElse(16000000L)
 
   /** Census body over any (a, b) edge frame — shared by the exact census
     * and the DOULION-sampled estimator so the two cannot drift. Callers
@@ -231,8 +236,13 @@ object Graph {
     * the SMJ) — over this box's free disk — so ~24M edges/pass caps a
     * pass at roughly a quarter of that. On a 1000-executor cluster
     * scratch scales with the fleet and the bar can be raised; it is a
-    * capacity policy, never a result change. */
-  val CensusPassEdges: Long = 24000000L
+    * capacity policy, never a result change (passes are hash-disjoint
+    * and summed — split-invariant by the orientedPasses contract).
+    * Env-overridable (SPARK_GRAFT_TRI_PASS_EDGES) for fleet-scratch
+    * sizing. */
+  val CensusPassEdges: Long =
+    sys.env.get("SPARK_GRAFT_TRI_PASS_EDGES").map(_.toLong)
+      .getOrElse(24000000L)
 
   /** Core of [[localClustering]] over any materialized (a, b) a<b edge
     * frame. `passEdges` exposes the pass bar for tests. */
@@ -904,12 +914,26 @@ object Graph {
     val deg = degrees(e).localCheckpoint(true)
     var c = deg.select($"node", $"deg".cast("long").as("cv"))
     for (_ <- 1 to rounds) {
-      val w = Window.partitionBy($"dst").orderBy($"nv".desc, $"src".asc)
+      // h-index of the neighbor multiset from VALUE-GROUPED counts:
+      // with distinct values v_1 > v_2 > ... and cumulative counts
+      // c_j = Σ_{i<=j} cnt_i, h = max_j min(v_j, c_j) — identical to
+      // ranking every neighbor row (max_i min(i, nv_i)): within a
+      // value group the best rank is the group's last row, i.e. c_j.
+      // The (dst, nv) partial agg is map-side combinable, so the
+      // exchange carries grouped counts instead of every adjacency
+      // row, and the rank sort shrinks to the per-node DISTINCT core
+      // values (which collapse hard after the first rounds). r17
+      // measured the per-row rank-window form at 2x this at 10x
+      // (22.7 -> 13.4 s warm solo) with bit-identical output.
+      val w = Window.partitionBy($"dst").orderBy($"nv".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val prev = c
       c = adj.join(prev.select($"node".as("src"), $"cv".as("nv")), "src")
-        .withColumn("rn", row_number().over(w))
+        .groupBy($"dst", $"nv")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(w))
         .groupBy($"dst")
-        .agg(max(least($"rn".cast("long"), $"nv")).as("cv"))
+        .agg(max(least($"cum", $"nv")).as("cv"))
         .select($"dst".as("node"), $"cv")
         .localCheckpoint(true)
       Iterates.free(prev) // no-op on the round-0 degree projection
