@@ -892,16 +892,18 @@ object Graph {
     * curation policy thresholds AFTER looking ("keep one doc per
     * family above coreness 5") instead of re-running a peel per k.
     *
-    * Determinism: values are exact integers; the h-index is
-    * max(min(rank, value)) under the (value desc, src asc) total
-    * order — rank ties among equal values pick the same MIN, so the
-    * tie order is value-invisible. Registered at a fixed round count
+    * Determinism: values are exact integers; the h-index is computed
+    * from VALUE-GROUPED counts (max over distinct values v of
+    * min(v, cumulative count) in value-descending order — identical
+    * to ranking every neighbor row, see corenessFrom), so no tie
+    * order exists to matter. Registered at a fixed round count
     * (the [[pageRank]] unroll discipline); GraphSpec proves the
     * fixture reaches the true peel-computed coreness within the
     * registered rounds AND that one more round moves nothing.
-    * Shape per round: one adjacency equi-join + one per-node window
-    * rank + one partial-agged max — all keyed on the node, iterates
-    * checkpointed so round r never re-derives rounds 1..r-1. */
+    * Shape per round: one adjacency equi-join + one map-side-combined
+    * (node, value) count + a cumulative window over the collapsed
+    * value frame — all keyed on the node, iterates checkpointed so
+    * round r never re-derives rounds 1..r-1. */
   def coreness(s: SparkSession, dir: String, rounds: Int = 8): DataFrame =
     corenessFrom(edges(s, dir).localCheckpoint(true), rounds)
 
