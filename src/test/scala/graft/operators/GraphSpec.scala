@@ -373,6 +373,37 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, _, _, phi) => assert(phi >= 0.0 && phi <= 1.0) }
   }
 
+  test("coreness round: value-grouped h-index equals the per-row " +
+    "definition on tie-heavy neighbor multisets") {
+    // Focused pin for the r17 round rework (value-grouped counts in
+    // place of a per-row rank window): a synthetic graph whose degree
+    // multisets are adversarial for value grouping — a 6-clique (all
+    // neighbor values tied), a 20-leaf star (one huge value among
+    // many 1s, h capped by the count side), a chain (h capped by the
+    // value side), and bridges mixing them. Brute force computes
+    // h(multiset) = max h s.t. |{v >= h}| >= h directly per round.
+    val clique = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val star = (8L to 27L).map(l => (7L, l))
+    val chain = Seq((28L, 29L), (29L, 30L))
+    val bridges = Seq((6L, 7L), (27L, 28L), (1L, 30L))
+    val e = (clique ++ star ++ chain ++ bridges).toSeq
+    val df = spark.createDataFrame(e).toDF("a", "b")
+    val und = e ++ e.map { case (a, b) => (b, a) }
+    val adjOf = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    def hIndex(vals: Seq[Long]): Long = {
+      val sorted = vals.sorted(Ordering[Long].reverse)
+      sorted.zipWithIndex.map { case (v, i) => math.min(v, i + 1L) }
+        .foldLeft(0L)(math.max)
+    }
+    var ref: Map[Long, Long] = adjOf.map { case (n, ns) => n -> ns.size.toLong }
+    for (r <- 1 to 3) {
+      ref = adjOf.map { case (n, ns) => n -> hIndex(ns.map(ref)) }
+      val got = Graph.corenessFrom(df.localCheckpoint(true), r).collect()
+        .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("coreness")).toMap
+      assert(got === ref, s"round $r")
+    }
+  }
+
   test("coreness: iterated h-index equals brute-force sequential peel; " +
     "registered rounds are a fixpoint; consistent with the k-core") {
     val e = edgeSet()
